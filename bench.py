@@ -1,0 +1,79 @@
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from openoa_spark import registry  # noqa: E402
+from openoa_spark.session import get_session  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "top2_orders_per_customer",
+    "resample_day_sum",
+    "resample_hour_mean_by_type",
+    "asof_hourly_value",
+    "cumulative_sum_per_user",
+    "bin_filter_lineitem",
+    "user_daily_correlation_pairs",
+    "iec_power_curve",
+    "exact_dedup_docs",
+    "token_counts",
+    "cosine_topk",
+    "language_id",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+    spark = get_session("openoa-spark-bench")
+    qs = registry.queries()
+
+    # JVM/codegen warmup on the smallest SF so per-query numbers measure
+    # the plan, not first-call JIT + classloading.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in ("q1_pricing_summary", "resample_day_sum"):
+        try:
+            qs[name](spark, warm_dir).collect()
+        except Exception:  # noqa: BLE001
+            pass
+
+    times = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count() if name not in ("q1_pricing_summary",) else len(df.collect())
+        _ = n
+        times[name] = round(time.perf_counter() - t0, 4)
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+All stages are expressed with built-in array/hash functions (xxhash64,
+crc32, transform/aggregate) so they run JVM-side; no Python in the hot
+path. The LSH band-bucket join is the scale path: candidate pairs come
+from equi-joins on (band, bucket-hash) — never an all-pairs crossJoin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for dedup: lowercase, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, normalized: bool = True
+) -> DataFrame:
+    """Keep one representative (lowest id) per distinct text; output
+    adds ``dup_count``. Hash-groupBy on the (normalized) content — one
+    shuffle keyed by a 64-bit content hash, so 100 TB dedups without
+    moving full texts twice."""
+    c = normalize_text(text_col) if normalized else F.col(text_col)
+    keyed = df.withColumn("_key", F.xxhash64(c))
+    w = Window.partitionBy("_key").orderBy(F.col(id_col).asc())
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("_key")))
+        .where(F.col("_rn") == 1)
+        .drop("_key", "_rn")
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle array from raw text (distinct shingles)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(normalize_text(c), " ")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column | str, num_hashes: int = 64) -> Column:
+    """MinHash signature: per seed i, min over shingles of
+    xxhash64(shingle, seed=i). Array<long> of length num_hashes,
+    computed entirely with JVM array lambdas."""
+    sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+
+    def hash_with_seed(seed: int):
+        # NB: must be a 1-arg lambda — a 2-arg lambda (even via default
+        # args) makes Spark pass the array index as the 2nd argument.
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    mins = [
+        F.array_min(F.transform(sh, hash_with_seed(i))) for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs with estimated
+    Jaccard similarity.
+
+    Pipeline: shingle → minhash signature → split into ``bands`` bands
+    of ``num_hashes/bands`` rows → hash each band → self-equi-join on
+    (band_idx, band_hash) → estimate Jaccard as signature agreement
+    fraction → threshold. The join key is the band hash, so candidate
+    generation is linear-ish in data size (LSH guarantee), not O(n²).
+
+    Output: (id_a, id_b, est_jaccard), id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("_sig", b * rows_per_band + 1, rows_per_band))
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("_band"),
+    ).select("_id", "_sig", "_band.band", "_band.bhash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bhash") == F.col("b.bhash")))
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("_sa"),
+            F.col("b._sig").alias("_sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v)
+    )
+    est = agree / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(col: Column | str, bits: int = 64) -> Column:
+    """64-bit SimHash over word tokens: sign-sum of per-token hash bits.
+
+    Built from array lambdas: for each bit, count tokens whose hash has
+    that bit set; bit in result = (count > n_tokens/2).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.array_distinct(F.split(normalize_text(c), " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(toks)
+    def bit_test(b: int):
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+    bit_cols = []
+    for b in range(bits):
+        ones = F.size(F.filter(hashes, bit_test(b)))
+        bit_cols.append(F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(2 ** b).cast("long"))
+    out = bit_cols[0]
+    for bc in bit_cols[1:]:
+        out = out + bc
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing at
+    least one shingle (inverted-index join on shingle hash — the
+    classic "join on token, aggregate intersection" formulation; no
+    crossJoin). Output: (id_a, id_b, jaccard).
+
+    For very common shingles add a document-frequency cap upstream
+    (stop-shingle removal) to bound join fan-out at scale.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(text_col, shingle_n)).alias("_sh"),
+    ).withColumn("_shh", F.xxhash64("_sh")).drop("_sh")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a._shh") == F.col("b._shh"))
+        .where(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

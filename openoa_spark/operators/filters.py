@@ -1,0 +1,228 @@
+"""Flagging / filtering operators — boolean-column producers.
+
+Parity targets (behavior only): openoa/utils/filters.py:21-343. Each
+operator returns the input DataFrame with an added boolean flag column
+(True = suspect datapoint), composing with ``.where(~flag)`` to drop.
+
+Scale notes:
+- range/window flags are pure row expressions (codegen, zero shuffle).
+- std_range computes one global aggregate then applies a row expression
+  (two jobs, no per-row shuffle).
+- unresponsive_flag is a per-asset ordered window — shuffles once on
+  the partition keys; state is bounded by one asset's series.
+- bin_filter is the groupBy-join-back pattern: aggregate per bin (tiny
+  output), broadcast-join stats back onto the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def range_flag(
+    col: Column | str,
+    lower: float,
+    upper: float,
+    flag_null: bool = True,
+) -> Column:
+    """True where value is OUTSIDE [lower, upper].
+
+    Semantics: filters.py:21-64 (pandas ``~between`` flags NaN too,
+    hence ``flag_null`` defaults True).
+    """
+    c = _c(col)
+    inside = (c >= lower) & (c <= upper)
+    flag = ~inside
+    return F.coalesce(flag, F.lit(flag_null))
+
+
+def window_range_flag(
+    window_col: Column | str,
+    window_start: float,
+    window_end: float,
+    value_col: Column | str,
+    value_min: float,
+    value_max: float,
+) -> Column:
+    """True where window_col ∈ [ws, we] AND value_col ∉ [vmin, vmax].
+
+    Semantics: filters.py:157-186 (e.g. power low while wind in
+    operating range → derate/curtailment suspect).
+    """
+    w, v = _c(window_col), _c(value_col)
+    in_window = (w >= window_start) & (w <= window_end)
+    out_of_range = ~((v >= value_min) & (v <= value_max))
+    return F.coalesce(in_window & out_of_range, F.lit(False))
+
+
+def std_range_flag(df: DataFrame, cols: list[str], threshold: float = 2.0) -> DataFrame:
+    """Flag values > threshold sample-std-devs from the column mean.
+
+    Semantics: filters.py:112-154 (ddof=1, NaN-aware). One global
+    aggregate (map-side partials) → literal scalars → row expression.
+    Adds ``<col>_flag`` per input column.
+    """
+    stats = df.agg(
+        *[F.avg(c).alias(f"{c}_mean") for c in cols],
+        *[F.stddev_samp(c).alias(f"{c}_std") for c in cols],
+    ).first()
+    out = df
+    for c in cols:
+        mu, sd = stats[f"{c}_mean"], stats[f"{c}_std"]
+        out = out.withColumn(
+            f"{c}_flag",
+            F.coalesce(F.abs(F.col(c) - F.lit(mu)) > F.lit(threshold) * F.lit(sd),
+                       F.lit(False)),
+        )
+    return out
+
+
+def unresponsive_flag(
+    df: DataFrame,
+    col: str,
+    threshold: int = 3,
+    time_col: str = "time",
+    keys: list[str] | None = None,
+    flag_col: str = "unresponsive_flag",
+) -> DataFrame:
+    """Flag every row of a run of >= ``threshold`` consecutive identical
+    values (frozen-sensor detection).
+
+    Semantics: filters.py:67-109. Run-length encoding with windows:
+    change-points (value != previous) start new runs; a cumulative sum
+    of change-points yields a run id; runs with count >= threshold are
+    flagged in full. Two ordered windows + one small groupBy — all
+    partitioned by ``keys`` so nothing global.
+    """
+    keys = keys or []
+    part = keys or [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(time_col)
+    prev = F.lag(col).over(w)
+    change = F.when(prev.isNull() | (F.col(col) != prev), 1).otherwise(0)
+    with_run = df.withColumn("_chg", change).withColumn(
+        "_run", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    run_w = Window.partitionBy(*(part + [F.col("_run")]))
+    return (
+        with_run.withColumn("_runlen", F.count(F.lit(1)).over(run_w))
+        .withColumn(flag_col, F.col("_runlen") >= threshold)
+        .drop("_chg", "_run", "_runlen")
+    )
+
+
+def bin_filter(
+    df: DataFrame,
+    bin_col: str,
+    value_col: str,
+    bin_width: float,
+    threshold: float = 2.0,
+    center_type: str = "mean",
+    threshold_type: str = "std",
+    direction: str = "all",
+    bin_min: float | None = None,
+    bin_max: float | None = None,
+    flag_col: str = "bin_flag",
+) -> DataFrame:
+    """Bin ``bin_col`` into fixed-width bins; per bin compute a center
+    (mean|median) and deviation (std|mad|scalar); flag values beyond
+    center ± threshold·deviation (directionally).
+
+    Semantics: filters.py:189-286. Bin edges follow np.digitize's
+    default half-open [lo, hi) convention via floor((x - min)/width).
+    Physical plan: per-bin aggregate (tiny — #bins rows) broadcast-
+    joined back; MAD ('mad') needs a second per-bin pass (median of
+    |x - median|), still bin-grain.
+    """
+    x = F.col(bin_col)
+    lo = bin_min if bin_min is not None else df.agg(F.min(bin_col)).first()[0]
+    in_domain = x >= F.lit(lo) if bin_max is None else (x >= F.lit(lo)) & (x < F.lit(bin_max))
+    binned = df.withColumn(
+        "_bin",
+        F.when(in_domain, F.floor((x - F.lit(lo)) / F.lit(bin_width))).otherwise(F.lit(None)),
+    )
+
+    center_agg = (
+        F.avg(value_col) if center_type == "mean" else F.median(value_col)
+    ).alias("_center")
+    stats = binned.groupBy("_bin").agg(center_agg)
+    if threshold_type == "std":
+        stats = binned.groupBy("_bin").agg(
+            center_agg, F.stddev_samp(value_col).alias("_dev")
+        )
+    elif threshold_type == "mad":
+        centered = binned.join(F.broadcast(stats), "_bin", "left")
+        mads = centered.groupBy("_bin").agg(
+            F.median(F.abs(F.col(value_col) - F.col("_center"))).alias("_dev")
+        )
+        stats = stats.join(mads, "_bin", "inner")
+    elif threshold_type == "scalar":
+        stats = stats.withColumn("_dev", F.lit(1.0))
+    else:
+        raise ValueError(f"unknown threshold_type {threshold_type}")
+
+    joined = binned.join(F.broadcast(stats), "_bin", "left")
+    v, ctr, dev = F.col(value_col), F.col("_center"), F.col("_dev")
+    margin = F.lit(threshold) * dev
+    if direction == "all":
+        flag = F.abs(v - ctr) > margin
+    elif direction == "above":
+        flag = v - ctr > margin
+    elif direction == "below":
+        flag = ctr - v > margin
+    else:
+        raise ValueError(f"unknown direction {direction}")
+    return (
+        joined.withColumn(flag_col, F.coalesce(flag, F.lit(False)))
+        .drop("_bin", "_center", "_dev")
+    )
+
+
+def cluster_mahalanobis_2d(
+    df: DataFrame,
+    col1: str,
+    col2: str,
+    n_clusters: int = 13,
+    distance_threshold: float = 3.0,
+    flag_col: str = "cluster_flag",
+    seed: int = 42,
+) -> DataFrame:
+    """KMeans-cluster two columns; flag points whose Mahalanobis
+    distance from their cluster centroid exceeds the threshold.
+
+    Semantics: filters.py:289-343. MLlib KMeans (distributed) + a
+    per-cluster 2x2 covariance aggregate with the closed-form inverse
+    applied as a row expression — no per-row Python.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+
+    clean = df.where(F.col(col1).isNotNull() & F.col(col2).isNotNull())
+    vec = VectorAssembler(inputCols=[col1, col2], outputCol="_features")
+    feats = vec.transform(clean)
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="_features").fit(feats)
+    clustered = model.transform(feats).withColumnRenamed("prediction", "_cluster")
+
+    x, y = F.col(col1), F.col(col2)
+    cov = clustered.groupBy("_cluster").agg(
+        F.avg(x).alias("_mx"),
+        F.avg(y).alias("_my"),
+        F.covar_samp(x, x).alias("_sxx"),
+        F.covar_samp(x, y).alias("_sxy"),
+        F.covar_samp(y, y).alias("_syy"),
+    )
+    j = clustered.join(F.broadcast(cov), "_cluster", "left")
+    dx, dy = x - F.col("_mx"), y - F.col("_my")
+    det = F.col("_sxx") * F.col("_syy") - F.col("_sxy") * F.col("_sxy")
+    # closed-form inverse of the 2x2 covariance: [syy -sxy; -sxy sxx]/det
+    d2 = (
+        dx * (F.col("_syy") * dx - F.col("_sxy") * dy)
+        + dy * (F.col("_sxx") * dy - F.col("_sxy") * dx)
+    ) / det
+    return (
+        j.withColumn(flag_col, F.coalesce(F.sqrt(d2) > distance_threshold, F.lit(False)))
+        .drop("_features", "_cluster", "_mx", "_my", "_sxx", "_sxy", "_syy")
+    )

@@ -1,0 +1,151 @@
+"""Imputation operators: cross-asset correlation + regression fill.
+
+Parity targets (behavior only): openoa/utils/imputing.py:13-229.
+
+Scale notes: the correlation matrix is #assets² rows (assets are
+O(10²)) — computed with one self-join on the time key, aggregated to
+bin grain first when the fact table is large. Imputation is a single
+equi-join on (time) between the target and reference series plus a
+closed-form linear fit (covar/var aggregates), applied as a row
+expression — no driver collect of fact data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def asset_correlation_pairs(
+    df: DataFrame,
+    time_col: str,
+    asset_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pairwise Pearson correlation between every two assets' series,
+    aligned on the time key.
+
+    Semantics: imputing.py:13-31 (pivot→corr; here a self-equijoin on
+    time + groupBy(asset_a, asset_b) corr — shuffle-friendly, no wide
+    pivot). Diagonal excluded (reference sets it NaN).
+    Output: (asset_a, asset_b, corr).
+    """
+    a = df.select(
+        F.col(time_col).alias("_t"),
+        F.col(asset_col).alias("asset_a"),
+        F.col(value_col).alias("_va"),
+    )
+    b = df.select(
+        F.col(time_col).alias("_t"),
+        F.col(asset_col).alias("asset_b"),
+        F.col(value_col).alias("_vb"),
+    )
+    return (
+        a.join(b, "_t")
+        .where(F.col("asset_a") < F.col("asset_b"))
+        .groupBy("asset_a", "asset_b")
+        .agg(F.corr("_va", "_vb").alias("corr"))
+    )
+
+
+def impute_data(
+    target_df: DataFrame,
+    ref_df: DataFrame,
+    align_col: str,
+    target_col: str,
+    ref_col: str,
+    degree: int = 1,
+) -> DataFrame:
+    """Fill NULLs in ``target_col`` with a degree-1 polynomial
+    prediction from an aligned reference series.
+
+    Semantics: imputing.py:34-131 — align target & reference on
+    ``align_col``; fit y = a·x + b on rows where both are present
+    (closed form: a = cov(x,y)/var(x), b = ȳ − a·x̄); fill
+    target NULLs where the reference is present.
+
+    degree=1 only (the reference defaults to linear; higher degrees
+    would collect the tiny paired table and fit driver-side).
+    """
+    if degree != 1:
+        raise NotImplementedError("linear (degree=1) imputation only")
+    r = ref_df.select(F.col(align_col), F.col(ref_col).alias("_ref"))
+    j = target_df.join(r, align_col, "left")
+    y, x = F.col(target_col), F.col("_ref")
+    both = j.where(y.isNotNull() & x.isNotNull())
+    fit = both.agg(
+        (F.covar_samp(x, y) / F.var_samp(x)).alias("slope"),
+        F.avg(y).alias("my"),
+        F.avg(x).alias("mx"),
+    ).first()
+    slope = fit["slope"]
+    intercept = fit["my"] - slope * fit["mx"]
+    pred = F.lit(slope) * x + F.lit(intercept)
+    return j.withColumn(
+        target_col, F.when(y.isNull() & x.isNotNull(), pred).otherwise(y)
+    ).drop("_ref")
+
+
+def impute_all_assets_by_correlation(
+    df: DataFrame,
+    time_col: str,
+    asset_col: str,
+    value_col: str,
+    r2_threshold: float = 0.7,
+) -> DataFrame:
+    """For each asset, fill missing values from its best-correlated
+    neighbor (one pass; the reference iterates while NaNs remain,
+    imputing.py:134-229 — additional passes compose by re-calling).
+
+    Driver orchestrates over the (small) asset list; data stays
+    distributed: one self-join on (time) brings each asset its best
+    neighbor's series, then per-asset closed-form fits (computed in a
+    single grouped aggregate) fill the holes.
+    """
+    corr = asset_correlation_pairs(df, time_col, asset_col, value_col)
+    sym = corr.select("asset_a", "asset_b", "corr").unionByName(
+        corr.select(
+            F.col("asset_b").alias("asset_a"),
+            F.col("asset_a").alias("asset_b"),
+            F.col("corr"),
+        )
+    )
+    best = (
+        sym.where(F.col("corr") * F.col("corr") >= r2_threshold)
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("asset_a").orderBy(F.desc("corr"))
+            ),
+        )
+        .where(F.col("_rk") == 1)
+        .select(F.col("asset_a").alias(asset_col), F.col("asset_b").alias("_nbr"))
+    )
+    nbr_vals = df.select(
+        F.col(time_col),
+        F.col(asset_col).alias("_nbr"),
+        F.col(value_col).alias("_nbr_val"),
+    )
+    j = (
+        df.join(F.broadcast(best), asset_col, "left")
+        .join(nbr_vals, [time_col, "_nbr"], "left")
+    )
+    y, x = F.col(value_col), F.col("_nbr_val")
+    fits = (
+        j.where(y.isNotNull() & x.isNotNull())
+        .groupBy(asset_col)
+        .agg(
+            (F.covar_samp(x, y) / F.var_samp(x)).alias("_slope"),
+            (F.avg(y) - (F.covar_samp(x, y) / F.var_samp(x)) * F.avg(x)).alias("_icpt"),
+        )
+    )
+    out = j.join(F.broadcast(fits), asset_col, "left")
+    pred = F.col("_slope") * x + F.col("_icpt")
+    return (
+        out.withColumn(
+            value_col,
+            F.when(y.isNull() & x.isNotNull() & F.col("_slope").isNotNull(), pred)
+            .otherwise(y),
+        )
+        .drop("_nbr", "_nbr_val", "_slope", "_icpt")
+    )

@@ -1,0 +1,149 @@
+"""Power-curve operators: binned IEC curve + parametric logistic fits.
+
+Parity targets (behavior only): openoa/utils/power_curve/
+functions.py:19-200, parametric_forms.py:22-112.
+
+Design: binning/aggregation runs distributed; curve *fitting* operates
+on the tiny binned table (≤ a few hundred rows) driver-side with scipy
+when available (closed-form/IEC paths need no scipy); *application* of
+a fitted curve is a pure Column expression or a broadcast lookup —
+never a per-row Python call.
+"""
+
+from __future__ import annotations
+
+import bisect
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from openoa_spark.functions.stats import davg
+
+
+def iec_binned_curve(
+    df: DataFrame,
+    ws_col: str,
+    power_col: str,
+    bin_width: float = 0.5,
+    ws_min: float = 0.0,
+    ws_max: float = 30.0,
+) -> DataFrame:
+    """IEC 61400-12-1 mean power curve: bin wind speed into
+    ``bin_width`` bins (centers at bin_width·(i+0.5)), mean power per
+    bin. Semantics: power_curve/functions.py:19-73.
+
+    Returns (ws_bin_center, mean_power, n) — #bins rows.
+    """
+    ws = F.col(ws_col)
+    in_range = (ws >= ws_min) & (ws < ws_max)
+    binned = df.where(in_range & ws.isNotNull() & F.col(power_col).isNotNull())
+    b = F.floor((ws - F.lit(ws_min)) / F.lit(bin_width))
+    return (
+        binned.groupBy(b.alias("_b"))
+        .agg(davg(power_col).alias("mean_power"), F.count(power_col).alias("n"))
+        .select(
+            (F.lit(ws_min) + (F.col("_b") + 0.5) * F.lit(bin_width)).alias("ws_bin"),
+            "mean_power",
+            "n",
+        )
+    )
+
+
+class BinnedCurve:
+    """A fitted binned curve: piecewise-linear interpolation over bin
+    centers, applied either driver-side or as a broadcast expression.
+
+    Mirrors the closure returned by the reference's ``IEC`` fit
+    (power_curve/functions.py:64-72).
+    """
+
+    def __init__(self, centers: list[float], values: list[float]):
+        pairs = sorted(zip(centers, values))
+        self.xs = [p[0] for p in pairs]
+        self.ys = [p[1] for p in pairs]
+
+    @classmethod
+    def fit(cls, df: DataFrame, ws_col: str, power_col: str, **kw) -> "BinnedCurve":
+        rows = iec_binned_curve(df, ws_col, power_col, **kw).collect()
+        return cls([r["ws_bin"] for r in rows], [r["mean_power"] for r in rows])
+
+    def __call__(self, x: float) -> float:
+        xs, ys = self.xs, self.ys
+        if not xs:
+            return float("nan")
+        if x <= xs[0]:
+            return ys[0]
+        if x >= xs[-1]:
+            return ys[-1]
+        i = bisect.bisect_right(xs, x)
+        x0, x1, y0, y1 = xs[i - 1], xs[i], ys[i - 1], ys[i]
+        return y0 + (y1 - y0) * (x - x0) / (x1 - x0)
+
+    def expr(self, ws: Column | str) -> Column:
+        """Vectorized application as a Catalyst expression: the curve
+        table is folded into a literal array + ``width_bucket``-style
+        interpolation — stays in codegen, broadcast-free."""
+        c = F.col(ws) if isinstance(ws, str) else ws
+        xs = F.array(*[F.lit(float(v)) for v in self.xs])
+        ys = F.array(*[F.lit(float(v)) for v in self.ys])
+        n = len(self.xs)
+        idx = F.aggregate(
+            xs, F.lit(0), lambda acc, x: F.when(c >= x, acc + 1).otherwise(acc)
+        )
+        lo = F.greatest(idx - 1, F.lit(0))
+        hi = F.least(idx, F.lit(n - 1))
+        # element_at is 1-based
+        x0 = F.element_at(xs, lo + 1)
+        x1 = F.element_at(xs, hi + 1)
+        y0 = F.element_at(ys, lo + 1)
+        y1 = F.element_at(ys, hi + 1)
+        frac = F.when(x1 != x0, (c - x0) / (x1 - x0)).otherwise(F.lit(0.0))
+        inner = y0 + (y1 - y0) * frac
+        return (
+            F.when(c <= F.lit(self.xs[0]), F.lit(self.ys[0]))
+            .when(c >= F.lit(self.xs[-1]), F.lit(self.ys[-1]))
+            .otherwise(inner)
+        )
+
+
+def logistic5_expr(ws: Column | str, a: float, b: float, c: float, d: float, g: float) -> Column:
+    """5-parameter logistic power curve
+    d + (a - d) / (1 + (x/c)^b)^g — applied as a pure expression.
+    Semantics: power_curve/parametric_forms.py:22-53.
+    """
+    x = F.col(ws) if isinstance(ws, str) else ws
+    return F.lit(d) + (F.lit(a) - F.lit(d)) / F.pow(
+        F.lit(1.0) + F.pow(x / F.lit(c), F.lit(b)), F.lit(g)
+    )
+
+
+def fit_logistic5(df: DataFrame, ws_col: str, power_col: str, seed: int = 42):
+    """Least-squares fit of the 5-param logistic on the IEC-binned
+    curve (binning first makes the optimizer input tiny and the fit
+    deterministic; reference fits on raw points with differential
+    evolution — power_curve/functions.py:76-123).
+
+    Returns (params dict, apply-expression factory).
+    """
+    binned = iec_binned_curve(df, ws_col, power_col).collect()
+    xs = [r["ws_bin"] for r in binned]
+    ys = [r["mean_power"] for r in binned]
+    try:
+        import numpy as np
+        from scipy.optimize import differential_evolution
+
+        x, y = np.asarray(xs), np.asarray(ys)
+        top = float(y.max()) if len(y) else 1.0
+
+        def sse(p):
+            a, b, c, d, g = p
+            pred = d + (a - d) / (1 + (x / c) ** b) ** g
+            return float(((pred - y) ** 2).sum())
+
+        bounds = [(0.5 * top, 1.5 * top), (-15, -1), (2, 20), (-5, 5), (0.05, 5)]
+        res = differential_evolution(sse, bounds, seed=seed, tol=1e-8)
+        a, b, c, d, g = (float(v) for v in res.x)
+    except ImportError:  # scipy not present: fall back to binned lookup
+        curve = BinnedCurve(xs, ys)
+        return None, curve.expr
+    params = {"a": a, "b": b, "c": c, "d": d, "g": g}
+    return params, lambda col: logistic5_expr(col, a, b, c, d, g)

@@ -1,0 +1,307 @@
+"""Time-series operators: calendar resampling, frequency inference,
+gap/duplicate detection, gap filling, forward-fill upsampling (as-of
+alignment), NaN accounting.
+
+Parity targets (behavior only): openoa/utils/timeseries.py:17-275 and
+the resample idioms used throughout openoa/analysis (e.g. aep.py:450,
+electrical_losses.py:233, wake_losses.py:1047-1052).
+
+Scale notes (100 TB):
+- Resampling is a single hash-aggregate on (bucket[, keys]) with
+  map-side partial aggregation — one shuffle, no window.
+- Gap detection aggregates the data down to its bucket grain FIRST and
+  anti-joins the (tiny) calendar spine against that — never the raw
+  table against an exploded spine.
+- Forward-fill uses a partitioned window (per asset), so state never
+  exceeds one partition; at cluster scale partition by asset_id which
+  is the natural key distribution of telemetry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# pandas-style offset aliases → seconds (fixed-width) or calendar rules.
+# Reference behavior: openoa/utils/timeseries.py:17-32 (offset_to_seconds).
+_FIXED_SECONDS = {
+    "s": 1.0,
+    "min": 60.0,
+    "t": 60.0,
+    "5min": 300.0,
+    "10min": 600.0,
+    "15min": 900.0,
+    "30min": 1800.0,
+    "h": 3600.0,
+    "d": 86400.0,
+    "w": 604800.0,
+}
+_CALENDAR_TRUNC = {"MS": "month", "ME": "month", "M": "month", "D": "day", "h": "hour",
+                   "min": "minute", "YS": "year", "AS": "year", "Y": "year", "W": "week"}
+
+
+def offset_to_seconds(freq: str) -> float:
+    """Offset alias → seconds (fixed-width approximations for month
+    (30d)/year (365d), matching timeseries.py:17-32)."""
+    f = freq.lower()
+    if f in _FIXED_SECONDS:
+        return _FIXED_SECONDS[f]
+    if f in ("ms", "m", "me"):
+        return 30 * 86400.0
+    if f in ("ys", "y", "as"):
+        return 365 * 86400.0
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*(s|min|t|h|d|w)", f)
+    if m:
+        return int(m.group(1)) * _FIXED_SECONDS[m.group(2)]
+    raise ValueError(f"unsupported frequency alias: {freq}")
+
+
+def time_bucket(time_col: Column | str, freq: str) -> Column:
+    """Truncate a timestamp to its resample bucket start.
+
+    Calendar frequencies (MS/D/h/W/YS) use ``date_trunc`` — calendar
+    months/years are NOT fixed-width, so a fixed `window()` would be
+    wrong (pandas-resample parity). Fixed-width frequencies (10min, 5s)
+    use epoch arithmetic, which Catalyst folds into a single projection.
+    """
+    t = F.col(time_col) if isinstance(time_col, str) else time_col
+    if freq in _CALENDAR_TRUNC:
+        return F.date_trunc(_CALENDAR_TRUNC[freq], t)
+    secs = int(offset_to_seconds(freq))
+    epoch = F.unix_timestamp(t)
+    return F.timestamp_seconds((epoch - (epoch % secs)).cast("long"))
+
+
+def resample(
+    df: DataFrame,
+    time_col: str,
+    freq: str,
+    aggs: dict[str, Column],
+    keys: list[str] | None = None,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Downsample to calendar/fixed buckets: the engine's equivalent of
+    pandas ``df.resample(freq).agg(...)`` (idiom at aep.py:450-481,
+    electrical_losses.py:233).
+
+    ``aggs`` maps output name → aggregate Column. One hash-aggregate;
+    partial aggregation happens map-side before the shuffle.
+    """
+    bucket_col = bucket_col or time_col
+    bucket = time_bucket(time_col, freq).alias(bucket_col)
+    group = [bucket] + [F.col(k) for k in (keys or [])]
+    return df.groupBy(*group).agg(*[c.alias(n) for n, c in aggs.items()])
+
+
+def infer_frequency_seconds(df: DataFrame, time_col: str, keys: list[str] | None = None) -> float:
+    """Most-common delta between consecutive distinct timestamps.
+
+    Semantics: timeseries.py:35-52 (mode of np.diff of unique sorted
+    timestamps). Implemented as lag-window diff → count-per-delta →
+    argmax. The window partitions by ``keys`` when given (per-asset
+    series) so no global sort is required at scale; the diff-histogram
+    is tiny and collapses to the driver.
+    """
+    t = F.col(time_col)
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(t)
+        d = df.select(*keys, t)
+    else:
+        w = Window.orderBy(t)
+        d = df.select(t).distinct()
+    diffs = d.withColumn(
+        "_delta", F.unix_timestamp(t) - F.unix_timestamp(F.lag(t).over(w))
+    ).where(F.col("_delta").isNotNull())
+    top = (
+        diffs.groupBy("_delta").count().orderBy(F.desc("count"), F.asc("_delta")).first()
+    )
+    if top is None:
+        raise ValueError("cannot infer frequency from < 2 timestamps")
+    return float(top["_delta"])
+
+
+def find_duplicate_times(df: DataFrame, time_col: str, keys: list[str] | None = None) -> DataFrame:
+    """Rows whose (time[, keys]) repeats, EXCLUDING the first occurrence
+    — i.e. what you would drop. Semantics: timeseries.py:173-190
+    (pandas .duplicated(keep='first') on the index).
+
+    Deterministic tiebreak: "first" = lowest natural ordering of the
+    remaining columns (pandas keeps positional-first; a distributed
+    engine needs an explicit order).
+    """
+    group = [time_col] + (keys or [])
+    order = [c for c in df.columns if c not in group]
+    w = Window.partitionBy(*group).orderBy(*[F.col(c).asc_nulls_last() for c in order])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .drop("_rn")
+    )
+
+
+def duplicate_time_counts(df: DataFrame, time_col: str, keys: list[str] | None = None) -> DataFrame:
+    """Per-(time[,keys]) multiplicities > 1 (QA view; qa.py:178-213)."""
+    group = [time_col] + (keys or [])
+    return df.groupBy(*group).count().where(F.col("count") > 1)
+
+
+def calendar_spine(
+    df: DataFrame, time_col: str, freq: str, keys: list[str] | None = None
+) -> DataFrame:
+    """The expected regular timestamp grid spanning [min, max] of the
+    data (per key group when ``keys`` given), as a DataFrame with
+    column ``time_col``.
+
+    Built from one min/max aggregate + ``sequence`` + ``explode`` — the
+    spine has #buckets rows (tiny relative to data), never a crossJoin
+    of the raw table.
+    """
+    secs = int(offset_to_seconds(freq))
+    interval = F.expr(f"interval {secs} seconds")
+    gcols = keys or []
+    bounds = df.groupBy(*[F.col(k) for k in gcols]).agg(
+        F.min(time_col).alias("_lo"), F.max(time_col).alias("_hi")
+    )
+    return bounds.select(
+        *gcols,
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), interval)).alias(time_col),
+    )
+
+
+def find_time_gaps(
+    df: DataFrame, time_col: str, freq: str, keys: list[str] | None = None
+) -> DataFrame:
+    """Timestamps the regular grid expects but the data lacks.
+
+    Semantics: timeseries.py:144-170 (expected spine MINUS actual).
+    Implemented spine LEFT ANTI JOIN distinct-actual: both sides are
+    bucket-grain (small), so this stays cheap at any data scale —
+    aggregate first, then anti-join.
+    """
+    spine = calendar_spine(df, time_col, freq, keys)
+    actual = df.select(*(keys or []), time_col).distinct()
+    return spine.join(actual, on=[*(keys or []), time_col], how="left_anti")
+
+
+def gap_fill(
+    df: DataFrame, time_col: str, freq: str, keys: list[str] | None = None
+) -> DataFrame:
+    """Insert missing grid timestamps as all-NULL rows.
+
+    Semantics: timeseries.py:193-224 (gap_fill_data_frame).
+    """
+    spine = calendar_spine(df, time_col, freq, keys)
+    return spine.join(df, on=[*(keys or []), time_col], how="left")
+
+
+def percent_nan(col: Column | str) -> Column:
+    """Aggregate fraction of NULL/NaN values (1.0 for empty input).
+
+    Semantics: timeseries.py:227-241. Usable inside any groupBy-agg
+    (e.g. per resample bucket, aep.py:466).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    bad = F.when(c.isNull() | F.isnan(c), 1.0).otherwise(0.0)
+    return F.coalesce(F.avg(bad), F.lit(1.0))
+
+
+def num_days(df: DataFrame, time_col: str) -> int:
+    """Count of calendar days in the closed span [min, max] — the
+    reference counts the full resampled spine, not distinct observed
+    days (timeseries.py:244-259)."""
+    row = df.agg(
+        F.datediff(F.date_trunc("day", F.max(time_col)),
+                   F.date_trunc("day", F.min(time_col))).alias("d")
+    ).first()
+    return int(row["d"]) + 1
+
+
+def num_hours(df: DataFrame, time_col: str) -> int:
+    """Count of hours in the closed span (timeseries.py:262-275)."""
+    row = df.agg(
+        (
+            (F.unix_timestamp(F.date_trunc("hour", F.max(time_col)))
+             - F.unix_timestamp(F.date_trunc("hour", F.min(time_col)))) / 3600
+        ).alias("h")
+    ).first()
+    return int(row["h"]) + 1
+
+
+def ffill(
+    df: DataFrame,
+    cols: list[str],
+    time_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Forward-fill NULLs in ``cols`` ordered by time (per key group).
+
+    ``last(ignorenulls=True)`` over an unbounded-preceding window —
+    the Spark-native equivalent of pandas ``ffill`` (wake_losses.py:
+    1047-1052 upsampling idiom).
+    """
+    w = (
+        Window.partitionBy(*(keys or [F.lit(1)]))
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def upsample_ffill(
+    low_freq_df: DataFrame,
+    time_col: str,
+    target_freq: str,
+    value_cols: list[str],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Upsample a coarser series onto a finer regular grid by
+    forward-fill — e.g. hourly reanalysis → 10-min SCADA grid
+    (wake_losses.py:1047-1052). Spine left-join + windowed ffill;
+    equivalent to an as-of (backward) join against the grid.
+    """
+    filled = gap_fill(low_freq_df, time_col, target_freq, keys)
+    return ffill(filled, value_cols, time_col, keys)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str,
+    value_cols: list[str],
+    keys: list[str] | None = None,
+    right_time_col: str | None = None,
+) -> DataFrame:
+    """As-of (backward) join: for each left row, latest right values at
+    or before its timestamp, matched per key group.
+
+    Implemented as union + partitioned ordered window ffill — one
+    shuffle on (keys), no range-join explosion; the standard scalable
+    formulation (left rows tagged, right values forward-filled onto
+    them).
+    """
+    rt = right_time_col or time_col
+    keys = keys or []
+    r = right.select(
+        *keys, F.col(rt).alias(time_col), *[F.col(c) for c in value_cols],
+        F.lit(0).alias("_src"),
+    )
+    l = left.select(
+        *left.columns, F.lit(1).alias("_src")
+    )
+    for c in value_cols:
+        if c not in left.columns:
+            l = l.withColumn(c, F.lit(None).cast(r.schema[c].dataType))
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*(keys or [F.lit(1)]))
+        .orderBy(F.col(time_col).asc(), F.col("_src").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = unioned
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.where(F.col("_src") == 1).drop("_src")

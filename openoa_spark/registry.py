@@ -1,0 +1,1133 @@
+"""Query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus, where SQL-expressible, a
+DuckDB oracle SQL twin with IDENTICAL column names and deterministic
+numerics.
+
+Cross-engine determinism rules (see functions/stats.py):
+- sums/avgs of doubles  -> decimal-cast exact aggregation (bit-equal)
+- libm-dependent math (trig/exp/log) and multi-pass stats -> round(6)
+- top-k                 -> rank on rounded score with id tiebreak
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from openoa_spark.functions import met, units
+from openoa_spark.functions.stats import davg, dsum, rounded, sql_davg, sql_dsum
+from openoa_spark.operators import filters, geometry, imputing, power_curve, timeseries
+from openoa_spark.datapipe import dedup, similarity, text
+
+# ---------------------------------------------------------------- helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which the Spark parquet
+        # reader rejects; read the raw int64 nanos and truncate to
+        # microseconds (exact integer DIV — matching DuckDB's ns→us
+        # truncation so oracle comparisons agree).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Deterministic 64-dim query vector for similarity search (shared
+# literal between the Spark expression and the oracle SQL).
+import math as _math
+QUERY_VEC = [round(_math.sin(i + 1.0), 6) for i in range(64)]
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+# ================================================================
+# 1. Relational core (TPC-H-shaped; exercises scan/filter/agg/join/
+#    window/top-k/rollup/pivot on the driver's star schema)
+# ================================================================
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    f"""
+    SELECT l_orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    f"""
+    SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_nation_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@register(
+    "top2_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def top2_orders_per_customer(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "rollup_lineitem_counts",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "order_priority_stats",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def order_priority_stats(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
+    "orders_without_lineitems",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    """,
+)
+def orders_without_lineitems(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti").select("o_orderkey")
+
+
+# ================================================================
+# 2. Time-series operators (events table; SURVEY §2.4)
+# ================================================================
+
+@register(
+    "resample_day_sum",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           {sql_dsum('value', 6)} AS sum_value,
+           COUNT(value) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def resample_day_sum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.resample(
+        ev, "ts", "D", {"sum_value": dsum("value", scale=6), "n": F.count("value")},
+        bucket_col="day",
+    )
+
+
+@register(
+    "resample_hour_mean_by_type",
+    f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+           {sql_davg('value')} AS mean_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def resample_hour_mean_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.resample(
+        ev, "ts", "h", {"mean_value": davg("value")}, keys=["event_type"],
+        bucket_col="hour",
+    )
+
+
+@register(
+    "calendar_hour_profile",
+    f"""
+    SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+           {sql_davg('value')} AS mean_value, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def calendar_hour_profile(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.hour("ts").cast("int").alias("hour_of_day")).agg(
+        davg("value").alias("mean_value"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "infer_frequency",
+    """
+    WITH d AS (
+      SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY ts) AS delta_us
+      FROM (SELECT DISTINCT ts FROM events)
+    )
+    SELECT delta_us // 1000000 AS delta_s, COUNT(*) AS n
+    FROM d WHERE delta_us IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, delta_s LIMIT 1
+    """,
+)
+def infer_frequency(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("ts").distinct()
+    w = Window.orderBy("ts")
+    diffs = ev.withColumn(
+        "delta_us", F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ).withColumn("delta_s", F.expr("delta_us DIV 1000000")).where(
+        F.col("delta_s").isNotNull()
+    )
+    return (
+        diffs.groupBy("delta_s").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("delta_s"))
+        .limit(1)
+    )
+
+
+@register(
+    "find_hour_gaps",
+    """
+    WITH b AS (
+      SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+    )
+    SELECT hour FROM spine
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events e WHERE CAST(date_trunc('hour', e.ts) AS TIMESTAMP) = spine.hour
+    )
+    """,
+)
+def find_hour_gaps(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hours = ev.select(F.date_trunc("hour", "ts").alias("hour"))
+    return timeseries.find_time_gaps(hours, "hour", "h")
+
+
+@register(
+    "duplicate_minutes",
+    """
+    SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+           CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS count
+    FROM events GROUP BY 1, 2 HAVING COUNT(*) > 1
+    """,
+)
+def duplicate_minutes(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("minute", "ts").alias("minute"), "user_id"
+    )
+    return timeseries.duplicate_time_counts(ev, "minute", ["user_id"])
+
+
+@register(
+    "lag_delta_per_user",
+    """
+    SELECT event_id,
+           ROUND(value - lag(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+    FROM events
+    """,
+)
+def lag_delta_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", rounded(F.col("value") - F.lag("value").over(w)).alias("delta")
+    )
+
+
+@register(
+    "rolling_sum3_per_user",
+    """
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum
+    FROM events
+    """,
+)
+def rolling_sum3_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(20,4)")).over(w).cast("double").alias("roll_sum"),
+    )
+
+
+@register(
+    "cumulative_sum_per_user",
+    """
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+    FROM events
+    """,
+)
+def cumulative_sum_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(20,4)")).over(w).cast("double").alias("cum_value"),
+    )
+
+
+@register(
+    "asof_hourly_value",
+    """
+    WITH b AS (
+      SELECT user_id,
+             CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+      FROM events GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+    ),
+    dedup AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS value
+      FROM events GROUP BY user_id, ts
+    )
+    SELECT s.user_id, s.hour,
+           (SELECT d.value FROM dedup d
+            WHERE d.user_id = s.user_id AND d.ts <= s.hour
+            ORDER BY d.ts DESC LIMIT 1) AS value
+    FROM spine s
+    """,
+)
+def asof_hourly_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    dedup_ev = ev.groupBy("user_id", "ts").agg(
+        F.max_by("value", "event_id").alias("value")
+    )
+    hours = ev.select("user_id", F.date_trunc("hour", "ts").alias("hour"))
+    spine = timeseries.calendar_spine(hours, "hour", "h", keys=["user_id"])
+    return timeseries.asof_join(
+        spine, dedup_ev, "hour", ["value"], keys=["user_id"], right_time_col="ts"
+    )
+
+
+@register(
+    "span_days_hours",
+    """
+    SELECT (date_diff('day', CAST(date_trunc('day', min(ts)) AS TIMESTAMP),
+                      CAST(date_trunc('day', max(ts)) AS TIMESTAMP)) + 1) AS n_days,
+           (date_diff('hour', CAST(date_trunc('hour', min(ts)) AS TIMESTAMP),
+                      CAST(date_trunc('hour', max(ts)) AS TIMESTAMP)) + 1) AS n_hours
+    FROM events
+    """,
+)
+def span_days_hours(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        (
+            F.datediff(F.date_trunc("day", F.max("ts")), F.date_trunc("day", F.min("ts")))
+            + 1
+        ).cast("bigint").alias("n_days"),
+        (
+            (
+                F.unix_timestamp(F.date_trunc("hour", F.max("ts")))
+                - F.unix_timestamp(F.date_trunc("hour", F.min("ts")))
+            ) / 3600 + 1
+        ).cast("bigint").alias("n_hours"),
+    )
+
+
+@register(
+    "percent_null_synthetic",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(SUM(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS pct_nan
+    FROM events GROUP BY user_id
+    """,
+)
+def percent_null_synthetic(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_id") % 11 != 0, F.col("value"))
+    )
+    return ev.groupBy("user_id").agg(
+        timeseries.percent_nan("v").alias("pct_nan")
+    )
+
+
+# ================================================================
+# 3. Met-data & unit-conversion expressions (SURVEY §2.3)
+# ================================================================
+
+@register(
+    "wrap180_values",
+    """
+    SELECT event_id,
+           ROUND(CASE WHEN ((value % 360) + 360) % 360 > 180
+                      THEN ((value % 360) + 360) % 360 - 360
+                      ELSE ((value % 360) + 360) % 360 END, 6) AS wrapped
+    FROM events
+    """,
+)
+def wrap180_values(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", rounded(met.wrap_180("value")).alias("wrapped"))
+
+
+@register(
+    "wind_direction_from_uv",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(
+             CASE WHEN 180 + degrees(atan2(l_discount * 20 - 1, l_tax * 20 - 1)) >= 360
+                  THEN 180 + degrees(atan2(l_discount * 20 - 1, l_tax * 20 - 1)) - 360
+                  ELSE 180 + degrees(atan2(l_discount * 20 - 1, l_tax * 20 - 1)) END,
+           6) AS wd
+    FROM lineitem
+    """,
+)
+def wind_direction_from_uv(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    u = F.col("l_discount") * 20 - 1
+    v = F.col("l_tax") * 20 - 1
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        rounded(met.compute_wind_direction(u, v)).alias("wd"),
+    )
+
+
+@register(
+    "circular_mean_by_type",
+    """
+    SELECT event_type,
+           ROUND((degrees(atan2(avg(sin(radians(value % 360))),
+                                avg(cos(radians(value % 360))))) + 360) % 360,
+                 6) AS circ_mean
+    FROM events GROUP BY event_type
+    """,
+)
+def circular_mean_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        rounded(met.circular_mean_agg(F.col("value") % 360)).alias("circ_mean")
+    )
+
+
+@register(
+    "air_density",
+    """
+    SELECT event_id,
+           ROUND(
+             (1.0 / (273.15 + (value % 30))) * (
+               (101325 - value * 10) / 287.05
+               - 0.5 * (0.0000205 * exp(0.0631846 * (273.15 + (value % 30))))
+                 * (1.0/287.05 - 1.0/461.5)
+             ), 6) AS rho
+    FROM events
+    """,
+)
+def air_density(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    temp = F.lit(273.15) + (F.col("value") % 30)
+    pres = F.lit(101325.0) - F.col("value") * 10
+    return ev.select(
+        "event_id", rounded(met.compute_air_density(temp, pres)).alias("rho")
+    )
+
+
+@register(
+    "pressure_extrapolation",
+    """
+    SELECT event_id,
+           ROUND(101325.0 * exp(-9.81 * 80.0 / (287.05 * (273.15 + (value % 30)))), 6)
+             AS p1
+    FROM events
+    """,
+)
+def pressure_extrapolation(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    temp = F.lit(273.15) + (F.col("value") % 30)
+    return ev.select(
+        "event_id",
+        rounded(
+            met.pressure_vertical_extrapolation(F.lit(101325.0), temp, F.lit(0.0), F.lit(80.0))
+        ).alias("p1"),
+    )
+
+
+@register(
+    "shear_alpha",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND((ln(l_quantity * 1.3 + 1) - ln(l_quantity + 1)) / (ln(80) - ln(40)), 6)
+             AS alpha
+    FROM lineitem
+    """,
+)
+def shear_alpha(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ws40", F.col("l_quantity") + 1
+    ).withColumn("ws80", F.col("l_quantity") * 1.3 + 1)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        rounded(met.compute_shear({"ws40": 40.0, "ws80": 80.0})).alias("alpha"),
+    )
+
+
+@register(
+    "power_to_energy",
+    """
+    SELECT event_id, value * (600.0 / 3600.0) AS energy_kwh FROM events
+    """,
+)
+def power_to_energy(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", units.convert_power_to_energy("value", 600.0).alias("energy_kwh")
+    )
+
+
+@register(
+    "gross_energy_frac",
+    """
+    SELECT event_id, value / (1.0 - 0.02 - 0.01) AS gross FROM events
+    """,
+)
+def gross_energy_frac(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        units.compute_gross_energy("value", F.lit(0.02), F.lit(0.01)).alias("gross"),
+    )
+
+
+@register(
+    "turbulence_intensity_by_user",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           ROUND(stddev_samp(value) / avg(value), 6) AS ti
+    FROM events GROUP BY user_id
+    """,
+)
+def turbulence_intensity_by_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        rounded(met.compute_turbulence_intensity(F.stddev_samp("value"), F.avg("value"))).alias("ti")
+    )
+
+
+# ================================================================
+# 4. Flagging / filtering (SURVEY §2.5)
+# ================================================================
+
+@register(
+    "range_flag_events",
+    """
+    SELECT event_id, NOT (value BETWEEN 10 AND 150) AS flag FROM events
+    """,
+)
+def range_flag_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", filters.range_flag("value", 10.0, 150.0).alias("flag")
+    )
+
+
+@register(
+    "window_range_flag_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber,
+           (l_quantity BETWEEN 10 AND 30)
+             AND NOT (l_extendedprice BETWEEN 500 AND 40000) AS flag
+    FROM lineitem
+    """,
+)
+def window_range_flag_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        filters.window_range_flag(
+            "l_quantity", 10, 30, "l_extendedprice", 500, 40000
+        ).alias("flag"),
+    )
+
+
+@register(
+    "std_range_flag_events",
+    """
+    WITH s AS (SELECT avg(value) AS mu, stddev_samp(value) AS sd FROM events)
+    SELECT event_id, abs(value - mu) > 2.0 * sd AS flag FROM events, s
+    """,
+)
+def std_range_flag_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return filters.std_range_flag(ev, ["value"], 2.0).select(
+        "event_id", F.col("value_flag").alias("flag")
+    )
+
+
+@register(
+    "unresponsive_flag_runs",
+    """
+    WITH v AS (
+      SELECT event_id, user_id, ts, CAST(floor(value) AS BIGINT) % 3 AS iv
+      FROM events
+    ),
+    chg AS (
+      SELECT *, CASE WHEN lag(iv) OVER w IS NULL
+                       OR iv <> lag(iv) OVER w THEN 1 ELSE 0 END AS c
+      FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT *, SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM chg
+    )
+    SELECT event_id,
+           COUNT(*) OVER (PARTITION BY user_id, run_id) >= 3 AS flag
+    FROM runs
+    """,
+)
+def unresponsive_flag_runs(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "iv", (F.floor("value").cast("bigint") % 3)
+    )
+    flagged = filters.unresponsive_flag(
+        ev, "iv", threshold=3, time_col="ts", keys=["user_id"], flag_col="flag"
+    )
+    return flagged.select("event_id", "flag")
+
+
+@register(
+    "bin_filter_lineitem",
+    """
+    WITH binned AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             CAST(floor((l_quantity - (SELECT min(l_quantity) FROM lineitem)) / 5.0)
+                  AS BIGINT) AS bin
+      FROM lineitem
+    ),
+    stats AS (
+      SELECT bin, median(l_extendedprice) AS ctr FROM binned GROUP BY bin
+    )
+    SELECT b.l_orderkey, b.l_linenumber,
+           abs(b.l_extendedprice - s.ctr) > 20000.0 AS flag
+    FROM binned b JOIN stats s USING (bin)
+    """,
+)
+def bin_filter_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = filters.bin_filter(
+        li,
+        bin_col="l_quantity",
+        value_col="l_extendedprice",
+        bin_width=5.0,
+        threshold=20000.0,
+        center_type="median",
+        threshold_type="scalar",
+        flag_col="flag",
+    )
+    return out.select("l_orderkey", "l_linenumber", "flag")
+
+
+# ================================================================
+# 5. Imputation & correlation (SURVEY §2.6)
+# ================================================================
+
+@register(
+    "user_daily_correlation_pairs",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.user_id AS asset_a, b.user_id AS asset_b,
+           ROUND(corr(a.v, b.v), 6) AS corr
+    FROM daily a JOIN daily b ON a.day = b.day AND a.user_id < b.user_id
+    GROUP BY 1, 2
+    """,
+)
+def user_daily_correlation_pairs(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = timeseries.resample(
+        ev, "ts", "D", {"v": dsum("value", scale=6)}, keys=["user_id"], bucket_col="day"
+    )
+    pairs = imputing.asset_correlation_pairs(daily, "day", "user_id", "v")
+    return pairs.select("asset_a", "asset_b", rounded("corr").alias("corr"))
+
+
+@register(
+    "impute_linear_synthetic",
+    """
+    WITH t AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS y,
+             value * 1.1 + 5.0 AS x
+      FROM events
+    ),
+    fit AS (
+      SELECT regr_slope(y, x) AS slope, avg(y) AS my, avg(x) AS mx
+      FROM t WHERE y IS NOT NULL
+    )
+    SELECT event_id,
+           ROUND(CASE WHEN y IS NULL THEN slope * x + (my - slope * mx)
+                      ELSE y END, 4) AS imputed
+    FROM t, fit
+    """,
+)
+def impute_linear_synthetic(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    target = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 != 0, F.col("value")).alias("y"),
+    )
+    ref = ev.select("event_id", (F.col("value") * 1.1 + 5.0).alias("x"))
+    out = imputing.impute_data(target, ref, "event_id", "y", "x")
+    return out.select("event_id", F.round(F.col("y"), 4).alias("imputed"))
+
+
+# ================================================================
+# 6. Power curve (SURVEY §2.7)
+# ================================================================
+
+@register(
+    "iec_power_curve",
+    f"""
+    SELECT (0.0 + (floor((l_quantity - 0.0) / 2.0) + 0.5) * 2.0) AS ws_bin,
+           {sql_davg('l_extendedprice')} AS mean_power,
+           COUNT(l_extendedprice) AS n
+    FROM lineitem
+    WHERE l_quantity >= 0 AND l_quantity < 60
+      AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def iec_power_curve(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return power_curve.iec_binned_curve(
+        li, "l_quantity", "l_extendedprice", bin_width=2.0, ws_min=0.0, ws_max=60.0
+    )
+
+
+# ================================================================
+# 7. Geometry (SURVEY §2.9) — suppliers as synthetic assets
+# ================================================================
+
+_GEO_SQL_BASE = """
+    WITH assets AS (
+      SELECT s_suppkey AS id, s_acctbal AS x, CAST(s_nationkey AS DOUBLE) * 100 AS y
+      FROM supplier
+    )
+"""
+
+
+@register(
+    "asset_distance_pairs",
+    _GEO_SQL_BASE
+    + """
+    SELECT a.id AS asset_a, b.id AS asset_b,
+           ROUND(sqrt((b.x - a.x)^2 + (b.y - a.y)^2), 6) AS distance_m
+    FROM assets a, assets b WHERE a.id <> b.id
+    """,
+)
+def asset_distance_pairs(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("asset_id"),
+        F.col("s_acctbal").alias("x_m"),
+        (F.col("s_nationkey").cast("double") * 100).alias("y_m"),
+    )
+    pairs = geometry.asset_distance_pairs(sup)
+    return pairs.select("asset_a", "asset_b", rounded("distance_m").alias("distance_m"))
+
+
+@register(
+    "asset_direction_pairs",
+    _GEO_SQL_BASE
+    + """
+    SELECT a.id AS asset_a, b.id AS asset_b,
+           ROUND((degrees(atan2(b.x - a.x, b.y - a.y)) + 360) % 360, 6) AS bearing_deg
+    FROM assets a, assets b WHERE a.id <> b.id
+    """,
+)
+def asset_direction_pairs(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("asset_id"),
+        F.col("s_acctbal").alias("x_m"),
+        (F.col("s_nationkey").cast("double") * 100).alias("y_m"),
+    )
+    pairs = geometry.asset_direction_pairs(sup)
+    return pairs.select("asset_a", "asset_b", rounded("bearing_deg").alias("bearing_deg"))
+
+
+@register(
+    "nearest_neighbor",
+    _GEO_SQL_BASE
+    + """
+    , pairs AS (
+      SELECT a.id AS asset_a, b.id AS asset_b,
+             ROUND(sqrt((b.x - a.x)^2 + (b.y - a.y)^2), 6) AS distance_m
+      FROM assets a, assets b WHERE a.id <> b.id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY asset_a ORDER BY distance_m, asset_b) AS rn
+      FROM pairs
+    )
+    SELECT asset_a, asset_b AS nearest, distance_m FROM ranked WHERE rn = 1
+    """,
+)
+def nearest_neighbor(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("asset_id"),
+        F.col("s_acctbal").alias("x_m"),
+        (F.col("s_nationkey").cast("double") * 100).alias("y_m"),
+    )
+    pairs = geometry.asset_distance_pairs(sup).select(
+        "asset_a", "asset_b", rounded("distance_m").alias("distance_m")
+    )
+    return geometry.nearest_neighbor(pairs)
+
+
+# ================================================================
+# 8. Training-data pipeline ops (dedup / text / similarity)
+# ================================================================
+
+@register(
+    "exact_dedup_docs",
+    r"""
+    SELECT min(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+    """,
+)
+def exact_dedup_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id").select("doc_id", "dup_count")
+
+
+@register(
+    "token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+    FROM documents
+    """,
+)
+def token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.token_count("text").alias("n_tokens"))
+
+
+@register(
+    "avg_word_lengths",
+    r"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           ROUND(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                      AS DOUBLE) / len(toks), 6) AS awl
+    FROM t
+    """,
+)
+def avg_word_lengths(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", rounded(text.avg_word_length("text")).alias("awl"))
+
+
+@register(
+    "doc_fingerprints",
+    r"""
+    SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+def _langid_sql() -> str:
+    cases = []
+    for lang in sorted(text.STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+        cases.append(
+            f"len(list_filter(toks, x -> list_contains([{words}], lower(x)))) AS h_{lang}"
+        )
+    hits = ", ".join(cases)
+    langs = sorted(text.STOPWORDS)
+    # strict > keeps lexicographically-first language on ties
+    best = f"h_{langs[0]}"
+    best_l = f"'{langs[0]}'"
+    for lang in langs[1:]:
+        best_l = f"CASE WHEN h_{lang} > ({best}) THEN '{lang}' ELSE {best_l} END"
+        best = f"CASE WHEN h_{lang} > ({best}) THEN h_{lang} ELSE ({best}) END"
+    return rf"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+               FROM documents),
+    h AS (SELECT doc_id, {hits} FROM t)
+    SELECT doc_id, CASE WHEN ({best}) > 0 THEN ({best_l}) ELSE 'und' END AS pred_lang
+    FROM h
+    """
+
+
+@register("language_id", None)
+def language_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.language_id("text").alias("pred_lang"))
+
+
+_REGISTRY["language_id"] = (language_id, _langid_sql())
+
+
+_QV_SQL = "[" + ", ".join(str(v) for v in QUERY_VEC) + "]"
+
+
+@register(
+    "cosine_topk",
+    f"""
+    WITH q AS (SELECT CAST({_QV_SQL} AS DOUBLE[]) AS qv),
+    scored AS (
+      SELECT vec_id,
+             ROUND(
+               list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+      FROM embeddings, q
+    )
+    SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_top_k(emb, "embedding", "vec_id", QUERY_VEC, k=10)
+
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id,
+           ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 6) AS l2
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select("vec_id", rounded(similarity.norm(v)).alias("l2"))
+
+
+@register("minhash_near_dups", None)  # xxhash64 not available in DuckDB → rows-only
+def minhash_near_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_near_dup_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.4
+    )
+
+
+@register("simhash_docs", None)  # xxhash64 not available in DuckDB → rows-only
+def simhash_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.simhash("text", bits=16).alias("simhash"))
+
+
+@register("lsh_bucket_counts", None)  # sign-LSH buckets; rows-only check
+def lsh_bucket_counts(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = similarity.random_hyperplanes(64, 8, seed=42)
+    return (
+        emb.select(similarity.lsh_bucket("embedding", planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    None,  # shingle construction isn't reasonably SQL-expressible → rows-only
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.8)
+
+
+# ================================================================
+# 9. Pipeline: electrical losses (proxy wiring on events; the real
+#    pipeline runs on PlantData tables — tests/test_electrical_losses)
+# ================================================================
+
+@register(
+    "electrical_losses_proxy",
+    """
+    WITH scada AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS scada_kwh
+      FROM events GROUP BY 1
+    ),
+    meter AS (
+      SELECT day, scada_kwh * 0.98 AS meter_kwh FROM scada
+    )
+    SELECT ROUND(1.0 - SUM(meter_kwh) / SUM(scada_kwh), 6) AS loss
+    FROM scada JOIN meter USING (day)
+    """,
+)
+def electrical_losses_proxy(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    scada = timeseries.resample(
+        ev, "ts", "D", {"scada_kwh": dsum("value", scale=6)}, bucket_col="day"
+    )
+    meter = scada.select("day", (F.col("scada_kwh") * 0.98).alias("meter_kwh"))
+    joined = scada.join(meter, "day")
+    return joined.agg(
+        rounded(1.0 - F.sum("meter_kwh") / F.sum("scada_kwh")).alias("loss")
+    )

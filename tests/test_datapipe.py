@@ -1,0 +1,130 @@
+"""Tests for dedup / similarity / text / multimodal operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openoa_spark.datapipe import dedup, multimodal, similarity, text
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other doc")],
+        ["doc_id", "text"],
+    )
+    out = dedup.exact_dedup(df, "text", "doc_id").orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["dup_count"]) for r in out] == [(1, 2), (3, 1)]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], ["t"])
+    out = df.select(dedup.shingles("t", 2).alias("s")).first()["s"]
+    assert sorted(out) == ["a b", "b c", "c d"]
+
+
+def test_minhash_detects_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different content about spark distributed query engines here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    pairs = dedup.minhash_near_dup_pairs(
+        df, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.3
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "q r s t u")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, "text", "doc_id", shingle_n=2, threshold=0.2)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    # doc1 bigrams {ab,bc,cd,de}, doc2 {ab,bc,cd,dx}: |∩|=3, |∪|=5
+    assert rows[(1, 2)] == pytest.approx(0.6)
+    assert (1, 3) not in rows
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["sh"] for r in df.select("doc_id", dedup.simhash("text", 32).alias("sh")).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+
+
+def test_cosine_topk(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    out = similarity.brute_force_top_k(df, "embedding", "vec_id", [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+    assert out[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_lsh_bucket_groups_similar(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.99, 0.01, 0.0]), (3, [-1.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    planes = similarity.random_hyperplanes(3, 4, seed=1)
+    out = {
+        r["vec_id"]: r["b"]
+        for r in df.select("vec_id", similarity.lsh_bucket("embedding", planes).alias("b")).collect()
+    }
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_token_count_and_fingerprint(spark):
+    df = spark.createDataFrame([(1, "Hello, World  again")], ["doc_id", "t"])
+    row = df.select(
+        text.token_count("t").alias("n"),
+        text.fingerprint("t").alias("fp"),
+        text.avg_word_length("t").alias("awl"),
+    ).first()
+    assert row["n"] == 3
+    assert len(row["fp"]) == 32
+    assert row["awl"] == pytest.approx((6 + 5 + 5) / 3)
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog in a house"), (2, "le chat et la maison des gens"), (3, "xyzzy plugh")],
+        ["doc_id", "t"],
+    )
+    out = {r["doc_id"]: r["lang"] for r in df.select("doc_id", text.language_id("t").alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "fr"
+    assert out[3] == "und"
+
+
+def test_image_features_mapinpandas(spark):
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"\x00\x01\x02\x03" * 10), "image/png", {})],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.image_features(df).first()
+    assert row["n_bytes"] == 40
+    assert row["width"] == 64 + 40 % 256
+    assert len(row["feature"]) == 8
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, "video", None, "video/mp4", {"duration_s": "3.5"})],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.frame_sample_plan(df, 1.0).collect()
+    assert [r["frame_ts"] for r in out] == [0.0, 1.0, 2.0, 3.0]

@@ -1,0 +1,78 @@
+"""Unit tests for flagging operators against the reference's own
+fixture expectations (e.g. range_flag on [-1,0,1] with bounds (-0.5,
+0.5) → [T,F,T]; test/unit/test_filter_toolkit.py:14-19)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from openoa_spark.operators import filters
+
+
+def test_range_flag(spark):
+    df = spark.createDataFrame([(-1.0,), (0.0,), (1.0,), (None,)], ["v"])
+    out = df.select(filters.range_flag("v", -0.5, 0.5).alias("f")).collect()
+    assert [r["f"] for r in out] == [True, False, True, True]
+
+
+def test_window_range_flag(spark):
+    df = spark.createDataFrame([(5.0, 100.0), (15.0, 100.0), (15.0, 1.0)], ["w", "v"])
+    out = df.select(
+        filters.window_range_flag("w", 10, 20, "v", 50, 200).alias("f")
+    ).collect()
+    assert [r["f"] for r in out] == [False, False, True]
+
+
+def test_std_range_flag(spark):
+    vals = [(1.0,), (2.0,), (3.0,), (2.0,), (100.0,)]
+    df = spark.createDataFrame(vals, ["v"])
+    out = filters.std_range_flag(df, ["v"], threshold=1.5).collect()
+    flags = [r["v_flag"] for r in out]
+    assert flags == [False, False, False, False, True]
+
+
+def test_unresponsive_flag(spark):
+    base = dt.datetime(2020, 1, 1)
+    vals = [1.0, 5.0, 5.0, 5.0, 2.0, 3.0, 3.0]
+    rows = [(base + dt.timedelta(minutes=10 * i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["time", "v"])
+    out = filters.unresponsive_flag(df, "v", threshold=3, time_col="time")
+    flags = [r["unresponsive_flag"] for r in out.orderBy("time").collect()]
+    assert flags == [False, True, True, True, False, False, False]
+
+
+def test_bin_filter_mean_std(spark):
+    # bin width 10: bin0 = [1,2,3,100(outlier)], bin1 = [10s...]
+    rows = [(1.0, 10.0), (1.5, 11.0), (2.0, 9.0), (2.5, 300.0), (12.0, 50.0), (13.0, 52.0), (14.0, 48.0)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = filters.bin_filter(
+        df, "x", "y", bin_width=10.0, threshold=1.2, center_type="mean",
+        threshold_type="std", bin_min=0.0,
+    )
+    flagged = [r["x"] for r in out.where("bin_flag").collect()]
+    assert flagged == [2.5]
+
+
+def test_bin_filter_median_scalar(spark):
+    rows = [(1.0, 10.0), (2.0, 12.0), (3.0, 14.0), (4.0, 99.0)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = filters.bin_filter(
+        df, "x", "y", bin_width=10.0, threshold=20.0, center_type="median",
+        threshold_type="scalar", bin_min=0.0,
+    )
+    flagged = [r["x"] for r in out.where("bin_flag").collect()]
+    assert flagged == [4.0]
+
+
+def test_cluster_mahalanobis(spark):
+    import random
+
+    random.seed(7)
+    pts = [(random.gauss(0, 1), random.gauss(0, 1)) for _ in range(200)]
+    pts += [(50.0, 50.0)]
+    df = spark.createDataFrame(pts, ["a", "b"])
+    out = filters.cluster_mahalanobis_2d(df, "a", "b", n_clusters=2, distance_threshold=3.0)
+    # the far outlier lands in some cluster; just assert the operator runs
+    # and flags a small minority
+    n_flagged = out.where("cluster_flag").count()
+    assert 0 <= n_flagged < 40

@@ -1,0 +1,89 @@
+"""Unit tests for time-series operators — small hand-computed fixtures
+(mirroring the reference's test strategy, SURVEY §5.1)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from openoa_spark.functions.stats import dsum
+from openoa_spark.operators import timeseries as ts
+
+
+def _ts(*args):
+    return dt.datetime(*args)
+
+
+def test_offset_to_seconds():
+    assert ts.offset_to_seconds("10min") == 600
+    assert ts.offset_to_seconds("h") == 3600
+    assert ts.offset_to_seconds("D") == 86400
+    assert ts.offset_to_seconds("MS") == 30 * 86400
+
+
+def test_resample_calendar_month(spark):
+    df = spark.createDataFrame(
+        [
+            (_ts(2020, 1, 5), 1.0),
+            (_ts(2020, 1, 20), 2.0),
+            (_ts(2020, 2, 1), 10.0),
+            (_ts(2020, 3, 31, 23, 59), 5.0),
+        ],
+        ["time", "v"],
+    )
+    out = ts.resample(df, "time", "MS", {"s": dsum("v")}).orderBy("time").collect()
+    assert [(r["time"].month, r["s"]) for r in out] == [(1, 3.0), (2, 10.0), (3, 5.0)]
+
+
+def test_find_time_gaps_and_gap_fill(spark):
+    rows = [(_ts(2020, 1, 1, h), float(h)) for h in (0, 1, 3, 4, 7)]
+    df = spark.createDataFrame(rows, ["time", "v"])
+    gaps = sorted(r["time"].hour for r in ts.find_time_gaps(df, "time", "h").collect())
+    assert gaps == [2, 5, 6]
+    filled = ts.gap_fill(df, "time", "h")
+    assert filled.count() == 8
+    assert filled.where(F.col("v").isNull()).count() == 3
+
+
+def test_find_duplicate_times(spark):
+    df = spark.createDataFrame(
+        [(_ts(2020, 1, 1), "a", 1.0), (_ts(2020, 1, 1), "a", 2.0), (_ts(2020, 1, 2), "a", 3.0)],
+        ["time", "asset", "v"],
+    )
+    dups = ts.find_duplicate_times(df, "time", ["asset"]).collect()
+    assert len(dups) == 1 and dups[0]["v"] == 2.0  # keeps lowest-ordered first
+
+
+def test_infer_frequency_seconds(spark):
+    base = _ts(2020, 1, 1)
+    rows = [(base + dt.timedelta(minutes=10 * i),) for i in range(10)]
+    rows.append((base + dt.timedelta(minutes=95),))  # one stray
+    df = spark.createDataFrame(rows, ["time"])
+    assert ts.infer_frequency_seconds(df, "time") == 600.0
+
+
+def test_percent_nan(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (float("nan"),), (4.0,)], ["v"])
+    out = df.agg(ts.percent_nan("v").alias("p")).first()
+    assert out["p"] == 0.5
+
+
+def test_ffill_and_asof(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(2020, 1, 1, 0)), ("a", _ts(2020, 1, 1, 1)), ("a", _ts(2020, 1, 1, 2))],
+        ["k", "time"],
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(2020, 1, 1, 0, 30), 1.0), ("a", _ts(2020, 1, 1, 1, 30), 2.0)],
+        ["k", "time", "v"],
+    )
+    out = {
+        r["time"].hour: r["v"]
+        for r in ts.asof_join(left, right, "time", ["v"], keys=["k"]).collect()
+    }
+    assert out == {0: None, 1: 1.0, 2: 2.0}
+
+
+def test_num_days_full_span(spark):
+    df = spark.createDataFrame([(_ts(2020, 1, 1, 5),), (_ts(2020, 1, 10, 3),)], ["time"])
+    assert ts.num_days(df, "time") == 10  # full spine, reference semantics
+    assert ts.num_hours(df, "time") == 9 * 24 - 2 + 1

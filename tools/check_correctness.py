@@ -1,0 +1,123 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every registry query on Spark and its oracle SQL on DuckDB over
+the same sf dir, then compares row count, column names, and values
+(order-insensitive, with a small float tolerance so we can distinguish
+"semantics wrong" from "last-ulp noise").
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def compare(spark_rows, duck_rows, cols) -> str | None:
+    if len(spark_rows) != len(duck_rows):
+        return f"row count {len(spark_rows)} vs {len(duck_rows)}"
+
+    def key(row):
+        out = []
+        for v in row:
+            if isinstance(v, float):
+                out.append(round(v, 6))
+            else:
+                out.append(v)
+        return tuple(str(x) for x in out)
+
+    s_sorted = sorted(map(key, spark_rows))
+    d_sorted = sorted(map(key, duck_rows))
+    for i, (a, b) in enumerate(zip(s_sorted, d_sorted)):
+        if a != b:
+            # tolerate tiny float diffs field-wise
+            ok = True
+            for x, y in zip(a, b):
+                if x == y:
+                    continue
+                try:
+                    fx, fy = float(x), float(y)
+                    if math.isnan(fx) and math.isnan(fy):
+                        continue
+                    if abs(fx - fy) > 1e-6 * max(1.0, abs(fx), abs(fy)):
+                        ok = False
+                except ValueError:
+                    ok = False
+            if not ok:
+                return f"value mismatch at sorted row {i}: {a} vs {b}"
+    return None
+
+
+def main():
+    import duckdb
+
+    from openoa_spark import registry
+    from openoa_spark.session import get_session
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    spark = get_session("check-correctness")
+    con = duckdb.connect()
+    for name in registry.queries():
+        con.execute(
+            f"CREATE OR REPLACE VIEW _all_{name} AS SELECT 1"
+        )  # no-op; views below
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = registry.queries()
+    oracles = registry.oracle_sql()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_rows = [tuple(r) for r in sdf.collect()]
+            cols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(spark_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if sorted(cols) != sorted(duck_cols):
+            print(f"FAIL  {name}: columns {sorted(cols)} vs {sorted(duck_cols)}")
+            n_fail += 1
+            continue
+        # align column order by name
+        duck_idx = [duck_cols.index(c) for c in cols]
+        duck_rows = [tuple(r[i] for i in duck_idx) for r in duck_rows]
+        err = compare(spark_rows, duck_rows, cols)
+        if err:
+            print(f"FAIL  {name}: {err}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(spark_rows)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
