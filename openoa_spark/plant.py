@@ -1,0 +1,319 @@
+"""PlantData: a validated catalog of lazy Spark DataFrames for the
+seven plant tables, with schema-driven renaming, dtype casting,
+analysis-filtered validation, and derived columns/geometry.
+
+Parity targets (behavior only, re-expressed for Spark):
+- PlantData container + lifecycle: openoa/plant.py:339-744
+- column/dtype validation: openoa/plant.py:217-267, 845-936
+- frequency validation: openoa/plant.py:148-191, 938-988
+- derived reanalysis columns: openoa/plant.py:1028-1062
+- scada energy column: openoa/plant.py:1157-1162
+- geometry + matrices + freestream: openoa/plant.py:1064-1117, 1229-1513
+- asset-id accessors / single-asset slices: openoa/plant.py:1164-1225
+
+Spark-first differences: tables stay lazy (validation runs as cheap
+metadata checks plus at most one aggregation job per table), the
+reanalysis dict becomes either a dict of DataFrames or one DataFrame
+with a `product` column, and geometry matrices are crossJoin pair
+DataFrames (broadcastable dimension data), not dense numpy matrices.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from openoa_spark.functions import met
+from openoa_spark.operators import geometry as geo
+from openoa_spark.operators.timeseries import infer_frequency_seconds
+from openoa_spark.schema import PlantMetaData, TableMeta, requirements_for
+
+_TIME_KEYED = {"scada": ["asset_id"], "meter": [], "tower": ["asset_id"],
+               "status": ["asset_id"], "curtail": [], "reanalysis": []}
+
+
+@dataclass
+class ValidationError:
+    table: str
+    kind: str  # "missing" | "dtype" | "frequency"
+    detail: str
+
+
+def _apply_col_map(df: DataFrame, meta: TableMeta) -> DataFrame:
+    """Rename user columns to canonical names and cast to canonical
+    dtypes — one lazy select (plant.py:314-331 + 881-936 combined)."""
+    canonical_dtypes = meta.dtypes
+    exprs = []
+    for c in df.columns:
+        target = meta.col_map.get(c, c)
+        if target in canonical_dtypes:
+            exprs.append(F.col(c).cast(canonical_dtypes[target]).alias(target))
+        else:
+            exprs.append(F.col(c).alias(target))
+    return df.select(*exprs)
+
+
+def _missing_columns(df: DataFrame, required: set[str]) -> list[str]:
+    return sorted(required - set(df.columns))
+
+
+class PlantData:
+    """Handle over the seven plant tables as lazy Spark DataFrames.
+
+    Tables may be passed as DataFrames or parquet/csv paths; columns
+    are renamed to canonical names and cast lazily on attach. With an
+    ``analysis_type`` list, :meth:`validate` enforces only what those
+    analyses need (plant.py:479-549); ``analysis_type=None`` defers
+    validation entirely (plant.py:498-499).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        metadata: PlantMetaData | dict | str,
+        analysis_type: list[str] | str | None = None,
+        scada: DataFrame | str | None = None,
+        meter: DataFrame | str | None = None,
+        tower: DataFrame | str | None = None,
+        status: DataFrame | str | None = None,
+        curtail: DataFrame | str | None = None,
+        asset: DataFrame | str | None = None,
+        reanalysis: dict[str, DataFrame | str] | None = None,
+        validate: bool = True,
+    ):
+        self.spark = spark
+        self.metadata = PlantMetaData.load(metadata)
+        if isinstance(analysis_type, str):
+            analysis_type = [analysis_type]
+        self.analysis_type = analysis_type
+
+        self.scada = self._load(scada, self.metadata.scada)
+        self.meter = self._load(meter, self.metadata.meter)
+        self.tower = self._load(tower, self.metadata.tower)
+        self.status = self._load(status, self.metadata.status)
+        self.curtail = self._load(curtail, self.metadata.curtail)
+        self.asset = self._load(asset, self.metadata.asset)
+        self.reanalysis: dict[str, DataFrame] = {}
+        for product, src in (reanalysis or {}).items():
+            meta = self.metadata.reanalysis.get(product, TableMeta("reanalysis"))
+            self.reanalysis[product] = self._derive_reanalysis(self._load(src, meta))
+
+        if self.scada is not None:
+            self.scada = self._derive_scada_energy(self.scada, self.metadata.scada)
+
+        self._distance_pairs: DataFrame | None = None
+        self._direction_pairs: DataFrame | None = None
+
+        if validate and self.analysis_type:
+            self.validate()
+
+    # ------------------------------------------------------------ load
+
+    def _load(self, src: DataFrame | str | None, meta: TableMeta) -> DataFrame | None:
+        """Accept a DataFrame or a parquet/csv path (plant.py:271-291)."""
+        if src is None:
+            return None
+        if isinstance(src, str):
+            if src.endswith(".csv"):
+                df = self.spark.read.csv(src, header=True, inferSchema=False)
+            else:
+                df = self.spark.read.parquet(src)
+        else:
+            df = src
+        return _apply_col_map(df, meta)
+
+    # ------------------------------------------------------------ derived
+
+    def _derive_reanalysis(self, df: DataFrame) -> DataFrame:
+        """Fill in ws / wd / air-density when the inputs to derive them
+        exist and the column doesn't (plant.py:1028-1062)."""
+        cols = set(df.columns)
+        if "WMETR_HorWdSpd" not in cols and {"WMETR_HorWdSpdU", "WMETR_HorWdSpdV"} <= cols:
+            df = df.withColumn(
+                "WMETR_HorWdSpd",
+                F.sqrt(F.col("WMETR_HorWdSpdU") ** 2 + F.col("WMETR_HorWdSpdV") ** 2),
+            )
+        cols = set(df.columns)
+        if "WMETR_HorWdDir" not in cols and {"WMETR_HorWdSpdU", "WMETR_HorWdSpdV"} <= cols:
+            df = df.withColumn(
+                "WMETR_HorWdDir",
+                met.compute_wind_direction("WMETR_HorWdSpdU", "WMETR_HorWdSpdV"),
+            )
+        cols = set(df.columns)
+        if "WMETR_AirDen" not in cols and {"WMETR_EnvTmp", "WMETR_EnvPres"} <= cols:
+            df = df.withColumn(
+                "WMETR_AirDen",
+                met.compute_air_density("WMETR_EnvTmp", "WMETR_EnvPres"),
+            )
+        return df
+
+    def _derive_scada_energy(self, df: DataFrame, meta: TableMeta) -> DataFrame:
+        """WTUR_SupWh = power × interval-hours (plant.py:1157-1162)."""
+        if "WTUR_SupWh" in df.columns or "WTUR_W" not in df.columns:
+            return df
+        freq_s = meta.frequency_seconds or 600.0
+        return df.withColumn("WTUR_SupWh", F.col("WTUR_W") * F.lit(freq_s / 3600.0))
+
+    # ------------------------------------------------------------ validate
+
+    def validate(self, analysis_type: list[str] | None = None) -> None:
+        """Raise ValueError listing every problem the requested
+        analyses care about (plant.py:991-1026 / 36-145). Missing
+        columns and frequency mismatches are checked; frequency is
+        inferred from data (mode of time deltas) when not declared."""
+        types = analysis_type or self.analysis_type
+        errors = self.validation_errors(types)
+        if errors:
+            lines = [f"`{e.table}` {e.kind}: {e.detail}" for e in errors]
+            raise ValueError(
+                "PlantData validation failed for analysis types "
+                f"{types}:\n" + "\n".join(lines)
+            )
+
+    def validation_errors(self, analysis_type: list[str] | None = None) -> list[ValidationError]:
+        reqs = requirements_for(analysis_type or self.analysis_type)
+        errors: list[ValidationError] = []
+        for table, (cols, max_period_s) in reqs.items():
+            frames: list[tuple[str, DataFrame | None, TableMeta]]
+            if table == "reanalysis":
+                if not self.reanalysis:
+                    errors.append(ValidationError(table, "missing", "no reanalysis products"))
+                    continue
+                frames = [
+                    (f"reanalysis[{p}]", df, self.metadata.reanalysis.get(p, TableMeta("reanalysis")))
+                    for p, df in self.reanalysis.items()
+                ]
+            else:
+                frames = [(table, getattr(self, table), self.metadata.table(table))]
+            for label, df, meta in frames:
+                if df is None:
+                    errors.append(ValidationError(label, "missing", "table not provided"))
+                    continue
+                miss = _missing_columns(df, set(cols))
+                if miss:
+                    errors.append(ValidationError(label, "missing", ", ".join(miss)))
+                if max_period_s is not None and "time" in df.columns:
+                    freq_s = meta.frequency_seconds
+                    if freq_s is None:
+                        keys = [k for k in _TIME_KEYED.get(table, []) if k in df.columns]
+                        freq_s = infer_frequency_seconds(df, "time", keys or None)
+                    if freq_s is None or freq_s > max_period_s:
+                        errors.append(ValidationError(
+                            label, "frequency",
+                            f"period {freq_s}s coarser than required {max_period_s}s",
+                        ))
+        return errors
+
+    # ------------------------------------------------------------ accessors
+
+    def _asset_ids(self, kind: str | None = None) -> list[str]:
+        df = self.asset
+        if df is None:
+            return []
+        if kind is not None and "type" in df.columns:
+            df = df.where(F.col("type") == kind)
+        return [r["asset_id"] for r in df.select("asset_id").distinct().orderBy("asset_id").collect()]
+
+    @property
+    def asset_ids(self) -> list[str]:
+        return self._asset_ids()
+
+    @property
+    def turbine_ids(self) -> list[str]:
+        return self._asset_ids("turbine")
+
+    @property
+    def tower_ids(self) -> list[str]:
+        return self._asset_ids("tower")
+
+    def turbine_df(self, turbine_id: str) -> DataFrame:
+        """Single-turbine scada slice (plant.py:1178-1189)."""
+        return self.scada.where(F.col("asset_id") == turbine_id)
+
+    def tower_df(self, tower_id: str) -> DataFrame:
+        return self.tower.where(F.col("asset_id") == tower_id)
+
+    # ------------------------------------------------------------ geometry
+
+    def parse_asset_geometry(self) -> None:
+        """Append planar (x_m, y_m) to the asset dim (plant.py:1064-1117)."""
+        if self.asset is not None and "x_m" not in self.asset.columns:
+            self.asset = geo.utm_from_latlon(self.asset)
+
+    @property
+    def asset_distance_pairs(self) -> DataFrame:
+        if self._distance_pairs is None:
+            self.parse_asset_geometry()
+            self._distance_pairs = geo.asset_distance_pairs(self.asset).cache()
+        return self._distance_pairs
+
+    @property
+    def asset_direction_pairs(self) -> DataFrame:
+        if self._direction_pairs is None:
+            self.parse_asset_geometry()
+            self._direction_pairs = geo.asset_direction_pairs(self.asset).cache()
+        return self._direction_pairs
+
+    def get_freestream_turbines(
+        self, wind_direction_deg: float, sector_width_deg: float = 90.0
+    ) -> list[str]:
+        turbines = set(self.turbine_ids)
+        pairs_d = self.asset_distance_pairs
+        pairs_b = self.asset_direction_pairs
+        if turbines:
+            pairs_d = pairs_d.where(
+                F.col("asset_a").isin(turbines) & F.col("asset_b").isin(turbines)
+            )
+            pairs_b = pairs_b.where(
+                F.col("asset_a").isin(turbines) & F.col("asset_b").isin(turbines)
+            )
+        return geo.freestream_turbines(pairs_d, pairs_b, wind_direction_deg, sector_width_deg)
+
+    def nearest_turbine(self, asset_id: str) -> str | None:
+        """Closest turbine to the given asset (plant.py:1452-1513)."""
+        return self._nearest(asset_id, self.turbine_ids)
+
+    def nearest_tower(self, asset_id: str) -> str | None:
+        return self._nearest(asset_id, self.tower_ids)
+
+    def _nearest(self, asset_id: str, candidates: list[str]) -> str | None:
+        cands = [c for c in candidates if c != asset_id]
+        if not cands:
+            return None
+        row = (
+            self.asset_distance_pairs
+            .where((F.col("asset_a") == asset_id) & F.col("asset_b").isin(cands))
+            .orderBy(F.asc("distance_m"), F.asc("asset_b"))
+            .select("asset_b")
+            .first()
+        )
+        return row["asset_b"] if row else None
+
+    # ------------------------------------------------------------ export
+
+    def to_parquet(self, save_path: str) -> None:
+        """Write every attached table under save_path/<table>.parquet
+        (analogue of to_csv, plant.py:746-843; parquet is the Spark-
+        native interchange format)."""
+        for name in ("scada", "meter", "tower", "status", "curtail", "asset"):
+            df = getattr(self, name)
+            if df is not None:
+                df.write.mode("overwrite").parquet(f"{save_path}/{name}.parquet")
+        for product, df in self.reanalysis.items():
+            df.write.mode("overwrite").parquet(f"{save_path}/reanalysis_{product}.parquet")
+
+    def reanalysis_union(self) -> DataFrame | None:
+        """All reanalysis products as ONE DataFrame with a `product`
+        column — the Spark-preferred layout for partition pruning at
+        scale (survey §1.4)."""
+        frames = [
+            df.withColumn("product", F.lit(p)) for p, df in self.reanalysis.items()
+        ]
+        if not frames:
+            return None
+        out = frames[0]
+        for f2 in frames[1:]:
+            out = out.unionByName(f2, allowMissingColumns=True)
+        return out

@@ -1,0 +1,123 @@
+"""PlantData / schema tests: col_map renaming, dtype casting, derived
+columns, analysis-filtered validation, geometry accessors."""
+
+import numpy as np
+import pytest
+
+from openoa_spark.plant import PlantData
+from openoa_spark.schema import (
+    PlantMetaData,
+    create_analysis_schema,
+    offset_to_seconds,
+    requirements_for,
+)
+from tests.windfixtures import plant_tables
+
+META = {
+    "latitude": 47.9,
+    "longitude": 5.12,
+    "capacity": 8.0,
+    "scada": {"frequency": "10min"},
+    "meter": {"frequency": "10min"},
+    "curtail": {"frequency": "10min"},
+    "reanalysis": {"era5": {"frequency": "h"}},
+}
+
+
+@pytest.fixture(scope="module")
+def tables():
+    return plant_tables(days=20)
+
+
+@pytest.fixture(scope="module")
+def plant(spark, tables):
+    return PlantData(
+        spark,
+        META,
+        analysis_type=["MonteCarloAEP", "ElectricalLosses"],
+        scada=spark.createDataFrame(tables["scada"]),
+        meter=spark.createDataFrame(tables["meter"]),
+        curtail=spark.createDataFrame(tables["curtail"]),
+        asset=spark.createDataFrame(tables["asset"]),
+        reanalysis={"era5": spark.createDataFrame(tables["reanalysis"])},
+    )
+
+
+def test_offsets():
+    assert offset_to_seconds("10min") == 600.0
+    assert offset_to_seconds("H") == 3600.0  # deprecated alias accepted
+    assert offset_to_seconds("D") == 86400.0
+    assert offset_to_seconds("MS") == 31 * 86400.0
+
+
+def test_requirements_merge():
+    reqs = requirements_for(["MonteCarloAEP", "ElectricalLosses"])
+    cols, freq = reqs["meter"]
+    assert "MMTR_SupWh" in cols
+    assert freq == 31 * 86400.0
+    cols_s, freq_s = reqs["scada"]
+    assert {"asset_id", "WTUR_W"} <= cols_s and freq_s == 86400.0
+
+
+def test_analysis_schema():
+    sch = create_analysis_schema(["ElectricalLosses"])
+    assert set(sch) == {"scada", "meter"}
+    assert sch["scada"]["columns"]["WTUR_W"] == "double"
+
+
+def test_derived_columns(plant):
+    # reanalysis fixture only has u, v, temp, pressure — ws/wd/rho derived
+    era5 = plant.reanalysis["era5"]
+    assert {"WMETR_HorWdSpd", "WMETR_HorWdDir", "WMETR_AirDen"} <= set(era5.columns)
+    row = era5.orderBy("time").first()
+    ws = float(row["WMETR_HorWdSpd"])
+    assert ws == pytest.approx(
+        float(np.hypot(row["WMETR_HorWdSpdU"], row["WMETR_HorWdSpdV"])), rel=1e-9
+    )
+    assert 0.8 < float(row["WMETR_AirDen"]) < 1.5
+    # scada energy = power × 1/6 h
+    srow = plant.scada.orderBy("time", "asset_id").first()
+    assert float(srow["WTUR_SupWh"]) == pytest.approx(float(srow["WTUR_W"]) / 6.0, rel=1e-9)
+
+
+def test_validation_passes(plant):
+    assert plant.validation_errors() == []
+
+
+def test_validation_missing_column(spark, tables):
+    bad = spark.createDataFrame(tables["meter"]).withColumnRenamed("MMTR_SupWh", "energy")
+    with pytest.raises(ValueError, match="MMTR_SupWh"):
+        PlantData(
+            spark, META, analysis_type=["MonteCarloAEP"],
+            meter=bad,
+            curtail=spark.createDataFrame(tables["curtail"]),
+            reanalysis={"era5": spark.createDataFrame(tables["reanalysis"])},
+        )
+
+
+def test_col_map_rename(spark, tables):
+    meta = dict(META)
+    meta["meter"] = {"frequency": "10min", "MMTR_SupWh": "energy_watthours"}
+    renamed = spark.createDataFrame(
+        tables["meter"].rename(columns={"MMTR_SupWh": "energy_watthours"})
+    )
+    p = PlantData(spark, meta, analysis_type=None, meter=renamed)
+    assert "MMTR_SupWh" in p.meter.columns
+
+
+def test_ids_and_slices(plant):
+    assert plant.turbine_ids == ["T01", "T02", "T03", "T04"]
+    assert plant.tower_ids == ["MT1"]
+    assert plant.turbine_df("T02").select("asset_id").distinct().count() == 1
+
+
+def test_geometry_and_freestream(plant):
+    # west wind (270°): the westernmost turbine T01 is freestream;
+    # T02..T04 each have an upwind neighbor to their west.
+    fs = plant.get_freestream_turbines(270.0, sector_width_deg=90.0)
+    assert "T01" in fs and "T04" not in fs
+    # east wind (90°): easternmost turbine is freestream
+    fs_e = plant.get_freestream_turbines(90.0, sector_width_deg=90.0)
+    assert "T04" in fs_e and "T01" not in fs_e
+    assert plant.nearest_turbine("T01") == "T02"
+    assert plant.nearest_tower("T01") == "MT1"

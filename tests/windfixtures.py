@@ -1,0 +1,111 @@
+"""Deterministic synthetic wind-plant tables for pipeline tests.
+
+Shapes mirror the reference's regression fixture (ENGIE La Haute
+Borne: 4 turbines, 10-min SCADA, hourly reanalysis — see
+examples/project_ENGIE.py:9-31) at a reduced time span so the suite
+stays fast. All randomness is seeded numpy; the same arrays feed both
+the Spark inputs and the pandas mini-oracles in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+RATED_KW = 2000.0
+TURBINES = ["T01", "T02", "T03", "T04"]
+ELEC_LOSS = 0.02
+
+
+def power_curve(ws: np.ndarray) -> np.ndarray:
+    """Smooth logistic curve, cut-in ~3 m/s, rated by ~13 m/s."""
+    p = RATED_KW / (1.0 + np.exp(-(ws - 8.0)))
+    return np.where(ws < 3.0, 0.0, np.minimum(p, RATED_KW))
+
+
+def make_asset() -> pd.DataFrame:
+    # 4 turbines on an east-west line, 500 m apart, plus one met tower
+    rows = []
+    for i, t in enumerate(TURBINES):
+        rows.append((t, 47.90, 5.10 + i * 0.0067, RATED_KW, 80.0, 100.0, 400.0, "turbine"))
+    rows.append(("MT1", 47.905, 5.11, np.nan, 60.0, np.nan, 400.0, "tower"))
+    return pd.DataFrame(
+        rows,
+        columns=["asset_id", "latitude", "longitude", "rated_power",
+                 "hub_height", "rotor_diameter", "elevation", "type"],
+    )
+
+
+def make_scada(days: int = 60, seed: int = 42) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    times = pd.date_range("2019-01-01", periods=days * 144, freq="10min")
+    n = len(times)
+    hours = np.arange(n) / 6.0
+    base_ws = 8.0 + 3.0 * np.sin(2 * np.pi * hours / (24 * 7)) + rng.normal(0, 1.2, n)
+    base_wd = (270.0 + 40.0 * np.sin(2 * np.pi * hours / 96) + rng.normal(0, 8, n)) % 360
+    frames = []
+    for i, t in enumerate(TURBINES):
+        ws = np.clip(base_ws + rng.normal(0, 0.4, n) + 0.1 * i, 0.0, None)
+        power = power_curve(ws) * (1.0 + rng.normal(0, 0.01, n))
+        frames.append(pd.DataFrame({
+            "time": times,
+            "asset_id": t,
+            "WTUR_W": power,
+            "WMET_HorWdSpd": ws,
+            "WMET_HorWdDir": base_wd,
+            "WMET_HorWdDirRel": rng.normal(0, 3, n) + (2.0 if t == "T02" else 0.0),
+            "WROT_BlPthAngVal": np.abs(rng.normal(0, 0.5, n)),
+            "WMET_EnvTmp": 10.0 + 8.0 * np.sin(2 * np.pi * hours / 24) + rng.normal(0, 1, n),
+        }))
+    return pd.concat(frames, ignore_index=True)
+
+
+def make_meter(scada: pd.DataFrame) -> pd.DataFrame:
+    plant = (
+        scada.groupby("time", as_index=False)["WTUR_W"].sum()
+        .rename(columns={"WTUR_W": "power_kw"})
+    )
+    plant["MMTR_SupWh"] = plant["power_kw"] * (600.0 / 3600.0) * (1.0 - ELEC_LOSS)
+    return plant[["time", "MMTR_SupWh"]]
+
+
+def make_curtail(scada: pd.DataFrame, seed: int = 7) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    times = np.sort(scada["time"].unique())
+    n = len(times)
+    return pd.DataFrame({
+        "time": times,
+        "IAVL_DnWh": np.abs(rng.normal(2.0, 0.5, n)),
+        "IAVL_ExtPwrDnWh": np.abs(rng.normal(1.0, 0.3, n)),
+    })
+
+
+def make_reanalysis(years: float = 3.0, seed: int = 11) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    times = pd.date_range("2017-01-01", periods=int(years * 365.25 * 24), freq="h")
+    n = len(times)
+    hours = np.arange(n, dtype=float)
+    ws = np.clip(8.0 + 3.0 * np.sin(2 * np.pi * hours / (24 * 7)) + rng.normal(0, 1.5, n), 0.05, None)
+    wd = (270.0 + 40.0 * np.sin(2 * np.pi * hours / 96) + rng.normal(0, 10, n)) % 360
+    u = -ws * np.sin(np.radians(wd))
+    v = -ws * np.cos(np.radians(wd))
+    temp_k = 283.0 + 10.0 * np.sin(2 * np.pi * hours / (24 * 365.25)) + rng.normal(0, 1, n)
+    pres = 101325.0 + rng.normal(0, 300, n)
+    return pd.DataFrame({
+        "time": times,
+        "WMETR_HorWdSpdU": u,
+        "WMETR_HorWdSpdV": v,
+        "WMETR_EnvTmp": temp_k,
+        "WMETR_EnvPres": pres,
+    })
+
+
+def plant_tables(days: int = 60) -> dict[str, pd.DataFrame]:
+    scada = make_scada(days)
+    return {
+        "asset": make_asset(),
+        "scada": scada,
+        "meter": make_meter(scada),
+        "curtail": make_curtail(scada),
+        "reanalysis": make_reanalysis(),
+    }
