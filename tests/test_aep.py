@@ -1,0 +1,111 @@
+"""MonteCarloAEP tests: Spark-built aggregate vs a pandas mini-oracle,
+plus statistical plausibility of the MC distribution (the reference's
+own tolerance discipline — test/regression/long_term_monte_carlo_aep.py
+asserts MC means at decimal≈1-3, not exact values)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from openoa_spark.analysis.aep import MonteCarloAEP
+from openoa_spark.plant import PlantData
+from tests.windfixtures import ELEC_LOSS, make_aep_tables
+
+META = {
+    "latitude": 47.9, "longitude": 5.12, "capacity": 8.0,
+    "meter": {"frequency": "h"}, "curtail": {"frequency": "h"},
+    "reanalysis": {"era5": {"frequency": "h"}},
+}
+
+
+@pytest.fixture(scope="module")
+def tables():
+    return make_aep_tables()
+
+
+@pytest.fixture(scope="module")
+def analysis(spark, tables):
+    plant = PlantData(
+        spark, META, analysis_type=["MonteCarloAEP"],
+        meter=spark.createDataFrame(tables["meter"]),
+        curtail=spark.createDataFrame(tables["curtail"]),
+        reanalysis={"era5": spark.createDataFrame(tables["reanalysis"])},
+    )
+    mc = MonteCarloAEP(plant, uncertainty_windiness=(1, 2))
+    mc.prepare()
+    return mc
+
+
+def test_aggregate_matches_pandas_oracle(analysis, tables):
+    agg = analysis.aggregate
+    # pandas mini-oracle: monthly sums of the same input arrays
+    meter = tables["meter"].set_index("time")
+    expected = meter["MMTR_SupWh"].resample("MS").sum() / 1e6
+    # trim first/last partial months the same way the pipeline does
+    common = agg.index.intersection(expected.index)
+    assert len(common) >= 13
+    np.testing.assert_allclose(
+        agg.loc[common, "energy_gwh"].to_numpy(),
+        expected.loc[common].to_numpy(), rtol=1e-9,
+    )
+    # gross = net + avail + curt
+    np.testing.assert_allclose(
+        agg["gross_energy_gwh"].to_numpy(),
+        (agg["energy_gwh"] + agg["availability_gwh"] + agg["curtailment_gwh"]).to_numpy(),
+        rtol=1e-12,
+    )
+    # partial month 2020-03 (data stops on the 15th) must be trimmed
+    assert pd.Timestamp("2020-03-01") not in agg.index
+
+
+def test_aggregate_trim_and_reanalysis(analysis):
+    agg = analysis.aggregate
+    assert "era5" in agg.columns
+    assert agg["era5"].notna().all()
+    # density-corrected monthly ws in a physical range
+    assert agg["era5"].between(4, 13).all()
+
+
+def test_long_term_losses(analysis):
+    avail, curt = analysis.long_term_losses
+    assert len(avail) == 12 and len(curt) == 12
+    # fixture availability ≈ 1% of gross, curtailment ≈ 0.5%
+    assert avail.mean() == pytest.approx(0.01, abs=0.003)
+    assert curt.mean() == pytest.approx(0.005, abs=0.002)
+
+
+def test_mc_distribution(analysis, tables):
+    res = analysis.run(num_sim=100)
+    assert len(res.results) == 100
+    # truth: long-term annual gross energy from the generating process
+    gross = tables["gross_kwh"]
+    annual_gross_gwh = gross.mean() * 8766.0 / 1e6
+    net_truth = annual_gross_gwh * (1 - 0.01)  # gross minus availability
+    assert res.aep_mean == pytest.approx(net_truth, rel=0.10)
+    # UQ spread present but small relative to the mean
+    assert 0 < res.aep_std < 0.2 * res.aep_mean
+    # r2 of the monthly regression should be high: energy derives from ws
+    assert res.results["r2"].median() > 0.5
+    assert res.results["avail_pct"].mean() == pytest.approx(0.01, abs=0.004)
+
+
+def test_outlier_detection_path(analysis):
+    analysis_od = MonteCarloAEP(
+        analysis.plant, uncertainty_windiness=(1, 2), outlier_detection=True
+    )
+    res = analysis_od.run(num_sim=20)
+    assert np.isfinite(res.results["aep_GWh"]).all()
+
+
+def test_daily_resolution(spark, tables):
+    plant = PlantData(
+        spark, META, analysis_type=["MonteCarloAEP"],
+        meter=spark.createDataFrame(tables["meter"]),
+        curtail=spark.createDataFrame(tables["curtail"]),
+        reanalysis={"era5": spark.createDataFrame(tables["reanalysis"])},
+    )
+    mc = MonteCarloAEP(plant, time_resolution="D", uncertainty_windiness=(1, 2))
+    agg = mc.prepare()
+    assert len(agg) > 360  # ~440 POR days
+    res = mc.run(num_sim=10)
+    assert np.isfinite(res.results["aep_GWh"]).all()

@@ -80,12 +80,28 @@ def make_curtail(scada: pd.DataFrame, seed: int = 7) -> pd.DataFrame:
     })
 
 
-def make_reanalysis(years: float = 3.0, seed: int = 11) -> pd.DataFrame:
+def make_reanalysis(
+    years: float = 3.0,
+    seed: int = 11,
+    start: str = "2017-01-01",
+    end: str | None = None,
+) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
-    times = pd.date_range("2017-01-01", periods=int(years * 365.25 * 24), freq="h")
+    if end is not None:
+        times = pd.date_range(start, end, freq="h")
+    else:
+        times = pd.date_range(start, periods=int(years * 365.25 * 24), freq="h")
     n = len(times)
     hours = np.arange(n, dtype=float)
-    ws = np.clip(8.0 + 3.0 * np.sin(2 * np.pi * hours / (24 * 7)) + rng.normal(0, 1.5, n), 0.05, None)
+    doy = times.dayofyear.to_numpy().astype(float)
+    # weekly + annual-seasonal components: the annual one survives
+    # monthly averaging, giving the AEP regression a real signal
+    ws = np.clip(
+        8.0 + 3.0 * np.sin(2 * np.pi * hours / (24 * 7))
+        + 1.5 * np.sin(2 * np.pi * doy / 365.25)
+        + rng.normal(0, 1.5, n),
+        0.05, None,
+    )
     wd = (270.0 + 40.0 * np.sin(2 * np.pi * hours / 96) + rng.normal(0, 10, n)) % 360
     u = -ws * np.sin(np.radians(wd))
     v = -ws * np.cos(np.radians(wd))
@@ -98,6 +114,35 @@ def make_reanalysis(years: float = 3.0, seed: int = 11) -> pd.DataFrame:
         "WMETR_EnvTmp": temp_k,
         "WMETR_EnvPres": pres,
     })
+
+
+def make_aep_tables(
+    rean_start: str = "2017-01-01",
+    rean_end: str = "2020-03-31 23:00",
+    por_start: str = "2019-01-01",
+    por_end: str = "2020-03-15",
+    avail_frac: float = 0.01,
+    curt_frac: float = 0.005,
+) -> dict[str, pd.DataFrame]:
+    """Meter/curtail derived hourly from the reanalysis wind speed via
+    the plant power curve, so monthly energy truly regresses on the
+    monthly reanalysis wind speed (the relationship MonteCarloAEP
+    estimates)."""
+    rean = make_reanalysis(start=rean_start, end=rean_end)
+    ws = np.hypot(rean["WMETR_HorWdSpdU"], rean["WMETR_HorWdSpdV"])
+    gross_kwh = len(TURBINES) * power_curve(ws.to_numpy())  # 1-hour buckets
+    por = (rean["time"] >= por_start) & (rean["time"] <= por_end)
+    meter = pd.DataFrame({
+        "time": rean.loc[por, "time"],
+        "MMTR_SupWh": gross_kwh[por] * (1.0 - ELEC_LOSS - avail_frac - curt_frac),
+    })
+    curtail = pd.DataFrame({
+        "time": rean.loc[por, "time"],
+        "IAVL_DnWh": gross_kwh[por] * avail_frac,
+        "IAVL_ExtPwrDnWh": gross_kwh[por] * curt_frac,
+    })
+    return {"reanalysis": rean, "meter": meter, "curtail": curtail,
+            "gross_kwh": pd.Series(gross_kwh, index=rean["time"])}
 
 
 def plant_tables(days: int = 60) -> dict[str, pd.DataFrame]:
