@@ -126,6 +126,9 @@ def bin_filter(
     bin_min: float | None = None,
     bin_max: float | None = None,
     flag_col: str = "bin_flag",
+    keys: list[str] | None = None,
+    bin_min_col: Column | None = None,
+    bin_max_col: Column | None = None,
 ) -> DataFrame:
     """Bin ``bin_col`` into fixed-width bins; per bin compute a center
     (mean|median) and deviation (std|mad|scalar); flag values beyond
@@ -136,35 +139,51 @@ def bin_filter(
     Physical plan: per-bin aggregate (tiny — #bins rows) broadcast-
     joined back; MAD ('mad') needs a second per-bin pass (median of
     |x - median|), still bin-grain.
+
+    ``keys`` makes binning per-group (e.g. per turbine: bin stats are
+    computed within each asset, the reference idiom at
+    turbine_long_term_gross_energy.py:368-378 where the filter runs in
+    a per-turbine loop — here one grouped aggregate covers all).
+    ``bin_min_col``/``bin_max_col`` allow per-row (per-key) domain
+    bounds, e.g. fractions of each turbine's rated power.
     """
+    keys = keys or []
     x = F.col(bin_col)
-    lo = bin_min if bin_min is not None else df.agg(F.min(bin_col)).first()[0]
-    in_domain = x >= F.lit(lo) if bin_max is None else (x >= F.lit(lo)) & (x < F.lit(bin_max))
+    if bin_min_col is not None:
+        lo_c = bin_min_col
+    else:
+        lo = bin_min if bin_min is not None else df.agg(F.min(bin_col)).first()[0]
+        lo_c = F.lit(lo)
+    hi_c = bin_max_col if bin_max_col is not None else (
+        F.lit(bin_max) if bin_max is not None else None
+    )
+    in_domain = x >= lo_c if hi_c is None else (x >= lo_c) & (x < hi_c)
     binned = df.withColumn(
         "_bin",
-        F.when(in_domain, F.floor((x - F.lit(lo)) / F.lit(bin_width))).otherwise(F.lit(None)),
+        F.when(in_domain, F.floor((x - lo_c) / F.lit(bin_width))).otherwise(F.lit(None)),
     )
 
+    gb = keys + ["_bin"]
     center_agg = (
         F.avg(value_col) if center_type == "mean" else F.median(value_col)
     ).alias("_center")
-    stats = binned.groupBy("_bin").agg(center_agg)
+    stats = binned.groupBy(*gb).agg(center_agg)
     if threshold_type == "std":
-        stats = binned.groupBy("_bin").agg(
+        stats = binned.groupBy(*gb).agg(
             center_agg, F.stddev_samp(value_col).alias("_dev")
         )
     elif threshold_type == "mad":
-        centered = binned.join(F.broadcast(stats), "_bin", "left")
-        mads = centered.groupBy("_bin").agg(
+        centered = binned.join(F.broadcast(stats), gb, "left")
+        mads = centered.groupBy(*gb).agg(
             F.median(F.abs(F.col(value_col) - F.col("_center"))).alias("_dev")
         )
-        stats = stats.join(mads, "_bin", "inner")
+        stats = stats.join(mads, gb, "inner")
     elif threshold_type == "scalar":
         stats = stats.withColumn("_dev", F.lit(1.0))
     else:
         raise ValueError(f"unknown threshold_type {threshold_type}")
 
-    joined = binned.join(F.broadcast(stats), "_bin", "left")
+    joined = binned.join(F.broadcast(stats), gb, "left")
     v, ctr, dev = F.col(value_col), F.col("_center"), F.col("_dev")
     margin = F.lit(threshold) * dev
     if direction == "all":

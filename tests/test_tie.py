@@ -1,0 +1,86 @@
+"""TurbineLongTermGrossEnergy tests against the synthetic plant whose
+generating process is known."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from openoa_spark.analysis.tie import TurbineLongTermGrossEnergy
+from openoa_spark.plant import PlantData
+from tests.windfixtures import plant_tables
+
+META = {
+    "latitude": 47.9, "longitude": 5.12, "capacity": 8.0,
+    "scada": {"frequency": "10min"},
+    "reanalysis": {"era5": {"frequency": "h"}},
+}
+
+
+@pytest.fixture(scope="module")
+def plant(spark):
+    tables = plant_tables(days=60)
+    return PlantData(
+        spark, META, analysis_type=["TurbineLongTermGrossEnergy"],
+        scada=spark.createDataFrame(tables["scada"]),
+        asset=spark.createDataFrame(tables["asset"]),
+        reanalysis={"era5": spark.createDataFrame(tables["reanalysis"])},
+    )
+
+
+@pytest.fixture(scope="module")
+def tie(plant):
+    return TurbineLongTermGrossEnergy(plant, UQ=False)
+
+
+def test_filter_flags(tie):
+    filtered = tie.filter_turbine_data(wind_bin_thresh=2.0, max_power_filter=0.85)
+    total = filtered.count()
+    flagged = filtered.where(F.col("_flag_final")).count()
+    assert total > 0
+    # clean synthetic data: only a small fraction should be flagged
+    assert flagged / total < 0.25
+
+
+def test_daily_energy_and_imputation(tie):
+    filtered = tie.filter_turbine_data(2.0, 0.85)
+    daily = tie.daily_valid_energy(filtered, correction_threshold=0.9)
+    pdf = daily.toPandas()
+    assert set(pdf["asset_id"]) == {"T01", "T02", "T03", "T04"}
+    # ~60 days per turbine
+    assert 50 <= pdf.groupby("asset_id").size().min() <= 61
+    # daily turbine energy plausible: 2 MW turbine → <= 48,000 kWh/day
+    assert pdf["energy_imputed"].between(0, 48000).all()
+
+
+def test_daily_reanalysis(tie):
+    rean = tie.daily_reanalysis("era5")
+    assert {"u", "v", "ws", "rho", "wd"} <= set(rean.columns)
+    assert len(rean) > 1000  # ~3 years daily
+    assert rean["wd"].between(0, 360).all()
+
+
+def test_lt_gross_plausible(plant, tie):
+    res = tie.run()
+    assert len(res.plant_gross_gwh) == 1
+    gross = res.plant_gross_gwh[0]
+    # cross-check against the scada POR itself: mean daily plant energy
+    # × 365.25, in GWh
+    por_daily = (
+        plant.scada.groupBy(F.date_trunc("day", "time").alias("d"))
+        .agg(F.sum("WTUR_SupWh").alias("e"))
+        .agg(F.avg("e")).first()[0]
+    )
+    por_annual_gwh = por_daily * 365.25 / 1e6
+    assert gross == pytest.approx(por_annual_gwh, rel=0.25)
+    # long-term per-day predictions cover the full reanalysis span
+    assert res.turbine_lt_gross["day"].nunique() > 1000
+
+
+def test_uq_mode(plant):
+    tie_uq = TurbineLongTermGrossEnergy(plant, UQ=True, num_sim=4)
+    res = tie_uq.run()
+    assert len(res.plant_gross_gwh) == 4
+    assert np.isfinite(res.plant_gross_gwh).all()
+    # spread across sims is driven by the sampled wind-bin threshold
+    # (1.0–3.0) — wide by design; bound it loosely
+    assert (res.plant_gross_gwh > 10).all() and (res.plant_gross_gwh < 120).all()
