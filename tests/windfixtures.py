@@ -145,6 +145,59 @@ def make_aep_tables(
             "gross_kwh": pd.Series(gross_kwh, index=rean["time"])}
 
 
+def make_wake_tables(days: int = 30, deficit: float = 0.12, seed: int = 23) -> dict:
+    """SCADA with a known synthetic wake structure: turbines sit on an
+    east-west line; whenever the wind has a westerly component
+    (|wrap180(wd-270)| <= 45) every turbine except the westernmost T01
+    sees ``deficit``-reduced wind speed. Reanalysis shares the same
+    (ws, wd) generating process over a 3-year span so the long-term
+    correction should reproduce the POR loss. Returns the exact truth
+    loss computed from the generating arrays."""
+    rng = np.random.default_rng(seed)
+
+    # ONE hourly weather series for the whole reanalysis span; the
+    # scada period is a slice of it — reanalysis and scada observe the
+    # same weather (as in reality), so the scada→reanalysis ws mapping
+    # is the identity
+    rean_times = pd.date_range("2017-01-01", "2019-12-31 23:00", freq="h")
+    n = len(rean_times)
+    hours = np.arange(n, dtype=float)
+    ws_all = np.clip(8.0 + 2.0 * np.sin(2 * np.pi * hours / (24 * 7))
+                     + rng.normal(0, 1.0, n), 4.0, 13.0)
+    wd_all = (270.0 + 28.0 * np.sin(2 * np.pi * hours / 96.0)
+              + rng.normal(0, 3, n)) % 360.0
+
+    # scada: 10-min stamps, hourly-constant met (repeat each hour 6x)
+    scada_start = pd.Timestamp("2019-06-01")
+    i0 = int((scada_start - rean_times[0]) / pd.Timedelta("1h"))
+    ws_h = ws_all[i0:i0 + days * 24]
+    wd_h = wd_all[i0:i0 + days * 24]
+    times = pd.date_range("2019-06-01", periods=days * 144, freq="10min")
+    ws = np.repeat(ws_h, 6)
+    wd = np.repeat(wd_h, 6)
+    waked = np.abs((wd - 270.0 + 180.0) % 360.0 - 180.0) <= 45.0
+    frames = []
+    actual_sum = potential_sum = 0.0
+    for t in TURBINES:
+        is_waked = waked & (t != "T01")
+        ws_t = np.where(is_waked, ws * (1.0 - deficit), ws)
+        p_t = power_curve(ws_t)
+        actual_sum += p_t.sum()
+        potential_sum += power_curve(ws).sum()
+        frames.append(pd.DataFrame({
+            "time": times, "asset_id": t, "WTUR_W": p_t,
+            "WMET_HorWdSpd": ws_t, "WMET_HorWdDir": wd,
+        }))
+    scada = pd.concat(frames, ignore_index=True)
+    truth_por_loss = 1.0 - actual_sum / potential_sum
+
+    rean = pd.DataFrame({
+        "time": rean_times, "WMETR_HorWdSpd": ws_all, "WMETR_HorWdDir": wd_all,
+    })
+    return {"scada": scada, "asset": make_asset(), "reanalysis": rean,
+            "truth_por_loss": truth_por_loss}
+
+
 def plant_tables(days: int = 60) -> dict[str, pd.DataFrame]:
     scada = make_scada(days)
     return {
