@@ -1,0 +1,190 @@
+"""Static yaw misalignment: per (turbine, wind-speed bin), bin power
+performance by wind-vane angle, fit a cosine-exponent curve, and read
+the misalignment as (cosine-peak offset − mean vane angle).
+
+Parity target (behavior only): openoa/analysis/yaw_misalignment.py:
+74-743.
+
+Spark-first inversion: the reference loops turbine × ws-bin in pandas;
+here ONE grouped aggregation produces every (turbine, ws_bin,
+vane_bin) cell — power-curve outlier filtering (pitch threshold +
+per-turbine MAD power-bin filter) included — and only the bin-grain
+table (turbines × ws_bins × vane bins) is collected for the tiny
+driver-side curve fits (pure-NumPy Levenberg-Marquardt replaces
+scipy.optimize.curve_fit)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from openoa_spark.functions.regression import cos_curve_fit
+from openoa_spark.operators import filters
+from openoa_spark.plant import PlantData
+
+
+@dataclass
+class YawMisalignmentResult:
+    yaw_misalignment: np.ndarray      # (num_sim, n_turbines): mean over ws bins
+    yaw_misalignment_ws: np.ndarray   # (num_sim, n_turbines, n_ws_bins)
+    mean_vane_angle: np.ndarray       # (num_sim, n_turbines)
+    curve_fit_params_ws: np.ndarray   # (num_sim, n_turbines, n_ws_bins, 3)
+    turbine_ids: list
+    ws_bins: list
+
+    @property
+    def avg(self) -> np.ndarray:
+        return np.mean(self.yaw_misalignment, axis=0)
+
+    @property
+    def std(self) -> np.ndarray:
+        return np.std(self.yaw_misalignment, axis=0)
+
+
+@dataclass
+class StaticYawMisalignment:
+    """Parameters mirror yaw_misalignment.py:120-188."""
+
+    plant: PlantData
+    turbine_ids: list[str] | None = None
+    UQ: bool = False
+    num_sim: int = 100
+    ws_bins: tuple = (5.0, 6.0, 7.0, 8.0)
+    ws_bin_width: float = 1.0
+    vane_bin_width: float = 1.0
+    min_vane_bin_count: int = 100
+    max_abs_vane_angle: float = 25.0
+    pitch_thresh: float = 0.5
+    num_power_bins: int = 25
+    min_power_filter: float = 0.01
+    max_power_filter: float | tuple[float, float] = 0.95
+    power_bin_mad_thresh: float | tuple[float, float] = 7.0
+    use_power_coeff: bool = False
+    seed: int = 42
+
+    def __post_init__(self):
+        if self.turbine_ids is None:
+            self.turbine_ids = self.plant.turbine_ids
+
+    # ------------------------------------------------------------ stages
+
+    def _filtered(self, max_power_filter: float, mad_thresh: float) -> DataFrame:
+        """Pitch-angle limit + per-turbine MAD power-bin filter
+        (yaw_misalignment.py:495-528), one DataFrame pass."""
+        asset = self.plant.asset.where(F.col("type") == "turbine").select(
+            "asset_id", "rated_power"
+        )
+        df = (
+            self.plant.scada
+            .where(F.col("asset_id").isin(self.turbine_ids))
+            .where(F.col("WROT_BlPthAngVal") <= self.pitch_thresh)
+            .dropna(subset=["WMET_HorWdSpd", "WTUR_W", "WMET_HorWdDirRel"])
+            .join(F.broadcast(asset), "asset_id")
+        )
+        cap = F.col("rated_power")
+        bin_width_frac = (max_power_filter - self.min_power_filter) / self.num_power_bins
+        df = df.withColumn(
+            "_p_norm",
+            (F.col("WTUR_W") - F.lit(self.min_power_filter) * cap)
+            / (F.lit(bin_width_frac) * cap),
+        )
+        df = filters.bin_filter(
+            df, bin_col="_p_norm", value_col="WMET_HorWdSpd", bin_width=1.0,
+            threshold=mad_thresh, center_type="median", threshold_type="mad",
+            direction="all", keys=["asset_id"],
+            bin_min_col=F.lit(0.0), bin_max_col=F.lit(float(self.num_power_bins)),
+            flag_col="_flag_bin",
+        )
+        return df.where(~F.col("_flag_bin")).drop("_p_norm", "_flag_bin")
+
+    def _binned_tables(self, df: DataFrame, bootstrap_seed: int | None):
+        """One aggregation pass → (turbine, ws_bin, vane_bin) cell means
+        and (turbine, ws_bin) mean vane angles."""
+        ws_bins_arr = F.array(*[F.lit(float(b)) for b in self.ws_bins])
+        half = self.ws_bin_width / 2.0
+        df = df.withColumn(
+            "ws_bin",
+            F.filter(
+                ws_bins_arr,
+                lambda b: (F.col("WMET_HorWdSpd") >= b - half)
+                & (F.col("WMET_HorWdSpd") < b + half),
+            )[0],
+        ).where(F.col("ws_bin").isNotNull())
+        if bootstrap_seed is not None:
+            # bootstrap resample within the analysis set
+            # (yaw_misalignment.py:380-381) — Spark's with-replacement
+            # Poisson(1) row sampling
+            df = df.sample(withReplacement=True, fraction=1.0, seed=bootstrap_seed)
+        pow_ref = (
+            F.pow(F.col("WMET_HorWdSpd"), 3.0) if self.use_power_coeff else F.lit(1.0)
+        )
+        df = df.withColumn("pow_ratio", F.col("WTUR_W") / pow_ref).withColumn(
+            "vane_bin",
+            F.round(F.col("WMET_HorWdDirRel") / self.vane_bin_width) * self.vane_bin_width,
+        )
+        cells = (
+            df.groupBy("asset_id", "ws_bin", "vane_bin")
+            .agg(F.avg("pow_ratio").alias("pow_ratio"), F.count("*").alias("n"))
+            .toPandas()
+        )
+        vane_means = (
+            df.groupBy("asset_id", "ws_bin")
+            .agg(F.avg("WMET_HorWdDirRel").alias("mean_vane"))
+            .toPandas()
+        )
+        return cells, vane_means
+
+    # ------------------------------------------------------------ run
+
+    def run(self, num_sim: int | None = None) -> YawMisalignmentResult:
+        rng = np.random.default_rng(self.seed)
+        n_sims = (num_sim or self.num_sim) if self.UQ else 1
+        nt, nw = len(self.turbine_ids), len(self.ws_bins)
+        out = YawMisalignmentResult(
+            np.full((n_sims, nt), np.nan),
+            np.full((n_sims, nt, nw), np.nan),
+            np.full((n_sims, nt), np.nan),
+            np.full((n_sims, nt, nw, 3), np.nan),
+            self.turbine_ids, list(self.ws_bins),
+        )
+        for n in range(n_sims):
+            if self.UQ:
+                mad = float(rng.integers(
+                    int(self.power_bin_mad_thresh[0]), int(self.power_bin_mad_thresh[1]) + 1
+                ))
+                mpf = float(rng.integers(
+                    int(self.max_power_filter[0] * 100),
+                    int(self.max_power_filter[1] * 100) + 1,
+                )) / 100.0
+                boot_seed = int(rng.integers(2**31))
+            else:
+                mad = float(self.power_bin_mad_thresh) if np.isscalar(
+                    self.power_bin_mad_thresh) else float(np.mean(self.power_bin_mad_thresh))
+                mpf = float(self.max_power_filter) if np.isscalar(
+                    self.max_power_filter) else float(np.mean(self.max_power_filter))
+                boot_seed = None
+            cells, vane_means = self._binned_tables(self._filtered(mpf, mad), boot_seed)
+            for i, t in enumerate(self.turbine_ids):
+                for k, wsb in enumerate(self.ws_bins):
+                    sub = cells[(cells["asset_id"] == t) & (cells["ws_bin"] == wsb)]
+                    sub = sub[(sub["n"] > self.min_vane_bin_count)
+                              & (sub["vane_bin"].abs() <= self.max_abs_vane_angle)]
+                    mv = vane_means[
+                        (vane_means["asset_id"] == t) & (vane_means["ws_bin"] == wsb)
+                    ]["mean_vane"]
+                    if len(sub) < 4 or mv.empty:
+                        continue
+                    params = cos_curve_fit(
+                        sub["vane_bin"].to_numpy(), sub["pow_ratio"].to_numpy()
+                    )
+                    out.curve_fit_params_ws[n, i, k] = params
+                    out.yaw_misalignment_ws[n, i, k] = params[1] - float(mv.iloc[0])
+                out.yaw_misalignment[n, i] = np.nanmean(out.yaw_misalignment_ws[n, i])
+                out.mean_vane_angle[n, i] = float(
+                    vane_means[vane_means["asset_id"] == t]["mean_vane"].mean()
+                )
+        return out

@@ -123,3 +123,61 @@ def bin_outlier_flag(
         dev = np.nanstd(x[sel], ddof=1)
         flag[sel] = np.abs(x[sel] - center) > threshold * dev
     return flag
+
+
+def cos_curve(x: np.ndarray, amp: float, offset: float, cos_exp: float) -> np.ndarray:
+    """A · cos(deg2rad(x − offset))^exp — the yaw-misalignment power
+    performance model (openoa/analysis/yaw_misalignment.py:59-71)."""
+    return amp * np.cos(np.deg2rad(x - offset)) ** cos_exp
+
+
+def cos_curve_fit(
+    x: np.ndarray,
+    y: np.ndarray,
+    p0: tuple[float, float, float] | None = None,
+    max_iter: int = 200,
+) -> np.ndarray:
+    """Least-squares fit of :func:`cos_curve` via a small Levenberg-
+    Marquardt loop (scipy.optimize.curve_fit substitute; same p0
+    convention as yaw_misalignment.py:575-577). Returns
+    [amp, offset_deg, cos_exp]."""
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    p = np.array(p0 if p0 is not None else [float(np.max(y)), 0.0, 2.0])
+    lam = 1e-3
+    r = np.deg2rad(1.0)
+
+    def model_and_jac(p):
+        amp, off, ex = p
+        c = np.cos(np.deg2rad(x - off))
+        c = np.clip(c, 1e-9, None)
+        ce = c ** ex
+        f = amp * ce
+        j = np.empty((len(x), 3))
+        j[:, 0] = ce
+        j[:, 1] = amp * ex * c ** (ex - 1.0) * np.sin(np.deg2rad(x - off)) * r
+        j[:, 2] = amp * ce * np.log(c)
+        return f, j
+
+    f, J = model_and_jac(p)
+    sse = float(np.sum((y - f) ** 2))
+    for _ in range(max_iter):
+        resid = y - f
+        A = J.T @ J
+        g = J.T @ resid
+        try:
+            step = np.linalg.solve(A + lam * np.diag(np.diag(A)), g)
+        except np.linalg.LinAlgError:
+            break
+        p_new = p + step
+        f_new, J_new = model_and_jac(p_new)
+        sse_new = float(np.sum((y - f_new) ** 2))
+        if sse_new < sse:
+            if abs(sse - sse_new) < 1e-12 * (1.0 + sse):
+                p, f, J, sse = p_new, f_new, J_new, sse_new
+                break
+            p, f, J, sse = p_new, f_new, J_new, sse_new
+            lam = max(lam / 3.0, 1e-12)
+        else:
+            lam = min(lam * 5.0, 1e6)
+    return p
