@@ -1,0 +1,96 @@
+"""QA operators: timezone-aware timestamp conversion, DST/offset
+annotation, duplicate/gap identification, summary statistics.
+
+Parity targets (behavior only): openoa/utils/qa.py:84-264.
+
+All operators are pure Column expressions or thin wrappers over the
+timeseries toolkit — timezone conversion uses Spark's built-in
+``to_utc_timestamp`` / ``from_utc_timestamp`` (JVM Olson tz database),
+so no per-row Python runs at any scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from openoa_spark.operators.timeseries import (
+    duplicate_time_counts,
+    find_time_gaps,
+)
+
+
+def convert_datetime_column(
+    df: DataFrame,
+    time_col: str,
+    local_tz: str,
+    tz_aware: bool = False,
+) -> DataFrame:
+    """Parse/annotate a timestamp column: adds ``<col>_utc`` and
+    ``<col>_localized`` (wall-clock in ``local_tz``) plus utc_offset /
+    is_dst columns. Semantics: qa.py:115-175.
+
+    ``tz_aware=True`` means the strings carry an offset (parsed by
+    Spark and normalized to UTC in the session zone); otherwise the
+    naive stamps are interpreted as wall-clock time in ``local_tz``.
+    """
+    t = F.col(time_col)
+    parsed = t if dict(df.dtypes).get(time_col) == "timestamp" else F.to_timestamp(t)
+    if tz_aware:
+        utc = parsed  # session zone is UTC; aware inputs normalize on parse
+    else:
+        utc = F.to_utc_timestamp(parsed, local_tz)
+    out = df.withColumn(f"{time_col}_utc", utc).withColumn(
+        f"{time_col}_localized", F.from_utc_timestamp(utc, local_tz)
+    )
+    return determine_offset_dst(out, f"{time_col}_utc", local_tz)
+
+
+def determine_offset_dst(df: DataFrame, utc_col: str, local_tz: str) -> DataFrame:
+    """Add ``utc_offset`` (hours) and ``is_dst`` columns.
+
+    Semantics: qa.py:84-112 — DST is defined as "offset differs from
+    the January (winter) baseline offset"."""
+    utc = F.col(utc_col)
+    offset_h = (
+        F.unix_timestamp(F.from_utc_timestamp(utc, local_tz)) - F.unix_timestamp(utc)
+    ) / 3600.0
+    jan = F.to_timestamp(F.lit("2021-01-01 00:00:00"))
+    base_h = (
+        F.unix_timestamp(F.from_utc_timestamp(jan, local_tz)) - F.unix_timestamp(jan)
+    ) / 3600.0
+    return df.withColumn("utc_offset", offset_h).withColumn(
+        "is_dst", offset_h != base_h
+    )
+
+
+def duplicate_time_identification(
+    df: DataFrame, time_col: str, id_col: str | None = None
+) -> DataFrame:
+    """Timestamps (per asset) appearing more than once with their
+    counts. Semantics: qa.py:178-213."""
+    return duplicate_time_counts(df, time_col, [id_col] if id_col else None)
+
+
+def gap_time_identification(
+    df: DataFrame, time_col: str, freq: str, keys: list[str] | None = None
+) -> DataFrame:
+    """Expected-calendar-spine timestamps missing from the data.
+    Semantics: qa.py:215-250 (delegates to find_time_gaps)."""
+    return find_time_gaps(df, time_col, freq, keys=keys)
+
+
+def describe(df: DataFrame, percentiles: list[str] | None = None) -> DataFrame:
+    """Transposed summary statistics of the numeric columns
+    (qa.py:252-264 wraps DataFrame.describe). Returns one row per
+    input column with count/mean/stddev/min/quartiles/max."""
+    stats = ["count", "mean", "stddev", "min", *(percentiles or ["25%", "50%", "75%"]), "max"]
+    summary = df.summary(*stats).collect()
+    num_cols = [c for c, t in df.dtypes
+                if t in ("int", "bigint", "double", "float", "smallint", "tinyint")]
+    rows = []
+    for c in num_cols:
+        row = {"column": c}
+        for r in summary:
+            v = r[c]
+            row[r["summary"]] = float(v) if v is not None else None
+        rows.append(row)
+    return df.sparkSession.createDataFrame(rows)
