@@ -8,9 +8,17 @@ results are checked hash-exact against an external oracle — and whose
 decimal addition is exact and associative, so the result is
 bit-identical regardless of partitioning, parallelism, or engine.
 
-A double→decimal(p,s) cast rounds to nearest; because no finite binary
-double lies exactly on a decimal midpoint for s ≥ 3, every engine's
-nearest-rounding agrees, making the whole pipeline cross-engine exact.
+A double→decimal(p,s) cast is cross-engine safe ONLY for raw data
+columns whose values are decimal-intent at a coarser scale than s
+(e.g. money stored with 2 decimal digits, cast at s≥2): the nearest
+double is ~1e-11 relative from the intended decimal, far from any
+rounding boundary. It is NOT safe for *derived* doubles (products,
+sums of products): the exact decimal expansion of a double product can
+land arbitrarily close to a 10^-s midpoint, and engines disagree on
+which side (Spark rounds the exact expansion HALF_UP; DuckDB rounds in
+double space) — this caused the round-1 q1 sum_charge hash failure.
+Rule: decimal-cast each RAW factor first (exact per-value), then
+multiply in decimal space (exact, associative), then sum.
 Cost: decimal sum is ~2× a double sum — negligible next to shuffle I/O.
 """
 
@@ -39,6 +47,27 @@ def davg(col: Column | str, scale: int = 6, precision: int = 20) -> Column:
         F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
         / F.count(c)
     )
+
+
+def dec(col: Column | str, precision: int = 12, scale: int = 2) -> Column:
+    """Exact decimal cast of a RAW decimal-intent column (see module
+    docstring — never apply to a derived double). Defaults fit
+    money-like columns with 2 decimal digits."""
+    return _c(col).cast(f"decimal({precision},{scale})")
+
+
+def dsum_dec(expr: Column) -> Column:
+    """Sum an already-exact decimal expression; return double.
+
+    Use with products of :func:`dec`-cast factors: the multiply and
+    the sum both happen in decimal space (exact + associative), so the
+    result is bit-identical across engines and partitionings."""
+    return F.sum(expr).cast("double")
+
+
+def sql_dec(expr: str, precision: int = 12, scale: int = 2) -> str:
+    """DuckDB-side twin of :func:`dec`."""
+    return f"CAST({expr} AS DECIMAL({precision},{scale}))"
 
 
 def rounded(col: Column | str, digits: int = 6) -> Column:

@@ -16,7 +16,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from openoa_spark.functions import met, units
-from openoa_spark.functions.stats import davg, dsum, rounded, sql_davg, sql_dsum
+from openoa_spark.functions.stats import (
+    davg,
+    dec,
+    dsum,
+    dsum_dec,
+    rounded,
+    sql_davg,
+    sql_dec,
+    sql_dsum,
+)
 from openoa_spark.operators import filters, geometry, imputing, power_curve, timeseries
 from openoa_spark.datapipe import dedup, similarity, text
 
@@ -32,6 +41,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# TPC-H money arithmetic, cross-engine exact: decimal-cast each RAW
+# factor (price 2-dec, discount/tax 2-dec), multiply in decimal space.
+# Casting the *double product* to decimal instead rounds differently in
+# Spark vs DuckDB near 10^-s midpoints (round-1 q1 hash failure).
+def _disc_price():  # l_extendedprice * (1 - l_discount), exact decimal
+    return dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - dec("l_discount", 3, 2)
+    )
+
+
+def _charge():  # disc_price * (1 + l_tax), exact decimal
+    return _disc_price() * (F.lit(1).cast("decimal(3,2)") + dec("l_tax", 3, 2))
+
+
+SQL_DISC_PRICE = (
+    f"({sql_dec('l_extendedprice')} * (1 - {sql_dec('l_discount', 3, 2)}))"
+)
+SQL_CHARGE = f"({SQL_DISC_PRICE} * (1 + {sql_dec('l_tax', 3, 2)}))"
 
 
 # Deterministic 64-dim query vector for similarity search (shared
@@ -68,8 +97,8 @@ def oracle_sql() -> dict[str, str]:
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity')} AS sum_qty,
            {sql_dsum('l_extendedprice')} AS sum_base_price,
-           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({SQL_CHARGE}) AS DOUBLE) AS sum_charge,
            {sql_davg('l_quantity')} AS avg_qty,
            {sql_davg('l_extendedprice')} AS avg_price,
            {sql_davg('l_discount')} AS avg_disc,
@@ -87,10 +116,8 @@ def q1_pricing_summary(spark, sf_dir):
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            dsum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-            ).alias("sum_charge"),
+            dsum_dec(_disc_price()).alias("sum_disc_price"),
+            dsum_dec(_charge()).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount").alias("avg_disc"),
@@ -103,7 +130,7 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_top_revenue_orders",
     f"""
     SELECT l_orderkey,
-           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
            CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -123,7 +150,7 @@ def q3_top_revenue_orders(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dsum_dec(_disc_price()).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -133,7 +160,7 @@ def q3_top_revenue_orders(spark, sf_dir):
 @register(
     "q5_nation_revenue",
     f"""
-    SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    SELECT n_name, CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                   JOIN customer ON o_custkey = c_custkey
                   JOIN nation ON c_nationkey = n_nationkey
@@ -154,14 +181,14 @@ def q5_nation_revenue(spark, sf_dir):
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dsum_dec(_disc_price()).alias("revenue"))
     )
 
 
 @register(
     "q6_forecast_revenue",
     f"""
-    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue
+    SELECT CAST(SUM({sql_dec('l_extendedprice')} * {sql_dec('l_discount', 3, 2)}) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
@@ -179,7 +206,7 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+        .agg(dsum_dec(dec("l_extendedprice") * dec("l_discount", 3, 2)).alias("revenue"))
     )
 
 

@@ -30,25 +30,21 @@ def compare(spark_rows, duck_rows, cols) -> str | None:
                 out.append(v)
         return tuple(str(x) for x in out)
 
+    # STRICT: the driver's gate hashes round-6 values, so any round-6
+    # string difference is a real failure. (A relative-tolerance
+    # fallback here masked the round-1 q1 hash failure — don't re-add.)
     s_sorted = sorted(map(key, spark_rows))
     d_sorted = sorted(map(key, duck_rows))
     for i, (a, b) in enumerate(zip(s_sorted, d_sorted)):
         if a != b:
-            # tolerate tiny float diffs field-wise
-            ok = True
+            diffs = []
             for x, y in zip(a, b):
-                if x == y:
-                    continue
-                try:
-                    fx, fy = float(x), float(y)
-                    if math.isnan(fx) and math.isnan(fy):
-                        continue
-                    if abs(fx - fy) > 1e-6 * max(1.0, abs(fx), abs(fy)):
-                        ok = False
-                except ValueError:
-                    ok = False
-            if not ok:
-                return f"value mismatch at sorted row {i}: {a} vs {b}"
+                if x != y:
+                    try:
+                        diffs.append(f"|Δ|={abs(float(x) - float(y)):.3g}")
+                    except ValueError:
+                        diffs.append("non-float")
+            return f"value mismatch at sorted row {i}: {a} vs {b} ({', '.join(diffs)})"
     return None
 
 
