@@ -27,37 +27,73 @@ def exact_dedup(
     moving full texts twice."""
     c = normalize_text(text_col) if normalized else F.col(text_col)
     keyed = df.withColumn("_key", F.xxhash64(c))
-    w = Window.partitionBy("_key").orderBy(F.col(id_col).asc())
-    return (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("_key")))
-        .where(F.col("_rn") == 1)
-        .drop("_key", "_rn")
+    # HashAggregate over fixed-width (min id, count) — map-side combine,
+    # no sort — then an equi-join back to pick up the winning rows.
+    # Tempting alternatives that are slower: a row_number window sorts
+    # every hash group (19× the oracle in round 1); min_by(struct(row))
+    # falls back to SortAggregate with the full text in the agg buffer.
+    agg = keyed.groupBy("_key").agg(
+        F.min(F.col(id_col)).alias("_keep_id"),
+        F.count(F.lit(1)).alias("dup_count"),
     )
+    cond = (keyed["_key"] == agg["_key"]) & (keyed[id_col] == agg["_keep_id"])
+    return keyed.join(agg, cond).select(*df.columns, "dup_count")
+
+
+def hash64(c: Column, seed: int | None = None, hash_fn: str = "xxhash64") -> Column:
+    """Seedable 64-bit-ish token hash with two interchangeable backends.
+
+    ``xxhash64`` — production default: JVM-native, one pass, cheap.
+    ``md5`` — verification mode: a 60-bit value from the first 15 hex
+    chars of the md5 digest, which DuckDB can compute bit-identically
+    (``CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)``) so the
+    correctness oracle can replay MinHash/SimHash exactly. Seeding is
+    by suffixing ``|seed`` to the input (md5 has no seed parameter).
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(c) if seed is None else F.xxhash64(c, F.lit(seed))
+    if hash_fn == "md5":
+        s = c if seed is None else F.concat(c, F.lit(f"|{seed}"))
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def sql_hash64(expr: str, seed: int | None = None) -> str:
+    """DuckDB twin of ``hash64(..., hash_fn='md5')``."""
+    s = expr if seed is None else f"({expr}) || '|{seed}'"
+    return f"CAST('0x' || substring(md5({s}), 1, 15) AS BIGINT)"
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingle array from raw text (distinct shingles)."""
+    """Word n-gram shingle array from raw text (distinct shingles).
+    Texts with fewer than ``n`` tokens yield an empty array."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(normalize_text(c), " ")
     k = F.size(toks) - (n - 1)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return F.array_distinct(grams)
+    # guard BEFORE sequence: sequence(1, 0) is a DESCENDING [1, 0] in
+    # Spark, and slice(toks, 0, n) throws — short texts must short-
+    # circuit to an empty array instead.
+    return F.when(k >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
-def minhash_signature(shingle_col: Column | str, num_hashes: int = 64) -> Column:
+def minhash_signature(
+    shingle_col: Column | str, num_hashes: int = 64, hash_fn: str = "xxhash64"
+) -> Column:
     """MinHash signature: per seed i, min over shingles of
-    xxhash64(shingle, seed=i). Array<long> of length num_hashes,
+    hash64(shingle, seed=i). Array<long> of length num_hashes,
     computed entirely with JVM array lambdas."""
     sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
 
     def hash_with_seed(seed: int):
         # NB: must be a 1-arg lambda — a 2-arg lambda (even via default
         # args) makes Spark pass the array index as the 2nd argument.
-        return lambda s: F.xxhash64(s, F.lit(seed))
+        return lambda s: hash64(s, seed, hash_fn)
 
     mins = [
         F.array_min(F.transform(sh, hash_with_seed(i))) for i in range(num_hashes)
@@ -73,6 +109,7 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs with estimated
     Jaccard similarity.
@@ -88,23 +125,28 @@ def minhash_near_dup_pairs(
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("_sig"),
-    )
+        minhash_signature(
+            shingles(text_col, shingle_n), num_hashes, hash_fn
+        ).alias("_sig"),
+    ).where(F.col("_sig").getItem(0).isNotNull())  # docs with ≥1 shingle
+
     banded = sig.select(
         "_id",
         "_sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("_sig", b * rows_per_band + 1, rows_per_band))
-                    ).alias("bhash"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "bhash",
+        hash64(
+            F.concat_ws(
+                ",",
+                F.slice(
+                    "_sig", F.col("band") * rows_per_band + 1, F.lit(rows_per_band)
                 ),
-            )
-        ).alias("_band"),
-    ).select("_id", "_sig", "_band.band", "_band.bhash")
+            ),
+            None,
+            hash_fn,
+        ),
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -129,7 +171,7 @@ def minhash_near_dup_pairs(
     )
 
 
-def simhash(col: Column | str, bits: int = 64) -> Column:
+def simhash(col: Column | str, bits: int = 64, hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash over word tokens: sign-sum of per-token hash bits.
 
     Built from array lambdas: for each bit, count tokens whose hash has
@@ -137,7 +179,7 @@ def simhash(col: Column | str, bits: int = 64) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = F.array_distinct(F.split(normalize_text(c), " "))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: hash64(t, None, hash_fn))
     n = F.size(toks)
     def bit_test(b: int):
         return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1

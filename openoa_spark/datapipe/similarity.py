@@ -104,13 +104,24 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return planes
 
 
-def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: bit i = (v · plane_i > 0). Long column."""
+def lsh_bucket(
+    vec_col: Column | str,
+    planes: list[list[float]],
+    round_digits: int | None = None,
+) -> Column:
+    """Sign-LSH bucket id: bit i = (v · plane_i > 0). Long column.
+
+    ``round_digits`` rounds each dot product before the sign test —
+    used by the cross-engine oracle so a last-ulp summation difference
+    near zero cannot flip a bit. Production leaves it None."""
     v = _vec(vec_col)
     acc = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         q = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(v, q) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        d = dot(v, q)
+        if round_digits is not None:
+            d = F.round(d, round_digits)
+        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         acc = acc + bit * F.lit(2 ** i).cast("long")
     return acc
 

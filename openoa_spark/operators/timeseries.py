@@ -94,25 +94,59 @@ def resample(
     return df.groupBy(*group).agg(*[c.alias(n) for n, c in aggs.items()])
 
 
+def consecutive_deltas_us(
+    df: DataFrame, time_col: str, bucket_seconds: int = 86400
+) -> DataFrame:
+    """Microsecond deltas between consecutive DISTINCT timestamps,
+    with no global single-task sort.
+
+    A plain ``Window.orderBy(ts)`` puts every distinct timestamp in ONE
+    task — a scale-killer on an unbounded fact table. Instead: sort
+    within coarse time buckets (parallel; each bucket holds at most
+    ``bucket_seconds`` of data), then recover the bucket-boundary
+    deltas from a per-bucket min/max table, which has one row per
+    non-empty bucket and IS small enough for a global window.
+
+    Returns a 1-column DataFrame ``_delta_us``. Exactly the same
+    multiset of deltas a global sort would produce.
+    """
+    u = df.select(F.unix_micros(F.col(time_col)).alias("_u")).distinct()
+    b = u.withColumn("_b", F.expr(f"_u DIV {bucket_seconds * 1_000_000}"))
+    w_in = Window.partitionBy("_b").orderBy("_u")
+    intra = (
+        b.withColumn("_delta_us", F.col("_u") - F.lag("_u").over(w_in))
+        .where(F.col("_delta_us").isNotNull())
+        .select("_delta_us")
+    )
+    agg = b.groupBy("_b").agg(F.min("_u").alias("_mn"), F.max("_u").alias("_mx"))
+    w_b = Window.orderBy("_b")  # one row per non-empty bucket — tiny
+    cross = (
+        agg.withColumn("_delta_us", F.col("_mn") - F.lag("_mx").over(w_b))
+        .where(F.col("_delta_us").isNotNull())
+        .select("_delta_us")
+    )
+    return intra.unionByName(cross)
+
+
 def infer_frequency_seconds(df: DataFrame, time_col: str, keys: list[str] | None = None) -> float:
     """Most-common delta between consecutive distinct timestamps.
 
     Semantics: timeseries.py:35-52 (mode of np.diff of unique sorted
-    timestamps). Implemented as lag-window diff → count-per-delta →
-    argmax. The window partitions by ``keys`` when given (per-asset
-    series) so no global sort is required at scale; the diff-histogram
-    is tiny and collapses to the driver.
+    timestamps). With ``keys`` the lag window partitions by asset; the
+    keyless path uses :func:`consecutive_deltas_us` (bucketed, no
+    global sort). The delta histogram is tiny and collapses to the
+    driver.
     """
     t = F.col(time_col)
     if keys:
         w = Window.partitionBy(*keys).orderBy(t)
-        d = df.select(*keys, t)
+        diffs = df.select(*keys, t).withColumn(
+            "_delta", F.unix_timestamp(t) - F.unix_timestamp(F.lag(t).over(w))
+        ).where(F.col("_delta").isNotNull())
     else:
-        w = Window.orderBy(t)
-        d = df.select(t).distinct()
-    diffs = d.withColumn(
-        "_delta", F.unix_timestamp(t) - F.unix_timestamp(F.lag(t).over(w))
-    ).where(F.col("_delta").isNotNull())
+        diffs = consecutive_deltas_us(df, time_col).select(
+            F.expr("_delta_us DIV 1000000").alias("_delta")
+        )
     top = (
         diffs.groupBy("_delta").count().orderBy(F.desc("count"), F.asc("_delta")).first()
     )

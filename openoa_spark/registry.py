@@ -36,8 +36,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.parquet stores TIMESTAMP(NANOS) which the Spark parquet
         # reader rejects; read the raw int64 nanos and truncate to
         # microseconds (exact integer DIV — matching DuckDB's ns→us
-        # truncation so oracle comparisons agree).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # truncation so oracle comparisons agree). get_session() sets
+        # this conf up front; the guarded set covers the driver's
+        # vanilla session without re-mutating config on every call.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -340,12 +343,9 @@ def calendar_hour_profile(spark, sf_dir):
     """,
 )
 def infer_frequency(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events").select("ts").distinct()
-    w = Window.orderBy("ts")
-    diffs = ev.withColumn(
-        "delta_us", F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    ).withColumn("delta_s", F.expr("delta_us DIV 1000000")).where(
-        F.col("delta_s").isNotNull()
+    ev = _t(spark, sf_dir, "events")
+    diffs = timeseries.consecutive_deltas_us(ev, "ts").select(
+        F.expr("_delta_us DIV 1000000").alias("delta_s")
     )
     return (
         diffs.groupBy("delta_s").agg(F.count("*").alias("n"))
@@ -828,6 +828,10 @@ def user_daily_correlation_pairs(spark, sf_dir):
     daily = timeseries.resample(
         ev, "ts", "D", {"v": dsum("value", scale=6)}, keys=["user_id"], bucket_col="day"
     )
+    # The self-join reads `daily` twice; without a persist each side
+    # re-scans and re-aggregates the fact table (41% of round-1 bench
+    # wall). The cached table is asset×day grain — tiny at any SF.
+    daily = daily.persist()
     pairs = imputing.asset_correlation_pairs(daily, "day", "user_id", "v")
     return pairs.select("asset_a", "asset_b", rounded("corr").alias("corr"))
 
@@ -1094,26 +1098,126 @@ def embedding_norms(spark, sf_dir):
     return emb.select("vec_id", rounded(similarity.norm(v)).alias("l2"))
 
 
-@register("minhash_near_dups", None)  # xxhash64 not available in DuckDB → rows-only
+# The registry pins hash_fn="md5" for the hash-based dedup operators:
+# a 60-bit md5-derived hash is the one hash both engines compute
+# bit-identically (DuckDB has no xxhash64, and the driver's DuckDB
+# connection accepts no Python UDFs). Production callers keep the
+# xxhash64 default — the operator logic is identical either way, and
+# tests/test_datapipe.py asserts both backends find the same planted
+# near-duplicates.
+
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+def _shingle_cte(n: int = 3) -> str:
+    # DuckDB twin of dedup.shingles(): i-th word n-gram, distinct,
+    # docs with < n tokens dropped (Spark drops them via the
+    # empty-shingle guard).
+    return f"""
+    tok AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+{n - 1}], ' ')
+                            for i in range(1, len(toks) - {n} + 2)]) AS shs
+      FROM tok WHERE len(toks) >= {n}
+    )"""
+
+
+def _minhash_sql(num_hashes: int, bands: int, threshold: float, n: int = 3) -> str:
+    rpb = num_hashes // bands
+    sig_items = ",\n             ".join(
+        f"list_min(list_transform(shs, s -> {dedup.sql_hash64('s', i)}))"
+        for i in range(num_hashes)
+    )
+    bhash = dedup.sql_hash64(
+        f"array_to_string(sig[band*{rpb}+1 : band*{rpb}+{rpb}], ',')"
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa[{i}] = sb[{i}] THEN 1 ELSE 0 END)"
+        for i in range(1, num_hashes + 1)
+    )
+    return f"""
+    WITH {_shingle_cte(n)},
+    sig AS (SELECT doc_id, [{sig_items}] AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, sig, band, {bhash} AS bhash
+      FROM sig, (SELECT unnest(range(0, {bands})) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sig AS sa, b.sig AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, est_jaccard FROM (
+      SELECT id_a, id_b, ({agree}) / {float(num_hashes)} AS est_jaccard FROM cand
+    ) WHERE est_jaccard >= {threshold}
+    """
+
+
+@register("minhash_near_dups", _minhash_sql(32, 8, 0.4))
 def minhash_near_dups(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_near_dup_pairs(
-        docs, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.4
+        docs, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.4,
+        hash_fn="md5",
     )
 
 
-@register("simhash_docs", None)  # xxhash64 not available in DuckDB → rows-only
+def _simhash_sql(bits: int) -> str:
+    bit_terms = "\n         + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, x -> ((x >> {b}) & 1) = 1)) > n"
+        f" THEN {2 ** b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(toks, t -> {dedup.sql_hash64('t')}) AS hs,
+             len(toks) AS n
+      FROM tok
+    )
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h
+    """
+
+
+@register("simhash_docs", _simhash_sql(16))
 def simhash_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", dedup.simhash("text", bits=16).alias("simhash"))
+    return docs.select(
+        "doc_id", dedup.simhash("text", bits=16, hash_fn="md5").alias("simhash")
+    )
 
 
-@register("lsh_bucket_counts", None)  # sign-LSH buckets; rows-only check
+def _lsh_bucket_sql(planes: list[list[float]]) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in p)}]), 6) > 0 THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    SELECT bucket, COUNT(*) AS n FROM (
+      SELECT CAST({terms} AS BIGINT) AS bucket FROM embeddings
+    ) GROUP BY bucket
+    """
+
+
+_LSH_PLANES = similarity.random_hyperplanes(64, 8, seed=42)
+
+
+@register("lsh_bucket_counts", _lsh_bucket_sql(_LSH_PLANES))
 def lsh_bucket_counts(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    planes = similarity.random_hyperplanes(64, 8, seed=42)
     return (
-        emb.select(similarity.lsh_bucket("embedding", planes).alias("bucket"))
+        emb.select(
+            similarity.lsh_bucket("embedding", _LSH_PLANES, round_digits=6).alias(
+                "bucket"
+            )
+        )
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
     )
@@ -1121,7 +1225,23 @@ def lsh_bucket_counts(spark, sf_dir):
 
 @register(
     "ngram_jaccard_pairs",
-    None,  # shingle construction isn't reasonably SQL-expressible → rows-only
+    f"""
+    WITH {_shingle_cte(3)},
+    ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ) WHERE jaccard >= 0.8
+    """,
 )
 def ngram_jaccard_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")

@@ -34,6 +34,30 @@ def test_minhash_detects_near_dups(spark):
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
 
 
+def test_minhash_md5_backend_matches_xxhash64(spark):
+    # the md5 backend exists so the DuckDB oracle can replay the exact
+    # hash; both backends must find the same planted near-dup pairs.
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different content about spark distributed query engines here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    for fn in ("xxhash64", "md5"):
+        pairs = dedup.minhash_near_dup_pairs(
+            df, "text", "doc_id", num_hashes=32, bands=8,
+            jaccard_threshold=0.3, hash_fn=fn,
+        ).collect()
+        assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)], fn
+
+
+def test_shingles_short_text_empty(spark):
+    # < n tokens must yield [], not a descending-sequence artifact
+    df = spark.createDataFrame([("a b",), ("a",), ("",)], ["t"])
+    out = [r["s"] for r in df.select(dedup.shingles("t", 3).alias("s")).collect()]
+    assert out == [[], [], []]
+
+
 def test_ngram_jaccard_exact(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e"), (2, "a b c d x"), (3, "q r s t u")],
