@@ -216,14 +216,22 @@ def cluster_mahalanobis_2d(
     per-cluster 2x2 covariance aggregate with the closed-form inverse
     applied as a row expression — no per-row Python.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.feature import VectorAssembler
-
     clean = df.where(F.col(col1).isNotNull() & F.col(col2).isNotNull())
-    vec = VectorAssembler(inputCols=[col1, col2], outputCol="_features")
-    feats = vec.transform(clean)
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="_features").fit(feats)
-    clustered = model.transform(feats).withColumnRenamed("prediction", "_cluster")
+    if n_clusters <= 1:
+        # single global cluster: no KMeans needed (MLlib requires k≥2),
+        # and the whole operator becomes SQL-expressible — the oracle
+        # twin exercises this path
+        clustered = clean.withColumn("_cluster", F.lit(0)).withColumn(
+            "_features", F.lit(None)
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.feature import VectorAssembler
+
+        vec = VectorAssembler(inputCols=[col1, col2], outputCol="_features")
+        feats = vec.transform(clean)
+        model = KMeans(k=n_clusters, seed=seed, featuresCol="_features").fit(feats)
+        clustered = model.transform(feats).withColumnRenamed("prediction", "_cluster")
 
     x, y = F.col(col1), F.col(col2)
     cov = clustered.groupBy("_cluster").agg(

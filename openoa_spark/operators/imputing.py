@@ -109,13 +109,18 @@ def impute_all_assets_by_correlation(
             F.col("corr"),
         )
     )
+    from pyspark.sql import Window
+
     best = (
         sym.where(F.col("corr") * F.col("corr") >= r2_threshold)
         .withColumn(
             "_rk",
             F.row_number().over(
-                __import__("pyspark.sql.window", fromlist=["Window"]).Window
-                .partitionBy("asset_a").orderBy(F.desc("corr"))
+                # asset_b tiebreak: row_number over corr alone is
+                # nondeterministic across partitionings on exact ties
+                Window.partitionBy("asset_a").orderBy(
+                    F.desc("corr"), F.asc("asset_b")
+                )
             ),
         )
         .where(F.col("_rk") == 1)

@@ -26,7 +26,14 @@ from openoa_spark.functions.stats import (
     sql_dec,
     sql_dsum,
 )
-from openoa_spark.operators import filters, geometry, imputing, power_curve, timeseries
+from openoa_spark.operators import (
+    filters,
+    geometry,
+    imputing,
+    power_curve,
+    qa as qa_ops,
+    timeseries,
+)
 from openoa_spark.datapipe import dedup, similarity, text
 
 # ---------------------------------------------------------------- helpers
@@ -1278,3 +1285,287 @@ def electrical_losses_proxy(spark, sf_dir):
     return joined.agg(
         rounded(1.0 - F.sum("meter_kwh") / F.sum("scada_kwh")).alias("loss")
     )
+
+
+# ================================================================
+# 10. Round-2 oracle coverage: operators that were pytest-only in
+#     round 1 each get a driver-checkable DuckDB twin here.
+# ================================================================
+
+@register(
+    "uv_components",
+    """
+    SELECT event_id,
+           ROUND(-value * sin(radians(CAST(event_id % 360 AS DOUBLE))), 6) + 0.0 AS u,
+           ROUND(-value * cos(radians(CAST(event_id % 360 AS DOUBLE))), 6) + 0.0 AS v
+    FROM events
+    """,
+)
+def uv_components(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wd = (F.col("event_id") % 360).cast("double")
+    u, v = met.compute_u_v_components(F.col("value"), wd)
+    # + 0.0 canonicalizes IEEE -0.0 to 0.0 (engines disagree on the
+    # sign of a rounded -1e-9); mirrored in the SQL
+    return ev.select(
+        "event_id",
+        (rounded(u) + F.lit(0.0)).alias("u"),
+        (rounded(v) + F.lit(0.0)).alias("v"),
+    )
+
+
+@register(
+    "veer_values",
+    """
+    SELECT event_id,
+           ROUND(
+             (CASE WHEN ((d % 360) + 360) % 360 > 180
+                   THEN ((d % 360) + 360) % 360 - 360
+                   ELSE ((d % 360) + 360) % 360 END) / 40.0, 6) AS veer
+    FROM (
+      SELECT event_id,
+             CAST((event_id * 7) % 360 AS DOUBLE)
+               - CAST(event_id % 360 AS DOUBLE) AS d
+      FROM events
+    )
+    """,
+)
+def veer_values(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wd_lo = (F.col("event_id") % 360).cast("double")
+    wd_hi = ((F.col("event_id") * 7) % 360).cast("double")
+    veer = met.compute_veer(wd_lo, 80.0, wd_hi, 120.0)
+    return ev.select("event_id", rounded(veer).alias("veer"))
+
+
+@register(
+    "feet_to_meter_part",
+    "SELECT p_partkey, CAST(p_size AS DOUBLE) * 0.3048 AS size_m FROM part",
+)
+def feet_to_meter_part(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        units.convert_feet_to_meter(F.col("p_size").cast("double")).alias("size_m"),
+    )
+
+
+@register(
+    "gap_fill_daily",
+    """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS v
+      FROM events WHERE day(ts) <> 15 GROUP BY 1
+    ),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b)
+    SELECT spine.day AS day, d.v AS v FROM spine LEFT JOIN d USING (day)
+    """,
+)
+def gap_fill_daily(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").where(F.dayofmonth("ts") != 15)
+    daily = timeseries.resample(
+        ev, "ts", "D", {"v": dsum("value", scale=6)}, bucket_col="day"
+    )
+    return timeseries.gap_fill(daily, "day", "D").select("day", "v")
+
+
+@register(
+    "upsample_ffill_hourly",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS t,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT event_type, min(t) AS lo, max(t) AS hi FROM d GROUP BY 1),
+    spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t
+      FROM b
+    ),
+    j AS (
+      SELECT spine.event_type, spine.t, d.v
+      FROM spine LEFT JOIN d ON d.event_type = spine.event_type AND d.t = spine.t
+    )
+    SELECT event_type, t AS ts,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+    FROM j
+    """,
+)
+def upsample_ffill_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = timeseries.resample(
+        ev, "ts", "D", {"v": dsum("value", scale=6)}, keys=["event_type"],
+        bucket_col="ts",
+    )
+    up = timeseries.upsample_ffill(daily, "ts", "h", ["v"], keys=["event_type"])
+    return up.select("event_type", "ts", "v")
+
+
+@register(
+    "impute_best_neighbor",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS v0
+      FROM events GROUP BY 1, 2
+    ),
+    masked AS (
+      SELECT user_id, day,
+             CASE WHEN (user_id + day(day)) % 7 = 0 THEN NULL ELSE v0 END AS v
+      FROM daily
+    ),
+    pairs AS (
+      SELECT a.user_id AS asset_a, b.user_id AS asset_b, corr(a.v, b.v) AS c
+      FROM masked a JOIN masked b ON a.day = b.day AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT asset_a, asset_b, c FROM pairs
+      UNION ALL
+      SELECT asset_b AS asset_a, asset_a AS asset_b, c FROM pairs
+    ),
+    best AS (
+      SELECT asset_a AS user_id, asset_b AS nbr FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY asset_a ORDER BY c DESC, asset_b) AS rk
+        FROM sym WHERE c * c >= 0.0
+      ) WHERE rk = 1
+    ),
+    joined AS (
+      SELECT m.user_id, m.day, m.v, nv.v AS x
+      FROM masked m
+      LEFT JOIN best USING (user_id)
+      LEFT JOIN masked nv ON nv.user_id = best.nbr AND nv.day = m.day
+    ),
+    fits AS (
+      SELECT user_id,
+             covar_samp(x, v) / var_samp(x) AS slope,
+             avg(v) - (covar_samp(x, v) / var_samp(x)) * avg(x) AS icpt
+      FROM joined WHERE v IS NOT NULL AND x IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT j.user_id, j.day,
+           ROUND(CASE WHEN j.v IS NULL AND j.x IS NOT NULL
+                           AND f.slope IS NOT NULL
+                      THEN f.slope * j.x + f.icpt
+                      ELSE j.v END, 4) AS v_imp
+    FROM joined j LEFT JOIN fits f USING (user_id)
+    """,
+)
+def impute_best_neighbor(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = timeseries.resample(
+        ev, "ts", "D", {"v": dsum("value", scale=6)}, keys=["user_id"],
+        bucket_col="day",
+    )
+    masked = daily.withColumn(
+        "v",
+        F.when((F.col("user_id") + F.dayofmonth("day")) % 7 == 0, None).otherwise(
+            F.col("v")
+        ),
+    )
+    out = imputing.impute_all_assets_by_correlation(
+        masked, "day", "user_id", "v", r2_threshold=0.0
+    )
+    return out.select("user_id", "day", F.round("v", 4).alias("v_imp"))
+
+
+@register(
+    "logistic5_power_values",
+    """
+    SELECT event_id,
+           ROUND(20.0 + (1500.0 - 20.0)
+                 / pow(1.0 + pow(value / 8.0, 4.0), 1.2), 6) AS power
+    FROM events
+    """,
+)
+def logistic5_power_values(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    p = power_curve.logistic5_expr("value", a=1500.0, b=4.0, c=8.0, d=20.0, g=1.2)
+    return ev.select("event_id", rounded(p).alias("power"))
+
+
+@register(
+    "freestream_membership",
+    _GEO_SQL_BASE
+    + """
+    , dirs AS (
+      SELECT a.id AS asset_a, b.id AS asset_b,
+             ROUND((degrees(atan2(b.x - a.x, b.y - a.y)) + 360) % 360, 6) AS bearing
+      FROM assets a, assets b WHERE a.id <> b.id
+    ),
+    waked AS (
+      SELECT DISTINCT asset_a FROM dirs
+      WHERE abs(((0.0 - bearing) % 360 + 540) % 360 - 180) <= 45.0
+    )
+    SELECT id AS asset FROM assets
+    WHERE id NOT IN (SELECT asset_a FROM waked)
+    """,
+)
+def freestream_membership(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("asset_id"),
+        F.col("s_acctbal").alias("x_m"),
+        (F.col("s_nationkey").cast("double") * 100).alias("y_m"),
+    )
+    dist = geometry.asset_distance_pairs(sup)
+    dirs = geometry.asset_direction_pairs(sup).select(
+        "asset_a", "asset_b", rounded("bearing_deg").alias("bearing_deg")
+    )
+    free = geometry.freestream_turbines(dist, dirs, 0.0, 90.0)
+    return spark.createDataFrame(
+        [(int(a),) for a in free], schema="asset bigint"
+    )
+
+
+@register(
+    "qa_offset_dst",
+    """
+    WITH base AS (
+      SELECT (epoch(timezone('America/Denver',
+                    to_timestamp(epoch(TIMESTAMP '2021-01-01 00:00:00'))))
+              - epoch(TIMESTAMP '2021-01-01 00:00:00')) / 3600.0 AS h
+    )
+    SELECT event_id,
+           (epoch(timezone('America/Denver', to_timestamp(epoch(ts))))
+            - epoch(ts)) / 3600.0 AS utc_offset,
+           ((epoch(timezone('America/Denver', to_timestamp(epoch(ts))))
+             - epoch(ts)) / 3600.0) <> base.h AS is_dst
+    FROM events, base
+    """,
+)
+def qa_offset_dst(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    out = qa_ops.determine_offset_dst(ev, "ts", "America/Denver")
+    return out.select("event_id", "utc_offset", "is_dst")
+
+
+@register(
+    "mahalanobis_flag_lineitem",
+    """
+    WITH s AS (
+      SELECT avg(l_quantity) AS mx, avg(l_extendedprice) AS my,
+             covar_samp(l_quantity, l_quantity) AS sxx,
+             covar_samp(l_quantity, l_extendedprice) AS sxy,
+             covar_samp(l_extendedprice, l_extendedprice) AS syy
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           sqrt(((l_quantity - mx) * (syy * (l_quantity - mx)
+                                      - sxy * (l_extendedprice - my))
+                 + (l_extendedprice - my) * (sxx * (l_extendedprice - my)
+                                             - sxy * (l_quantity - mx)))
+                / (sxx * syy - sxy * sxy)) > 3.0 AS cluster_flag
+    FROM lineitem, s
+    """,
+)
+def mahalanobis_flag_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = filters.cluster_mahalanobis_2d(
+        li, "l_quantity", "l_extendedprice", n_clusters=1
+    )
+    return out.select("l_orderkey", "l_linenumber", "cluster_flag")
