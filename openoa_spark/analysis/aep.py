@@ -57,7 +57,9 @@ class MonteCarloAEP:
 
     Parameters mirror openoa/analysis/aep.py:75-218; ``time_resolution``
     supports "MS" (monthly, Huber outlier filtering) and "D" (daily,
-    bin filtering).
+    bin filtering). ``reg_model`` ∈ {lin, etr, gbm, gam}: the nonlinear
+    models run the reference's once-per-product randomized hyper-opt
+    (aep.py:936-951) then refit per simulation on the bootstrap.
     """
 
     plant: PlantData
@@ -86,6 +88,8 @@ class MonteCarloAEP:
             self.reanalysis_products = sorted(self.plant.reanalysis)
         if self.time_resolution not in ("MS", "D", "h"):
             raise ValueError("time_resolution must be MS, D, or h")
+        if self.reg_model not in ("lin", "etr", "gbm", "gam"):
+            raise ValueError("reg_model must be lin, etr, gbm, or gam")
         self._freq = _RESAMPLE[self.time_resolution]
         self._monthly = self.time_resolution == "MS"
 
@@ -298,6 +302,7 @@ class MonteCarloAEP:
 
         filter_memo: dict = {}
         lt_memo: dict = {}
+        ml_memo: dict = {}
         n_out = {k: np.empty(num_sim) for k in
                  ("aep_GWh", "avail_pct", "curt_pct", "lt_por_ratio", "r2", "mse",
                   "n_points", "iav")}
@@ -318,18 +323,33 @@ class MonteCarloAEP:
             X = self._features(valid, product)
             # bootstrap rows (aep.py:914-916)
             idx = rng.integers(0, len(X), len(X))
-            coef, intercept = reg.ols_fit(X[idx], mc_norm[idx])
-            yhat = reg.ols_predict(X[idx], coef, intercept)
+            lt = self._sample_long_term(product, int(wind_years[n]), lt_memo)
+            if self.reg_model == "lin":
+                coef, intercept = reg.ols_fit(X[idx], mc_norm[idx])
+                yhat = reg.ols_predict(X[idx], coef, intercept)
+                gross_lt = reg.ols_predict(self._features(lt, product), coef, intercept)
+                gross_por = reg.ols_predict(
+                    self._features(self.reanalysis_por, product), coef, intercept
+                )
+            else:
+                # nonlinear path (reference aep.py:897-959): randomized
+                # hyper-opt ONCE per product (memoized), then a per-sim
+                # refit on the bootstrap with the optimized params
+                if product not in ml_memo:
+                    ml_memo[product] = reg.hyper_optimize_np(
+                        self.reg_model, X, mc_norm, n_iter=8, k_folds=3,
+                        seed=self.seed,
+                    )
+                model = reg.make_ml_model(
+                    self.reg_model, ml_memo[product], seed=self.seed + n
+                )
+                model.fit(X[idx], mc_norm[idx])
+                yhat = model.predict(X[idx])
+                gross_lt = model.predict(self._features(lt, product))
+                gross_por = model.predict(self._features(self.reanalysis_por, product))
             n_out["r2"][n] = reg.r2_score(mc_norm[idx], yhat)
             n_out["mse"][n] = reg.mse_score(mc_norm[idx], yhat)
             n_out["n_points"][n] = len(X)
-
-            # long-term window: last `wind_years` of reanalysis buckets
-            lt = self._sample_long_term(product, int(wind_years[n]), lt_memo)
-            gross_lt = reg.ols_predict(self._features(lt, product), coef, intercept)
-            gross_por = reg.ols_predict(
-                self._features(self.reanalysis_por, product), coef, intercept
-            )
             gross_por = pd.Series(gross_por, index=self.reanalysis_por.index)
             gross_por_cal = self._groupby_time_res(gross_por)
             if self._monthly:  # undo 30-day normalization (aep.py:1040-1049)

@@ -181,3 +181,237 @@ def cos_curve_fit(
         else:
             lam = min(lam * 5.0, 1e6)
     return p
+
+
+# ----------------------------------------------------------------
+# Driver-side nonlinear regressors for the AEP Monte-Carlo loop.
+#
+# The MC loop trains on the COLLECTED bucket aggregate (≤240 monthly /
+# ≤7.3k daily rows) and refits per simulation on a bootstrap — exactly
+# the regime where the reference uses sklearn on the driver
+# (openoa/analysis/aep.py:897-959: reg_model etr/gbm/gam with
+# once-per-product hyper-optimization). sklearn is not in this
+# container, so these are from-scratch NumPy equivalents of the public
+# algorithms (extremely-randomized trees, least-squares gradient
+# boosting, additive polynomial GAM). MLlib (openoa_spark/ml.py) stays
+# the path for models trained on full-resolution distributed data.
+# ----------------------------------------------------------------
+
+
+def _build_tree(X, y, rng, depth, max_depth, min_samples_split, random_splits):
+    n, d = X.shape
+    if depth >= max_depth or n < min_samples_split or np.ptp(y) == 0.0:
+        return (float(np.mean(y)),)
+    best = None  # (sse, feat, thr)
+    for f in rng.permutation(d):
+        xs = X[:, f]
+        lo, hi = float(xs.min()), float(xs.max())
+        if lo == hi:
+            continue
+        if random_splits:  # extra-trees: ONE uniform-random threshold
+            thrs = (rng.uniform(lo, hi),)
+        else:  # gbm: scan interior deciles
+            thrs = np.unique(np.quantile(xs, np.linspace(0.1, 0.9, 9)))
+        for thr in thrs:
+            m = xs <= thr
+            nl = int(m.sum())
+            if nl == 0 or nl == n:
+                continue
+            yl, yr = y[m], y[~m]
+            sse = float(((yl - yl.mean()) ** 2).sum() + ((yr - yr.mean()) ** 2).sum())
+            if best is None or sse < best[0]:
+                best = (sse, f, float(thr))
+    if best is None:
+        return (float(np.mean(y)),)
+    _, f, thr = best
+    m = X[:, f] <= thr
+    return (
+        f,
+        thr,
+        _build_tree(X[m], y[m], rng, depth + 1, max_depth, min_samples_split, random_splits),
+        _build_tree(X[~m], y[~m], rng, depth + 1, max_depth, min_samples_split, random_splits),
+    )
+
+
+def _tree_predict(tree, X, out=None, idx=None):
+    if out is None:
+        out = np.empty(len(X))
+        idx = np.arange(len(X))
+    if len(tree) == 1:
+        out[idx] = tree[0]
+        return out
+    f, thr, left, right = tree
+    m = X[idx, f] <= thr
+    _tree_predict(left, X, out, idx[m])
+    _tree_predict(right, X, out, idx[~m])
+    return out
+
+
+class ExtraTreesReg:
+    """Extremely-randomized trees (Geurts et al. 2006): each split
+    picks one uniform-random threshold per candidate feature; trees
+    average. No bootstrap (the ET default)."""
+
+    def __init__(self, n_estimators=50, max_depth=8, min_samples_split=4, seed=42):
+        self.n_estimators = int(n_estimators)
+        self.max_depth = int(max_depth)
+        self.min_samples_split = int(min_samples_split)
+        self.seed = int(seed)
+        self.trees_ = None
+
+    def fit(self, X, y):
+        X = np.atleast_2d(np.asarray(X, float))
+        y = np.asarray(y, float)
+        rng = np.random.default_rng(self.seed)
+        self.trees_ = [
+            _build_tree(X, y, rng, 0, self.max_depth, self.min_samples_split, True)
+            for _ in range(self.n_estimators)
+        ]
+        return self
+
+    def predict(self, X):
+        X = np.atleast_2d(np.asarray(X, float))
+        return np.mean([_tree_predict(t, X) for t in self.trees_], axis=0)
+
+
+class GBMReg:
+    """Least-squares gradient boosting (Friedman 2001): stagewise
+    shallow trees fit to residuals, shrunk by the learning rate."""
+
+    def __init__(self, n_estimators=50, max_depth=3, learning_rate=0.1,
+                 min_samples_split=4, seed=42):
+        self.n_estimators = int(n_estimators)
+        self.max_depth = int(max_depth)
+        self.learning_rate = float(learning_rate)
+        self.min_samples_split = int(min_samples_split)
+        self.seed = int(seed)
+        self.f0_ = 0.0
+        self.trees_ = None
+
+    def fit(self, X, y):
+        X = np.atleast_2d(np.asarray(X, float))
+        y = np.asarray(y, float)
+        rng = np.random.default_rng(self.seed)
+        self.f0_ = float(np.mean(y))
+        pred = np.full(len(y), self.f0_)
+        self.trees_ = []
+        for _ in range(self.n_estimators):
+            tree = _build_tree(
+                X, y - pred, rng, 0, self.max_depth, self.min_samples_split, False
+            )
+            pred += self.learning_rate * _tree_predict(tree, X)
+            self.trees_.append(tree)
+        return self
+
+    def predict(self, X):
+        X = np.atleast_2d(np.asarray(X, float))
+        pred = np.full(len(X), self.f0_)
+        for t in self.trees_:
+            pred += self.learning_rate * _tree_predict(t, X)
+        return pred
+
+
+class PolyGAM:
+    """Additive polynomial GAM analog: per-feature standardized power
+    basis up to ``degree``, jointly ridge-fit (pygam is absent; this is
+    the documented substitute, same role as analysis/tie.py's
+    poly-OLS)."""
+
+    def __init__(self, degree=3, l2=1e-6, seed=0):
+        self.degree = int(degree)
+        self.l2 = float(l2)
+        self.mu_ = None
+        self.sd_ = None
+        self.coef_ = None
+
+    def _basis(self, X):
+        Z = (X - self.mu_) / self.sd_
+        cols = [np.ones(len(X))]
+        for j in range(X.shape[1]):
+            for p in range(1, self.degree + 1):
+                cols.append(Z[:, j] ** p)
+        return np.column_stack(cols)
+
+    def fit(self, X, y):
+        X = np.atleast_2d(np.asarray(X, float))
+        y = np.asarray(y, float)
+        self.mu_ = X.mean(axis=0)
+        self.sd_ = np.where(X.std(axis=0) == 0, 1.0, X.std(axis=0))
+        A = self._basis(X)
+        reg = self.l2 * np.eye(A.shape[1])
+        reg[0, 0] = 0.0
+        self.coef_ = np.linalg.solve(A.T @ A + reg, A.T @ y)
+        return self
+
+    def predict(self, X):
+        X = np.atleast_2d(np.asarray(X, float))
+        return self._basis(X) @ self.coef_
+
+
+# hyperparameter ranges mirroring the reference's
+# machine_learning_setup.py:96-135 (adapted names)
+ML_HYPER_RANGES = {
+    "etr": {
+        "n_estimators": [25, 50, 100],
+        "max_depth": [4, 8, 12, 16],
+        "min_samples_split": [2, 4, 8],
+    },
+    "gbm": {
+        "n_estimators": [25, 50, 100],
+        "max_depth": [2, 3, 4],
+        "learning_rate": [0.05, 0.1, 0.2],
+    },
+    "gam": {"degree": [2, 3, 4]},
+}
+
+
+def make_ml_model(reg_model: str, params: dict, seed: int = 42):
+    if reg_model == "etr":
+        return ExtraTreesReg(seed=seed, **params)
+    if reg_model == "gbm":
+        return GBMReg(seed=seed, **params)
+    if reg_model == "gam":
+        return PolyGAM(**params)
+    raise ValueError(f"unknown reg_model {reg_model!r}")
+
+
+def hyper_optimize_np(
+    reg_model: str,
+    X: np.ndarray,
+    y: np.ndarray,
+    n_iter: int = 8,
+    k_folds: int = 3,
+    seed: int = 42,
+) -> dict:
+    """Randomized hyperparameter search with K-fold CV mean R² —
+    driver-side twin of ml.MachineLearningSetup.hyper_optimize
+    (reference aep.py:936-951 runs this once per reanalysis product)."""
+    rng = np.random.default_rng(seed)
+    space = ML_HYPER_RANGES[reg_model]
+    names = sorted(space)
+    X = np.atleast_2d(np.asarray(X, float))
+    y = np.asarray(y, float)
+    n = len(y)
+    fold = rng.integers(0, k_folds, n)
+    seen, best = set(), None
+    for _ in range(n_iter * 3):
+        combo = tuple(rng.choice(space[k]) for k in names)
+        if combo in seen:
+            continue
+        seen.add(combo)
+        params = {k: (int(v) if float(v).is_integer() and k != "learning_rate" else float(v))
+                  for k, v in zip(names, combo)}
+        scores = []
+        for f in range(k_folds):
+            tr, te = fold != f, fold == f
+            if te.sum() < 2:
+                continue
+            m = make_ml_model(reg_model, params, seed=seed)
+            m.fit(X[tr], y[tr])
+            scores.append(r2_score(y[te], m.predict(X[te])))
+        score = float(np.mean(scores)) if scores else -np.inf
+        if best is None or score > best[0]:
+            best = (score, params)
+        if len(seen) >= n_iter:
+            break
+    return best[1]

@@ -109,3 +109,46 @@ def test_daily_resolution(spark, tables):
     assert len(agg) > 360  # ~440 POR days
     res = mc.run(num_sim=10)
     assert np.isfinite(res.results["aep_GWh"]).all()
+
+
+def test_ml_regression_models(spark, tables):
+    # daily grain preserves the power curve's nonlinearity that monthly
+    # averaging washes out — the regime where the reference's
+    # reg_model etr/gbm/gam beats the linear fit (aep.py:897-959)
+    plant = PlantData(
+        spark, META, analysis_type=["MonteCarloAEP"],
+        meter=spark.createDataFrame(tables["meter"]),
+        curtail=spark.createDataFrame(tables["curtail"]),
+        reanalysis={"era5": spark.createDataFrame(tables["reanalysis"])},
+    )
+
+    def run(model):
+        mc = MonteCarloAEP(
+            plant, time_resolution="D", reg_model=model,
+            uncertainty_windiness=(1, 2),
+        )
+        return mc.run(num_sim=6)
+
+    res_lin = run("lin")
+    r2 = {"lin": float(res_lin.results["r2"].median())}
+    for model in ("etr", "gbm", "gam"):
+        res = run(model)
+        assert np.isfinite(res.results["aep_GWh"]).all(), model
+        r2[model] = float(res.results["r2"].median())
+        # nonlinear daily relationship: every ML model must beat lin
+        assert r2[model] > r2["lin"], r2
+        # and the AEP distribution must stay in the same physical range
+        assert res.results["aep_GWh"].mean() == pytest.approx(
+            res_lin.results["aep_GWh"].mean(), rel=0.15
+        ), model
+
+
+def test_reg_model_validation(spark, tables):
+    plant = PlantData(
+        spark, META, analysis_type=["MonteCarloAEP"],
+        meter=spark.createDataFrame(tables["meter"]),
+        curtail=spark.createDataFrame(tables["curtail"]),
+        reanalysis={"era5": spark.createDataFrame(tables["reanalysis"])},
+    )
+    with pytest.raises(ValueError, match="reg_model"):
+        MonteCarloAEP(plant, reg_model="nope")
