@@ -100,20 +100,48 @@ def freestream_turbines(
     direction_pairs: DataFrame,
     wind_direction_deg: float,
     sector_width_deg: float = 90.0,
+    method: str = "sector",
+    rotor_diameters: DataFrame | None = None,
 ) -> list[str]:
-    """Turbines with no upstream neighbor within ±sector/2 of the wind
-    direction ("sector" method).
+    """Turbines with no upstream neighbor that wakes them.
 
-    Semantics: plant.py:1387-1450 — turbine i is freestream for wd iff
-    for all j: |wrap180(wd − bearing(i→j))| > sector/2... i.e. no other
-    turbine lies upwind within the wake sector. Matrices are dimension-
-    sized; computed distributed, decided on collected pairs.
+    Semantics: plant.py:1387-1450. ``method="sector"``: turbine i is
+    freestream for wd iff for all j: |wrap180(wd − bearing(i→j))| >
+    sector/2 — no other turbine upwind within the wake sector.
+    ``method="IEC"``: Annex A of IEC 61400-12-1 (2005) — distances are
+    normalized by the UPSTREAM turbine's rotor diameter (Dn); j wakes i
+    unless Dn > 20, Dn < 0, or (Dn > 2 and |wrap180(wd − bearing)| >
+    0.5·(1.3·degrees(atan(2.5/Dn + 0.15)) + 10)). ``rotor_diameters``
+    is an (asset_id, rotor_diameter) DataFrame, required for IEC.
+
+    Matrices are dimension-sized; computed distributed, decided on
+    collected pairs.
     """
-    half = sector_width_deg / 2.0
-    upwind = direction_pairs.withColumn(
-        "_rel",
-        ((F.lit(wind_direction_deg) - F.col("bearing_deg")) % 360 + 540) % 360 - 180,
-    ).where(F.abs(F.col("_rel")) <= half)
+    rel = ((F.lit(wind_direction_deg) - F.col("bearing_deg")) % 360 + 540) % 360 - 180
+    if method == "sector":
+        upwind = direction_pairs.withColumn("_rel", rel).where(
+            F.abs(F.col("_rel")) <= sector_width_deg / 2.0
+        )
+    elif method == "IEC":
+        if rotor_diameters is None:
+            raise ValueError("IEC freestream method requires rotor_diameters")
+        rd = rotor_diameters.select(
+            F.col("asset_id").alias("asset_b"), F.col("rotor_diameter").alias("_rd")
+        )
+        pairs = direction_pairs.join(
+            distance_pairs, ["asset_a", "asset_b"]
+        ).join(F.broadcast(rd), "asset_b")
+        dn = F.col("distance_m") / F.col("_rd")
+        half_width = 0.5 * (
+            1.3 * F.degrees(F.atan(2.5 / dn + 0.15)) + 10.0
+        )
+        upwind = pairs.withColumn("_rel", rel).where(
+            (dn <= 20.0)
+            & (dn >= 0.0)
+            & ((dn <= 2.0) | (F.abs(F.col("_rel")) <= half_width))
+        )
+    else:
+        raise ValueError('freestream method must be "sector" or "IEC"')
     waked = {r["asset_a"] for r in upwind.select("asset_a").distinct().collect()}
     all_assets = {
         r["asset_a"] for r in distance_pairs.select("asset_a").distinct().collect()

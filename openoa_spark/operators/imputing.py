@@ -55,31 +55,53 @@ def impute_data(
     ref_col: str,
     degree: int = 1,
 ) -> DataFrame:
-    """Fill NULLs in ``target_col`` with a degree-1 polynomial
+    """Fill NULLs in ``target_col`` with a degree-n polynomial
     prediction from an aligned reference series.
 
     Semantics: imputing.py:34-131 — align target & reference on
-    ``align_col``; fit y = a·x + b on rows where both are present
-    (closed form: a = cov(x,y)/var(x), b = ȳ − a·x̄); fill
-    target NULLs where the reference is present.
+    ``align_col``; fit y = poly(x) on rows where both are present;
+    fill target NULLs where the reference is present.
 
-    degree=1 only (the reference defaults to linear; higher degrees
-    would collect the tiny paired table and fit driver-side).
+    degree=1 uses the closed form a = cov(x,y)/var(x), b = ȳ − a·x̄.
+    degree≥2 builds the least-squares NORMAL EQUATIONS from
+    standardized power moments — one distributed aggregate of
+    avg(z^k) / avg(z^k·y) — and solves the (d+1)×(d+1) system on the
+    driver (equivalent to np.polyfit, but nothing is collected except
+    2d+1 moments, so the fit is O(1) driver memory at any scale).
     """
-    if degree != 1:
-        raise NotImplementedError("linear (degree=1) imputation only")
+    if degree < 1:
+        raise ValueError("degree must be >= 1")
     r = ref_df.select(F.col(align_col), F.col(ref_col).alias("_ref"))
     j = target_df.join(r, align_col, "left")
     y, x = F.col(target_col), F.col("_ref")
     both = j.where(y.isNotNull() & x.isNotNull())
-    fit = both.agg(
-        (F.covar_samp(x, y) / F.var_samp(x)).alias("slope"),
-        F.avg(y).alias("my"),
-        F.avg(x).alias("mx"),
-    ).first()
-    slope = fit["slope"]
-    intercept = fit["my"] - slope * fit["mx"]
-    pred = F.lit(slope) * x + F.lit(intercept)
+    if degree == 1:
+        fit = both.agg(
+            (F.covar_samp(x, y) / F.var_samp(x)).alias("slope"),
+            F.avg(y).alias("my"),
+            F.avg(x).alias("mx"),
+        ).first()
+        slope = fit["slope"]
+        intercept = fit["my"] - slope * fit["mx"]
+        pred = F.lit(slope) * x + F.lit(intercept)
+    else:
+        import numpy as np
+
+        st = both.agg(F.avg(x).alias("mu"), F.stddev_samp(x).alias("sd")).first()
+        mu = float(st["mu"])
+        sd = float(st["sd"]) if st["sd"] else 1.0
+        z = (x - F.lit(mu)) / F.lit(sd)  # standardized for conditioning
+        aggs = [F.avg(F.pow(z, float(k))).alias(f"m{k}") for k in range(2 * degree + 1)]
+        aggs += [F.avg(F.pow(z, float(k)) * y).alias(f"c{k}") for k in range(degree + 1)]
+        row = both.agg(*aggs).first()
+        A = np.array(
+            [[row[f"m{i + jj}"] for jj in range(degree + 1)] for i in range(degree + 1)]
+        )
+        b = np.array([row[f"c{i}"] for i in range(degree + 1)])
+        coef = np.linalg.solve(A, b)
+        pred = F.lit(float(coef[0]))
+        for k in range(1, degree + 1):
+            pred = pred + F.lit(float(coef[k])) * F.pow(z, float(k))
     return j.withColumn(
         target_col, F.when(y.isNull() & x.isNotNull(), pred).otherwise(y)
     ).drop("_ref")

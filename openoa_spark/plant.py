@@ -257,7 +257,10 @@ class PlantData:
         return self._direction_pairs
 
     def get_freestream_turbines(
-        self, wind_direction_deg: float, sector_width_deg: float = 90.0
+        self,
+        wind_direction_deg: float,
+        sector_width_deg: float = 90.0,
+        freestream_method: str = "sector",
     ) -> list[str]:
         turbines = set(self.turbine_ids)
         pairs_d = self.asset_distance_pairs
@@ -269,7 +272,13 @@ class PlantData:
             pairs_b = pairs_b.where(
                 F.col("asset_a").isin(turbines) & F.col("asset_b").isin(turbines)
             )
-        return geo.freestream_turbines(pairs_d, pairs_b, wind_direction_deg, sector_width_deg)
+        rd = None
+        if freestream_method == "IEC":
+            rd = self.asset.select("asset_id", "rotor_diameter")
+        return geo.freestream_turbines(
+            pairs_d, pairs_b, wind_direction_deg, sector_width_deg,
+            method=freestream_method, rotor_diameters=rd,
+        )
 
     def nearest_turbine(self, asset_id: str) -> str | None:
         """Closest turbine to the given asset (plant.py:1452-1513)."""
@@ -295,14 +304,64 @@ class PlantData:
 
     def to_parquet(self, save_path: str) -> None:
         """Write every attached table under save_path/<table>.parquet
-        (analogue of to_csv, plant.py:746-843; parquet is the Spark-
-        native interchange format)."""
+        (parquet is the Spark-native interchange format)."""
         for name in ("scada", "meter", "tower", "status", "curtail", "asset"):
             df = getattr(self, name)
             if df is not None:
                 df.write.mode("overwrite").parquet(f"{save_path}/{name}.parquet")
         for product, df in self.reanalysis.items():
             df.write.mode("overwrite").parquet(f"{save_path}/reanalysis_{product}.parquet")
+
+    def to_csv(
+        self,
+        save_path: str,
+        with_openoa_col_names: bool = True,
+        metadata: str = "metadata",
+    ) -> None:
+        """CSV export with a metadata file, matching the reference's
+        round-trip contract (plant.py:746-843): each attached table is
+        written under ``save_path/<table>/`` (a header-ed CSV
+        directory — one file per partition, the distributed-write
+        shape), and ``<metadata>.yml`` (or .json when pyyaml is
+        absent) captures column maps + frequencies so
+        ``PlantData(spark, metadata=..., scada=...)`` can re-load the
+        export. ``with_openoa_col_names=False`` renames columns back
+        to the user's original names, and the metadata file records
+        that mapping.
+        """
+
+        def rename_back(df: DataFrame, meta) -> DataFrame:
+            if with_openoa_col_names:
+                return df
+            inv = {v: k for k, v in meta.col_map.items()}  # canonical → user
+            return df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
+
+        for name in ("scada", "meter", "tower", "status", "curtail", "asset"):
+            df = getattr(self, name)
+            if df is not None:
+                out = rename_back(df, self.metadata.table(name))
+                out.write.option("header", True).mode("overwrite").csv(
+                    f"{save_path}/{name}"
+                )
+        for product, df in self.reanalysis.items():
+            meta = self.metadata.reanalysis.get(product, TableMeta("reanalysis"))
+            rename_back(df, meta).write.option("header", True).mode(
+                "overwrite"
+            ).csv(f"{save_path}/reanalysis_{product}")
+
+        meta_dict = self.metadata.to_dict(canonical=with_openoa_col_names)
+        from pathlib import Path
+
+        try:
+            import yaml
+
+            Path(f"{save_path}/{metadata}.yml").write_text(
+                yaml.safe_dump(meta_dict, sort_keys=False)
+            )
+        except ImportError:  # pragma: no cover
+            import json
+
+            Path(f"{save_path}/{metadata}.json").write_text(json.dumps(meta_dict))
 
     def reanalysis_union(self) -> DataFrame | None:
         """All reanalysis products as ONE DataFrame with a `product`

@@ -1569,3 +1569,106 @@ def mahalanobis_flag_lineitem(spark, sf_dir):
         li, "l_quantity", "l_extendedprice", n_clusters=1
     )
     return out.select("l_orderkey", "l_linenumber", "cluster_flag")
+
+
+@register(
+    "impute_quadratic_synthetic",
+    """
+    WITH t AS (
+      -- x on an integer grid: true y values are exact binary multiples
+      -- of 0.5, so round-4 of the near-exact polynomial predictions
+      -- cannot straddle a rounding midpoint across engines
+      SELECT event_id, CAST(event_id % 21 AS DOUBLE) AS x,
+             CASE WHEN event_id % 9 = 0 THEN NULL
+                  ELSE 0.5 * pow(CAST(event_id % 21 AS DOUBLE), 2)
+                       - 2.0 * CAST(event_id % 21 AS DOUBLE) + 3.0 END AS y
+      FROM events
+    ),
+    s AS (
+      SELECT avg(x) AS mu, stddev_samp(x) AS sd
+      FROM t WHERE y IS NOT NULL AND x IS NOT NULL
+    ),
+    zt AS (
+      SELECT (x - mu) / sd AS z, y FROM t, s
+      WHERE y IS NOT NULL AND x IS NOT NULL
+    ),
+    m AS (
+      SELECT 1.0 AS m0, avg(z) AS m1, avg(z*z) AS m2,
+             avg(z*z*z) AS m3, avg(z*z*z*z) AS m4,
+             avg(y) AS c0, avg(z*y) AS c1, avg(z*z*y) AS c2
+      FROM zt
+    ),
+    sol AS (
+      SELECT
+        (m0*(m2*m4 - m3*m3) - m1*(m1*m4 - m3*m2) + m2*(m1*m3 - m2*m2)) AS det,
+        (c0*(m2*m4 - m3*m3) - m1*(c1*m4 - m3*c2) + m2*(c1*m3 - m2*c2)) AS det0,
+        (m0*(c1*m4 - m3*c2) - c0*(m1*m4 - m3*m2) + m2*(m1*c2 - c1*m2)) AS det1,
+        (m0*(m2*c2 - c1*m3) - m1*(m1*c2 - c1*m2) + c0*(m1*m3 - m2*m2)) AS det2
+      FROM m
+    )
+    SELECT event_id,
+           ROUND(CASE WHEN y IS NULL AND x IS NOT NULL
+                      THEN (det0/det) + (det1/det) * ((x - mu)/sd)
+                           + (det2/det) * pow((x - mu)/sd, 2)
+                      ELSE y END, 4) AS imputed
+    FROM t, s, sol
+    """,
+)
+def impute_quadratic_synthetic(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    x = (F.col("event_id") % 21).cast("double")
+    target = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 9 == 0, None)
+        .otherwise(0.5 * F.pow(x, 2.0) - 2.0 * x + 3.0)
+        .alias("y"),
+    )
+    ref = ev.select("event_id", x.alias("x"))
+    out = imputing.impute_data(target, ref, "event_id", "y", "x", degree=2)
+    return out.select("event_id", F.round("y", 4).alias("imputed"))
+
+
+@register(
+    "freestream_iec_membership",
+    _GEO_SQL_BASE
+    + """
+    , rd AS (SELECT id, 50.0 + (id % 5) * 10.0 AS rotor FROM assets),
+    pairs AS (
+      SELECT a.id AS asset_a, b.id AS asset_b,
+             ROUND(sqrt((b.x - a.x)^2 + (b.y - a.y)^2), 6) AS dist,
+             ROUND((degrees(atan2(b.x - a.x, b.y - a.y)) + 360) % 360, 6) AS bearing
+      FROM assets a, assets b WHERE a.id <> b.id
+    ),
+    waked AS (
+      SELECT DISTINCT asset_a FROM (
+        SELECT asset_a, dist / rd.rotor AS dn,
+               ((270.0 - bearing) % 360 + 540) % 360 - 180 AS rel
+        FROM pairs JOIN rd ON rd.id = pairs.asset_b
+      )
+      WHERE dn <= 20.0 AND dn >= 0.0
+        AND (dn <= 2.0
+             OR abs(rel) <= 0.5 * (1.3 * degrees(atan(2.5/dn + 0.15)) + 10.0))
+    )
+    SELECT id AS asset FROM assets
+    WHERE id NOT IN (SELECT asset_a FROM waked)
+    """,
+)
+def freestream_iec_membership(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("asset_id"),
+        F.col("s_acctbal").alias("x_m"),
+        (F.col("s_nationkey").cast("double") * 100).alias("y_m"),
+    )
+    dist = geometry.asset_distance_pairs(sup).select(
+        "asset_a", "asset_b", rounded("distance_m").alias("distance_m")
+    )
+    dirs = geometry.asset_direction_pairs(sup).select(
+        "asset_a", "asset_b", rounded("bearing_deg").alias("bearing_deg")
+    )
+    rd = sup.select(
+        "asset_id", (50.0 + (F.col("asset_id") % 5) * 10.0).alias("rotor_diameter")
+    )
+    free = geometry.freestream_turbines(
+        dist, dirs, 270.0, method="IEC", rotor_diameters=rd
+    )
+    return spark.createDataFrame([(int(a),) for a in free], schema="asset bigint")

@@ -199,6 +199,33 @@ class PlantMetaData:
             return self.reanalysis[product]
         return getattr(self, name)
 
+    def to_dict(self, canonical: bool = False) -> dict:
+        """Export in the same {canonical_field: user_column} layout
+        ``from_dict`` reads, so a written metadata file round-trips
+        (reference plant.py:746-843 export format). ``canonical=True``
+        emits identity column maps (export used canonical names)."""
+
+        def one(meta: TableMeta) -> dict:
+            out: dict = (
+                {} if canonical else {v: k for k, v in meta.col_map.items()}
+            )
+            if meta.frequency:
+                out["frequency"] = meta.frequency
+            return out
+
+        return {
+            "scada": one(self.scada),
+            "meter": one(self.meter),
+            "tower": one(self.tower),
+            "status": one(self.status),
+            "curtail": one(self.curtail),
+            "asset": one(self.asset),
+            "reanalysis": {p: one(m) for p, m in self.reanalysis.items()},
+            "latitude": self.latitude,
+            "longitude": self.longitude,
+            "capacity": self.capacity,
+        }
+
 
 # ---------------------------------------------------------------- analyses
 

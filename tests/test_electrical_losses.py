@@ -49,3 +49,50 @@ def test_electrical_losses_uq(plant):
 
     assert statistics.mean(res.loss_samples) == pytest.approx(0.02, abs=2e-3)
     assert statistics.stdev(res.loss_samples) == pytest.approx(0.007, abs=3e-3)
+
+
+def test_monthly_meter_threshold_refilter(spark):
+    """Monthly path: per-sim coverage-threshold refiltering
+    (reference electrical_losses.py:287-318). Two full months at 2%
+    loss plus one month with 8% of scada rows missing: high thresholds
+    must drop that month, low thresholds keep it with coverage-
+    corrected energy — either way the loss estimate stays ~2%."""
+    import datetime as dt
+
+    base = dt.datetime(2020, 1, 1)
+    turbines = ["T01", "T02"]
+    scada_rows, meter_by_month = [], {}
+    t = base
+    while t < dt.datetime(2020, 4, 1):
+        # drop ~8% of February (every 12th interval)
+        is_dropped = t.month == 2 and (t.minute // 10 + t.hour * 6) % 12 == 0
+        total = 0.0
+        for j, a in enumerate(turbines):
+            e = 100.0 + 5 * j
+            if not is_dropped:
+                scada_rows.append((t, a, e))
+            total += e
+        month = t.replace(day=1, hour=0, minute=0)
+        # meter integrates TRUE production (including dropped intervals)
+        meter_by_month[month] = meter_by_month.get(month, 0.0) + total * 0.98
+        t += dt.timedelta(minutes=10)
+    scada = spark.createDataFrame(scada_rows, ["time", "asset_id", "energy_kwh"])
+    meter = spark.createDataFrame(
+        sorted(meter_by_month.items()), ["time", "energy_kwh"]
+    )
+
+    det = electrical_losses(
+        scada, meter, monthly_meter=True, correction_threshold=0.95
+    )
+    # February (92% coverage) excluded at 0.95; Jan+Mar exact
+    assert det.n_days == 3  # months in the joined table
+    assert det.loss == pytest.approx(0.02, abs=1e-6)
+
+    uq = electrical_losses(
+        scada, meter, monthly_meter=True, num_sim=2000,
+        uncertainty_correction_threshold=(0.9, 0.995), seed=7,
+    )
+    # thresholds below 0.92 keep corrected February; above drop it —
+    # both give ~2%, so the UQ mean holds at decimal≈2 with spread
+    assert uq.loss_mean == pytest.approx(0.02, abs=5e-3)
+    assert 0.0 < uq.loss_std < 0.02

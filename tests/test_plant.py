@@ -121,3 +121,45 @@ def test_geometry_and_freestream(plant):
     assert "T04" in fs_e and "T01" not in fs_e
     assert plant.nearest_turbine("T01") == "T02"
     assert plant.nearest_tower("T01") == "MT1"
+
+
+def test_freestream_iec(plant):
+    # IEC 61400-12-1 Annex A: 5D spacing on an east-west line → west
+    # wind wakes everything with an upwind western neighbor
+    fs = plant.get_freestream_turbines(270.0, freestream_method="IEC")
+    assert fs == ["T01"]
+    # north wind: nobody upwind on an east-west line (|rel| = 90° >
+    # IEC half-width ≈ 26.5° at 5D) → all four freestream
+    fs_n = plant.get_freestream_turbines(0.0, freestream_method="IEC")
+    assert fs_n == ["T01", "T02", "T03", "T04"]
+    with pytest.raises(ValueError, match="method"):
+        plant.get_freestream_turbines(0.0, freestream_method="bogus")
+
+
+def test_to_csv_roundtrip(plant, spark, tmp_path):
+    plant.to_csv(str(tmp_path))
+    meta = PlantMetaData.load(str(tmp_path / "metadata.yml"))
+    assert meta.capacity == 8.0
+    assert meta.scada.frequency == "10min"
+    df = spark.read.option("header", True).csv(str(tmp_path / "meter"))
+    assert "MMTR_SupWh" in df.columns
+
+
+def test_to_csv_rename_back(spark, tables, tmp_path):
+    meta = dict(META)
+    meta["meter"] = {"frequency": "10min", "MMTR_SupWh": "energy_watthours"}
+    renamed = spark.createDataFrame(
+        tables["meter"].rename(columns={"MMTR_SupWh": "energy_watthours"})
+    )
+    p = PlantData(spark, meta, analysis_type=None, meter=renamed)
+    p.to_csv(str(tmp_path), with_openoa_col_names=False)
+    # csv carries the USER's original column name...
+    df = spark.read.option("header", True).csv(str(tmp_path / "meter"))
+    assert "energy_watthours" in df.columns
+    # ...and the metadata file records the map, so the export re-loads
+    # to canonical names
+    p2 = PlantData(
+        spark, str(tmp_path / "metadata.yml"), analysis_type=None,
+        meter=df,
+    )
+    assert "MMTR_SupWh" in p2.meter.columns
