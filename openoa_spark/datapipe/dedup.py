@@ -200,19 +200,31 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.3,
+    max_doc_frequency: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs sharing at
     least one shingle (inverted-index join on shingle hash — the
     classic "join on token, aggregate intersection" formulation; no
     crossJoin). Output: (id_a, id_b, jaccard).
 
-    For very common shingles add a document-frequency cap upstream
-    (stop-shingle removal) to bound join fan-out at scale.
+    ``max_doc_frequency`` drops shingles appearing in more than that
+    many documents BEFORE the self-join (stop-shingle removal): a
+    shingle shared by k docs fans out to k² candidate rows, so one
+    boilerplate phrase in 1M docs would otherwise dominate the whole
+    shuffle at scale. Capped shingles leave |∩| (and doc sizes — both
+    sides consistently) so Jaccard becomes a lower bound for the
+    affected pairs; None keeps exact semantics (and is what the
+    correctness oracle replays).
     """
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(shingles(text_col, shingle_n)).alias("_sh"),
     ).withColumn("_shh", F.xxhash64("_sh")).drop("_sh")
+    if max_doc_frequency is not None:
+        dfreq = sh.groupBy("_shh").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(
+            dfreq.where(F.col("_df") <= max_doc_frequency).select("_shh"), "_shh"
+        )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

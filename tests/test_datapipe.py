@@ -152,3 +152,20 @@ def test_frame_sample_plan(spark):
     )
     out = multimodal.frame_sample_plan(df, 1.0).collect()
     assert [r["frame_ts"] for r in out] == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_ngram_df_cap_drops_hot_shingles(spark):
+    # "x y" appears in ALL docs (boilerplate) — with the cap it cannot
+    # create candidate pairs on its own
+    df = spark.createDataFrame(
+        [(1, "x y a b"), (2, "x y c d"), (3, "x y a b")],
+        ["doc_id", "text"],
+    )
+    exact = dedup.ngram_jaccard_pairs(df, "text", "doc_id", shingle_n=2, threshold=0.01)
+    capped = dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", shingle_n=2, threshold=0.01, max_doc_frequency=2
+    )
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert exact_pairs == {(1, 2), (1, 3), (2, 3)}  # "x y" links everything
+    assert capped_pairs == {(1, 3)}  # only the real near-dup survives
