@@ -415,3 +415,41 @@ def hyper_optimize_np(
         if len(seen) >= n_iter:
             break
     return best[1]
+
+
+def differential_evolution_np(
+    fn,
+    bounds: list[tuple[float, float]],
+    seed: int = 42,
+    pop_mult: int = 15,
+    max_gen: int = 150,
+    mutation: float = 0.8,
+    recombination: float = 0.9,
+    tol: float = 1e-8,
+) -> tuple[np.ndarray, float]:
+    """Differential evolution (rand/1/bin, Storn & Price 1997) in pure
+    NumPy — scipy is not bundled, and the power-curve fit needs a
+    global optimizer because the logistic-5 SSE surface is multimodal.
+    Returns (best_x, best_f). Deterministic for a given seed."""
+    rng = np.random.default_rng(seed)
+    lo = np.array([b[0] for b in bounds], dtype=float)
+    hi = np.array([b[1] for b in bounds], dtype=float)
+    d = len(bounds)
+    npop = pop_mult * d
+    X = lo + rng.random((npop, d)) * (hi - lo)
+    f = np.array([fn(x) for x in X])
+    for _ in range(max_gen):
+        for i in range(npop):
+            r = rng.choice(npop - 1, 3, replace=False)
+            r[r >= i] += 1  # distinct from i
+            mutant = np.clip(X[r[0]] + mutation * (X[r[1]] - X[r[2]]), lo, hi)
+            cross = rng.random(d) < recombination
+            cross[rng.integers(d)] = True
+            trial = np.where(cross, mutant, X[i])
+            ft = fn(trial)
+            if ft <= f[i]:
+                X[i], f[i] = trial, ft
+        if np.std(f) <= tol * (abs(np.mean(f)) + 1e-12):
+            break
+    best = int(np.argmin(f))
+    return X[best], float(f[best])

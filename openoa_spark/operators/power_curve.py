@@ -116,34 +116,63 @@ def logistic5_expr(ws: Column | str, a: float, b: float, c: float, d: float, g: 
     )
 
 
-def fit_logistic5(df: DataFrame, ws_col: str, power_col: str, seed: int = 42):
-    """Least-squares fit of the 5-param logistic on the IEC-binned
-    curve (binning first makes the optimizer input tiny and the fit
-    deterministic; reference fits on raw points with differential
-    evolution — power_curve/functions.py:76-123).
+def fit_logistic5(
+    df: DataFrame,
+    ws_col: str,
+    power_col: str,
+    seed: int = 42,
+    method: str = "raw",
+    raw_bin_width: float = 0.01,
+):
+    """Least-squares fit of the 5-param logistic curve by differential
+    evolution (power_curve/functions.py:76-123 semantics, NumPy DE —
+    scipy is not bundled).
+
+    ``method="raw"``: the raw-point fit. Points are pre-aggregated to
+    ``raw_bin_width`` (default 0.01 m/s) bins carrying (count, mean):
+    the count-weighted SSE over bin means equals the raw-point SSE up
+    to a constant (the within-bin variance, independent of the
+    parameters), so the optimizer sees the raw objective while only
+    #bins rows ever reach the driver — the distributed-scale version
+    of "fit on raw points". ``method="binned"`` reproduces the
+    bins-first fit on the IEC 0.5 m/s curve (unweighted).
 
     Returns (params dict, apply-expression factory).
     """
-    binned = iec_binned_curve(df, ws_col, power_col).collect()
-    xs = [r["ws_bin"] for r in binned]
-    ys = [r["mean_power"] for r in binned]
-    try:
-        import numpy as np
-        from scipy.optimize import differential_evolution
+    import numpy as np
 
-        x, y = np.asarray(xs), np.asarray(ys)
-        top = float(y.max()) if len(y) else 1.0
+    from openoa_spark.functions.regression import differential_evolution_np
 
-        def sse(p):
-            a, b, c, d, g = p
+    if method == "raw":
+        bw = float(raw_bin_width)
+        agg = (
+            df.where(F.col(ws_col).isNotNull() & F.col(power_col).isNotNull())
+            .groupBy((F.round(F.col(ws_col) / bw) * bw).alias("x"))
+            .agg(F.count(power_col).alias("w"), F.avg(power_col).alias("y"))
+            .collect()
+        )
+        x = np.array([r["x"] for r in agg])
+        y = np.array([r["y"] for r in agg])
+        w = np.array([r["w"] for r in agg], dtype=float)
+    elif method == "binned":
+        binned = iec_binned_curve(df, ws_col, power_col).collect()
+        x = np.array([r["ws_bin"] for r in binned])
+        y = np.array([r["mean_power"] for r in binned])
+        w = np.ones(len(x))
+    else:
+        raise ValueError('method must be "raw" or "binned"')
+
+    top = float(y.max()) if len(y) else 1.0
+
+    def sse(p):
+        a, b, c, d, g = p
+        with np.errstate(over="ignore", invalid="ignore"):
             pred = d + (a - d) / (1 + (x / c) ** b) ** g
-            return float(((pred - y) ** 2).sum())
+        r = np.where(np.isfinite(pred), pred - y, 1e12)
+        return float((w * r * r).sum())
 
-        bounds = [(0.5 * top, 1.5 * top), (-15, -1), (2, 20), (-5, 5), (0.05, 5)]
-        res = differential_evolution(sse, bounds, seed=seed, tol=1e-8)
-        a, b, c, d, g = (float(v) for v in res.x)
-    except ImportError:  # scipy not present: fall back to binned lookup
-        curve = BinnedCurve(xs, ys)
-        return None, curve.expr
+    bounds = [(0.5 * top, 1.5 * top), (-15.0, -1.0), (2.0, 20.0), (-5.0, 5.0), (0.05, 5.0)]
+    best, _ = differential_evolution_np(sse, bounds, seed=seed)
+    a, b, c, d, g = (float(v) for v in best)
     params = {"a": a, "b": b, "c": c, "d": d, "g": g}
     return params, lambda col: logistic5_expr(col, a, b, c, d, g)
