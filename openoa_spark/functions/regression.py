@@ -311,25 +311,50 @@ class GBMReg:
         return pred
 
 
-class PolyGAM:
-    """Additive polynomial GAM analog: per-feature standardized power
-    basis up to ``degree``, jointly ridge-fit (pygam is absent; this is
-    the documented substitute, same role as analysis/tie.py's
-    poly-OLS)."""
+def natural_cubic_basis(x: np.ndarray, knots: np.ndarray) -> np.ndarray:
+    """Natural cubic spline basis (ESL §5.2.1 truncated-power form
+    with linearity constraints beyond the boundary knots): columns
+    [x, N_1..N_{K-2}] for K knots."""
+    K = len(knots)
 
-    def __init__(self, degree=3, l2=1e-6, seed=0):
+    def d(k):
+        num = np.clip(x - knots[k], 0, None) ** 3 - np.clip(x - knots[-1], 0, None) ** 3
+        return num / (knots[-1] - knots[k])
+
+    cols = [x]
+    d_last = d(K - 2)
+    for k in range(K - 2):
+        cols.append(d(k) - d_last)
+    return np.column_stack(cols)
+
+
+class PolyGAM:
+    """Additive GAM analog (pygam is absent): per-feature standardized
+    basis — natural cubic splines with ``n_splines`` quantile knots
+    (the reference tunes exactly this hyperparameter,
+    machine_learning_setup.py gam range) or a power basis up to
+    ``degree`` — jointly ridge-fit. Same role as analysis/tie.py's
+    poly-OLS, with the spline basis as the closer pygam substitute."""
+
+    def __init__(self, degree=3, n_splines=None, l2=1e-6, seed=0):
         self.degree = int(degree)
+        self.n_splines = int(n_splines) if n_splines is not None else None
         self.l2 = float(l2)
         self.mu_ = None
         self.sd_ = None
+        self.knots_ = None
         self.coef_ = None
 
     def _basis(self, X):
         Z = (X - self.mu_) / self.sd_
         cols = [np.ones(len(X))]
         for j in range(X.shape[1]):
-            for p in range(1, self.degree + 1):
-                cols.append(Z[:, j] ** p)
+            if self.knots_ is not None and self.knots_[j] is not None:
+                cols.append(natural_cubic_basis(Z[:, j], self.knots_[j]))
+            else:
+                cols.append(
+                    np.column_stack([Z[:, j] ** p for p in range(1, self.degree + 1)])
+                )
         return np.column_stack(cols)
 
     def fit(self, X, y):
@@ -337,6 +362,15 @@ class PolyGAM:
         y = np.asarray(y, float)
         self.mu_ = X.mean(axis=0)
         self.sd_ = np.where(X.std(axis=0) == 0, 1.0, X.std(axis=0))
+        if self.n_splines is not None:
+            Z = (X - self.mu_) / self.sd_
+            self.knots_ = []
+            for j in range(X.shape[1]):
+                q = np.quantile(Z[:, j], np.linspace(0, 1, self.n_splines))
+                q = np.unique(q)
+                # splines need ≥3 distinct knots; degenerate features
+                # fall back to the power basis
+                self.knots_.append(q if len(q) >= 3 else None)
         A = self._basis(X)
         reg = self.l2 * np.eye(A.shape[1])
         reg[0, 0] = 0.0
@@ -361,7 +395,8 @@ ML_HYPER_RANGES = {
         "max_depth": [2, 3, 4],
         "learning_rate": [0.05, 0.1, 0.2],
     },
-    "gam": {"degree": [2, 3, 4]},
+    # pygam's tunable is the spline count (machine_learning_setup.py)
+    "gam": {"n_splines": [5, 10, 15, 20]},
 }
 
 
