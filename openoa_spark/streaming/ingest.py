@@ -68,3 +68,74 @@ def write_stream_to_memory(df: DataFrame, name: str, mode: str = "append"):
         .outputMode(mode)
         .start()
     )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    time_col: str,
+    text_col: str,
+    late_threshold: str = "30 minutes",
+    normalized: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup: first arrival per content hash wins.
+
+    ``dropDuplicatesWithinWatermark`` keeps the dedup state only for
+    the watermark horizon — bounded state at any throughput, the
+    streaming twin of datapipe.dedup.exact_dedup (which, batch-side,
+    can dedup the full corpus).
+    """
+    from openoa_spark.datapipe.dedup import normalize_text
+
+    c = normalize_text(text_col) if normalized else F.col(text_col)
+    keyed = stream.withColumn("_key", F.xxhash64(c))
+    return (
+        keyed.withWatermark(time_col, late_threshold)
+        .dropDuplicatesWithinWatermark(["_key"])
+        .drop("_key")
+    )
+
+
+def stream_running_total(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    total_col: str = "running_total",
+):
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-key running sum maintained across micro-batches (the pattern
+    for any custom sessionization/accumulation Spark's built-in
+    windowed aggs can't express). Emits one row per key per
+    micro-batch with the updated lifetime total."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    key_field = stream.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField(total_col, DoubleType()),
+            StructField("batch_rows", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("total", DoubleType())])
+
+    def update(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0.0
+        n = 0
+        for pdf in pdfs:
+            total += float(pdf[value_col].fillna(0.0).sum())
+            n += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame(
+            {key_col: [key[0]], total_col: [total], "batch_rows": [n]}
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
