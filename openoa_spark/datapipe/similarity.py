@@ -165,3 +165,130 @@ def lsh_bucketed_neighbors(
         .where(F.col("_rn") <= k)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def lsh_multi_probe_neighbors(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_planes: int = 8,
+    n_probe_bits: int = 1,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k: each vector also probes the buckets
+    within Hamming distance ``n_probe_bits`` of its own (flip one bit
+    per probe), recovering pairs that a single hyperplane split
+    separated — the standard recall fix without adding tables.
+
+    Probe side explodes to 1+n_planes·n_probe_bits rows per vector,
+    joined against the un-exploded bucket side, so the join stays an
+    equi-join on bucket id (shuffle ∝ probes, never all-pairs).
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucketed = df.select(
+        F.col(id_col).alias("_id"),
+        _vec(vec_col).alias("_v"),
+        lsh_bucket(vec_col, planes).alias("_bucket"),
+    )
+    if n_probe_bits < 1:
+        probes = bucketed.withColumn("_probe", F.col("_bucket"))
+    else:
+        flips = F.array(
+            F.col("_bucket"),
+            *[
+                F.col("_bucket").bitwiseXOR(F.lit(2 ** b).cast("long"))
+                for b in range(n_planes)
+            ],
+        )
+        probes = bucketed.withColumn("_probe", F.explode(flips))
+    a = probes.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(b, F.col("a._probe") == F.col("b._bucket"))
+        .where(F.col("a._id") != F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            (dot(F.col("a._v"), F.col("b._v"))
+             / (norm(F.col("a._v")) * norm(F.col("b._v")))).alias("cosine"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ivf_neighbors(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: MLlib KMeans coarse quantization,
+    then exact cosine within each vector's ``n_probe`` nearest
+    centroids. The candidate join is an equi-join on centroid id —
+    shuffle ∝ n_probe·|bucket|, never all-pairs; centroids broadcast.
+
+    The index-build (KMeans fit) is distributed; assignment + probe
+    selection are pure column expressions over the broadcast centroid
+    literals, so search composes with any upstream filter.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col).alias("_id"),
+        _vec(vec_col).alias("_v"),
+        array_to_vector(_vec(vec_col)).alias("_features"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="_features").fit(feats)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    def dist2(center):
+        ca = F.array(*[F.lit(x) for x in center])
+        diff = F.zip_with(F.col("_v"), ca, lambda x, y: x - y)
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+
+    dists = F.array(*[dist2(c) for c in centers])
+    ranked = F.array_sort(
+        F.transform(
+            dists, lambda d, i: F.struct(d.alias("d"), i.alias("cid"))
+        )
+    )
+    assigned = feats.select(
+        "_id", "_v",
+        F.element_at(ranked, 1)["cid"].alias("_cluster"),
+        F.slice(ranked, 1, n_probe)["cid"].alias("_probes"),
+    )
+    a = assigned.select(
+        "_id", "_v", F.explode("_probes").alias("_probe")
+    ).alias("a")
+    b = assigned.select("_id", "_v", "_cluster").alias("b")
+    pairs = (
+        a.join(b, F.col("a._probe") == F.col("b._cluster"))
+        .where(F.col("a._id") != F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            (dot(F.col("a._v"), F.col("b._v"))
+             / (norm(F.col("a._v")) * norm(F.col("b._v")))).alias("cosine"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

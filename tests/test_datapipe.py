@@ -169,3 +169,47 @@ def test_ngram_df_cap_drops_hot_shingles(spark):
     capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert exact_pairs == {(1, 2), (1, 3), (2, 3)}  # "x y" links everything
     assert capped_pairs == {(1, 3)}  # only the real near-dup survives
+
+
+def _cluster_vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = []
+    centers = [np.eye(8)[i] for i in range(4)]
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(10):
+            v = c + rng.normal(0, 0.05, 8)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_multi_probe_recall_superset(spark):
+    df = _cluster_vectors(spark)
+    single = similarity.lsh_bucketed_neighbors(df, "embedding", "vec_id", k=3)
+    multi = similarity.lsh_multi_probe_neighbors(
+        df, "embedding", "vec_id", k=3, n_probe_bits=1
+    )
+    n_single = single.count()
+    n_multi = multi.count()
+    # probing adjacent buckets can only find more (or equal) neighbors
+    assert n_multi >= n_single
+    # and neighbors must come from the same synthetic cluster
+    bad = multi.where(
+        (F.col("id_a") / 10).cast("int") != (F.col("id_b") / 10).cast("int")
+    ).count()
+    assert bad == 0
+
+
+def test_ivf_neighbors_matches_brute_force(spark):
+    df = _cluster_vectors(spark)
+    ivf = similarity.ivf_neighbors(
+        df, "embedding", "vec_id", k=3, n_clusters=4, n_probe=2
+    )
+    exact = similarity.all_pairs_top_k(df, "embedding", "vec_id", k=3)
+    got = {(r["id_a"], r["id_b"]) for r in ivf.collect()}
+    want = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    # tight clusters: 2-probe IVF recovers ≥ 90% of the exact pairs
+    assert len(got & want) / len(want) >= 0.9
