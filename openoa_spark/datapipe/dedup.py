@@ -123,12 +123,45 @@ def minhash_near_dup_pairs(
     Output: (id_a, id_b, est_jaccard), id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(
-            shingles(text_col, shingle_n), num_hashes, hash_fn
-        ).alias("_sig"),
-    ).where(F.col("_sig").getItem(0).isNotNull())  # docs with ≥1 shingle
+    if hash_fn == "md5":
+        # Kirsch-Mitzenmacher double hashing: h_i(s) = (h1 + i·h2) mod
+        # (2^31-1). Two md5 evaluations per shingle TOTAL instead of
+        # num_hashes — the _hp projection boundary stops
+        # CollapseProject from re-inlining the md5s into all
+        # num_hashes transforms. 52-bit bases keep i·h2 < 2^58 (no
+        # bigint overflow); the WRAPPING mod is what decorrelates the
+        # per-seed orderings (without it the i-th min drifts toward
+        # argmin(h2) and agreement is overestimated). The oracle SQL
+        # replays the identical formula.
+        P = 2147483647
+        def b52(s):
+            return F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("long")
+
+        hp = F.transform(
+            shingles(text_col, shingle_n),
+            lambda s: F.struct(
+                b52(s).alias("h1"), b52(F.concat(s, F.lit("#"))).alias("h2")
+            ),
+        )
+        hp_df = df.select(F.col(id_col).alias("_id"), hp.alias("_hp"))
+        mins = [
+            F.array_min(
+                F.transform(
+                    F.col("_hp"),
+                    (lambda i: lambda p: (p["h1"] + F.lit(i) * p["h2"]) % F.lit(P))(i),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+        sig = hp_df.select("_id", F.array(*mins).alias("_sig"))
+    else:
+        sig = df.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature(
+                shingles(text_col, shingle_n), num_hashes, hash_fn
+            ).alias("_sig"),
+        )
+    sig = sig.where(F.col("_sig").getItem(0).isNotNull())  # docs with ≥1 shingle
 
     banded = sig.select(
         "_id",
@@ -245,3 +278,90 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a candidate-pair edge list by
+    min-label propagation: every vertex repeatedly adopts the smallest
+    id reachable in one hop, converging in O(diameter) ≤ O(log n)
+    rounds for near-dup clusters (which are tiny and dense). Each
+    round is one join + one aggregate; ``localCheckpoint`` truncates
+    the growing lineage so round N's plan doesn't replay rounds 1..N-1.
+
+    Output: (doc_id, component) — component = min doc id in the
+    cluster. Only vertices that appear in ``pairs`` are returned
+    (isolated docs are their own component by definition; callers
+    union them back, see :func:`near_dedup`).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        # materialize ONCE: every propagation round joins edges, and
+        # without this the full upstream pair-generation lineage
+        # (minhash etc.) replays per round
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("_nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "component")
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """End-to-end near-duplicate removal: MinHash-LSH candidate pairs →
+    connected components → keep the lowest-id document per cluster
+    (plus every unpaired document). The standard LLM-corpus dedup
+    composition; every stage is a bucketed equi-join, never all-pairs.
+    """
+    pairs = minhash_near_dup_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_n,
+        jaccard_threshold, hash_fn,
+    )
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -1132,8 +1132,11 @@ def _shingle_cte(n: int = 3) -> str:
 
 def _minhash_sql(num_hashes: int, bands: int, threshold: float, n: int = 3) -> str:
     rpb = num_hashes // bands
+    # Kirsch-Mitzenmacher twin of the Spark md5 path: two md5s per
+    # shingle in the hp CTE, then affine combinations per seed
+    b52 = "CAST('0x' || substring(md5({s}), 1, 13) AS BIGINT)"
     sig_items = ",\n             ".join(
-        f"list_min(list_transform(shs, s -> {dedup.sql_hash64('s', i)}))"
+        f"list_min(list_transform(hp, p -> (p.h1 + {i} * p.h2) % 2147483647))"
         for i in range(num_hashes)
     )
     bhash = dedup.sql_hash64(
@@ -1145,7 +1148,13 @@ def _minhash_sql(num_hashes: int, bands: int, threshold: float, n: int = 3) -> s
     )
     return f"""
     WITH {_shingle_cte(n)},
-    sig AS (SELECT doc_id, [{sig_items}] AS sig FROM sh),
+    hps AS (
+      SELECT doc_id,
+             list_transform(shs, s -> {{'h1': {b52.format(s='s')},
+                                        'h2': {b52.format(s="s || '#'")}}}) AS hp
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, [{sig_items}] AS sig FROM (SELECT doc_id, hp FROM hps)),
     banded AS (
       SELECT doc_id, sig, band, {bhash} AS bhash
       FROM sig, (SELECT unnest(range(0, {bands})) AS band)
@@ -1672,3 +1681,32 @@ def freestream_iec_membership(spark, sf_dir):
         dist, dirs, 270.0, method="IEC", rotor_diameters=rd
     )
     return spark.createDataFrame([(int(a),) for a in free], schema="asset bigint")
+
+
+@register(
+    "near_dedup_docs",
+    f"""
+    WITH RECURSIVE mh AS ({_minhash_sql(32, 8, 0.4)}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM mh
+      UNION
+      SELECT id_b AS a, id_a AS b FROM mh
+    ),
+    verts AS (SELECT DISTINCT a FROM edges),
+    reach(a, b) AS (
+      SELECT a, a FROM verts
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+    """,
+)
+def near_dedup_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup.near_dedup(
+        docs, "text", "doc_id", num_hashes=32, bands=8,
+        jaccard_threshold=0.4, hash_fn="md5",
+    )
+    return kept.select("doc_id")

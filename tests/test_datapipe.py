@@ -213,3 +213,29 @@ def test_ivf_neighbors_matches_brute_force(spark):
     want = {(r["id_a"], r["id_b"]) for r in exact.collect()}
     # tight clusters: 2-probe IVF recovers ≥ 90% of the exact pairs
     assert len(got & want) / len(want) >= 0.9
+
+
+def test_connected_components_chain(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], ["id_a", "id_b"]
+    )
+    comp = {r["doc_id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_near_dedup_end_to_end(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    docs = [
+        (1, base),
+        (2, base.replace("today", "tomorrow")),       # ~ 1
+        (3, base.replace("quick", "swift")),          # ~ 1 (and 2 via 1)
+        (4, "completely different content about spark distributed query engines here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.near_dedup(
+            df, "text", "doc_id", num_hashes=32, bands=16, jaccard_threshold=0.3
+        ).collect()
+    )
+    assert kept == [1, 4]  # cluster {1,2,3} → keep 1; singleton 4 kept
