@@ -46,11 +46,13 @@ def main():
     qs = registry.queries()
 
     # JVM/codegen warmup on the smallest SF so per-query numbers measure
-    # the plan, not first-call JIT + classloading.
+    # the plan, not first-call JIT + classloading: generated classes for
+    # the text-expression queries (language_id, dedup) cost multiple
+    # seconds to compile on first evaluation.
     warm_dir = "/root/testdata/sf0.001"
-    for name in ("q1_pricing_summary", "resample_day_sum"):
+    for name in BENCH_QUERIES:
         try:
-            qs[name](spark, warm_dir).collect()
+            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:  # noqa: BLE001
             pass
 

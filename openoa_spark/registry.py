@@ -1038,7 +1038,7 @@ def _langid_sql() -> str:
     for lang in sorted(text.STOPWORDS):
         words = ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
         cases.append(
-            f"len(list_filter(toks, x -> list_contains([{words}], lower(x)))) AS h_{lang}"
+            f"len(list_intersect(tl, [{words}])) AS h_{lang}"
         )
     hits = ", ".join(cases)
     langs = sorted(text.STOPWORDS)
@@ -1049,7 +1049,10 @@ def _langid_sql() -> str:
         best_l = f"CASE WHEN h_{lang} > ({best}) THEN '{lang}' ELSE {best_l} END"
         best = f"CASE WHEN h_{lang} > ({best}) THEN h_{lang} ELSE ({best}) END"
     return rf"""
-    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    WITH t AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                        regexp_split_to_array(trim(text), '\s+'),
+                        x -> lower(x))) AS tl
                FROM documents),
     h AS (SELECT doc_id, {hits} FROM t)
     SELECT doc_id, CASE WHEN ({best}) > 0 THEN ({best_l}) ELSE 'und' END AS pred_lang
