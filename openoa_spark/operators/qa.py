@@ -78,6 +78,38 @@ def gap_time_identification(
     return find_time_gaps(df, time_col, freq, keys=keys)
 
 
+def describe_exact(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Grouped summary statistics with EXACT percentiles
+    (``percentile`` — linear interpolation, one sort per group inside
+    the aggregate) rather than ``summary()``'s approximate sketch.
+    Use for gate-checked QA numbers; prefer :func:`describe` (approx)
+    when the column is huge and ±0.01% quantile error is acceptable.
+    """
+    pcts = ", ".join(str(p) for p in percentiles)
+    v = F.col(value_col)
+    aggs = [
+        F.count(value_col).alias("n"),
+        F.avg(v).alias("mean"),
+        F.stddev_samp(v).alias("std"),
+        F.min(v).alias("min"),
+        F.expr(f"percentile({value_col}, array({pcts}))").alias("_q"),
+        F.max(v).alias("max"),
+    ]
+    out = df.groupBy(*[F.col(k) for k in (keys or [])]).agg(*aggs)
+    qcols = [
+        F.col("_q").getItem(i).alias(f"q{int(p * 100)}")
+        for i, p in enumerate(percentiles)
+    ]
+    return out.select(
+        *(keys or []), "n", "mean", "std", "min", *qcols, "max"
+    )
+
+
 def describe(df: DataFrame, percentiles: list[str] | None = None) -> DataFrame:
     """Transposed summary statistics of the numeric columns
     (qa.py:252-264 wraps DataFrame.describe). Returns one row per

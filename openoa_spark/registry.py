@@ -1922,3 +1922,30 @@ def pivot_daily_by_type(spark, sf_dir):
         .pivot("event_type", _EVENT_TYPES)
         .agg(dsum("value", scale=6))
     )
+
+
+@register(
+    "describe_quantity_by_flag",
+    """
+    SELECT l_returnflag, COUNT(l_quantity) AS n,
+           ROUND(AVG(l_quantity), 6) AS mean,
+           ROUND(stddev_samp(l_quantity), 6) AS std,
+           MIN(l_quantity) AS min,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS q50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75,
+           MAX(l_quantity) AS max
+    FROM lineitem GROUP BY 1
+    """,
+)
+def describe_quantity_by_flag(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = qa_ops.describe_exact(li, "l_quantity", keys=["l_returnflag"])
+    return out.select(
+        "l_returnflag", "n",
+        rounded("mean").alias("mean"), rounded("std").alias("std"),
+        "min",
+        rounded("q25").alias("q25"), rounded("q50").alias("q50"),
+        rounded("q75").alias("q75"),
+        "max",
+    )
