@@ -838,7 +838,11 @@ def user_daily_correlation_pairs(spark, sf_dir):
     # The self-join reads `daily` twice; without a persist each side
     # re-scans and re-aggregates the fact table (41% of round-1 bench
     # wall). The cached table is asset×day grain — tiny at any SF.
+    # Materialize EAGERLY: inside one lazy action the two join sides
+    # race to populate the cache and can both compute the aggregate
+    # (observed as 2× bimodal bench times).
     daily = daily.persist()
+    daily.count()
     pairs = imputing.asset_correlation_pairs(daily, "day", "user_id", "v")
     return pairs.select("asset_a", "asset_b", rounded("corr").alias("corr"))
 
