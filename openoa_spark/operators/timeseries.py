@@ -339,3 +339,33 @@ def asof_join(
     for c in value_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out.where(F.col("_src") == 1).drop("_src")
+
+
+def sessionize(
+    df: DataFrame,
+    time_col: str,
+    keys: list[str],
+    gap_seconds: float = 1800.0,
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when
+    the delta to the previous event exceeds ``gap_seconds``.
+
+    One window over (keys, time) — session_id is the running count of
+    gap-breaks (the standard scalable sessionization; no iteration).
+    Adds ``session_id`` (1-based per key).
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(time_col))
+    # microsecond arithmetic: unix_timestamp floors to whole seconds,
+    # which shifts gap comparisons for sub-second data
+    delta_us = F.unix_micros(F.col(time_col)) - F.unix_micros(
+        F.lag(time_col).over(w)
+    )
+    is_break = F.when(
+        delta_us.isNull() | (delta_us > int(gap_seconds * 1_000_000)), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_id",
+        F.sum(is_break).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )

@@ -1953,3 +1953,36 @@ def describe_quantity_by_flag(spark, sf_dir):
         rounded("q75").alias("q75"),
         "max",
     )
+
+
+@register(
+    "event_sessions",
+    """
+    WITH d AS (
+      SELECT user_id, ts,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+               AS delta_us
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN delta_us IS NULL OR delta_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM d
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_s
+    FROM s GROUP BY 1, 2
+    """,
+)
+def event_sessions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = timeseries.sessionize(ev, "ts", ["user_id"], gap_seconds=1800.0)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) DIV 1000000")
+        .alias("duration_s"),
+    )
