@@ -32,11 +32,16 @@ def exact_dedup(
     # Tempting alternatives that are slower: a row_number window sorts
     # every hash group (19× the oracle in round 1); min_by(struct(row))
     # falls back to SortAggregate with the full text in the agg buffer.
+    # The agg's key column is RENAMED before the join: `keyed["_key"] ==
+    # agg["_key"]` would resolve both sides to the same attribute (agg is
+    # derived from keyed), which Spark drops as a trivially-true
+    # predicate — the join would silently run on id == _keep_id alone and
+    # cross-match hash groups whenever ids are non-unique.
     agg = keyed.groupBy("_key").agg(
         F.min(F.col(id_col)).alias("_keep_id"),
         F.count(F.lit(1)).alias("dup_count"),
-    )
-    cond = (keyed["_key"] == agg["_key"]) & (keyed[id_col] == agg["_keep_id"])
+    ).withColumnRenamed("_key", "_agg_key")
+    cond = (keyed["_key"] == agg["_agg_key"]) & (keyed[id_col] == agg["_keep_id"])
     return keyed.join(agg, cond).select(*df.columns, "dup_count")
 
 
@@ -287,11 +292,15 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """Connected components over a candidate-pair edge list by
-    min-label propagation: every vertex repeatedly adopts the smallest
-    id reachable in one hop, converging in O(diameter) ≤ O(log n)
-    rounds for near-dup clusters (which are tiny and dense). Each
-    round is one join + one aggregate; ``localCheckpoint`` truncates
-    the growing lineage so round N's plan doesn't replay rounds 1..N-1.
+    min-label propagation with pointer doubling: each round every
+    vertex adopts the smallest label reachable in one hop, then
+    shortcuts to its label's label (path halving). The shortcut step
+    makes ``max_iter`` rounds cover chains of length ~2^max_iter, so 25
+    rounds handle any realistic component diameter; if the loop still
+    exits unconverged a warning is emitted rather than returning
+    silently-partial labels. Each round is two joins + one aggregate;
+    ``localCheckpoint`` truncates the growing lineage so round N's
+    plan doesn't replay rounds 1..N-1.
 
     Output: (doc_id, component) — component = min doc id in the
     cluster. Only vertices that appear in ``pairs`` are returned
@@ -312,6 +321,7 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -327,6 +337,22 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        # Pointer doubling (path halving): jump to the component's own
+        # current component. Turns O(diameter) convergence into
+        # O(log diameter) — a length-L chain resolves in ~log2(L)
+        # rounds instead of L.
+        lab2 = new_labels.select(
+            F.col("id").alias("_lid"), F.col("component").alias("_lcomp")
+        )
+        new_labels = (
+            new_labels.join(lab2, new_labels.component == lab2._lid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("_lcomp", F.col("component"))
+                ).alias("component"),
+            )
+        )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
@@ -337,7 +363,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "labels may be partial (components with diameter > "
+            f"2^{max_iter} unresolved)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id").alias("doc_id"), "component")
 
 

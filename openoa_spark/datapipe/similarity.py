@@ -177,14 +177,16 @@ def lsh_multi_probe_neighbors(
     dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
-    """Multi-probe sign-LSH top-k: each vector also probes the buckets
-    within Hamming distance ``n_probe_bits`` of its own (flip one bit
-    per probe), recovering pairs that a single hyperplane split
-    separated — the standard recall fix without adding tables.
+    """Multi-probe sign-LSH top-k: each vector also probes every bucket
+    within Hamming distance ``n_probe_bits`` of its own (all bit-flip
+    combinations of up to that many planes), recovering pairs that a
+    hyperplane split separated — the standard recall fix without
+    adding tables.
 
-    Probe side explodes to 1+n_planes·n_probe_bits rows per vector,
-    joined against the un-exploded bucket side, so the join stays an
-    equi-join on bucket id (shuffle ∝ probes, never all-pairs).
+    Probe side explodes to sum_{i<=n_probe_bits} C(n_planes, i) rows
+    per vector, joined against the un-exploded bucket side, so the
+    join stays an equi-join on bucket id (shuffle ∝ probes, never
+    all-pairs).
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
@@ -197,11 +199,21 @@ def lsh_multi_probe_neighbors(
     if n_probe_bits < 1:
         probes = bucketed.withColumn("_probe", F.col("_bucket"))
     else:
+        from itertools import combinations
+
+        # all XOR masks with 1..n_probe_bits bits set (driver-side —
+        # n_planes is small, so the mask list is tiny and broadcast
+        # inside the literal array)
+        masks = [
+            sum(1 << b for b in bits)
+            for d in range(1, min(n_probe_bits, n_planes) + 1)
+            for bits in combinations(range(n_planes), d)
+        ]
         flips = F.array(
             F.col("_bucket"),
             *[
-                F.col("_bucket").bitwiseXOR(F.lit(2 ** b).cast("long"))
-                for b in range(n_planes)
+                F.col("_bucket").bitwiseXOR(F.lit(m).cast("long"))
+                for m in masks
             ],
         )
         probes = bucketed.withColumn("_probe", F.explode(flips))
