@@ -45,14 +45,15 @@ def main():
     spark = get_session("openoa-spark-bench")
     qs = registry.queries()
 
-    # JVM/codegen warmup on the smallest SF so per-query numbers measure
-    # the plan, not first-call JIT + classloading: generated classes for
-    # the text-expression queries (language_id, dedup) cost multiple
-    # seconds to compile on first evaluation.
-    warm_dir = "/root/testdata/sf0.001"
+    # JVM/codegen warmup AT THE BENCH SF so per-query numbers measure
+    # the plan, not first-call JIT + classloading. Warming at sf0.001
+    # is not enough: AQE plans a single partition there, generating
+    # different codegen classes than the sf0.1 plan, so the first timed
+    # sf0.1 run still paid multi-second class compilation (round-2
+    # bench recorded iec_power_curve at 4.58 s vs ~1.0 s steady-state).
     for name in BENCH_QUERIES:
         try:
-            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:  # noqa: BLE001
             pass
 

@@ -262,11 +262,31 @@ def num_hours(df: DataFrame, time_col: str) -> int:
     return int(row["h"]) + 1
 
 
+def _ordered_window(keys: list[str] | None, allow_unkeyed: bool, op: str):
+    """Partitioned window spec, guarding the degenerate global case.
+
+    An empty ``keys`` collapses the window to Window.partitionBy(lit(1))
+    — every row flows through ONE task, which silently serializes at
+    scale. Callers must either pass keys or explicitly declare the
+    input driver-small with ``allow_unkeyed=True``.
+    """
+    if not keys:
+        if not allow_unkeyed:
+            raise ValueError(
+                f"{op}: no partition keys given — this would funnel all rows "
+                "through a single task. Pass keys=[...], or allow_unkeyed=True "
+                "if the input is known to be small (e.g. an aggregate table)."
+            )
+        return Window.partitionBy(F.lit(1))
+    return Window.partitionBy(*keys)
+
+
 def ffill(
     df: DataFrame,
     cols: list[str],
     time_col: str,
     keys: list[str] | None = None,
+    allow_unkeyed: bool = False,
 ) -> DataFrame:
     """Forward-fill NULLs in ``cols`` ordered by time (per key group).
 
@@ -275,7 +295,7 @@ def ffill(
     1047-1052 upsampling idiom).
     """
     w = (
-        Window.partitionBy(*(keys or [F.lit(1)]))
+        _ordered_window(keys, allow_unkeyed, "ffill")
         .orderBy(time_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -291,6 +311,7 @@ def upsample_ffill(
     target_freq: str,
     value_cols: list[str],
     keys: list[str] | None = None,
+    allow_unkeyed: bool = False,
 ) -> DataFrame:
     """Upsample a coarser series onto a finer regular grid by
     forward-fill — e.g. hourly reanalysis → 10-min SCADA grid
@@ -298,7 +319,7 @@ def upsample_ffill(
     equivalent to an as-of (backward) join against the grid.
     """
     filled = gap_fill(low_freq_df, time_col, target_freq, keys)
-    return ffill(filled, value_cols, time_col, keys)
+    return ffill(filled, value_cols, time_col, keys, allow_unkeyed=allow_unkeyed)
 
 
 def asof_join(
@@ -308,6 +329,7 @@ def asof_join(
     value_cols: list[str],
     keys: list[str] | None = None,
     right_time_col: str | None = None,
+    allow_unkeyed: bool = False,
 ) -> DataFrame:
     """As-of (backward) join: for each left row, latest right values at
     or before its timestamp, matched per key group.
@@ -331,7 +353,7 @@ def asof_join(
             l = l.withColumn(c, F.lit(None).cast(r.schema[c].dataType))
     unioned = l.unionByName(r, allowMissingColumns=True)
     w = (
-        Window.partitionBy(*(keys or [F.lit(1)]))
+        _ordered_window(keys, allow_unkeyed, "asof_join")
         .orderBy(F.col(time_col).asc(), F.col("_src").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
