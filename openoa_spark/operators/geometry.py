@@ -16,20 +16,88 @@ import math
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def utm_from_latlon(df: DataFrame, lat_col: str = "latitude", lon_col: str = "longitude") -> DataFrame:
+# WGS-84 / transverse-Mercator constants (public: IEC/NGA specs and
+# the standard Krüger-series formulation, e.g. Karney 2011).
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_UTM_K0 = 0.9996
+_UTM_FALSE_E = 500_000.0
+_UTM_FALSE_N_SOUTH = 10_000_000.0
+
+
+def utm_zone(longitude_deg: float) -> int:
+    """UTM zone number for a longitude — reference semantics
+    (plant.py:1085-1090: zone from the plant's mean longitude)."""
+    return int((longitude_deg + 180.0) // 6.0) + 1
+
+
+def utm_from_latlon(
+    df: DataFrame,
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+    method: str = "utm",
+) -> DataFrame:
     """Append planar (x_m, y_m) columns from WGS-84 lat/lon.
 
-    Equirectangular projection about the centroid — exact enough for
-    intra-plant distances (< 50 km); the reference uses pyproj UTM
-    (plant.py:1064-1117), unavailable here. Pure expressions after one
-    centroid aggregate.
+    ``method="utm"`` (default): true UTM forward projection via the
+    4th-order Krüger series — the same map projection the reference
+    gets from pyproj (plant.py:1064-1117), accurate to < 1 mm inside a
+    zone. The zone is chosen from the MEAN longitude (one tiny agg on
+    the dimension table, matching plant.py:1085 where one zone covers
+    the whole plant), then easting/northing are pure JVM Column
+    expressions (sinh/cosh/atanh — no UDF).
+
+    ``method="equirect"``: round-1 fallback, equirectangular about the
+    centroid (adequate intra-plant, kept for comparison/tests).
     """
     cen = df.agg(F.avg(lat_col).alias("la"), F.avg(lon_col).alias("lo")).first()
-    lat0 = math.radians(cen["la"])
-    r = 6371000.0
+    if method == "equirect":
+        lat0 = math.radians(cen["la"])
+        r = 6371000.0
+        return df.withColumn(
+            "x_m",
+            (F.radians(F.col(lon_col)) - math.radians(cen["lo"]))
+            * F.lit(r * math.cos(lat0)),
+        ).withColumn(
+            "y_m", (F.radians(F.col(lat_col)) - math.radians(cen["la"])) * F.lit(r)
+        )
+    if method != "utm":
+        raise ValueError(f"unknown projection method {method!r}")
+
+    zone = utm_zone(cen["lo"])
+    lon0 = math.radians(zone * 6.0 - 183.0)
+    false_n = 0.0 if cen["la"] >= 0 else _UTM_FALSE_N_SOUTH
+
+    # Krüger series, driver-side scalar precomputation
+    n = _WGS84_F / (2.0 - _WGS84_F)
+    big_a = _WGS84_A / (1.0 + n) * (1.0 + n**2 / 4.0 + n**4 / 64.0)
+    a1 = n / 2.0 - 2.0 * n**2 / 3.0 + 5.0 * n**3 / 16.0
+    a2 = 13.0 * n**2 / 48.0 - 3.0 * n**3 / 5.0
+    a3 = 61.0 * n**3 / 240.0
+    two_sqrt_n = 2.0 * math.sqrt(n) / (1.0 + n)
+
+    phi = F.radians(F.col(lat_col))
+    dlam = F.radians(F.col(lon_col)) - F.lit(lon0)
+    sin_phi = F.sin(phi)
+    t = F.sinh(
+        F.atanh(sin_phi) - F.lit(two_sqrt_n) * F.atanh(F.lit(two_sqrt_n) * sin_phi)
+    )
+    xi = F.atan2(t, F.cos(dlam))
+    eta = F.atanh(F.sin(dlam) / F.sqrt(F.lit(1.0) + t * t))
+
+    series_e = eta
+    series_n = xi
+    for j, aj in ((1, a1), (2, a2), (3, a3)):
+        series_e = series_e + F.lit(aj) * F.cos(F.lit(2.0 * j) * xi) * F.sinh(
+            F.lit(2.0 * j) * eta
+        )
+        series_n = series_n + F.lit(aj) * F.sin(F.lit(2.0 * j) * xi) * F.cosh(
+            F.lit(2.0 * j) * eta
+        )
+    k0a = _UTM_K0 * big_a
     return df.withColumn(
-        "x_m", (F.radians(F.col(lon_col)) - math.radians(cen["lo"])) * F.lit(r * math.cos(lat0))
-    ).withColumn("y_m", (F.radians(F.col(lat_col)) - math.radians(cen["la"])) * F.lit(r))
+        "x_m", F.lit(_UTM_FALSE_E) + F.lit(k0a) * series_e
+    ).withColumn("y_m", F.lit(false_n) + F.lit(k0a) * series_n)
 
 
 def asset_distance_pairs(

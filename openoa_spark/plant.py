@@ -105,6 +105,9 @@ class PlantData:
 
         self._distance_pairs: DataFrame | None = None
         self._direction_pairs: DataFrame | None = None
+        # EIA attachment slot (reference plant.py: `eia` dict populated
+        # by utils/metadata_fetch.attach_eia_data)
+        self.eia: dict = {}
 
         if validate and self.analysis_type:
             self.validate()

@@ -1,0 +1,72 @@
+"""Pin the PolyGAM spline analog (functions/regression.py) against
+closed-form smooth ground truths.
+
+pygam itself is absent from this environment; the deviation envelope
+asserted here is the one we document for the substitute: on a smooth
+1-D / 2-D function sampled with modest noise, a natural-cubic-spline
+basis with quantile knots recovers the underlying function to within
+a small multiple of the noise floor (pygam's LinearGAM behaves the
+same on these fixtures — both are penalized regressions on a cubic
+spline basis; reference usage: power_curve/functions.py:126-200).
+"""
+
+import numpy as np
+
+from openoa_spark.functions.regression import PolyGAM
+
+
+def test_gam_recovers_smooth_1d_function():
+    # Logistic-ish power-curve shape: the exact use case from the
+    # reference (gam(ws) -> power, power_curve/functions.py:126-150).
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0.0, 25.0, 4000)
+    truth = lambda v: 3000.0 / (1.0 + np.exp(-(v - 10.0) / 2.0))  # noqa: E731
+    y = truth(x) + rng.normal(0.0, 30.0, len(x))
+
+    m = PolyGAM(n_splines=15).fit(x[:, None], y)
+    grid = np.linspace(1.0, 24.0, 200)
+    pred = m.predict(grid[:, None])
+
+    rmse = float(np.sqrt(np.mean((pred - truth(grid)) ** 2)))
+    # noise sigma is 30; interior recovery must land well inside it
+    assert rmse < 15.0, rmse
+    # no wild oscillation at the edges of the data domain
+    assert float(np.max(np.abs(pred - truth(grid)))) < 60.0
+
+
+def test_gam_additive_2d_fit():
+    # Additive structure f(ws) + g(rho): the TIE model shape
+    # (gam_3param, power_curve/functions.py:153-200).
+    rng = np.random.default_rng(11)
+    ws = rng.uniform(3.0, 20.0, 5000)
+    rho = rng.uniform(1.0, 1.3, 5000)
+    truth = 100.0 * np.sqrt(ws) + 400.0 * (rho - 1.15) ** 2
+    y = truth + rng.normal(0.0, 5.0, len(ws))
+
+    m = PolyGAM(n_splines=12).fit(np.column_stack([ws, rho]), y)
+    pred = m.predict(np.column_stack([ws, rho]))
+    rmse = float(np.sqrt(np.mean((pred - truth) ** 2)))
+    assert rmse < 5.0, rmse
+
+    # r2 against the noisy target must be close to the noise-limited
+    # ceiling (var(noise)=25)
+    ss_res = float(np.sum((y - pred) ** 2))
+    ss_tot = float(np.sum((y - np.mean(y)) ** 2))
+    assert 1.0 - ss_res / ss_tot > 0.97
+
+
+def test_gam_extrapolation_is_linear_not_cubic():
+    # Natural cubic splines are linear beyond the boundary knots —
+    # the property that makes them safe for power-curve tails.
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0.0, 10.0, 2000)
+    y = np.sin(x) + rng.normal(0.0, 0.05, len(x))
+    m = PolyGAM(n_splines=10).fit(x[:, None], y)
+
+    far = np.array([15.0, 20.0, 25.0])
+    pred = m.predict(far[:, None])
+    # linear extrapolation: second difference of equally spaced points
+    # is ~0 (a cubic tail would blow up by x=25)
+    second_diff = pred[2] - 2 * pred[1] + pred[0]
+    assert abs(second_diff) < 1e-6 * max(1.0, abs(pred[2]))
+    assert np.all(np.abs(pred) < 50.0)

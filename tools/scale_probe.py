@@ -1,0 +1,133 @@
+"""Scale-probe: local evidence that the heaviest event queries scale
+~linearly in input size.
+
+Inflates the events table N× by TIME-SHIFTING each copy past the end
+of the previous one (key cardinality constant, rows-per-key × N — the
+growth pattern of a long-running plant / log stream). Every probed
+query is expected to scale linearly under this transform:
+
+- asof_hourly_value / upsample paths: per-key ordered windows, rows×N
+- user_daily_correlation_pairs: days×N -> day-grain self-join rows×N
+- event_sessions / cumulative windows: per-key window rows×N
+- resample_hour_mean_by_type: bucket count ×N, hash agg
+
+The inflated copy lives under ./spark-warehouse/scale_probe_sf/ with
+symlinks for the untouched tables (testdata itself is read-only).
+
+Usage: python tools/scale_probe.py [base_sf_dir] [factor]
+Prints one JSON line per query {name, base_s, scaled_s, factor,
+time_ratio, linear_ok} and exits nonzero if any query grows more than
+LINEAR_SLACK × factor after subtracting the fixed per-job floor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from openoa_spark import registry  # noqa: E402
+from openoa_spark.session import get_session  # noqa: E402
+
+PROBE_QUERIES = [
+    "asof_hourly_value",
+    "user_daily_correlation_pairs",
+    "event_sessions",
+    "cumulative_sum_per_user",
+    "resample_hour_mean_by_type",
+]
+# fixed per-query Spark job floor on local mode (scheduling + codegen
+# reuse), subtracted before the linearity check
+JOB_FLOOR_S = 0.4
+LINEAR_SLACK = 1.8
+
+TABLES = (
+    "region nation customer supplier part orders lineitem documents embeddings"
+).split()
+
+
+def build_probe_dir(spark, base_dir: str, factor: int, probe_dir: str) -> None:
+    if os.path.exists(probe_dir):
+        shutil.rmtree(probe_dir)
+    os.makedirs(probe_dir)
+    for t in TABLES:
+        src = os.path.join(base_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(probe_dir, f"{t}.parquet"))
+    ev = registry._t(spark, base_dir, "events")
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    span_us = int(
+        (bounds["hi"] - bounds["lo"]).total_seconds() * 1_000_000
+    ) + 3_600_000_000  # +1h so copies don't touch
+    shifted = None
+    for i in range(factor):
+        c = ev.withColumn(
+            "ts", F.timestamp_micros(F.unix_micros("ts") + F.lit(i * span_us))
+        ).withColumn(
+            # keep event_id unique across copies (dedup/window tiebreaks)
+            "event_id", F.col("event_id") + F.lit(i * 1_000_000_000)
+        )
+        shifted = c if shifted is None else shifted.unionByName(c)
+    # registry._t expects the driver's events layout: ts as raw int64
+    # NANOseconds (it applies `ts DIV 1000` + timestamp_micros itself)
+    shifted = shifted.withColumn(
+        "ts", (F.unix_micros("ts") * F.lit(1000)).cast("long")
+    )
+    shifted.write.mode("overwrite").parquet(
+        os.path.join(probe_dir, "events.parquet")
+    )
+
+
+def timed(fn, spark, d) -> float:
+    t0 = time.perf_counter()
+    fn(spark, d).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main():
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    probe = os.path.abspath("spark-warehouse/scale_probe_sf")
+    spark = get_session("scale-probe")
+    build_probe_dir(spark, base, factor, probe)
+
+    qs = registry.queries()
+    failures = []
+    for name in PROBE_QUERIES:
+        fn = qs[name]
+        # warm both sizes once (codegen), then time
+        fn(spark, base).write.format("noop").mode("overwrite").save()
+        fn(spark, probe).write.format("noop").mode("overwrite").save()
+        base_s = timed(fn, spark, base)
+        scaled_s = timed(fn, spark, probe)
+        ratio = (scaled_s - JOB_FLOOR_S) / max(base_s - JOB_FLOOR_S, 0.05)
+        ok = ratio <= factor * LINEAR_SLACK
+        print(
+            json.dumps(
+                {
+                    "name": name,
+                    "base_s": round(base_s, 3),
+                    "scaled_s": round(scaled_s, 3),
+                    "factor": factor,
+                    "time_ratio": round(ratio, 2),
+                    "linear_ok": ok,
+                }
+            )
+        )
+        if not ok:
+            failures.append(name)
+    if failures:
+        print(f"SUPERLINEAR: {failures}", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
