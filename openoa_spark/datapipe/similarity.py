@@ -304,3 +304,50 @@ def ivf_neighbors(
         .where(F.col("_rn") <= k)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    planes: list[list[float]],
+    threshold: float,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, the dedup flavor of the
+    LSH candidate join: pairs must share a sign-LSH bucket (equi-join
+    on bucket id — shuffle ∝ bucket sizes, never all-pairs), then the
+    exact cosine is evaluated inside the bucket and thresholded.
+
+    Output: (id_a, id_b, cosine) with id_a < id_b and
+    round(cosine, 6) >= threshold. ``round_digits`` rounds the plane
+    dot products before the sign test so the oracle can replay bucket
+    assignment bit-exactly (see lsh_bucket).
+
+    At recall-critical thresholds, raise table count via multiple
+    plane sets and union (standard banding) — each table stays an
+    equi-join, so the scale shape is unchanged.
+    """
+    bucketed = df.select(
+        F.col(id_col).alias("_id"),
+        _vec(vec_col).alias("_v"),
+        lsh_bucket(vec_col, planes, round_digits=round_digits).alias("_bucket"),
+    )
+    a = bucketed.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bucket"
+    )
+    b = bucketed.select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_bucket").alias("_bucket_b"),
+    )
+    cos = F.round(
+        dot(F.col("_va"), F.col("_vb"))
+        / (norm(F.col("_va")) * norm(F.col("_vb"))),
+        6,
+    )
+    return (
+        a.join(b, (F.col("_bucket") == F.col("_bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

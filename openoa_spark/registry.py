@@ -2002,6 +2002,438 @@ def event_sessions(spark, sf_dir):
 
 
 # ================================================================
+# 12. Relational widening, round 3: the remaining TPC-H query shapes
+#     expressible on the driver's reduced star schema (no partsupp,
+#     no commit/receipt dates, no comment/phone columns — queries that
+#     need those columns are adapted to equivalent shapes and named
+#     honestly). Exercises semi-join with inequality residual,
+#     left-join zero-count distributions, scalar-subquery max/avg,
+#     correlated per-group thresholds, and anti-join + scalar filter.
+# ================================================================
+
+@register(
+    "q4_late_shipment_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS semi-join with a residual inequality);
+    the commitdate<receiptdate predicate is adapted to 'shipped >90
+    days after order date' on the reduced lineitem schema."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 90)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(YEAR FROM l_shipdate) AS l_year,
+             {SQL_DISC_PRICE} AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                    JOIN orders   ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1997-12-31 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: two-nation shipping volume by year. Dim tables
+    (supplier, customer, nation) broadcast; the only shuffle is the
+    final 3-key aggregate."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), sup.s_nationkey == F.col("_n1key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("_n2key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(dsum_dec(_disc_price()).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END)
+                AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             {SQL_DISC_PRICE} AS volume,
+             n2.n_name AS supp_nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region   ON n1.n_regionkey = r_regionkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                            AND TIMESTAMP '1997-12-31 00:00:00'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: national market share inside a region for one part
+    type. All five dims broadcast; conditional decimal sums keep the
+    share cross-engine exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") <= "1997-12-31")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_regionkey").alias("_n1reg")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _disc_price()
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("_n1key"))
+        .join(F.broadcast(region), F.col("_n1reg") == region.r_regionkey)
+        .join(F.broadcast(n2), sup.s_nationkey == F.col("_n2key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                dsum_dec(
+                    F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(
+                        F.lit(0).cast("decimal(16,4)")
+                    )
+                )
+                / dsum_dec(vol)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13: customer distribution by order count, including
+    zero-order customers (left join; the comment-pattern filter is
+    adapted to an order-priority filter on the reduced schema)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q15_top_suppliers",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_suppliers(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue.
+    The scalar max is a one-row broadcast cross join against the
+    supplier-grain aggregate; revenue equality is exact because both
+    engines compute the identical decimal sum."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum_dec(_disc_price()).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(sup), F.col("supplier_no") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    f"""
+    SELECT CAST(SUM({sql_dec('l_extendedprice')}) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < 0.2 * (
+        SELECT {sql_davg('l_quantity')}
+        FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17: revenue from small-quantity orders relative to each
+    part's average quantity. The correlated subquery becomes a
+    broadcast join against the part-grain average (exact decimal avg
+    on both engines, so the 0.2x threshold compares identically)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        davg("l_quantity").alias("_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("_pk"))
+        .where(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg((dsum_dec(dec("l_extendedprice")) / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q20_heavy_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 400
+    )
+    """,
+)
+def q20_heavy_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: semi-join chain part -> lineitem aggregate ->
+    supplier (the partsupp availability predicate is adapted to a
+    shipped-quantity threshold on the reduced schema)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    sup = _t(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 400)
+    )
+    return sup.join(
+        heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "q22_idle_customers",
+    f"""
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           {sql_dsum('c_acctbal')} AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT {sql_davg('c_acctbal')} FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: rich customers with no RECENT orders, grouped
+    by nation (the phone country code is adapted to c_nationkey, and
+    'no orders' to 'no orders since 2000' — the driver's generator
+    gives every customer at least one lifetime order). Scalar avg
+    broadcast + anti-join on the filtered order set."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("_ab")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+# ================================================================
+# 13. Datapipe widening, round 3
+# ================================================================
+
+_QUALITY_STOPWORDS = text.STOPWORDS["en"]
+_SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in _QUALITY_STOPWORDS) + "]"
+
+
+@register(
+    "quality_score_docs",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND((
+             LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+             + LEAST(5 * (CAST(len(list_filter(toks,
+                 x -> list_contains({_SQL_STOPLIST}, lower(x)))) AS DOUBLE)
+               / len(toks)), 1.0)
+             + GREATEST(0.0, 1.0 - 5 * (CAST(length(text)
+                 - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+               / length(text)))
+           ) / 3.0, 6) AS quality
+    FROM t
+    """,
+)
+def quality_score_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.quality_score("text", _QUALITY_STOPWORDS).alias("quality")
+    )
+
+
+@register(
+    "bpe_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS n_subwords
+    FROM documents
+    """,
+)
+def bpe_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.bpe_ish_token_count("text").cast("bigint").alias("n_subwords")
+    )
+
+
+def _cosine_pairs_sql(planes: list[list[float]], threshold: float) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in p)}]), 6) > 0 THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST({terms} AS BIGINT) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b2.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b2.v, b2.v))), 6) AS cosine
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE ROUND(list_dot_product(a.v, b2.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b2.v, b2.v))), 6) >= {threshold}
+    """
+
+
+@register("embedding_cosine_near_dups", _cosine_pairs_sql(_LSH_PLANES, 0.25))
+def embedding_cosine_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: candidates restricted to
+    a shared sign-LSH bucket (equi-join — never all-pairs), then exact
+    cosine >= threshold inside the bucket. The scale path for
+    embedding dedup; threshold tuned low here because the synthetic
+    embeddings are near-orthogonal."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(
+        emb, "embedding", "vec_id", _LSH_PLANES, threshold=0.25
+    )
+
+
+# ================================================================
 # Registry iteration order
 # ================================================================
 # The driver's correctness gate samples queries in dict-iteration
