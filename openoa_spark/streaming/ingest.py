@@ -22,14 +22,22 @@ def stream_resample(
     aggs: dict[str, Column],
     keys: list[str] | None = None,
     late_threshold: str = "30 minutes",
+    slide_seconds: int | None = None,
 ) -> DataFrame:
     """Windowed streaming aggregation mirroring the batch resample.
 
-    Tumbling event-time window of ``freq_seconds``; watermark bounds
-    state. Output unnests window.start as the bucket timestamp so the
-    schema matches the batch operator's.
+    Tumbling event-time window of ``freq_seconds`` (or SLIDING when
+    ``slide_seconds`` is given — each event lands in
+    freq/slide overlapping windows, the standard moving-aggregate);
+    watermark bounds state. Output unnests window.start as the bucket
+    timestamp so the schema matches the batch operator's.
     """
-    win = F.window(F.col(time_col), f"{freq_seconds} seconds")
+    if slide_seconds is not None:
+        win = F.window(
+            F.col(time_col), f"{freq_seconds} seconds", f"{slide_seconds} seconds"
+        )
+    else:
+        win = F.window(F.col(time_col), f"{freq_seconds} seconds")
     grouped = (
         stream.withWatermark(time_col, late_threshold)
         .groupBy(win, *[F.col(k) for k in (keys or [])])
@@ -68,6 +76,60 @@ def write_stream_to_memory(df: DataFrame, name: str, mode: str = "append"):
         .outputMode(mode)
         .start()
     )
+
+
+def stream_sessionize(
+    stream: DataFrame,
+    time_col: str,
+    keys: list[str],
+    gap_seconds: float = 1800.0,
+    aggs: dict[str, Column] | None = None,
+    late_threshold: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based session aggregation on a stream — the streaming twin
+    of the batch ``timeseries.sessionize`` + groupBy(session) idiom
+    (registry ``event_sessions``), expressed with Spark's native
+    ``session_window`` so session state merges incrementally and is
+    dropped once the watermark passes a session's close.
+
+    Boundary note: ``session_window`` starts a NEW session when the
+    inter-event delta >= gap, while the batch operator's cumulative
+    gap-break flag starts one when delta > gap; deltas exactly equal
+    to the gap land differently. Telemetry with jittered timestamps
+    never hits the boundary; exact-grid data should pick a gap off the
+    grid.
+
+    Output: (keys..., session_start, session_end, aggs...).
+    """
+    aggs = aggs or {"n_events": F.count("*")}
+    win = F.session_window(F.col(time_col), f"{int(gap_seconds)} seconds")
+    grouped = (
+        stream.withWatermark(time_col, late_threshold)
+        .groupBy(win, *[F.col(k) for k in keys])
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+    return grouped.select(
+        *[F.col(k) for k in keys],
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *[F.col(n) for n in aggs],
+    )
+
+
+def stream_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: broadcast hash join of each
+    micro-batch against a static dim table (asset metadata, plant
+    config). No state, no watermark — the static side is re-resolved
+    per batch, so an updated dim parquet is picked up on the next
+    trigger. The standard silver-layer pattern; stream-STREAM joins
+    need watermarks on both sides and are out of this helper's scope.
+    """
+    return stream.join(F.broadcast(dim), on=on, how=how)
 
 
 def stream_dedup(

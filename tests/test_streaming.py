@@ -150,3 +150,90 @@ def test_stream_running_total_state_across_batches(spark, tmp_path):
     assert final["T1"] == pytest.approx(exp_t1)
     # state really crossed batches: at least one asset emitted twice
     assert (pdf.groupby("asset_id").size() >= 2).any()
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    import datetime as dt
+
+    from openoa_spark.operators.timeseries import sessionize
+
+    # two users, sessions split by a >5-min gap (deltas of 1 min inside
+    # sessions, 11 min between them — off the gap boundary)
+    rows = []
+    for u in ("A", "B"):
+        base = dt.datetime(2024, 1, 1, 0, 0 if u == "A" else 3)
+        for s in range(3):
+            start = base + dt.timedelta(minutes=s * 15)
+            for i in range(s + 2):
+                rows.append((start + dt.timedelta(minutes=i), u, 1.0, len(rows)))
+    batch = spark.createDataFrame(rows, SCHEMA)
+    src = str(tmp_path / "in")
+    batch.write.parquet(src)
+
+    stream = ingest.file_stream(spark, src, SCHEMA)
+    sessions = ingest.stream_sessionize(
+        stream, "time", ["asset_id"], gap_seconds=300.0
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["asset_id"], r["session_start"]): r["n_events"]
+        for r in spark.table(name).collect()
+    }
+
+    b = sessionize(batch, "time", ["asset_id"], gap_seconds=300.0)
+    want = {
+        (r["asset_id"], r["session_start"]): r["n_events"]
+        for r in b.groupBy("asset_id", "session_id")
+        .agg(F.min("time").alias("session_start"), F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) == 6  # 3 sessions x 2 users
+
+
+def test_stream_sliding_window_counts(spark, tmp_path):
+    batch = _rows(spark, 10)  # minutes 0..9, one event per minute
+    src = str(tmp_path / "in")
+    batch.write.parquet(src)
+    stream = ingest.file_stream(spark, src, SCHEMA)
+    agg = ingest.stream_resample(
+        stream, "time", 240, {"n": F.count("*")}, slide_seconds=120
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {r["time"].minute: r["n"] for r in spark.table(name).collect()}
+    # 4-min windows sliding by 2: window starting at minute 0 holds
+    # minutes 0-3 (4 events); the partial leading window [-2, 2) holds 2
+    assert got[0] == 4 and got[2] == 4 and got[58] == 2
+    # every event lands in exactly window/slide = 2 windows
+    assert sum(got.values()) == 20
+
+
+def test_stream_enrich_broadcast_join(spark, tmp_path):
+    batch = _rows(spark, 6)
+    src = str(tmp_path / "in")
+    batch.write.parquet(src)
+    dim = spark.createDataFrame(
+        [("T0", "north"), ("T1", "south")], ["asset_id", "zone"]
+    )
+    stream = ingest.file_stream(spark, src, SCHEMA)
+    enriched = ingest.stream_enrich(stream, dim, on="asset_id")
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = enriched.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table(name).collect()
+    assert len(out) == 6
+    assert all(
+        r["zone"] == ("north" if r["asset_id"] == "T0" else "south") for r in out
+    )
