@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -71,11 +72,16 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                         "height": h,
                         "n_bytes": len(raw),
                         "content_hash": zlib.crc32(raw),
-                        # STUB feature: 8-dim byte histogram (deterministic);
-                        # real impl: CNN/CLIP embedding batched on GPU.
-                        "feature": [
-                            float(sum(1 for b in raw if b % 8 == k)) for k in range(8)
-                        ],
+                        # STUB feature: 8-dim byte histogram
+                        # (deterministic); real impl: CNN/CLIP
+                        # embedding batched on GPU. np.frombuffer +
+                        # bincount keeps even the stub vectorized —
+                        # this loop is the per-item hot path if a real
+                        # decoder is dropped in.
+                        "feature": np.bincount(
+                            np.frombuffer(raw, dtype=np.uint8) & 7,
+                            minlength=8,
+                        ).astype(float).tolist(),
                     }
                 )
             yield pd.DataFrame(
