@@ -104,7 +104,16 @@ def asset_correlation_pairs(
         )
         .select(asset_col, F.expr("transform(_s, e -> e.v)").alias("_vv"))
     )
-    a = vecs.select(F.col(asset_col).alias("asset_a"), F.col("_vv").alias("_va"))
+    # The probe side MUST stay spread across tasks: the vectors table
+    # is tiny (n_assets rows), so AQE coalesces the groupBy output to
+    # one partition — which would serialize the O(n_pairs) expansion
+    # below through a single task (observed 41 s vs 2.4 s at 1.5k
+    # assets). An explicit numPartitions repartition is exempt from
+    # AQE coalescing; each task then expands a slice of the pairs.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    a = vecs.select(
+        F.col(asset_col).alias("asset_a"), F.col("_vv").alias("_va")
+    ).repartition(n_part)
     b = vecs.select(F.col(asset_col).alias("asset_b"), F.col("_vv").alias("_vb"))
     return (
         a.join(F.broadcast(b), F.col("asset_a") < F.col("asset_b"))
