@@ -1,0 +1,152 @@
+"""Property-based tests (hypothesis) for the operator invariants that
+hand-picked fixtures can miss. The reference has no property testing
+(SURVEY §5); these pin the algebraic contracts of the pure-expression
+operators against NumPy/pandas ground truth on randomized inputs.
+
+Spark jobs are slow per-example, so each property collects ONE
+randomized batch into ONE DataFrame evaluation (max_examples kept
+small, deadline disabled)."""
+
+import datetime as dt
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from openoa_spark.functions import met
+from openoa_spark.operators import timeseries as ts
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+angles = st.floats(
+    min_value=-720.0, max_value=720.0, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(angles, min_size=1, max_size=40))
+def test_wrap180_range_and_congruence(spark, xs):
+    df = spark.createDataFrame([(float(x),) for x in xs], ["a"])
+    out = [r["w"] for r in df.select(met.wrap_180("a").alias("w")).collect()]
+    for x, w in zip(xs, out):
+        assert -180.0 < w <= 180.0
+        # congruent mod 360
+        assert math.isclose((w - x) % 360.0, 0.0, abs_tol=1e-6) or math.isclose(
+            (w - x) % 360.0, 360.0, abs_tol=1e-6
+        )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0.1, max_value=60.0, allow_nan=False),
+            st.floats(min_value=0.0, max_value=359.999, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_uv_roundtrip_recovers_speed_and_direction(spark, pairs):
+    df = spark.createDataFrame([(s, d) for s, d in pairs], ["ws", "wd"])
+    uv = df.select(
+        "ws",
+        "wd",
+        met.compute_u_v_components("ws", "wd")[0].alias("u"),
+        met.compute_u_v_components("ws", "wd")[1].alias("v"),
+    )
+    back = uv.select(
+        "ws",
+        "wd",
+        F.sqrt(F.col("u") ** 2 + F.col("v") ** 2).alias("ws2"),
+        met.compute_wind_direction("u", "v").alias("wd2"),
+    ).collect()
+    for r in back:
+        assert r["ws2"] == pytest.approx(r["ws"], rel=1e-9)
+        # direction wraps at 360
+        diff = abs(r["wd2"] - r["wd"]) % 360.0
+        assert min(diff, 360.0 - diff) < 1e-6
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(finite, min_size=3, max_size=60),
+    st.integers(min_value=0, max_value=3),
+)
+def test_resample_day_sum_partitions_total(spark, vals, day_spread):
+    # Resampling must PARTITION the data: bucket sums add up to the
+    # global sum exactly (decimal path), regardless of bucketing.
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (base + dt.timedelta(days=i % (day_spread + 1), minutes=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["t", "v"])
+    from openoa_spark.functions.stats import dsum
+
+    daily = ts.resample(df, "t", "D", {"s": dsum("v", scale=6)}, bucket_col="day")
+    got_total = sum(r["s"] for r in daily.collect())
+    want_total = float(
+        sum(__import__("decimal").Decimal(f"{v:.6f}") for v in map(float, vals))
+    )
+    assert got_total == pytest.approx(want_total, abs=1e-6)
+    assert daily.count() <= day_spread + 1
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2000), min_size=2, max_size=50
+    ).map(sorted),
+    st.integers(min_value=1, max_value=600),
+)
+def test_sessionize_gap_invariants(spark, offsets_s, gap_s):
+    # Within a session, consecutive deltas <= gap; across a session
+    # boundary, the delta > gap. Session ids are 1-based and dense.
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(seconds=o), "u") for o in offsets_s]
+    df = spark.createDataFrame(rows, ["t", "k"])
+    out = (
+        ts.sessionize(df, "t", ["k"], gap_seconds=float(gap_s))
+        .orderBy("t")
+        .collect()
+    )
+    sids = [r["session_id"] for r in out]
+    times = [r["t"] for r in out]
+    assert sids[0] == 1
+    for i in range(1, len(out)):
+        delta = (times[i] - times[i - 1]).total_seconds()
+        if sids[i] == sids[i - 1]:
+            assert delta <= gap_s
+        else:
+            assert sids[i] == sids[i - 1] + 1
+            assert delta > gap_s
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(finite, min_size=1, max_size=50), st.data())
+def test_gap_fill_preserves_and_completes(spark, vals, data):
+    # gap_fill adds NULL rows exactly on missing buckets and never
+    # alters existing rows.
+    base = dt.datetime(2024, 5, 1)
+    n = len(vals)
+    keep = data.draw(
+        st.lists(st.integers(0, n * 2 - 1), min_size=1, max_size=n, unique=True)
+    )
+    rows = [
+        (base + dt.timedelta(hours=k), float(vals[i % n])) for i, k in enumerate(keep)
+    ]
+    df = spark.createDataFrame(rows, ["t", "v"])
+    filled = ts.gap_fill(df, "t", "h").orderBy("t").collect()
+    span_h = max(keep) - min(keep)
+    assert len(filled) == span_h + 1
+    by_time = {r["t"]: r["v"] for r in filled}
+    for (t, v) in rows:
+        assert by_time[t] == pytest.approx(v)
+    n_null = sum(1 for r in filled if r["v"] is None)
+    assert n_null == span_h + 1 - len(rows)
