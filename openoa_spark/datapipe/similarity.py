@@ -126,6 +126,46 @@ def lsh_bucket(
     return acc
 
 
+def _bucketed_cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    planes: list[list[float]],
+    round_digits: int | None = None,
+    ordered: bool = True,
+) -> DataFrame:
+    """Shared candidate-pair scaffolding for every sign-LSH consumer:
+    bucketize, self-equi-join on bucket id (shuffle ∝ bucket sizes,
+    never all-pairs), exact cosine inside the bucket.
+
+    ``ordered=True`` keeps both (a,b) and (b,a) — per-id top-k needs
+    every id on the left; ``ordered=False`` keeps each unordered pair
+    once via id_a < id_b — the dedup shape. Output: (id_a, id_b,
+    cosine) with cosine UNrounded; callers round for their contract.
+    """
+    bucketed = df.select(
+        F.col(id_col).alias("_id"),
+        _vec(vec_col).alias("_v"),
+        lsh_bucket(vec_col, planes, round_digits=round_digits).alias("_bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cond = (
+        F.col("a._id") != F.col("b._id")
+        if ordered
+        else F.col("a._id") < F.col("b._id")
+    )
+    return (
+        a.join(b, F.col("a._bucket") == F.col("b._bucket"))
+        .where(cond)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            (dot(F.col("a._v"), F.col("b._v"))
+             / (norm(F.col("a._v")) * norm(F.col("b._v")))).alias("cosine"),
+        )
+    )
+
+
 def lsh_bucketed_neighbors(
     df: DataFrame,
     vec_col: str,
@@ -143,22 +183,7 @@ def lsh_bucketed_neighbors(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
-    bucketed = df.select(
-        F.col(id_col).alias("_id"),
-        _vec(vec_col).alias("_v"),
-        lsh_bucket(vec_col, planes).alias("_bucket"),
-    )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    pairs = (
-        a.join(b, F.col("a._bucket") == F.col("b._bucket"))
-        .where(F.col("a._id") != F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            (dot(F.col("a._v"), F.col("b._v"))
-             / (norm(F.col("a._v")) * norm(F.col("b._v")))).alias("cosine"),
-        )
-    )
+    pairs = _bucketed_cosine_pairs(df, vec_col, id_col, planes, ordered=True)
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
         pairs.withColumn("_rn", F.row_number().over(w))
@@ -328,26 +353,10 @@ def cosine_near_dup_pairs(
     plane sets and union (standard banding) — each table stays an
     equi-join, so the scale shape is unchanged.
     """
-    bucketed = df.select(
-        F.col(id_col).alias("_id"),
-        _vec(vec_col).alias("_v"),
-        lsh_bucket(vec_col, planes, round_digits=round_digits).alias("_bucket"),
-    )
-    a = bucketed.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bucket"
-    )
-    b = bucketed.select(
-        F.col("_id").alias("id_b"),
-        F.col("_v").alias("_vb"),
-        F.col("_bucket").alias("_bucket_b"),
-    )
-    cos = F.round(
-        dot(F.col("_va"), F.col("_vb"))
-        / (norm(F.col("_va")) * norm(F.col("_vb"))),
-        6,
+    pairs = _bucketed_cosine_pairs(
+        df, vec_col, id_col, planes, round_digits=round_digits, ordered=False
     )
     return (
-        a.join(b, (F.col("_bucket") == F.col("_bucket_b")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b", cos.alias("cosine"))
+        pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

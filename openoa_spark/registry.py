@@ -2034,10 +2034,12 @@ def q4_late_shipment_priority(spark, sf_dir):
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
     )
     li = _t(spark, sf_dir, "lineitem")
+    # timestamp + INTERVAL (not date_add, which truncates to DATE and
+    # would drift from the oracle if orderdates ever carry a time part)
     late = orders.join(
         li,
         (orders.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > F.date_add(orders.o_orderdate, 90)),
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))

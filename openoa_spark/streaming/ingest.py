@@ -101,8 +101,14 @@ def stream_sessionize(
 
     Output: (keys..., session_start, session_end, aggs...).
     """
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
     aggs = aggs or {"n_events": F.count("*")}
-    win = F.session_window(F.col(time_col), f"{int(gap_seconds)} seconds")
+    # millisecond resolution so fractional gaps aren't silently
+    # truncated away from the batch twin's float semantics
+    win = F.session_window(
+        F.col(time_col), f"{int(round(gap_seconds * 1000))} milliseconds"
+    )
     grouped = (
         stream.withWatermark(time_col, late_threshold)
         .groupBy(win, *[F.col(k) for k in keys])

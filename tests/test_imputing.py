@@ -54,3 +54,64 @@ def test_degree_validation(series):
     tgt, ref = series
     with pytest.raises(ValueError, match="degree"):
         imputing.impute_data(tgt, ref, "k", "y", "x", degree=0)
+
+
+def test_correlation_pairs_numerically_stable_large_mean(spark):
+    # mean >> std (daily energy sums ~1e6 with ~1e1 jitter): the
+    # shifted-sum formulation must agree with numpy's stable corrcoef
+    # to ~1e-9; the unshifted textbook sums lose ~10 digits here.
+    import collections
+    import itertools
+
+    import numpy as np
+
+    from openoa_spark.operators import imputing
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for a in range(5):
+        base = 1.0e6 + a * 3.0
+        for t in range(40):
+            rows.append(
+                (t, f"A{a}", float(base + 10 * np.sin(t / 3 + a) + rng.normal(0, 2)))
+            )
+    df = spark.createDataFrame(rows, ["t", "k", "v"])
+    got = {
+        (r["asset_a"], r["asset_b"]): r["corr"]
+        for r in imputing.asset_correlation_pairs(df, "t", "k", "v").collect()
+    }
+    series = collections.defaultdict(dict)
+    for t, k, v in rows:
+        series[k][t] = v
+    for a, b in itertools.combinations(sorted(series), 2):
+        xs = [series[a][t] for t in range(40)]
+        ys = [series[b][t] for t in range(40)]
+        want = float(np.corrcoef(xs, ys)[0, 1])
+        assert got[(a, b)] == pytest.approx(want, abs=1e-9), (a, b)
+
+
+def test_correlation_pairs_join_strategy_matches_vector(spark):
+    import numpy as np
+
+    from openoa_spark.operators import imputing
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (t, f"A{a}", float(rng.normal(100, 15)))
+        for a in range(4)
+        for t in range(25)
+    ]
+    df = spark.createDataFrame(rows, ["t", "k", "v"])
+    vec = {
+        (r["asset_a"], r["asset_b"]): round(r["corr"], 9)
+        for r in imputing.asset_correlation_pairs(
+            df, "t", "k", "v", strategy="vector"
+        ).collect()
+    }
+    join = {
+        (r["asset_a"], r["asset_b"]): round(r["corr"], 9)
+        for r in imputing.asset_correlation_pairs(
+            df, "t", "k", "v", strategy="join"
+        ).collect()
+    }
+    assert vec == join
