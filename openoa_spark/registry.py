@@ -2446,18 +2446,25 @@ def embedding_cosine_near_dups(spark, sf_dir):
 # single-expression scalar queries that went driver-green in BOTH
 # rounds 1 and 2 and are pinned by pytest; rotating them out lets the
 # whole registry accumulate hard verification across rounds.
+# Window composition, round 3: everything never driver-checked (the
+# 24 round-2 additions + the 11 round-3 additions) plus the 15 most
+# structural round-1 queries — flagships and queries whose
+# implementation changed this round. Displaced round-1 queries all
+# carry TWO rounds of green driver rows (r01+r02) and stay covered by
+# tools/check_correctness.py + pytest.
 _PRIORITY = [
     # relational core
-    "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_revenue",
-    "q6_forecast_revenue", "q10_returned_revenue", "q12_priority_counts",
-    "q14_promo_revenue_pct", "q16_supplier_variety",
-    "q18_large_volume_customers", "q19_bracketed_revenue",
-    "top2_orders_per_customer", "rollup_lineitem_counts",
-    "order_priority_stats", "orders_without_lineitems",
+    "q1_pricing_summary", "q5_nation_revenue",
+    "q4_late_shipment_priority", "q7_volume_shipping",
+    "q8_market_share", "q10_returned_revenue", "q12_priority_counts",
+    "q13_order_count_distribution", "q14_promo_revenue_pct",
+    "q15_top_suppliers", "q16_supplier_variety",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_bracketed_revenue", "q20_heavy_suppliers",
+    "q22_idle_customers", "orders_without_lineitems",
     "pivot_daily_by_type",
     # time series
-    "resample_day_sum", "resample_hour_mean_by_type",
-    "calendar_hour_profile", "infer_frequency", "find_hour_gaps",
+    "resample_hour_mean_by_type", "infer_frequency",
     "duplicate_minutes", "asof_hourly_value", "gap_fill_daily",
     "upsample_ffill_hourly", "event_sessions",
     # flags / filters / qa
@@ -2470,14 +2477,14 @@ _PRIORITY = [
     "iec_power_curve", "logistic5_power_values",
     "uv_components", "veer_values", "feet_to_meter_part",
     # geometry
-    "nearest_neighbor", "freestream_membership",
-    "freestream_iec_membership",
+    "freestream_membership", "freestream_iec_membership",
     # analysis proxy
     "electrical_losses_proxy",
     # datapipe
     "exact_dedup_docs", "near_dedup_docs", "minhash_near_dups",
-    "ngram_jaccard_pairs", "lsh_bucket_counts", "cosine_topk",
-    "token_counts", "language_id",
+    "ngram_jaccard_pairs", "lsh_bucket_counts", "language_id",
+    "quality_score_docs", "bpe_token_counts",
+    "embedding_cosine_near_dups",
 ]
 
 def _reorder() -> None:
