@@ -366,6 +366,65 @@ class PlantData:
 
             Path(f"{save_path}/{metadata}.json").write_text(json.dumps(meta_dict))
 
+    @classmethod
+    def from_csv(
+        cls,
+        spark: SparkSession,
+        load_path: str,
+        metadata: str = "metadata",
+        analysis_type: list[str] | str | None = None,
+        validate: bool = True,
+    ) -> "PlantData":
+        """Re-load a :meth:`to_csv` export (the inverse round-trip;
+        reference contract plant.py:746-843, and the engine-native
+        analog of ``from_entr``'s warehouse loading — a directory of
+        tables + a metadata file in, a validated PlantData out).
+
+        Tables are discovered by directory name under ``load_path``.
+        CSV carries no types, so everything reads as string; the
+        constructor's column-map pass renames user columns to
+        canonical ones AND casts them to the canonical dtypes from
+        the schema registry (_apply_col_map), which restores the
+        typed schema.
+        """
+        from pathlib import Path
+
+        root = Path(load_path)
+        meta_file = next(
+            (root / f"{metadata}{ext}" for ext in (".yml", ".yaml", ".json")
+             if (root / f"{metadata}{ext}").is_file()),
+            None,
+        )
+        if meta_file is None:
+            raise FileNotFoundError(f"no {metadata}.yml/.json under {load_path}")
+        meta = PlantMetaData.load(str(meta_file))
+
+        def read(name: str):
+            d = root / name
+            if not d.is_dir():
+                return None
+            return spark.read.option("header", True).csv(str(d))
+
+        reanalysis = {}
+        for d in root.iterdir():
+            if d.is_dir() and d.name.startswith("reanalysis_"):
+                reanalysis[d.name.removeprefix("reanalysis_")] = (
+                    spark.read.option("header", True).csv(str(d))
+                )
+        return cls(
+            spark,
+            meta,
+            analysis_type=analysis_type,
+            scada=read("scada"),
+            meter=read("meter"),
+            tower=read("tower"),
+            status=read("status"),
+            curtail=read("curtail"),
+            asset=read("asset"),
+            reanalysis=reanalysis or None,
+            validate=validate,
+        )
+
     def reanalysis_union(self) -> DataFrame | None:
         """All reanalysis products as ONE DataFrame with a `product`
         column — the Spark-preferred layout for partition pruning at

@@ -3,6 +3,7 @@ columns, analysis-filtered validation, geometry accessors."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from openoa_spark.plant import PlantData
 from openoa_spark.schema import (
@@ -163,3 +164,31 @@ def test_to_csv_rename_back(spark, tables, tmp_path):
         meter=df,
     )
     assert "MMTR_SupWh" in p2.meter.columns
+
+
+def test_from_csv_full_round_trip(plant, spark, tmp_path):
+    plant.to_csv(str(tmp_path))
+    back = PlantData.from_csv(spark, str(tmp_path))
+    assert back.metadata.capacity == plant.metadata.capacity
+    assert set(back.reanalysis) == set(plant.reanalysis)
+    # typed schema restored from untyped CSV
+    assert dict(back.meter.dtypes)["MMTR_SupWh"] == "double"
+    assert dict(back.meter.dtypes)["time"] == "timestamp"
+    # values survive the round trip exactly (sum over a double col)
+    orig = plant.meter.agg(F.sum("MMTR_SupWh")).first()[0]
+    got = back.meter.agg(F.sum("MMTR_SupWh")).first()[0]
+    assert got == pytest.approx(orig, rel=1e-12)
+    assert back.turbine_ids == plant.turbine_ids
+
+
+def test_from_csv_user_names_round_trip(plant, spark, tmp_path):
+    # export with the user's original column names: the metadata file
+    # records the mapping, so from_csv must still restore canonical
+    plant.to_csv(str(tmp_path), with_openoa_col_names=False)
+    back = PlantData.from_csv(spark, str(tmp_path))
+    assert "MMTR_SupWh" in back.meter.columns
+
+
+def test_from_csv_missing_metadata_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="metadata"):
+        PlantData.from_csv(spark, str(tmp_path))
