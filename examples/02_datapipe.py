@@ -1,0 +1,70 @@
+"""Training-data pipeline walkthrough on the driver's synthetic
+corpus: dedup (exact, MinHash, connected-component clustering), text
+quality / language ID, and embedding similarity search — the
+operators a 100-TB curation job composes, here at sf0.001 so the run
+finishes in ~2 min.
+
+Run: python examples/02_datapipe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from openoa_spark.session import get_session  # noqa: E402
+from openoa_spark import registry  # noqa: E402
+from openoa_spark.datapipe import dedup, sketches, similarity, text  # noqa: E402
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_session("example-datapipe")
+    docs = registry._t(spark, sf_dir, "documents")
+    emb = registry._t(spark, sf_dir, "embeddings")
+
+    print("== corpus ==")
+    print("documents:", docs.count(), " embeddings:", emb.count())
+
+    print("== exact dedup (normalized-text hash) ==")
+    kept = dedup.exact_dedup(docs, "text", "doc_id")
+    print("kept:", kept.count(), "of", docs.count())
+
+    print("== near-dup clusters (MinHash LSH -> connected components) ==")
+    clustered = dedup.near_dedup(docs, "text", "doc_id")
+    print("after near-dedup:", clustered.count())
+
+    print("== text analysis (one projection, one pass) ==")
+    profile = docs.select(
+        "doc_id",
+        text.token_count("text").alias("tokens"),
+        text.language_id("text").alias("lang"),
+        text.quality_score("text").alias("quality"),
+    )
+    profile.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.round(F.avg("quality"), 3).alias("avg_quality"),
+        F.sum("tokens").alias("tokens"),
+    ).orderBy(F.desc("docs")).show()
+
+    print("== similarity search ==")
+    q = [round(__import__("math").sin(i + 1.0), 6) for i in range(64)]
+    print("brute-force top-5 to a query vector:")
+    similarity.brute_force_top_k(emb, "embedding", "vec_id", q, k=5).show()
+    print("LSH-bucketed per-vector top-3 (scale path):")
+    similarity.lsh_bucketed_neighbors(emb, "embedding", "vec_id", k=3).show(6)
+
+    print("== mergeable sketches (rollup pattern) ==")
+    rollup = sketches.hll_rollup(
+        emb.withColumn("bucket", F.col("vec_id") % 4), "vec_id", ["bucket"]
+    )
+    sketches.hll_merge(rollup).select("distinct_estimate", "n_rows").show()
+
+
+if __name__ == "__main__":
+    main()
