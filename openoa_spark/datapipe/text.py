@@ -8,7 +8,7 @@ projection over the corpus (a single pass at 100 TB).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _c(col: Column | str) -> Column:
@@ -101,8 +101,114 @@ def quality_score(col: Column | str, stopwords: list[str] | None = None) -> Colu
     return F.round((len_score + F.least(sw_score * 5, F.lit(1.0)) + punct_pen) / 3.0, 6)
 
 
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """Array of space-joined word n-grams (empty array when the text
+    has fewer than n tokens). Pure array expression — no explode, no
+    shuffle; downstream ops choose whether to flatten."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_ratio(col: Column | str, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram
+    in the same document: 1 - distinct/total (0 when fewer than one
+    n-gram). The Gopher-style within-document repetition signal used
+    to drop boilerplate/spam before LLM training."""
+    g = word_ngrams(col, n)
+    return F.when(
+        F.size(g) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g),
+    ).otherwise(F.lit(0.0))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the alphanumeric-only
     lowercase text (robust to whitespace/punctuation edits)."""
     c = _c(col)
     return F.md5(F.regexp_replace(F.lower(c), r"[^a-z0-9]", ""))
+
+
+# -------------------------------------------------- corpus-level ops
+# (DataFrame -> DataFrame: these need cross-document statistics, so
+# unlike the Column ops above they shuffle — each is one explode +
+# one/two hash aggregations on the token/n-gram key, the minimal
+# shuffle shape for corpus statistics at 100 TB.)
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF.
+
+    tf = in-document occurrences, df = number of documents containing
+    the term, idf = ln(N / df). Plan: one explode over tokens →
+    per-(doc, term) count (partial-agg combines before the shuffle) →
+    term document-frequency as a second agg over the SAME shuffled key
+    grain → join back on term. No collect; the vocabulary never has to
+    fit anywhere. Scores are rounded to 6 decimals before ranking with
+    a lexicographic term tiebreak, so the top-k set is deterministic
+    and engine-independent.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("_n").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(id_col, "term", "tfidf", F.col("_rn").alias("rank"))
+    )
+
+
+def common_ngram_fraction(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style cross-document boilerplate signal: the fraction of a
+    document's word n-gram occurrences whose n-gram also appears in at
+    least ``min_docs`` documents corpus-wide.
+
+    Plan: explode n-grams once → per-(doc, gram) occurrence count
+    (map-side combine shrinks the shuffle to distinct grams per doc) →
+    gram document-frequency is a count over the same table → join back
+    on gram → per-doc ratio. Join and both aggs share the gram key, so
+    AQE can pipeline them; nothing is ever collected.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    per_doc = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("occ"))
+    gram_df = per_doc.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_docs"))
+    joined = per_doc.join(gram_df, "gram")
+    return joined.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.when(F.col("gram_docs") >= min_docs, F.col("occ")).otherwise(0))
+            .cast("double")
+            / F.sum("occ"),
+            6,
+        ).alias("common_frac")
+    )

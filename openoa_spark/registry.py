@@ -2436,6 +2436,320 @@ def embedding_cosine_near_dups(spark, sf_dir):
 
 
 # ================================================================
+# 14. Relational + datapipe widening, round 3b
+# ================================================================
+
+
+@register(
+    "q9_profit_by_nation_year",
+    f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM({SQL_DISC_PRICE}
+                    - {sql_dec('p_retailprice')} * {sql_dec('l_quantity')})
+                AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_profit_by_nation_year(spark, sf_dir):
+    """TPC-H q9 shape on the reduced schema (no partsupp: part cost
+    proxied by p_retailprice × quantity). Fact-fact join on orderkey;
+    part/supplier/nation dims broadcast; profit in exact decimal space
+    (see functions/stats.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    profit = _disc_price() - dec("p_retailprice") * dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dsum_dec(profit).alias("profit"))
+    )
+
+
+@register(
+    "q2_min_price_part_supplier",
+    f"""
+    WITH li AS (
+      SELECT l_partkey, l_suppkey,
+             {sql_dec('l_extendedprice')} AS price
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size <= 5
+    ),
+    m AS (SELECT l_partkey, MIN(price) AS min_price FROM li GROUP BY 1)
+    SELECT DISTINCT li.l_partkey AS p_partkey, li.l_suppkey AS s_suppkey,
+           s.s_acctbal AS acctbal, CAST(m.min_price AS DOUBLE) AS min_price
+    FROM li
+    JOIN m ON li.l_partkey = m.l_partkey AND li.price = m.min_price
+    JOIN supplier s ON li.l_suppkey = s.s_suppkey
+    ORDER BY acctbal DESC, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+)
+def q2_min_price_part_supplier(spark, sf_dir):
+    """TPC-H q2 shape on the reduced schema: per-part scalar MIN
+    (exact decimal) + join-back on the min to recover the achieving
+    suppliers. Group-min and join-back share the partkey shuffle key;
+    the top-100 is TakeOrderedAndProject with a unique tiebreak."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") <= 5)
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", dec("l_extendedprice").alias("price"))
+    )
+    # rename the aggregate side's key (self-derived frame: a bare
+    # equality would resolve both sides to the same attribute and be
+    # dropped as trivially true — the exact_dedup hazard from round 2)
+    m = (
+        li.groupBy("l_partkey")
+        .agg(F.min("price").alias("min_price"))
+        .select(F.col("l_partkey").alias("_mk"), "min_price")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(
+            m,
+            (F.col("l_partkey") == F.col("_mk")) & (F.col("price") == F.col("min_price")),
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("s_acctbal").alias("acctbal"),
+            F.col("min_price").cast("double").alias("min_price"),
+        )
+        .distinct()
+        .orderBy(F.desc("acctbal"), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    per_o AS (
+      SELECT l_orderkey, COUNT(*) AS nsupp, SUM(late) AS nlate
+      FROM li GROUP BY 1
+    )
+    SELECT s.s_name AS s_name, COUNT(*) AS numwait
+    FROM li
+    JOIN per_o ON li.l_orderkey = per_o.l_orderkey
+    JOIN supplier s ON li.l_suppkey = s.s_suppkey
+    WHERE li.late = 1 AND per_o.nsupp > 1 AND per_o.nlate = 1
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H q21 shape (suppliers who kept orders waiting), adapted:
+    late = shipped >45 days after order date (no commit/receipt dates
+    in the reduced schema). The EXISTS / NOT EXISTS pair becomes two
+    aggregations over the same (orderkey, suppkey) grain — one shuffle,
+    reused by both — instead of two correlated subquery scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    per_os = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("late_row"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late_row").alias("late"))
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("nsupp"), F.sum("late").alias("nlate")
+    )
+    return (
+        per_os.where(F.col("late") == 1)
+        .join(
+            per_o.where((F.col("nsupp") > 1) & (F.col("nlate") == 1)),
+            "l_orderkey",
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_SQL_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+@register(
+    "repetition_ratio_docs",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, len({_SQL_TOKS}) - 1),
+               i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i + 1]
+             ) AS grams
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(CASE WHEN len(grams) > 0
+                      THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                               / len(grams)
+                      ELSE 0.0 END, 6) AS rep_ratio
+    FROM g
+    """,
+)
+def repetition_ratio_docs(spark, sf_dir):
+    """Gopher-style within-document repetition: fraction of word
+    bigrams that repeat an earlier bigram. Single projection, no
+    shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(text.repetition_ratio("text", 2), 6).alias("rep_ratio")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df), 6) AS tfidf
+      FROM tf JOIN dfq ON tf.term = dfq.term, n
+    )
+    SELECT doc_id, term, tfidf,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term
+             ) AS rank
+      FROM scored
+    )
+    WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms: explode → two aggs sharing the
+    term key → join back → per-doc rank on round-6 scores with a
+    lexicographic tiebreak (cross-engine-deterministic top-k)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.tfidf_top_terms(docs, "text", "doc_id", k=3)
+    return out.select(
+        "doc_id", "term", "tfidf", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+@register(
+    "common_ngram_docs",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len({_SQL_TOKS}) - 2),
+               i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i + 1]
+                    || ' ' || {_SQL_TOKS}[i + 2]
+             )) AS gram
+      FROM documents
+    ),
+    pd AS (SELECT doc_id, gram, COUNT(*) AS occ FROM g GROUP BY 1, 2),
+    gd AS (SELECT gram, COUNT(*) AS gram_docs FROM pd GROUP BY 1)
+    SELECT doc_id,
+           ROUND(CAST(SUM(CASE WHEN gram_docs >= 2 THEN occ ELSE 0 END)
+                      AS DOUBLE) / SUM(occ), 6) AS common_frac
+    FROM pd JOIN gd ON pd.gram = gd.gram
+    GROUP BY doc_id
+    """,
+)
+def common_ngram_docs(spark, sf_dir):
+    """C4-style cross-document boilerplate fraction over word
+    trigrams (docs with <3 tokens drop out in both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.common_ngram_fraction(docs, "text", "doc_id", n=3, min_docs=2)
+
+
+def _lsh_knn_sql(planes: list[list[float]], k: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in p)}]), 6) > 0 THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST({terms} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             ROUND(list_dot_product(a.v, b2.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b2.v, b2.v))), 6) AS cosine
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT id_a, id_b, cosine,
+             row_number() OVER (
+               PARTITION BY id_a ORDER BY cosine DESC, id_b
+             ) AS rn
+      FROM pairs
+    )
+    WHERE rn <= {k}
+    """
+
+
+@register("lsh_knn_topk", _lsh_knn_sql(_LSH_PLANES, 3))
+def lsh_knn_topk(spark, sf_dir):
+    """Per-vector approximate top-3 neighbors: candidates restricted
+    to the shared sign-LSH bucket (equi-join — the kNN-join scale
+    path), exact cosine within bucket, rank on round-6 cosine with id
+    tiebreak."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity._bucketed_cosine_pairs(
+        emb, "embedding", "vec_id", _LSH_PLANES, round_digits=6, ordered=True
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine6"), F.asc("id_b"))
+    return (
+        pairs.withColumn("cosine6", F.round("cosine", 6))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 3)
+        .select("id_a", "id_b", F.col("cosine6").alias("cosine"))
+    )
+
+
+# ================================================================
 # Registry iteration order
 # ================================================================
 # The driver's correctness gate samples queries in dict-iteration

@@ -239,3 +239,55 @@ def test_near_dedup_end_to_end(spark):
         ).collect()
     )
     assert kept == [1, 4]  # cluster {1,2,3} → keep 1; singleton 4 kept
+
+
+# -------------------------------------------------- round-3b corpus ops
+
+
+def test_word_ngrams_and_repetition_ratio(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c d"), (3, "x")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["g"], r["rep"])
+        for r in df.select(
+            "doc_id",
+            text.word_ngrams("text", 2).alias("g"),
+            text.repetition_ratio("text", 2).alias("rep"),
+        ).collect()
+    }
+    assert out[1][0] == ["a b", "b a", "a b"]
+    assert out[1][1] == pytest.approx(1 - 2 / 3)
+    assert out[2] == (["a b", "b c", "c d"], 0.0)
+    assert out[3] == ([], 0.0)  # fewer tokens than n -> empty, ratio 0
+
+
+def test_tfidf_top_terms(spark):
+    # "rare" appears only in doc 1 -> highest tfidf there; "common"
+    # appears in every doc -> idf 0 -> never outranks anything positive.
+    df = spark.createDataFrame(
+        [(1, "common rare rare"), (2, "common solo"), (3, "common solo")],
+        ["doc_id", "text"],
+    )
+    out = text.tfidf_top_terms(df, "text", "doc_id", k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    assert top[1] == "rare"
+    assert top[2] == "solo" and top[3] == "solo"
+    assert all(r["rank"] == 1 for r in out)
+
+
+def test_common_ngram_fraction(spark):
+    # trigram "a b c" is shared by docs 1 and 2; doc 3 is unique.
+    df = spark.createDataFrame(
+        [(1, "a b c x y"), (2, "a b c z w"), (3, "p q r s t")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["common_frac"]
+        for r in text.common_ngram_fraction(
+            df, "text", "doc_id", n=3, min_docs=2
+        ).collect()
+    }
+    assert out[1] == pytest.approx(1 / 3)  # 1 shared of 3 trigrams
+    assert out[2] == pytest.approx(1 / 3)
+    assert out[3] == 0.0

@@ -50,6 +50,7 @@ ALLOWED_CARTESIAN = {
     "upsample_ffill_hourly",
     "find_hour_gaps",
     "calendar_hour_profile",
+    "tfidf_top_terms",          # one-row corpus-size (N) broadcast
 }
 
 
