@@ -138,6 +138,41 @@ def stream_enrich(
     return stream.join(F.broadcast(dim), on=on, how=how)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    max_delay: str = "1 hour",
+    watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-STREAM equi-join with an event-time interval bound:
+    right rows match left rows with the same key whose timestamp lies
+    in [left_time, left_time + max_delay].
+
+    Both sides carry a watermark and the join condition bounds the
+    time range in BOTH directions, so Spark can compute exactly how
+    long to buffer each side and evict state — without the range
+    bound, stream-stream join state grows forever. This is the
+    telemetry-vs-status-log correlation shape (SCADA event joined to
+    the status record that follows it) and the impressions-vs-clicks
+    shape in an event pipeline. Columns must be disjoint apart from
+    ``key``; the right side's time column must differ from the left's.
+    """
+    if left_time == right_time:
+        raise ValueError("left_time and right_time must be distinct column names")
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_time] >= lw[left_time])
+        & (rw[right_time] <= lw[left_time] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, how).drop(rw[key])
+
+
 def stream_dedup(
     stream: DataFrame,
     time_col: str,

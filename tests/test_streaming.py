@@ -237,3 +237,63 @@ def test_stream_enrich_broadcast_join(spark, tmp_path):
     assert all(
         r["zone"] == ("north" if r["asset_id"] == "T0" else "south") for r in out
     )
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    # left: one reading per minute; right: a status record 2 minutes
+    # after every third reading. Interval join within 5 minutes.
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    left_rows = [(t0 + dt.timedelta(minutes=i), f"T{i % 2}", float(i)) for i in range(12)]
+    right_rows = [
+        (t0 + dt.timedelta(minutes=i + 2), f"T{i % 2}", f"S{i}")
+        for i in range(0, 12, 3)
+    ]
+    lschema = StructType(
+        [
+            StructField("time", TimestampType()),
+            StructField("asset_id", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    rschema = StructType(
+        [
+            StructField("status_time", TimestampType()),
+            StructField("asset_id", StringType()),
+            StructField("status", StringType()),
+        ]
+    )
+    lbatch = spark.createDataFrame(left_rows, lschema)
+    rbatch = spark.createDataFrame(right_rows, rschema)
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    lbatch.write.parquet(lsrc)
+    rbatch.write.parquet(rsrc)
+
+    joined = ingest.stream_stream_join(
+        ingest.file_stream(spark, lsrc, lschema),
+        ingest.file_stream(spark, rsrc, rschema),
+        key="asset_id",
+        left_time="time",
+        right_time="status_time",
+        max_delay="5 minutes",
+        watermark="10 minutes",
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["time"], r["asset_id"], r["status_time"], r["status"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r["time"], r["asset_id"], r["status_time"], r["status"])
+        for r in lbatch.join(
+            rbatch,
+            (lbatch["asset_id"] == rbatch["asset_id"])
+            & (rbatch["status_time"] >= lbatch["time"])
+            & (rbatch["status_time"] <= lbatch["time"] + F.expr("INTERVAL 5 minutes")),
+        ).drop(rbatch["asset_id"]).collect()
+    }
+    assert got == want and len(got) > 0
