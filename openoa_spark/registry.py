@@ -2749,6 +2749,170 @@ def lsh_knn_topk(spark, sf_dir):
     )
 
 
+@register(
+    "cube_returnflag_status",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS grp_id,
+           COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_returnflag_status(spark, sf_dir):
+    """CUBE aggregation with grouping-set id: all 2^k grouping
+    combinations in ONE shuffle (Spark expands grouping sets map-side;
+    no union of k scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("grp_id"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "grp_id", "n", "sum_qty")
+    )
+
+
+@register(
+    "except_lapsed_customers",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+    ORDER BY custkey
+    """,
+)
+def except_lapsed_customers(spark, sf_dir):
+    """Set difference (EXCEPT DISTINCT): customers active in 1995 but
+    not 1996. Spark plans this as a left-anti hash join on the
+    distinct key — no sort, single shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y96 = o.where(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y95.subtract(y96).orderBy("custkey")
+
+
+@register(
+    "intersect_both_halves_users",
+    """
+    WITH mid AS (
+      SELECT make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts))) // 2) AS m
+      FROM events
+    )
+    SELECT user_id FROM events, mid WHERE ts < m
+    INTERSECT
+    SELECT user_id FROM events, mid WHERE ts >= m
+    ORDER BY user_id
+    """,
+)
+def intersect_both_halves_users(spark, sf_dir):
+    """Set intersection: users active in both the first and second
+    half of the observation window (left-semi join on distinct keys)."""
+    ev = _t(spark, sf_dir, "events")
+    # midpoint in integer epoch-microseconds (identical in both
+    # engines; interval halving would be engine-dependent)
+    mid = ev.agg(
+        F.timestamp_micros(
+            F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) DIV 2")
+        ).alias("m")
+    )
+    with_mid = ev.crossJoin(F.broadcast(mid))
+    first = with_mid.where(F.col("ts") < F.col("m")).select("user_id")
+    second = with_mid.where(F.col("ts") >= F.col("m")).select("user_id")
+    return first.intersect(second).orderBy("user_id")
+
+
+@register(
+    "unpivot_lineitem_measures",
+    f"""
+    SELECT metric, CAST(SUM(CAST(val AS DECIMAL(20,4))) AS DOUBLE) AS total
+    FROM (
+      SELECT 'quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'discount', l_discount FROM lineitem
+    )
+    GROUP BY metric
+    """,
+)
+def unpivot_lineitem_measures(spark, sf_dir):
+    """Unpivot (wide→long) via stack(): one scan emits 3 rows per
+    input row — Catalyst keeps it a single pass, unlike the oracle's
+    3-scan UNION ALL formulation."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.expr(
+            "stack(3, 'quantity', l_quantity, "
+            "'extendedprice', l_extendedprice, "
+            "'discount', l_discount) AS (metric, val)"
+        )
+    )
+    return long.groupBy("metric").agg(dsum("val").alias("total"))
+
+
+@register(
+    "ntile_value_quartiles",
+    """
+    SELECT event_type, quartile, COUNT(*) AS n,
+           ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
+    FROM (
+      SELECT event_type, value,
+             CAST(ntile(4) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS INT) AS quartile
+      FROM events WHERE value IS NOT NULL
+    )
+    GROUP BY 1, 2
+    """,
+)
+def ntile_value_quartiles(spark, sf_dir):
+    """ntile window: per-event-type value quartiles (deterministic via
+    event_id tiebreak), then quartile summary stats."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+@register(
+    "exact_quantiles_by_type",
+    """
+    SELECT event_type,
+           ROUND(median(value), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def exact_quantiles_by_type(spark, sf_dir):
+    """EXACT grouped quantiles (interpolated, matching DuckDB
+    quantile_cont): per-group exact percentile is the right tool at
+    bin grain; corpus-wide approximate quantiles live in
+    datapipe.sketches (GK) for the single-pass 100 TB path."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================

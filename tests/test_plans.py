@@ -51,6 +51,7 @@ ALLOWED_CARTESIAN = {
     "find_hour_gaps",
     "calendar_hour_profile",
     "tfidf_top_terms",          # one-row corpus-size (N) broadcast
+    "intersect_both_halves_users",  # one-row midpoint scalar broadcast
 }
 
 
