@@ -1,0 +1,128 @@
+"""Deterministic, cluster-stable sampling and sharding operators.
+
+Spark's ``df.sample()`` draws per-partition from a seeded RNG, so its
+output is stable only for a FIXED partitioning: a repartition, an AQE
+coalesce, or a different input split silently changes which rows are
+kept. For a 100-TB training-data pipeline you want *content-derived*
+sampling: hash a key column, keep rows whose hash falls below
+``fraction`` of the hash space. Membership is then a pure function of
+the row — reproducible across runs, engines, executors and cluster
+sizes, stable under incremental re-runs, and trivially auditable (the
+oracle can replay it bit-exactly).
+
+No OpenOA counterpart — training-data pipeline extension. Same idiom
+as Hive's ``TABLESAMPLE (BUCKET x OUT OF y ON col)`` and the
+hash-mod-bucket sampling used by web-scale corpus pipelines.
+
+Everything here is a pure Column expression over
+:func:`openoa_spark.datapipe.dedup.hash64` — JVM-side, codegen'd, no
+shuffle for the filter itself (``hash_shard`` adds one shuffle only if
+the caller repartitions by the shard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openoa_spark.datapipe.dedup import hash64, sql_hash64
+
+# md5 mode of hash64 yields a value uniform on [0, 2^60).
+M60 = 1 << 60
+
+
+def _key(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("string")
+
+
+def hash_threshold(fraction: float) -> int:
+    """Integer hash-space threshold for ``fraction`` (md5-60-bit mode).
+
+    Computed driver-side as an exact int so Spark and the DuckDB
+    oracle compare against the identical literal instead of each
+    rounding ``fraction * 2^60`` separately.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return int(fraction * M60)
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: Column | str,
+    fraction: float,
+    seed: int = 0,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Keep rows whose content hash lands in the first ``fraction`` of
+    the hash space. Deterministic: a row's membership never changes,
+    regardless of partitioning, cluster size, or engine.
+
+    ``hash_fn='md5'`` (default) is oracle-replayable; ``'xxhash64'``
+    is the cheaper production hash (signed 64-bit, mapped to the same
+    [0, 2^60) range by positive modulus).
+    """
+    h = hash64(_key(key_col), seed=seed, hash_fn=hash_fn)
+    if hash_fn == "xxhash64":
+        # fold the signed 64-bit value into [0, 2^60); pmod keeps
+        # Long.MIN_VALUE (abs-overflow) and negatives non-negative
+        h = F.pmod(h, F.lit(M60))
+    return df.where(h < F.lit(hash_threshold(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: Column | str,
+    strata_col: Column | str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 0,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``df.sampleBy`` made
+    reproducible): each stratum value gets its own keep-fraction.
+
+    The threshold is a single CASE expression — no per-stratum scan,
+    no shuffle, one codegen'd filter over the fact table.
+    """
+    s = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    thr: Column = F.lit(hash_threshold(default_fraction))
+    for value, frac in fractions.items():
+        thr = F.when(s == value, F.lit(hash_threshold(frac))).otherwise(thr)
+    h = hash64(_key(key_col), seed=seed, hash_fn=hash_fn)
+    if hash_fn == "xxhash64":
+        h = F.pmod(h, F.lit(M60))
+    return df.where(h < thr)
+
+
+def hash_shard(
+    key_col: Column | str,
+    num_shards: int,
+    seed: int = 0,
+    hash_fn: str = "md5",
+) -> Column:
+    """Deterministic shard id in [0, num_shards) for balanced output
+    sharding (e.g. writing training shards): a pure function of the
+    key, so re-runs and backfills land rows in the same shard.
+    Partition the write by this column (`.repartition(num_shards,
+    shard).write.partitionBy(shard)`) for one shuffle total.
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    h = hash64(_key(key_col), seed=seed, hash_fn=hash_fn)
+    if hash_fn == "xxhash64":
+        h = F.pmod(h, F.lit(M60))
+    return (h % F.lit(num_shards)).cast("int")
+
+
+# ------------------------------------------------------------------ SQL twins
+
+def sql_hash_sample_pred(key_expr: str, fraction: float, seed: int = 0) -> str:
+    """DuckDB predicate replaying ``hash_sample(..., hash_fn='md5')``."""
+    return f"{sql_hash64(key_expr, seed)} < {hash_threshold(fraction)}"
+
+
+def sql_hash_shard(key_expr: str, num_shards: int, seed: int = 0) -> str:
+    """DuckDB expression replaying ``hash_shard(..., hash_fn='md5')``."""
+    return f"CAST({sql_hash64(key_expr, seed)} % {num_shards} AS INTEGER)"

@@ -226,3 +226,47 @@ def common_ngram_fraction(
             6,
         ).alias("common_frac")
     )
+
+
+def benchmark_overlap(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Decontamination signal: per document, the fraction of its
+    DISTINCT word n-grams that also occur in a benchmark/eval corpus
+    (the standard n-gram-overlap test-set-contamination check used
+    before training on web-scale corpora).
+
+    Returns ``(id_col, n_grams, n_hit, contamination)``; documents
+    with fewer than ``n`` tokens have no n-grams and drop out.
+
+    Plan: distinct grams per side are built with ``array_distinct``
+    BEFORE the explode (per-row dedup, no shuffle), the benchmark side
+    collapses to a distinct-gram set that is broadcast (benchmark
+    corpora are small next to the training corpus), and the hit test
+    is a broadcast left join + conditional count — the only shuffle is
+    the final per-doc aggregate. At 100 TB the corpus side streams;
+    nothing is collected.
+    """
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("_hit").alias("n_hit"),
+        F.round(F.count("_hit").cast("double") / F.count(F.lit(1)), 6).alias(
+            "contamination"
+        ),
+    )

@@ -2914,6 +2914,155 @@ def exact_quantiles_by_type(spark, sf_dir):
 
 
 # ================================================================
+# 16. Pipeline utilities: deterministic sampling/sharding, JSON
+#     extraction, benchmark decontamination
+# ================================================================
+
+from openoa_spark.datapipe import sampling  # noqa: E402
+
+
+@register(
+    "hash_sample_docs",
+    f"""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE {sampling.sql_hash_sample_pred("CAST(doc_id AS VARCHAR)", 0.2, seed=7)}
+    """,
+)
+def hash_sample_docs(spark, sf_dir):
+    """Deterministic 20% sample keyed on doc_id: membership is a pure
+    function of the row (hash < fraction·2^60), so it is reproducible
+    across runs, partitionings, and engines — unlike df.sample(),
+    whose per-partition RNG draw changes under AQE/repartition. Plan:
+    single codegen'd filter on the scan, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", 0.2, seed=7).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@register(
+    "stratified_sample_lang",
+    f"""
+    SELECT lang, COUNT(*) AS n
+    FROM documents
+    WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 15)
+               AS BIGINT)
+          < CASE lang
+              WHEN 'en' THEN {sampling.hash_threshold(0.5)}
+              WHEN 'de' THEN {sampling.hash_threshold(0.25)}
+              ELSE {sampling.hash_threshold(0.1)}
+            END
+    GROUP BY lang
+    """,
+)
+def stratified_sample_lang(spark, sf_dir):
+    """Stratified deterministic sampling (sampleBy made reproducible):
+    per-language keep-fractions as ONE CASE-threshold filter — no
+    per-stratum scans, no shuffle before the final tiny aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.25},
+        default_fraction=0.1, seed=7,
+    )
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "doc_shards",
+    f"""
+    SELECT {sampling.sql_hash_shard("CAST(doc_id AS VARCHAR)", 8, seed=3)} AS shard,
+           COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def doc_shards(spark, sf_dir):
+    """Deterministic output sharding for training-shard writes: shard
+    id is a pure function of the key, so re-runs and backfills land
+    rows in the same shard. The groupBy here just summarizes balance;
+    a real write partitions by the shard column (one shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "shard", sampling.hash_shard("doc_id", 8, seed=3)
+    ).groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           COUNT(k) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           ROUND(AVG(k), 6) AS avg_k,
+           MAX(k) AS max_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def json_props_stats(spark, sf_dir):
+    """Semi-structured extraction: pull a typed field out of a JSON
+    string column (get_json_object — JVM-side Jackson path eval, no
+    Python) and aggregate it. The 100-TB form is identical; for many
+    fields prefer from_json with an explicit schema so the parse
+    happens once per row."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def _benchmark_overlap_sql(n: int) -> str:
+    gram = " || ' ' || ".join(f"{_SQL_TOKS}[i + {j}]" for j in range(n))
+    return f"""
+    WITH g AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len({_SQL_TOKS}) - {n - 1}),
+               i -> {gram}))) AS gram
+      FROM documents
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+    tgt AS (SELECT doc_id, gram FROM g WHERE source <> 'src0')
+    SELECT t.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(COUNT(b.gram) AS BIGINT) AS n_hit,
+           ROUND(CAST(COUNT(b.gram) AS DOUBLE) / COUNT(*), 6) AS contamination
+    FROM tgt t LEFT JOIN bench b ON t.gram = b.gram
+    GROUP BY t.doc_id
+    """
+
+
+@register("benchmark_overlap_docs", _benchmark_overlap_sql(3))
+def benchmark_overlap_docs(spark, sf_dir):
+    """Test-set decontamination: per-document fraction of distinct
+    word n-grams that also occur in a benchmark corpus (here the
+    'src0' slice plays the benchmark; production uses 8-13-grams of
+    actual eval sets). Benchmark gram set is broadcast — the corpus
+    side never shuffles on gram, only the final per-doc aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    return text.benchmark_overlap(corpus, bench, "text", "doc_id", n=3)
+
+
+# ================================================================
 # Registry iteration order
 # ================================================================
 # The driver's correctness gate samples queries in dict-iteration
@@ -2924,45 +3073,50 @@ def exact_quantiles_by_type(spark, sf_dir):
 # single-expression scalar queries that went driver-green in BOTH
 # rounds 1 and 2 and are pinned by pytest; rotating them out lets the
 # whole registry accumulate hard verification across rounds.
-# Window composition, round 3: everything never driver-checked (the
-# 24 round-2 additions + the 11 round-3 additions) plus the 15 most
-# structural round-1 queries — flagships and queries whose
-# implementation changed this round. Displaced round-1 queries all
-# carry TWO rounds of green driver rows (r01+r02) and stay covered by
-# tools/check_correctness.py + pytest.
+# Window composition, round 3 (final): 50 of the 53 queries with no
+# driver CORRECTNESS row from rounds 1-2 (24 round-2 additions + 29
+# round-3 additions). The three left outside the window
+# (feet_to_meter_part, uv_components, veer_values) are
+# single-expression unit/trig conversions pinned by pytest and the
+# local oracle — lowest-risk rows in the registry. Flagship
+# q1_pricing_summary stays exercised every round via entry(); every
+# other displaced query carries green driver rows from BOTH prior
+# rounds and stays covered by tools/check_correctness.py + pytest.
 _PRIORITY = [
-    # relational core
-    "q1_pricing_summary", "q5_nation_revenue",
+    # relational core — never checked
     "q4_late_shipment_priority", "q7_volume_shipping",
     "q8_market_share", "q10_returned_revenue", "q12_priority_counts",
     "q13_order_count_distribution", "q14_promo_revenue_pct",
     "q15_top_suppliers", "q16_supplier_variety",
     "q17_small_quantity_revenue", "q18_large_volume_customers",
     "q19_bracketed_revenue", "q20_heavy_suppliers",
-    "q22_idle_customers", "orders_without_lineitems",
-    "pivot_daily_by_type",
-    # time series
-    "resample_hour_mean_by_type", "infer_frequency",
-    "duplicate_minutes", "asof_hourly_value", "gap_fill_daily",
-    "upsample_ffill_hourly", "event_sessions",
-    # flags / filters / qa
-    "bin_filter_lineitem", "mahalanobis_flag_lineitem",
-    "describe_quantity_by_flag", "qa_offset_dst",
-    # imputation / correlation
-    "user_daily_correlation_pairs", "impute_linear_synthetic",
+    "q22_idle_customers", "q2_min_price_part_supplier",
+    "q9_profit_by_nation_year", "q21_waiting_suppliers",
+    "pivot_daily_by_type", "cube_returnflag_status",
+    "except_lapsed_customers", "intersect_both_halves_users",
+    "unpivot_lineitem_measures", "ntile_value_quartiles",
+    "exact_quantiles_by_type",
+    # time series — never checked
+    "gap_fill_daily", "upsample_ffill_hourly", "event_sessions",
+    # flags / filters / qa — never checked
+    "mahalanobis_flag_lineitem", "describe_quantity_by_flag",
+    "qa_offset_dst",
+    # imputation — never checked
     "impute_quadratic_synthetic", "impute_best_neighbor",
-    # power curve / met
-    "iec_power_curve", "logistic5_power_values",
-    "uv_components", "veer_values", "feet_to_meter_part",
-    # geometry
+    # power curve / met — never checked
+    "logistic5_power_values",
+    # geometry — never checked
     "freestream_membership", "freestream_iec_membership",
-    # analysis proxy
+    # analysis proxy — never checked
     "electrical_losses_proxy",
-    # datapipe
-    "exact_dedup_docs", "near_dedup_docs", "minhash_near_dups",
-    "ngram_jaccard_pairs", "lsh_bucket_counts", "language_id",
-    "quality_score_docs", "bpe_token_counts",
-    "embedding_cosine_near_dups",
+    # datapipe — never checked
+    "near_dedup_docs", "ngram_jaccard_pairs", "quality_score_docs",
+    "bpe_token_counts", "embedding_cosine_near_dups",
+    "repetition_ratio_docs", "tfidf_top_terms", "common_ngram_docs",
+    "lsh_knn_topk",
+    # pipeline utilities — never checked (round-3 final additions)
+    "hash_sample_docs", "stratified_sample_lang", "doc_shards",
+    "json_props_stats", "benchmark_overlap_docs",
 ]
 
 def _reorder() -> None:
