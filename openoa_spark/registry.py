@@ -30,6 +30,7 @@ from openoa_spark.operators import (
     filters,
     geometry,
     imputing,
+    joins,
     power_curve,
     qa as qa_ops,
     timeseries,
@@ -838,7 +839,7 @@ def bin_filter_lineitem(spark, sf_dir):
       FROM events GROUP BY 1, 2
     )
     SELECT a.user_id AS asset_a, b.user_id AS asset_b,
-           ROUND(corr(a.v, b.v), 6) AS corr
+           ROUND(corr(a.v, b.v), 6) + 0.0 AS corr
     FROM daily a JOIN daily b ON a.day = b.day AND a.user_id < b.user_id
     GROUP BY 1, 2
     """,
@@ -857,7 +858,13 @@ def user_daily_correlation_pairs(spark, sf_dir):
     # call); blocks are freed when the DataFrame is GC'd.
     daily = daily.localCheckpoint(eager=True)
     pairs = imputing.asset_correlation_pairs(daily, "day", "user_id", "v")
-    return pairs.select("asset_a", "asset_b", rounded("corr").alias("corr"))
+    # + 0.0 on BOTH sides: a pair whose corr rounds to zero can land
+    # on -0.0 in one engine and +0.0 in the other (sign of an
+    # last-ulp-negative product survives ROUND); adding 0.0
+    # canonicalizes -0.0 → 0.0 identically everywhere
+    return pairs.select(
+        "asset_a", "asset_b", (rounded("corr") + F.lit(0.0)).alias("corr")
+    )
 
 
 @register(
@@ -3049,6 +3056,41 @@ def _benchmark_overlap_sql(n: int) -> str:
     """
 
 
+@register(
+    "interval_join_daily_activity",
+    """
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM events GROUP BY 1, 2
+    )
+    SELECT iv.user_id, iv.day, COUNT(*) AS n_concurrent
+    FROM iv JOIN events e ON e.ts BETWEEN iv.s_start AND iv.s_end
+    GROUP BY 1, 2
+    """,
+)
+def interval_join_daily_activity(spark, sf_dir):
+    """Point-in-interval join at scale: for each user's daily activity
+    span [first event, last event], count ALL events platform-wide
+    that fall inside it (a concurrency measure). The oracle writes the
+    natural inequality join — which Spark could only plan as a
+    broadcast-nested-loop — while the engine runs
+    operators.joins.interval_join: points map to one coarse time
+    bucket, intervals explode across their overlapped buckets, and the
+    match becomes a shuffled EQUI-join on bucket with BETWEEN as a
+    residual filter. Hash-partitionable, AQE-splittable, no cartesian."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    hits = joins.interval_join(
+        ev.select("ts"), iv, "ts", "s_start", "s_end", bucket_seconds=3600.0
+    )
+    return hits.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_concurrent")
+    )
+
+
 @register("benchmark_overlap_docs", _benchmark_overlap_sql(3))
 def benchmark_overlap_docs(spark, sf_dir):
     """Test-set decontamination: per-document fraction of distinct
@@ -3114,9 +3156,12 @@ _PRIORITY = [
     "bpe_token_counts", "embedding_cosine_near_dups",
     "repetition_ratio_docs", "tfidf_top_terms", "common_ngram_docs",
     "lsh_knn_topk",
-    # pipeline utilities — never checked (round-3 final additions)
-    "hash_sample_docs", "stratified_sample_lang", "doc_shards",
+    # pipeline utilities — never checked (round-3 final additions;
+    # doc_shards yields its slot to the interval join — its md5-mod
+    # path is already exercised by hash_sample_docs)
+    "hash_sample_docs", "stratified_sample_lang",
     "json_props_stats", "benchmark_overlap_docs",
+    "interval_join_daily_activity",
 ]
 
 def _reorder() -> None:
