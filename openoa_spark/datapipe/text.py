@@ -228,6 +228,33 @@ def common_ngram_fraction(
     )
 
 
+# PII scrub presets (Java-regex syntax, RE2-compatible subset so the
+# DuckDB oracle can replay them verbatim). The synthetic test corpus
+# contains no PII — these are exercised on real data; the registry
+# demo uses a pattern the corpus does hit.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def redact_patterns(
+    col: Column | str,
+    patterns: list[str],
+    replacement: str = "<REDACTED>",
+) -> Column:
+    """Scrub every match of each regex (PII removal before training).
+    Pure ``regexp_replace`` chain — JVM-side, single projection, no
+    shuffle; at 100 TB this is a map-only pass. Compose with
+    :data:`PII_PATTERNS` for the standard email/phone/IP/SSN sweep."""
+    out = _c(col)
+    for p in patterns:
+        out = F.regexp_replace(out, p, replacement)
+    return out
+
+
 def benchmark_overlap(
     df: DataFrame,
     benchmark: DataFrame,

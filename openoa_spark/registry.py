@@ -3091,6 +3091,62 @@ def interval_join_daily_activity(spark, sf_dir):
     )
 
 
+@register(
+    "redact_docs",
+    """
+    SELECT doc_id,
+           CAST(length(text)
+                - length(regexp_replace(text, '[aeiou]+', '', 'g'))
+                AS BIGINT) AS n_removed,
+           md5(regexp_replace(text, '[aeiou]+', '<X>', 'g')) AS redacted_md5
+    FROM documents
+    """,
+)
+def redact_docs(spark, sf_dir):
+    """PII-style pattern redaction (text.redact_patterns): map-only
+    regexp_replace projection, verified char-exact cross-engine via an
+    md5 of the redacted text. The demo pattern is one the synthetic
+    corpus actually hits; production composes text.PII_PATTERNS
+    (email/phone/IP/SSN) the same way."""
+    docs = _t(spark, sf_dir, "documents")
+    redacted = text.redact_patterns("text", ["[aeiou]+"], "<X>")
+    removed = F.length("text") - F.length(
+        text.redact_patterns("text", ["[aeiou]+"], "")
+    )
+    return docs.select(
+        "doc_id",
+        removed.cast("bigint").alias("n_removed"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@register(
+    "rolling_1h_sum_per_user",
+    """
+    SELECT user_id, ts,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ), 6) AS sum_1h
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def rolling_1h_sum_per_user(spark, sf_dir):
+    """TIME-RANGE rolling window (not row-count): per-user trailing-1h
+    sum via rangeBetween on epoch microseconds — the frame adapts to
+    irregular sampling, which a ROWS frame can't express. One shuffle
+    on user_id, sort within partition, no self-join."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id", "ts", F.round(F.sum("value").over(w), 6).alias("sum_1h")
+    )
+
+
 @register("benchmark_overlap_docs", _benchmark_overlap_sql(3))
 def benchmark_overlap_docs(spark, sf_dir):
     """Test-set decontamination: per-document fraction of distinct
@@ -3156,12 +3212,14 @@ _PRIORITY = [
     "bpe_token_counts", "embedding_cosine_near_dups",
     "repetition_ratio_docs", "tfidf_top_terms", "common_ngram_docs",
     "lsh_knn_topk",
-    # pipeline utilities — never checked (round-3 final additions;
-    # doc_shards yields its slot to the interval join — its md5-mod
-    # path is already exercised by hash_sample_docs)
-    "hash_sample_docs", "stratified_sample_lang",
-    "json_props_stats", "benchmark_overlap_docs",
-    "interval_join_daily_activity",
+    # pipeline utilities — never checked (round-3 final additions).
+    # Slot triage among never-checked rows: doc_shards and
+    # stratified_sample_lang yield their slots (their md5-threshold
+    # machinery is already in-window via hash_sample_docs) to the
+    # interval join and the time-RANGE window — shapes with real
+    # cross-engine failure modes no prior round has hard-checked.
+    "hash_sample_docs", "json_props_stats", "benchmark_overlap_docs",
+    "interval_join_daily_activity", "rolling_1h_sum_per_user",
 ]
 
 def _reorder() -> None:

@@ -291,3 +291,20 @@ def test_common_ngram_fraction(spark):
     assert out[1] == pytest.approx(1 / 3)  # 1 shared of 3 trigrams
     assert out[2] == pytest.approx(1 / 3)
     assert out[3] == 0.0
+
+
+def test_redact_patterns_presets(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.com ip 10.0.0.1 call +1 (555) 123-4567 ok")],
+        ["id", "t"],
+    )
+    out = df.select(
+        text.redact_patterns(
+            "t", list(text.PII_PATTERNS.values()), "<PII>"
+        ).alias("r")
+    ).first()["r"]
+    assert "bob@example.com" not in out
+    assert "10.0.0.1" not in out
+    assert "555" not in out
+    assert out.count("<PII>") == 3
+    assert out.endswith("ok")
