@@ -360,3 +360,72 @@ def cosine_near_dup_pairs(
         pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str, label_col: str, round_digits: int = 6
+) -> DataFrame:
+    """Per-label mean embedding in long form ``(label, pos, centroid)``
+    — the centroid-fit step of IVF coarse quantization (and the
+    reduce step of any embedding-pooling pipeline).
+
+    Distributed shape: ``posexplode`` to (label, pos, comp) rows, then
+    ONE hash aggregate on (label, pos). Partial (map-side) aggregation
+    collapses every partition to <= n_labels * dim rows before the
+    shuffle, so shuffle volume is O(partitions * labels * dim)
+    regardless of input row count — the explode never hits the wire.
+
+    Determinism: each component is rounded to 6 digits (exact same
+    double on any engine), decimal-cast (exact), and summed in decimal
+    space (exact + associative), so the mean is bit-identical across
+    partitionings and engines — double summation order would not be.
+    """
+    e = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_vec(vec_col)).alias("pos", "comp"),
+    )
+    return (
+        e.groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.round("comp", 6).cast("decimal(20,6)")).cast("double")
+                / F.count("comp"),
+                round_digits,
+            ).alias("centroid")
+        )
+    )
+
+
+def centroid_pairwise_distances(
+    df: DataFrame, vec_col: str, label_col: str
+) -> DataFrame:
+    """L2 distance between every pair of label centroids
+    ``(label_a, label_b, l2_dist)`` with label_a < label_b — the
+    cluster-separation diagnostic for an IVF index (well-separated
+    centroids => fewer probes for a target recall).
+
+    The centroid table is O(labels * dim) — tiny — so the pair
+    expansion is an equi-join on ``pos`` between two broadcast copies;
+    the fact table is only read once, inside label_centroids. Squared
+    diffs are rounded to 12 digits then decimal-summed: exact,
+    order-independent, engine-independent.
+    """
+    c = label_centroids(df, vec_col, label_col)
+    a = c.select(
+        F.col("label").alias("label_a"), "pos", F.col("centroid").alias("_ca")
+    )
+    b = c.select(
+        F.col("label").alias("label_b"),
+        F.col("pos").alias("_pos_b"),
+        F.col("centroid").alias("_cb"),
+    )
+    term = F.round((F.col("_ca") - F.col("_cb")) ** 2, 12).cast("decimal(38,12)")
+    return (
+        F.broadcast(a)
+        .join(
+            F.broadcast(b),
+            (a["pos"] == b["_pos_b"]) & (a["label_a"] < b["label_b"]),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.round(F.sqrt(F.sum(term).cast("double")), 6).alias("l2_dist"))
+    )

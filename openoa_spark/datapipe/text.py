@@ -297,3 +297,55 @@ def benchmark_overlap(
             "contamination"
         ),
     )
+
+
+def group_shingle_overlap(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise n-gram overlap between groups (sources / snapshots /
+    shards): ``(src_a, src_b, shared_grams, jaccard)`` with
+    src_a < src_b — the corpus-level decontamination / provenance-
+    overlap matrix (benchmark_overlap's per-document cousin).
+
+    Shape: distinct (group, gram) — one shuffle keyed by the pair, so
+    each gram survives at most once per group regardless of corpus
+    size — then a self-equi-join on gram. Fan-out per gram is bounded
+    by n_groups (not document count), so the join output is at most
+    |distinct grams| * C(n_groups, 2): safe for the O(10-100) group
+    cardinalities this matrix is for. Group sizes broadcast back for
+    the Jaccard denominator.
+    """
+    grams = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(word_ngrams(text_col, n)).alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_n"))
+    a = grams.select(F.col("g").alias("src_a"), "gram")
+    b = grams.select(F.col("g").alias("src_b"), F.col("gram").alias("_gram_b"))
+    shared = (
+        a.join(b, (a["gram"] == b["_gram_b"]) & (a["src_a"] < b["src_b"]))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    na = sizes.select(F.col("g").alias("_ga"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col("g").alias("_gb"), F.col("_n").alias("_nb"))
+    return (
+        shared.join(F.broadcast(na), F.col("src_a") == F.col("_ga"))
+        .join(F.broadcast(nb), F.col("src_b") == F.col("_gb"))
+        .select(
+            "src_a",
+            "src_b",
+            "shared_grams",
+            F.round(
+                F.col("shared_grams")
+                / (F.col("_na") + F.col("_nb") - F.col("shared_grams")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -3160,6 +3160,126 @@ def benchmark_overlap_docs(spark, sf_dir):
     return text.benchmark_overlap(corpus, bench, "text", "doc_id", n=3)
 
 
+@register(
+    "q11_important_stock",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS v
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey = 1
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+    FROM pv
+    WHERE v > 0.001 * (SELECT SUM(v) FROM pv)
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (important stock) on the reduced schema: per-
+    part shipped value from one nation's suppliers, kept where the
+    part's value exceeds a fraction of that nation's total (reference
+    uses partsupp supplycost*availqty; no partsupp table here).
+
+    Plan: supplier filter broadcast into lineitem, ONE shuffle to the
+    part-grain decimal aggregate; the global total is re-aggregated
+    from that tiny per-part table (no second fact scan) and broadcast
+    back as a single-row cross join. Exact decimal compare on both
+    engines, so the threshold cut is bit-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 1)
+    pv = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("_v"))
+    )
+    total = pv.agg(F.sum("_v").alias("_total"))
+    return (
+        pv.join(F.broadcast(total))
+        .where(F.col("_v") > F.lit(0.001).cast("decimal(4,3)") * F.col("_total"))
+        .select("l_partkey", F.col("_v").cast("double").alias("part_value"))
+    )
+
+
+_CENTROID_CTE = """
+    WITH comps AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS comp
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos,
+             ROUND(
+               CAST(SUM(CAST(ROUND(comp, 6) AS DECIMAL(20,6))) AS DOUBLE)
+               / COUNT(comp), 6) AS centroid
+      FROM comps GROUP BY label, pos
+    )
+"""
+
+
+@register(
+    "label_centroids",
+    _CENTROID_CTE + "SELECT label, pos, centroid FROM cent",
+)
+def label_centroids_q(spark, sf_dir):
+    """IVF centroid fit: per-label mean embedding in long form. One
+    hash-agg on (label, pos); map-side combine bounds shuffle volume
+    at partitions x labels x dim (see similarity.label_centroids)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb, "embedding", "label")
+
+
+@register(
+    "centroid_distances",
+    _CENTROID_CTE + """
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(sqrt(CAST(SUM(CAST(
+             ROUND((a.centroid - b.centroid) * (a.centroid - b.centroid), 12)
+             AS DECIMAL(38,12))) AS DOUBLE)), 6) AS l2_dist
+    FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+)
+def centroid_distances(spark, sf_dir):
+    """IVF cluster-separation matrix: pairwise L2 between label
+    centroids. Fact table scanned once; the pair expansion joins two
+    broadcast copies of the O(labels x dim) centroid table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.centroid_pairwise_distances(emb, "embedding", "label")
+
+
+@register(
+    "source_overlap_matrix",
+    f"""
+    WITH g AS (
+      SELECT DISTINCT source AS g,
+             unnest(list_transform(
+               generate_series(1, len({_SQL_TOKS}) - 2),
+               i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i + 1]
+                    || ' ' || {_SQL_TOKS}[i + 2])) AS gram
+      FROM documents
+    ),
+    sizes AS (SELECT g, COUNT(*) AS n FROM g GROUP BY g)
+    SELECT a.g AS src_a, b.g AS src_b, COUNT(*) AS shared_grams,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (MIN(sa.n) + MIN(sb.n) - COUNT(*)), 6) AS jaccard
+    FROM g a
+    JOIN g b ON a.gram = b.gram AND a.g < b.g
+    JOIN sizes sa ON sa.g = a.g
+    JOIN sizes sb ON sb.g = b.g
+    GROUP BY a.g, b.g
+    """,
+)
+def source_overlap_matrix(spark, sf_dir):
+    """Corpus-level decontamination matrix: pairwise distinct-3-gram
+    overlap + Jaccard between sources. Distinct (source, gram) first
+    (one shuffle, gram survives once per source), then a self-equi-
+    join on gram whose fan-out is bounded by source cardinality."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.group_shingle_overlap(docs, "text", "source", n=3)
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================

@@ -308,3 +308,52 @@ def test_redact_patterns_presets(spark):
     assert "555" not in out
     assert out.count("<PII>") == 3
     assert out.endswith("ok")
+
+
+def test_label_centroids_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 2.0]),
+            (2, 0, [3.0, 4.0]),
+            (3, 1, [5.0, 6.0]),
+        ],
+        ["vec_id", "label", "embedding"],
+    )
+    out = {
+        (r["label"], r["pos"]): r["centroid"]
+        for r in similarity.label_centroids(df, "embedding", "label").collect()
+    }
+    assert out == {(0, 0): 2.0, (0, 1): 3.0, (1, 0): 5.0, (1, 1): 6.0}
+
+
+def test_centroid_pairwise_distances(spark):
+    # centroids: label 0 -> (0,0), label 1 -> (3,4): distance 5
+    df = spark.createDataFrame(
+        [
+            (1, 0, [0.0, 0.0]),
+            (2, 0, [0.0, 0.0]),
+            (3, 1, [3.0, 4.0]),
+        ],
+        ["vec_id", "label", "embedding"],
+    )
+    rows = similarity.centroid_pairwise_distances(
+        df, "embedding", "label"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["label_a"], r["label_b"]) == (0, 1)
+    assert r["l2_dist"] == pytest.approx(5.0, abs=1e-6)
+
+
+def test_group_shingle_overlap(spark):
+    # src A grams: {a b c, b c d}; src B grams: {b c d, c d e}
+    # shared = 1, jaccard = 1 / (2 + 2 - 1) = 1/3
+    df = spark.createDataFrame(
+        [(1, "A", "a b c d"), (2, "B", "b c d e")],
+        ["doc_id", "source", "text"],
+    )
+    rows = text.group_shingle_overlap(df, "text", "source", n=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["src_a"], r["src_b"], r["shared_grams"]) == ("A", "B", 1)
+    assert r["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
