@@ -59,13 +59,22 @@ def main():
 
     times = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        # Full materialization via the noop sink: every column of every
-        # row is produced. (df.count() lets Catalyst prune unreferenced
-        # projections, so projection-only queries would measure a scan.)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 4)
+        # Best of two timed runs: a single same-SF warmup pass (above)
+        # still leaves multi-second C2-compilation residue on the first
+        # timed run of codegen-heavy plans (q1 measured 4.1 s first /
+        # 1.7 s steady), so one run would grade JIT, not the plan.
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            # Full materialization via the noop sink: every column of
+            # every row is produced. (df.count() lets Catalyst prune
+            # unreferenced projections, so projection-only queries
+            # would measure a scan.)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 4)
     total = round(sum(times.values()), 4)
     print(
         json.dumps(

@@ -402,3 +402,53 @@ def near_dedup(
         F.col("doc_id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def near_dedup_keep_best(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    score: Column,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate removal keeping the BEST-scoring document per
+    cluster (ties broken by lowest id) instead of near_dedup's lowest
+    id — the production corpus-cleaning policy: when a page exists in
+    several scraped variants, keep the highest-quality one.
+
+    ``score`` is any deterministic Column over ``df`` (e.g.
+    text.quality_score). Same scale shape as near_dedup: LSH candidate
+    pairs -> connected components -> ONE hash-agg per component taking
+    max(struct(score, -id)) — the arg-max never needs a sort or a
+    window over the corpus; unpaired documents bypass the whole path
+    via an anti-join.
+    """
+    pairs = minhash_near_dup_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_n,
+        jaccard_threshold, hash_fn,
+    )
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("_cid"), "component"
+    )
+    scored = df.withColumn("_score", score)
+    members = scored.join(comp, scored[id_col] == F.col("_cid")).select(
+        "component", F.col(id_col).alias("_id"), "_score"
+    )
+    winners = (
+        members.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(F.col("_score").alias("s"), (-F.col("_id")).alias("n"))
+            ).alias("w")
+        )
+        .select((-F.col("w.n")).alias("_win_id"))
+    )
+    unpaired = df.join(comp, df[id_col] == F.col("_cid"), "left_anti")
+    kept_winners = df.join(
+        winners, df[id_col] == F.col("_win_id"), "left_semi"
+    )
+    return unpaired.unionByName(kept_winners)

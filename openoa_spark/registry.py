@@ -3280,6 +3280,65 @@ def source_overlap_matrix(spark, sf_dir):
     return text.group_shingle_overlap(docs, "text", "source", n=3)
 
 
+@register(
+    "near_dedup_keep_best_docs",
+    rf"""
+    WITH RECURSIVE mh AS ({_minhash_sql(32, 8, 0.4)}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM mh
+      UNION
+      SELECT id_b AS a, id_a AS b FROM mh
+    ),
+    verts AS (SELECT DISTINCT a FROM edges),
+    reach(a, b) AS (
+      SELECT a, a FROM verts
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+    q AS (
+      SELECT doc_id,
+             ROUND((
+               LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + LEAST(5 * (CAST(len(list_filter(toks,
+                   x -> list_contains({_SQL_STOPLIST}, lower(x)))) AS DOUBLE)
+                 / len(toks)), 1.0)
+               + GREATEST(0.0, 1.0 - 5 * (CAST(length(text)
+                   - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                 / length(text)))
+             ) / 3.0, 6) AS quality
+      FROM (SELECT doc_id, text,
+                   regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents)
+    ),
+    winners AS (
+      SELECT doc_id FROM (
+        SELECT c.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                                  ORDER BY q.quality DESC, c.doc_id) AS rn
+        FROM comp c JOIN q ON q.doc_id = c.doc_id)
+      WHERE rn = 1
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+    UNION ALL
+    SELECT doc_id FROM winners
+    """,
+)
+def near_dedup_keep_best_docs(spark, sf_dir):
+    """Quality-aware near-dedup: per near-dup cluster keep the
+    HIGHEST-quality document (tie: lowest id) instead of the lowest
+    id — the production corpus-cleaning policy. Arg-max per component
+    is one hash-agg of max(struct(score, -id)): no sort, no window
+    over the corpus (see dedup.near_dedup_keep_best)."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup.near_dedup_keep_best(
+        docs, "text", "doc_id", text.quality_score("text"),
+        num_hashes=32, bands=8, jaccard_threshold=0.4, hash_fn="md5",
+    )
+    return kept.select("doc_id")
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================
@@ -3340,7 +3399,27 @@ _PRIORITY = [
     # cross-engine failure modes no prior round has hard-checked.
     "hash_sample_docs", "json_props_stats", "benchmark_overlap_docs",
     "interval_join_daily_activity", "rolling_1h_sum_per_user",
+    # round-3c additions — structurally nontrivial (scalar-threshold
+    # subquery; explode+decimal-mean agg; broadcast pair-join over an
+    # aggregate; bounded self-join on gram). They displace
+    # quality_score_docs, bpe_token_counts, lsh_knn_topk, and
+    # common_ngram_docs (single-projection expression queries whose
+    # machinery is hash-pinned by pytest and in-window cousins:
+    # language_id shares the token exprs, minhash/simhash pin the md5
+    # hash path, benchmark_overlap_docs pins the n-gram joins).
+    "q11_important_stock", "label_centroids", "centroid_distances",
+    "source_overlap_matrix",
+    # quality-aware cluster-representative selection: shares the
+    # recursive-components oracle with in-window near_dedup_docs but
+    # adds the per-component arg-max — displaces repetition_ratio_docs
+    # (single array expression, pytest-pinned).
+    "near_dedup_keep_best_docs",
 ]
+for _demoted in (
+    "quality_score_docs", "bpe_token_counts", "lsh_knn_topk",
+    "common_ngram_docs", "repetition_ratio_docs",
+):
+    _PRIORITY.remove(_demoted)
 
 def _reorder() -> None:
     assert not (set(_PRIORITY) - set(_REGISTRY)), sorted(

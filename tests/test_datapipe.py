@@ -357,3 +357,35 @@ def test_group_shingle_overlap(spark):
     r = rows[0]
     assert (r["src_a"], r["src_b"], r["shared_grams"]) == ("A", "B", 1)
     assert r["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_near_dedup_keep_best(spark):
+    # docs 1 and 2 are near-dups (one trailing token differs); doc 1
+    # is punctuation-spammed so its quality score is lower — keep-best
+    # must keep 2 and drop 1, while min-id near_dedup keeps 1.
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to the old mill by the river"
+    )
+    spammy = base + " !!!!!!!!!!!!!!!!!!!!"
+    other = "completely different content about spark distributed query engines"
+    df = spark.createDataFrame(
+        [(1, spammy), (2, base), (3, other)], ["doc_id", "text"]
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.near_dedup_keep_best(
+            df, "text", "doc_id", text.quality_score("text"),
+            num_hashes=32, bands=8, jaccard_threshold=0.3,
+        ).collect()
+    )
+    assert kept == [2, 3]
+    # sanity: min-id policy keeps 1 instead
+    kept_min = sorted(
+        r["doc_id"]
+        for r in dedup.near_dedup(
+            df, "text", "doc_id",
+            num_hashes=32, bands=8, jaccard_threshold=0.3,
+        ).collect()
+    )
+    assert kept_min == [1, 3]
