@@ -72,3 +72,57 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    id_col: str | None = None,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Read a JSONL document corpus (the de-facto LLM training-data
+    interchange format) with corrupt-record QUARANTINE instead of the
+    default silent null-row: returns ``(good, bad)`` where ``bad``
+    carries the raw unparseable line for triage and ``good`` is clean.
+
+    Parsing is a text scan + ``from_json`` projection, NOT the json
+    reader's internal corrupt-record column: Spark refuses any query
+    over that internal column whose pruned column set is the corrupt
+    column alone (e.g. ``bad.count()``), while a corrupt field
+    declared inside the ``from_json`` schema is an ordinary column
+    with no such restriction. One text scan; the good/bad split is
+    two pushed-down filters. With ``id_col=None`` a deterministic
+    64-bit content id is synthesized by hashing the text (stable
+    across runs/partitionings, unlike monotonically_increasing_id).
+    """
+    corrupt = "_corrupt_record"
+    if schema is None:
+        # one schema-inference pass, exactly what spark.read.json does
+        schema = spark.read.json(path).schema
+    schema = T.StructType(
+        [*(f for f in schema.fields if f.name != corrupt),
+         T.StructField(corrupt, T.StringType())]
+    )
+    parsed = (
+        spark.read.text(path)
+        .where(F.length(F.trim("value")) > 0)
+        .select(
+            F.col("value").alias("raw_line"),
+            F.from_json(
+                "value", schema,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+            ).alias("_p"),
+        )
+    )
+    bad = parsed.where(
+        F.col(f"_p.{corrupt}").isNotNull() | F.col("_p").isNull()
+    ).select("raw_line")
+    good = (
+        parsed.where(F.col(f"_p.{corrupt}").isNull() & F.col("_p").isNotNull())
+        .select("_p.*")
+        .drop(corrupt)
+    )
+    if id_col is None and "doc_id" not in good.columns:
+        good = good.withColumn("doc_id", F.xxhash64(F.col(text_col)))
+    return good, bad
