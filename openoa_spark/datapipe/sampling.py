@@ -126,3 +126,86 @@ def sql_hash_sample_pred(key_expr: str, fraction: float, seed: int = 0) -> str:
 def sql_hash_shard(key_expr: str, num_shards: int, seed: int = 0) -> str:
     """DuckDB expression replaying ``hash_shard(..., hash_fn='md5')``."""
     return f"CAST({sql_hash64(key_expr, seed)} % {num_shards} AS INTEGER)"
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: Column | str,
+    block_tokens: int,
+    num_shards: int = 8,
+    seed: int = 0,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Sequence-packing manifest for fixed-length training blocks
+    ("concat then chunk"): documents are deterministically sharded,
+    laid head-to-tail within each shard in id order, and chunked into
+    ``block_tokens``-sized blocks. Returns, per document:
+    ``(id, shard, n_tokens, start_offset, block_id, block_offset)`` —
+    the manifest a tokenizer/writer stage consumes to emit packed
+    training examples without ever materializing the concatenation.
+
+    Scale shape: ONE window cumsum per shard (pure integer arithmetic,
+    bit-identical on any engine/partitioning). The hash shard bounds
+    each window partition at corpus_size / num_shards and packing is
+    embarrassingly parallel across shards; raise ``num_shards`` with
+    corpus size — block boundaries never cross shards.
+    """
+    from pyspark.sql import Window
+
+    n = (F.col(n_tokens_col) if isinstance(n_tokens_col, str)
+         else n_tokens_col)
+    out = df.select(
+        F.col(id_col),
+        hash_shard(id_col, num_shards, seed, hash_fn).alias("shard"),
+        n.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = out.withColumn(
+        "start_offset",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+    )
+    return out.select(
+        id_col, "shard", "n_tokens", "start_offset",
+        F.floor(F.col("start_offset") / block_tokens).alias("block_id"),
+        (F.col("start_offset") % block_tokens).alias("block_offset"),
+    )
+
+
+def temperature_sampling_weights(
+    df: DataFrame, group_col: str, alpha: float = 0.7
+) -> DataFrame:
+    """Temperature-based resampling weights per group (the multilingual
+    training-mix correction: target fraction ∝ natural_fraction^alpha,
+    alpha<1 up-weights low-resource groups). Returns per group:
+    ``(group, n_docs, natural_frac, target_frac, weight)`` where
+    ``weight`` is the per-row sampling multiplier a downstream
+    hash-sampler or repeat-factor stage applies.
+
+    Shape: one count aggregate (group cardinality is O(languages) —
+    tiny), then two one-row scalar broadcasts for the total and the
+    normalizer. The fact table is scanned once; everything after is
+    arithmetic on a dimension-sized frame. Fractions are rounded to 6
+    digits (libm pow may differ in the last ulp across engines).
+    """
+    c = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    t = c.agg(F.sum("n_docs").alias("_total"))
+    p = (
+        c.join(F.broadcast(t))
+        .withColumn("_nat", F.col("n_docs") / F.col("_total"))
+        .withColumn("_un", F.pow("_nat", F.lit(alpha)))
+    )
+    z = p.agg(F.sum("_un").alias("_z"))
+    return p.join(F.broadcast(z)).select(
+        group_col,
+        "n_docs",
+        F.round("_nat", 6).alias("natural_frac"),
+        F.round(F.col("_un") / F.col("_z"), 6).alias("target_frac"),
+        F.round((F.col("_un") / F.col("_z")) / F.col("_nat"), 6).alias(
+            "weight"
+        ),
+    )

@@ -3339,6 +3339,70 @@ def near_dedup_keep_best_docs(spark, sf_dir):
     return kept.select("doc_id")
 
 
+@register(
+    "pack_blocks_docs",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             {sampling.sql_hash_shard("CAST(doc_id AS VARCHAR)", 8, seed=3)} AS shard,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_offset
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens, start_offset,
+           start_offset // 256 AS block_id,
+           start_offset % 256 AS block_offset
+    FROM s
+    """,
+)
+def pack_blocks_docs(spark, sf_dir):
+    """Sequence-packing manifest: docs hash-sharded, laid head-to-tail
+    per shard in id order, chunked into 256-token training blocks.
+    One integer window cumsum per shard; block boundaries never cross
+    shards, so packing parallelizes with the shard count (see
+    sampling.pack_sequences)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.pack_sequences(
+        docs, "doc_id", text.token_count("text"), block_tokens=256,
+        num_shards=8, seed=3,
+    )
+
+
+@register(
+    "lang_sampling_weights",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c),
+    p AS (
+      SELECT lang, n_docs,
+             CAST(n_docs AS DOUBLE) / total AS nat,
+             POW(CAST(n_docs AS DOUBLE) / total, 0.7) AS un
+      FROM c, t
+    ),
+    z AS (SELECT SUM(un) AS zsum FROM p)
+    SELECT lang, n_docs,
+           ROUND(nat, 6) AS natural_frac,
+           ROUND(un / zsum, 6) AS target_frac,
+           ROUND((un / zsum) / nat, 6) AS weight
+    FROM p, z
+    """,
+)
+def lang_sampling_weights(spark, sf_dir):
+    """Temperature resampling mix (target ∝ natural^0.7): per-language
+    sampling multipliers for a balanced training mix. One fact-table
+    count agg + two one-row scalar broadcasts (see
+    sampling.temperature_sampling_weights)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.temperature_sampling_weights(docs, "lang", alpha=0.7)
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================

@@ -108,3 +108,42 @@ def test_hash_threshold_bounds():
         sampling.hash_threshold(1.5)
     with pytest.raises(ValueError):
         sampling.hash_shard("k", 0)
+
+
+def test_pack_sequences_manifest_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from openoa_spark.datapipe import sampling
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 + 1).cast("int").alias("n_tokens"),
+    )
+    out = sampling.pack_sequences(
+        df, "doc_id", "n_tokens", block_tokens=16, num_shards=4
+    ).collect()
+    assert len(out) == 100
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        # offsets are contiguous head-to-tail within each shard
+        assert r["start_offset"] == by_shard.get(r["shard"], 0)
+        by_shard[r["shard"]] = r["start_offset"] + r["n_tokens"]
+        # block coordinates are consistent with the running offset
+        assert r["block_id"] == r["start_offset"] // 16
+        assert r["block_offset"] == r["start_offset"] % 16
+        assert 0 <= r["block_offset"] < 16
+
+
+def test_temperature_sampling_weights(spark):
+    from openoa_spark.datapipe import sampling
+
+    df = spark.createDataFrame(
+        [("en",)] * 90 + [("sw",)] * 10, ["lang"]
+    )
+    rows = {r["lang"]: r for r in
+            sampling.temperature_sampling_weights(df, "lang", 0.7).collect()}
+    # alpha<1 up-weights the low-resource language, down-weights the big one
+    assert rows["sw"]["weight"] > 1.0 > rows["en"]["weight"]
+    assert abs(rows["en"]["natural_frac"] - 0.9) < 1e-6
+    total = rows["en"]["target_frac"] + rows["sw"]["target_frac"]
+    assert abs(total - 1.0) < 1e-5
