@@ -242,3 +242,34 @@ def stream_running_total(
     return stream.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    partition_cols: list[str] | None = None,
+):
+    """Exactly-once parquet sink: append mode + a checkpoint directory
+    holding the WAL/offset log, so a crashed or restarted query
+    resumes from the last committed batch without duplicating output
+    (the file sink records committed files in ``_spark_metadata``;
+    readers that go through Spark see exactly-once results).
+
+    ``available_now=True`` processes everything currently in the
+    source then stops — the batch-like backfill trigger; pass False
+    for a continuously-running micro-batch query. Returns the
+    StreamingQuery handle (call ``awaitTermination()``).
+    """
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -297,3 +297,32 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         ).drop(rbatch["asset_id"]).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_to_parquet_exactly_once_across_restart(spark, tmp_path):
+    """Restarting the same checkpointed query must not re-emit rows
+    already committed: batch 1's files are recorded in the checkpoint
+    WAL, so the second run processes only batch 2."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from openoa_spark.streaming import ingest
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([T.StructField("id", T.LongType())])
+
+    spark.range(0, 5).write.mode("append").parquet(src)
+    stream = ingest.file_stream(spark, src, schema)
+    q = ingest.stream_to_parquet(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    # land more data, restart the SAME checkpointed query
+    spark.range(5, 8).write.mode("append").parquet(src)
+    stream2 = ingest.file_stream(spark, src, schema)
+    q2 = ingest.stream_to_parquet(stream2, out, ckpt)
+    q2.awaitTermination(120)
+
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(8))  # no duplicates, nothing lost
