@@ -3403,6 +3403,75 @@ def lang_sampling_weights(spark, sf_dir):
     return sampling.temperature_sampling_weights(docs, "lang", alpha=0.7)
 
 
+@register(
+    "percent_rank_daily_user_value",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             ROUND(SUM(CAST(value AS DECIMAL(20,6))), 6) AS day_value
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT user_id, day, CAST(day_value AS DOUBLE) AS day_value,
+           ROUND(percent_rank() OVER (
+             PARTITION BY day ORDER BY day_value, user_id), 6) AS pr,
+           ROUND(cume_dist() OVER (
+             PARTITION BY day ORDER BY day_value, user_id), 6) AS cd
+    FROM d
+    """,
+)
+def percent_rank_daily_user_value(spark, sf_dir):
+    """Relative-standing windows: each user's percent_rank and
+    cume_dist among that day's user totals (leaderboard normalization).
+    One shuffle to the (user, day) decimal aggregate, one more for the
+    per-day window — partitioned by day, so no global sort."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = (
+        ev.groupBy(
+            "user_id", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.round(F.sum(F.col("value").cast("decimal(20,6)")), 6)
+             .alias("_dv"))
+    )
+    w = Window.partitionBy("day").orderBy("_dv", "user_id")
+    return d.select(
+        "user_id",
+        "day",
+        F.col("_dv").cast("double").alias("day_value"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_extendedprice')} AS revenue, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """Arbitrary GROUPING SETS (not expressible as one rollup/cube):
+    revenue by returnflag and, separately, by linestatus — one
+    logical pass over the fact table (Spark's Expand operator emits a
+    row per grouping set, then a single hash aggregate; cheaper than
+    unioning two scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================
