@@ -105,3 +105,41 @@ def frame_sample_plan(df: DataFrame, every_n_seconds: float = 1.0) -> DataFrame:
             F.transform(F.sequence(F.lit(0), n), lambda i: i * every_n_seconds)
         ).alias("frame_ts"),
     )
+
+
+def audio_chunk_plan(
+    df: DataFrame, chunk_s: float = 30.0, overlap_s: float = 0.0
+) -> DataFrame:
+    """Audio chunking *plan*: expands per-clip metadata into
+    (media_id, chunk_idx, start_s, end_s) rows — the manifest an
+    ASR/audio-embedding stage consumes (e.g. 30 s windows with a small
+    overlap so no utterance is cut at every boundary). Pure
+    ``sequence``/``explode`` column math over meta['duration_s']; the
+    per-chunk decode is the stubbed kernel pattern above. Chunks
+    step by ``chunk_s - overlap_s``; the final chunk is truncated at
+    the clip end.
+    """
+    if not 0 <= overlap_s < chunk_s:
+        raise ValueError(f"need 0 <= overlap_s < chunk_s, got {overlap_s}")
+    step = chunk_s - overlap_s
+    dur = F.coalesce(
+        F.element_at("meta", "duration_s").cast("double"), F.lit(0.0)
+    )
+    # chunk i covers [i*step, i*step + chunk_s); last i has i*step < dur
+    n = F.greatest(F.ceil(dur / step).cast("int"), F.lit(1))
+    return (
+        df.select(
+            "media_id",
+            dur.alias("_dur"),
+            F.explode(F.sequence(F.lit(0), n - 1)).alias("chunk_idx"),
+        )
+        .where(F.col("chunk_idx") * step < F.col("_dur"))
+        .select(
+            "media_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * step).alias("start_s"),
+            F.least(
+                F.col("chunk_idx") * step + chunk_s, F.col("_dur")
+            ).alias("end_s"),
+        )
+    )

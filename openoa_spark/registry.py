@@ -3472,6 +3472,101 @@ def grouping_sets_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "value_moments_by_type",
+    """
+    WITH s AS (
+      SELECT event_type,
+             COUNT(value) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(25,6)))
+               AS DOUBLE) AS s2,
+             CAST(SUM(CAST(ROUND(value * value * value, 6) AS DECIMAL(30,6)))
+               AS DOUBLE) AS s3
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(s1 / n, 6) AS mean,
+           ROUND(s2 / n - (s1 / n) * (s1 / n), 6) AS variance,
+           ROUND(
+             (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * POW(s1 / n, 3))
+             / POW(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness
+    FROM s
+    """,
+)
+def value_moments_by_type(spark, sf_dir):
+    """Distribution moments per group from explicit power sums — ONE
+    pass, one shuffle (engine-native skewness/kurtosis differ in bias
+    correction across engines, and a naive two-pass mean-then-moments
+    plan scans twice; power sums in decimal space are single-pass,
+    order-independent, and engine-exact). Powers are rounded to the
+    1e-6 grid before the decimal cast — they are derived doubles, the
+    one case a direct decimal cast is not cross-engine safe."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(v).alias("n"),
+        F.sum(v.cast("decimal(20,6)")).cast("double").alias("_s1"),
+        F.sum(F.round(v * v, 6).cast("decimal(25,6)")).cast("double")
+          .alias("_s2"),
+        F.sum(F.round(v * v * v, 6).cast("decimal(30,6)")).cast("double")
+          .alias("_s3"),
+    )
+    m1 = F.col("_s1") / F.col("n")
+    m2 = F.col("_s2") / F.col("n")
+    m3 = F.col("_s3") / F.col("n")
+    var = m2 - m1 * m1
+    return s.select(
+        "event_type",
+        "n",
+        F.round(m1, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.round((m3 - 3 * m1 * m2 + 2 * F.pow(m1, 3)) / F.pow(var, 1.5), 6)
+          .alias("skewness"),
+    )
+
+
+@register(
+    "full_outer_daily_activity",
+    """
+    WITH a AS (
+      SELECT user_id, COUNT(*) AS n_a FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    b AS (
+      SELECT user_id, COUNT(*) AS n_b FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           COALESCE(n_a, 0) AS n_view,
+           COALESCE(n_b, 0) AS n_purchase
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    """,
+)
+def full_outer_daily_activity(spark, sf_dir):
+    """FULL OUTER JOIN shape: per-user view vs purchase counts,
+    keeping users present on either side (the activity-reconciliation
+    join inner/left shapes can't express). Two aggregates share the
+    user_id shuffle key, so the join adds no extra exchange beyond
+    the aggregation's own."""
+    ev = _t(spark, sf_dir, "events")
+    a = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("_uid"))
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return a.join(b, a["user_id"] == b["_uid"], "full_outer").select(
+        F.coalesce(a["user_id"], F.col("_uid")).alias("user_id"),
+        F.coalesce(F.col("n_a"), F.lit(0)).alias("n_view"),
+        F.coalesce(F.col("n_b"), F.lit(0)).alias("n_purchase"),
+    )
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================

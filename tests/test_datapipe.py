@@ -389,3 +389,20 @@ def test_near_dedup_keep_best(spark):
         ).collect()
     )
     assert kept_min == [1, 3]
+
+
+def test_audio_chunk_plan(spark):
+    df = spark.createDataFrame(
+        [(1, "audio", None, "audio/wav", {"duration_s": "70"}),
+         (2, "audio", None, "audio/wav", {"duration_s": "10"})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = sorted(
+        (r["media_id"], r["chunk_idx"], r["start_s"], r["end_s"])
+        for r in multimodal.audio_chunk_plan(df, 30.0, 5.0).collect()
+    )
+    # 70 s at 30 s chunks stepping 25 s: [0,30) [25,55) [50,70]
+    assert rows == [
+        (1, 0, 0.0, 30.0), (1, 1, 25.0, 55.0), (1, 2, 50.0, 70.0),
+        (2, 0, 0.0, 10.0),
+    ]
