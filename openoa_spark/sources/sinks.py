@@ -86,3 +86,135 @@ def compact_parquet(
         "overwrite"
     ).parquet(dst_path)
     return n
+
+
+def upsert_latest(
+    spark,
+    table_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+) -> None:
+    """Merge-upsert for plain parquet tables (no Delta/Iceberg in the
+    container): union the existing table with ``updates`` and keep the
+    LATEST row per key by ``order_col`` — the idempotent ingest step a
+    long-running telemetry pipeline replays safely (re-delivering a
+    batch is a no-op; late corrections win by timestamp).
+
+    Keep-latest is one hash-agg of ``max_by(struct(all columns),
+    struct(order_col, is_update))`` — no sort, no window; ties prefer
+    the update. Spark cannot overwrite a path it is reading, so the
+    merge lands in a staging directory and is swapped in with Hadoop
+    FileSystem renames (atomic per directory on HDFS; the same
+    pattern object-store committers emulate).
+    """
+    from pyspark.sql import functions as F
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = path.getFileSystem(conf)
+
+    if fs.exists(path):
+        existing = spark.read.parquet(table_path).withColumn(
+            "_is_update", F.lit(0)
+        )
+        merged = existing.unionByName(
+            updates.withColumn("_is_update", F.lit(1))
+        )
+    else:
+        merged = updates.withColumn("_is_update", F.lit(1))
+
+    cols = [c for c in merged.columns if c != "_is_update"]
+    latest = (
+        merged.groupBy(*keys)
+        .agg(
+            F.max_by(
+                F.struct(*cols),
+                F.struct(F.col(order_col), F.col("_is_update")),
+            ).alias("_row")
+        )
+        .select("_row.*")
+    )
+
+    staging = table_path.rstrip("/") + "._staging"
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.delete(spath, True)
+    latest.write.parquet(staging)
+    old = jvm.org.apache.hadoop.fs.Path(table_path.rstrip("/") + "._old")
+    fs.delete(old, True)
+    if fs.exists(path):
+        fs.rename(path, old)
+    fs.rename(spath, path)
+    fs.delete(old, True)
+
+
+def zorder_key(
+    cols: list,
+    mins: list[float],
+    maxs: list[float],
+    bits: int = 10,
+):
+    """Z-order (Morton) key as a pure Column expression: each column is
+    linearly bucketed to ``bits`` bits over [min, max], then the bit
+    planes are interleaved. Rows close in the key are close in EVERY
+    dimension, so a sorted write clusters multi-dimensionally and
+    parquet min/max stats prune scans filtered on ANY of the columns —
+    the Delta/Iceberg OPTIMIZE ZORDER layout, reproduced as column
+    math (linear bucketing; feed quantile-based mins/maxs per col to
+    tame skew).
+    """
+    from pyspark.sql import functions as F
+
+    n_buckets = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    for j, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
+        c = F.col(c) if isinstance(c, str) else c
+        span = (hi - lo) or 1.0
+        bucket = F.least(
+            F.greatest(
+                F.floor((c.cast("double") - F.lit(lo)) / span * n_buckets),
+                F.lit(0),
+            ),
+            F.lit(n_buckets),
+        ).cast("long")
+        for i in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
+                    i * len(cols) + j,
+                )
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 10,
+    num_files: int | None = None,
+) -> None:
+    """Write ``df`` clustered by the Z-order of ``cols``: one tiny
+    min/max aggregate for the bucket bounds, then
+    ``repartitionByRange`` on the key (range exchange — each output
+    file owns a contiguous key range) + ``sortWithinPartitions`` so
+    parquet min/max stats are tight per row group in every Z-order
+    dimension."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_lo{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"_hi{i}") for i, c in enumerate(cols)],
+    ).first()
+    mins = [stats[f"_lo{i}"] for i in range(len(cols))]
+    maxs = [stats[f"_hi{i}"] for i in range(len(cols))]
+    keyed = df.withColumn("_zkey", zorder_key(cols, mins, maxs, bits))
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        keyed.repartitionByRange(n, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -72,3 +72,68 @@ def test_read_jsonl_corpus_quarantines_bad_lines(spark, tmp_path):
     assert bad.count() == 1
     b = bad.collect()
     assert len(b) == 1 and "not json" in b[0]["raw_line"]
+
+
+def test_upsert_latest_is_idempotent_and_takes_latest(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], ["k", "ver", "val"]
+    )
+    sinks.upsert_latest(spark, path, base, ["k"], "ver")
+    # newer version for k=1, brand-new k=3, stale duplicate of k=2
+    upd = spark.createDataFrame(
+        [(1, 20, "a2"), (3, 5, "c"), (2, 10, "b-redelivered")],
+        ["k", "ver", "val"],
+    )
+    sinks.upsert_latest(spark, path, upd, ["k"], "ver")
+    got = {r["k"]: (r["ver"], r["val"])
+           for r in spark.read.parquet(path).collect()}
+    assert got[1] == (20, "a2")        # late correction wins
+    assert got[2] == (10, "b-redelivered")  # tie -> update preferred
+    assert got[3] == (5, "c")
+    # replaying the same batch is a no-op
+    sinks.upsert_latest(spark, path, upd, ["k"], "ver")
+    again = {r["k"]: (r["ver"], r["val"])
+             for r in spark.read.parquet(path).collect()}
+    assert again == got
+
+
+def test_write_zordered_clusters_both_dimensions(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(20_000)
+        .select(
+            (F.hash("id") % 1000).alias("x"),
+            (F.hash("id", F.lit(1)) % 1000).alias("y"),
+        )
+    )
+    zpath = str(tmp_path / "z")
+    sinks.write_zordered(df, zpath, ["x", "y"], bits=8, num_files=16)
+
+    def mean_span_product(path):
+        prods, full = [], 2000.0 * 2000.0  # x,y each span ~[-999, 999]
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                cols = {
+                    md.row_group(rg).column(i).path_in_schema:
+                        md.row_group(rg).column(i).statistics
+                    for i in range(md.row_group(rg).num_columns)
+                }
+                sx = cols["x"].max - cols["x"].min
+                sy = cols["y"].max - cols["y"].min
+                prods.append((sx * sy) / full)
+        return sum(prods) / len(prods)
+
+    npath = str(tmp_path / "naive")
+    df.repartition(16).write.parquet(npath)
+
+    z, naive = mean_span_product(zpath), mean_span_product(npath)
+    # every naive file spans ~the full 2-D domain; zordered files must
+    # cover a much smaller rectangle in BOTH dimensions
+    assert naive > 0.5
+    assert z < naive / 3, (z, naive)
