@@ -349,3 +349,27 @@ def group_shingle_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (bits) of the character distribution — the
+    cheap gibberish/binary/encoding-junk detector (natural language
+    sits ~4 bits; base64 blobs ~6, single-char spam ~0).
+
+    Pure array expression: split to chars, fold over the DISTINCT
+    chars accumulating -p*log2(p), counting each char's occurrences
+    with a nested filter. O(len * distinct_chars) per row but entirely
+    map-side JVM — no explode, no shuffle, which at corpus scale beats
+    the two-aggregation explode formulation by the full shuffle cost.
+    Rounded to 6 digits (libm log2 + cross-engine sum order).
+    """
+    chars = F.filter(F.split(_c(col), ""), lambda x: x != F.lit(""))
+    n = F.size(chars).cast("double")
+    ent = F.aggregate(
+        F.array_distinct(chars),
+        F.lit(0.0),
+        lambda acc, d: acc
+        - (F.size(F.filter(chars, lambda x: x == d)) / n)
+        * F.log2(F.size(F.filter(chars, lambda x: x == d)) / n),
+    )
+    return F.round(ent, 6)

@@ -3567,6 +3567,36 @@ def full_outer_daily_activity(spark, sf_dir):
     )
 
 
+@register(
+    "char_entropy_docs",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+      FROM documents
+    ),
+    cc AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars
+      WHERE ch <> '' GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM cc GROUP BY 1)
+    SELECT cc.doc_id,
+           ROUND(-SUM((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)),
+                 6) AS char_entropy
+    FROM cc JOIN tot ON cc.doc_id = tot.doc_id
+    GROUP BY cc.doc_id
+    """,
+)
+def char_entropy_docs(spark, sf_dir):
+    """Per-doc character-distribution entropy (gibberish/binary/spam
+    signal). Spark side is a map-only array fold — zero shuffles — vs
+    the oracle's explode + two aggregations; at corpus scale the
+    shuffle saved IS the cost of the query."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.char_entropy("text").alias("char_entropy")
+    )
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================

@@ -406,3 +406,18 @@ def test_audio_chunk_plan(spark):
         (1, 0, 0.0, 30.0), (1, 1, 25.0, 55.0), (1, 2, 50.0, 70.0),
         (2, 0, 0.0, 10.0),
     ]
+
+
+def test_char_entropy(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], ["doc_id", "t"]
+    )
+    out = {r["doc_id"]: r["e"]
+           for r in df.select("doc_id",
+                              text.char_entropy("t").alias("e")).collect()}
+    assert out[1] == 0.0                       # single symbol
+    assert out[2] == pytest.approx(1.0)        # two equiprobable
+    assert out[3] == pytest.approx(2.0)        # four equiprobable
+    assert math.isclose(out[3], 2.0)
