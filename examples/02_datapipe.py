@@ -19,7 +19,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from openoa_spark.session import get_session  # noqa: E402
 from openoa_spark import registry  # noqa: E402
-from openoa_spark.datapipe import dedup, sketches, similarity, text  # noqa: E402
+from openoa_spark.datapipe import dedup, sampling, sketches, similarity, text  # noqa: E402
 
 
 def main():
@@ -58,6 +58,20 @@ def main():
     similarity.brute_force_top_k(emb, "embedding", "vec_id", q, k=5).show()
     print("LSH-bucketed per-vector top-3 (scale path):")
     similarity.lsh_bucketed_neighbors(emb, "embedding", "vec_id", k=3).show(6)
+
+    print("== corpus curation: keep-best dedup, mix weights, packing ==")
+    best = dedup.near_dedup_keep_best(
+        docs, "text", "doc_id", text.quality_score("text"),
+        num_hashes=32, bands=8, jaccard_threshold=0.4,
+    )
+    print("keep-best near-dedup kept:", best.count())
+    sampling.temperature_sampling_weights(docs, "lang", alpha=0.7).show()
+    print("sequence-packing manifest (256-token blocks, 4 shards):")
+    sampling.pack_sequences(
+        docs, "doc_id", text.token_count("text"), block_tokens=256,
+        num_shards=4,
+    ).show(6)
+
 
     print("== mergeable sketches (rollup pattern) ==")
     rollup = sketches.hll_rollup(
