@@ -209,6 +209,9 @@ def write_zordered(
     ).first()
     mins = [stats[f"_lo{i}"] for i in range(len(cols))]
     maxs = [stats[f"_hi{i}"] for i in range(len(cols))]
+    if any(v is None for v in (*mins, *maxs)):  # empty or all-null input
+        df.write.mode("overwrite").parquet(path)
+        return
     keyed = df.withColumn("_zkey", zorder_key(cols, mins, maxs, bits))
     n = num_files or df.sparkSession.sparkContext.defaultParallelism
     (

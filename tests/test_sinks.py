@@ -137,3 +137,10 @@ def test_write_zordered_clusters_both_dimensions(spark, tmp_path):
     # cover a much smaller rectangle in BOTH dimensions
     assert naive > 0.5
     assert z < naive / 3, (z, naive)
+
+
+def test_write_zordered_empty_input(spark, tmp_path):
+    df = spark.range(0).selectExpr("id as x", "id as y")
+    path = str(tmp_path / "zempty")
+    sinks.write_zordered(df, path, ["x", "y"])
+    assert spark.read.parquet(path).count() == 0
