@@ -221,3 +221,25 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving every other partition untouched — the
+    incremental-maintenance pattern for derived/aggregate tables (a
+    late-arriving day of telemetry re-lands just that day's aggregate;
+    history is never rewritten, so refresh cost tracks the delta, not
+    the table).
+
+    Static overwrite (Spark's default) would drop ALL partitions
+    first; the per-write option scopes the dynamic mode to this write
+    without mutating session config.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

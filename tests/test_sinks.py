@@ -144,3 +144,18 @@ def test_write_zordered_empty_input(spark, tmp_path):
     path = str(tmp_path / "zempty")
     sinks.write_zordered(df, path, ["x", "y"])
     assert spark.read.parquet(path).count() == 0
+
+
+def test_overwrite_partitions_touches_only_updated_days(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "daily")
+    base = spark.createDataFrame(
+        [("d1", 10), ("d2", 20), ("d3", 30)], ["day", "total"]
+    )
+    sinks.overwrite_partitions(base, path, ["day"])
+    # late data changes only d2
+    upd = spark.createDataFrame([("d2", 99)], ["day", "total"])
+    sinks.overwrite_partitions(upd, path, ["day"])
+    got = {r["day"]: r["total"] for r in spark.read.parquet(path).collect()}
+    assert got == {"d1": 10, "d2": 99, "d3": 30}
