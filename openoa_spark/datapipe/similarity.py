@@ -377,22 +377,33 @@ def label_centroids(
 
     Determinism: each component is rounded to 6 digits (exact same
     double on any engine), decimal-cast (exact), and summed in decimal
-    space (exact + associative), so the mean is bit-identical across
-    partitionings and engines — double summation order would not be.
+    space (exact + associative). The mean itself is then rounded to
+    the 1e-6 grid in INTEGER arithmetic (micros, half away from zero)
+    — dividing in double and calling round() is not cross-engine safe:
+    when sum_micros % n == n/2 the true mean sits exactly on a
+    rounding midpoint, which happens for 1-in-n cells, and engines
+    disagree on which side the double lands (caught at sf0.1: one of
+    640 cells off by 1e-6).
     """
+    if round_digits != 6:
+        raise ValueError("label_centroids pins the 1e-6 grid")
     e = df.select(
         F.col(label_col).alias("label"),
         F.posexplode(_vec(vec_col)).alias("pos", "comp"),
     )
-    return (
-        e.groupBy("label", "pos")
-        .agg(
-            F.round(
-                F.sum(F.round("comp", 6).cast("decimal(20,6)")).cast("double")
-                / F.count("comp"),
-                round_digits,
-            ).alias("centroid")
-        )
+    agg = e.groupBy("label", "pos").agg(
+        (F.sum(F.round("comp", 6).cast("decimal(20,6)")) * 1_000_000)
+        .cast("bigint")
+        .alias("_sm"),
+        F.count("comp").alias("_n"),
+    )
+    half_away = F.expr(
+        "CASE WHEN _sm >= 0 THEN (2*_sm + _n) DIV (2*_n) "
+        "ELSE -((2*(-_sm) + _n) DIV (2*_n)) END"
+    )
+    return agg.select(
+        "label", "pos",
+        (half_away.cast("double") / 1_000_000.0).alias("centroid"),
     )
 
 

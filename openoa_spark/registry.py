@@ -3201,6 +3201,10 @@ def q11_important_stock(spark, sf_dir):
     )
 
 
+# Mean rounded to the 1e-6 grid in INTEGER micros (half away from
+# zero): sum_micros % n == n/2 puts the true mean exactly on a round()
+# midpoint for 1-in-n cells, where double round() is engine-dependent
+# (see similarity.label_centroids).
 _CENTROID_CTE = """
     WITH comps AS (
       SELECT label,
@@ -3208,12 +3212,19 @@ _CENTROID_CTE = """
              unnest(CAST(embedding AS DOUBLE[])) AS comp
       FROM embeddings
     ),
+    sums AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(ROUND(comp, 6) AS DECIMAL(20,6))) * 1000000
+               AS BIGINT) AS sm,
+             COUNT(comp) AS n
+      FROM comps GROUP BY label, pos
+    ),
     cent AS (
       SELECT label, pos,
-             ROUND(
-               CAST(SUM(CAST(ROUND(comp, 6) AS DECIMAL(20,6))) AS DOUBLE)
-               / COUNT(comp), 6) AS centroid
-      FROM comps GROUP BY label, pos
+             CAST(CASE WHEN sm >= 0 THEN (2*sm + n) // (2*n)
+                       ELSE -((2*(-sm) + n) // (2*n)) END AS DOUBLE)
+             / 1000000.0 AS centroid
+      FROM sums
     )
 """
 
