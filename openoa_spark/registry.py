@@ -3608,6 +3608,123 @@ def char_entropy_docs(spark, sf_dir):
     )
 
 
+@register(
+    "event_funnel",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purch
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(t_view) AS n_view,
+           COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_then_click,
+           COUNT(CASE WHEN t_purch > t_click AND t_click > t_view THEN 1 END)
+             AS n_full_funnel
+    FROM u
+    """,
+)
+def event_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view -> click -> purchase): first
+    occurrence of each stage per user via conditional MIN — ONE
+    shuffle on user_id and a scalar rollup, the scalable funnel
+    formulation (no per-stage self-joins, no event-sequence sort)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    u = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purch"),
+    )
+    return u.agg(
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1))
+          .alias("n_view_then_click"),
+        F.count(
+            F.when(
+                (F.col("t_purch") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "bigram_pmi_top",
+    rf"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS a FROM uni),
+    bg AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len({_SQL_TOKS}) - 1),
+               i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i + 1])) AS gram
+      FROM documents
+    ),
+    bgc AS (SELECT gram, COUNT(*) AS cb FROM bg GROUP BY gram),
+    btot AS (SELECT CAST(SUM(cb) AS DOUBLE) AS b FROM bgc),
+    scored AS (
+      SELECT gram, cb,
+             ROUND(log2((cb / b) /
+               ((u1.c / a) * (u2.c / a))), 6) AS pmi
+      FROM bgc, tot, btot
+      JOIN uni u1 ON u1.tok = string_split(gram, ' ')[1]
+      JOIN uni u2 ON u2.tok = string_split(gram, ' ')[2]
+      WHERE cb >= 20
+    )
+    SELECT gram, cb, pmi FROM scored
+    ORDER BY pmi DESC, gram LIMIT 20
+    """,
+)
+def bigram_pmi_top(spark, sf_dir):
+    """Collocation mining: top-20 bigrams by pointwise mutual
+    information (the phrase-detection step of corpus preprocessing).
+    Two count aggregates (unigram, bigram) off one scan lineage, then
+    the bigram table joins the BROADCAST unigram counts twice — the
+    corpus never re-shuffles on token; rank is deterministic
+    (round-6 PMI, gram tiebreak)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    a = uni.agg(F.sum("c").cast("double").alias("_a"))
+    bg = docs.select(
+        F.explode(text.word_ngrams("text", 2)).alias("gram")
+    )
+    bgc = (
+        bg.groupBy("gram").agg(F.count(F.lit(1)).alias("cb"))
+        .where(F.col("cb") >= 20)
+    )
+    b = bg.groupBy().agg(F.count(F.lit(1)).cast("double").alias("_b"))
+    w = F.split(F.col("gram"), " ")
+    u1 = uni.select(F.col("tok").alias("_t1"), F.col("c").alias("_c1"))
+    u2 = uni.select(F.col("tok").alias("_t2"), F.col("c").alias("_c2"))
+    scored = (
+        bgc.join(F.broadcast(a)).join(F.broadcast(b))
+        .join(F.broadcast(u1), w.getItem(0) == F.col("_t1"))
+        .join(F.broadcast(u2), w.getItem(1) == F.col("_t2"))
+        .select(
+            "gram",
+            "cb",
+            F.round(
+                F.log2(
+                    (F.col("cb") / F.col("_b"))
+                    / ((F.col("_c1") / F.col("_a"))
+                       * (F.col("_c2") / F.col("_a")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "gram").limit(20)
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================
