@@ -30,6 +30,7 @@ ALLOWED_CARTESIAN = {
     "q22_idle_customers",       # one-row scalar avg broadcast
     "q11_important_stock",      # one-row global-total broadcast
     "lang_sampling_weights",    # one-row total + normalizer broadcasts
+    "bigram_pmi_top",           # one-row unigram/bigram-total broadcasts
     "impute_linear_synthetic",  # one-row fit-coefficient broadcast
     "impute_quadratic_synthetic",
     "impute_best_neighbor",
