@@ -41,6 +41,11 @@ PROBE_QUERIES = [
     "event_sessions",
     "cumulative_sum_per_user",
     "resample_hour_mean_by_type",
+    # documents-table datapipe ops (corpus inflated by id-offset copies)
+    "exact_dedup_docs",
+    "char_entropy_docs",
+    "pack_blocks_docs",
+    "minhash_near_dups",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
@@ -48,7 +53,7 @@ JOB_FLOOR_S = 0.4
 LINEAR_SLACK = 1.8
 
 TABLES = (
-    "region nation customer supplier part orders lineitem documents embeddings"
+    "region nation customer supplier part orders lineitem embeddings"
 ).split()
 
 
@@ -83,6 +88,21 @@ def build_probe_dir(spark, base_dir: str, factor: int, probe_dir: str) -> None:
     )
     shifted.write.mode("overwrite").parquet(
         os.path.join(probe_dir, "events.parquet")
+    )
+    # documents x factor: offset doc ids, suffix a copy tag token so
+    # copies are NOT exact duplicates of each other (keeps dedup
+    # outputs ~factor-proportional instead of collapsing to 1 copy)
+    docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
+    stacked = None
+    for i in range(factor):
+        c = docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * 1_000_000_000)
+        ).withColumn(
+            "text", F.concat(F.col("text"), F.lit(f" copytag{i}"))
+        )
+        stacked = c if stacked is None else stacked.unionByName(c)
+    stacked.write.mode("overwrite").parquet(
+        os.path.join(probe_dir, "documents.parquet")
     )
 
 
