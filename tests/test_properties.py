@@ -150,3 +150,48 @@ def test_gap_fill_preserves_and_completes(spark, vals, data):
         assert by_time[t] == pytest.approx(v)
     n_null = sum(1 for r in filled if r["v"] is None)
     assert n_null == span_h + 1 - len(rows)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=64),
+)
+def test_pack_sequences_contiguity_property(spark, counts, block):
+    from openoa_spark.datapipe import sampling
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(counts)], ["doc_id", "n_tokens"]
+    )
+    rows = sampling.pack_sequences(
+        df, "doc_id", "n_tokens", block_tokens=block, num_shards=3
+    ).collect()
+    assert len(rows) == len(counts)
+    running = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["doc_id"])):
+        assert r["start_offset"] == running.get(r["shard"], 0)
+        running[r["shard"]] = r["start_offset"] + r["n_tokens"]
+        assert r["block_id"] == r["start_offset"] // block
+        assert r["block_offset"] == r["start_offset"] % block
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abcdef"),
+                  st.integers(min_value=1, max_value=50)),
+        min_size=1, max_size=6, unique_by=lambda t: t[0],
+    )
+)
+def test_temperature_weights_property(spark, groups):
+    from openoa_spark.datapipe import sampling
+
+    rows = [(g,) for g, n in groups for _ in range(n)]
+    df = spark.createDataFrame(rows, ["lang"])
+    out = sampling.temperature_sampling_weights(df, "lang", 0.7).collect()
+    # target fractions form a distribution
+    assert abs(sum(r["target_frac"] for r in out) - 1.0) < 1e-4
+    # alpha<1 compresses the mix: the largest group is never up-weighted
+    # more than the smallest
+    by_n = sorted(out, key=lambda r: r["n_docs"])
+    assert by_n[0]["weight"] >= by_n[-1]["weight"] - 1e-9
