@@ -438,3 +438,23 @@ class PlantData:
         for f2 in frames[1:]:
             out = out.unionByName(f2, allowMissingColumns=True)
         return out
+
+    def create_views(self, prefix: str = "") -> list[str]:
+        """Register every loaded table as a session temp view
+        (``scada``, ``meter``, ``tower``, ``status``, ``curtail``,
+        ``asset``, ``reanalysis`` — the last as the unioned
+        product-column layout) so users can query the plant with raw
+        ``spark.sql``. Views are lazy references, not copies; returns
+        the view names registered. ``prefix`` namespaces them when
+        several plants share a session."""
+        names = []
+        for name in ("scada", "meter", "tower", "status", "curtail", "asset"):
+            df = getattr(self, name)
+            if df is not None:
+                df.createOrReplaceTempView(prefix + name)
+                names.append(prefix + name)
+        rea = self.reanalysis_union()
+        if rea is not None:
+            rea.createOrReplaceTempView(prefix + "reanalysis")
+            names.append(prefix + "reanalysis")
+        return names

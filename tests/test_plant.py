@@ -192,3 +192,20 @@ def test_from_csv_user_names_round_trip(plant, spark, tmp_path):
 def test_from_csv_missing_metadata_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="metadata"):
         PlantData.from_csv(spark, str(tmp_path))
+
+
+def test_create_views_enables_raw_sql(spark, plant):
+    names = plant.create_views(prefix="p1_")
+    assert "p1_scada" in names and "p1_asset" in names
+    n_turbines = spark.sql(
+        "SELECT COUNT(DISTINCT asset_id) AS n FROM p1_scada"
+    ).first()["n"]
+    assert n_turbines == plant.asset.where("type = 'turbine'").count()
+    if "p1_reanalysis" in names:
+        prods = {
+            r["product"]
+            for r in spark.sql(
+                "SELECT DISTINCT product FROM p1_reanalysis"
+            ).collect()
+        }
+        assert prods == set(plant.reanalysis.keys())
