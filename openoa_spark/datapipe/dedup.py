@@ -452,3 +452,53 @@ def near_dedup_keep_best(
         winners, df[id_col] == F.col("_win_id"), "left_semi"
     )
     return unpaired.unionByName(kept_winners)
+
+
+def incremental_exact_dedup(
+    spark,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    fingerprint_path: str,
+    normalized: bool = True,
+) -> DataFrame:
+    """Cross-batch exact dedup for a continuously-ingesting corpus:
+    drop batch rows whose content hash was already accepted in ANY
+    previous batch (via the persistent fingerprint table at
+    ``fingerprint_path``), keep one representative (min id) per new
+    hash within the batch, and append the newly-accepted fingerprints.
+
+    Scale shape: the fingerprint table stores ONLY the 8-byte content
+    hash — never text — so the anti-join ships hashes, and at 100 TB
+    the table is ~0.01% of corpus size. The append is the only write
+    (no rewrite of accumulated state); re-running the same batch after
+    a crash between return and downstream-commit re-filters against
+    fingerprints that now include this batch, yielding zero rows —
+    the idempotent-by-construction replay story.
+
+    Returns the accepted batch rows (original columns).
+    """
+    c = normalize_text(text_col) if normalized else F.col(text_col)
+    keyed = batch.withColumn("_key", F.xxhash64(c))
+    first = keyed.groupBy("_key").agg(F.min(F.col(id_col)).alias("_keep_id"))
+    intra = keyed.join(
+        first.withColumnRenamed("_key", "_fk"),
+        (keyed["_key"] == F.col("_fk")) & (keyed[id_col] == F.col("_keep_id")),
+    ).select(*batch.columns, "_key")
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(fingerprint_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        seen = spark.read.parquet(fingerprint_path)
+        fresh = intra.join(seen, intra["_key"] == seen["key"], "left_anti")
+    else:
+        fresh = intra
+    # localCheckpoint: the accepted set must be FIXED before we append
+    # its fingerprints, or the lazy plan would re-read the table it
+    # just grew and anti-join everything away.
+    fresh = fresh.localCheckpoint(eager=True)
+    fresh.select(F.col("_key").alias("key")).write.mode("append").parquet(
+        fingerprint_path
+    )
+    return fresh.drop("_key")

@@ -421,3 +421,22 @@ def test_char_entropy(spark):
     assert out[2] == pytest.approx(1.0)        # two equiprobable
     assert out[3] == pytest.approx(2.0)        # four equiprobable
     assert math.isclose(out[3], 2.0)
+
+
+def test_incremental_exact_dedup_across_batches(spark, tmp_path):
+    fp = str(tmp_path / "fingerprints")
+    b1 = spark.createDataFrame(
+        [(1, "doc alpha"), (2, "doc beta"), (3, "Doc  Alpha")],
+        ["doc_id", "text"],
+    )
+    out1 = dedup.incremental_exact_dedup(spark, b1, "text", "doc_id", fp)
+    assert sorted(r["doc_id"] for r in out1.collect()) == [1, 2]
+    # batch 2: one already-seen doc (different id), one new
+    b2 = spark.createDataFrame(
+        [(10, "doc beta"), (11, "doc gamma")], ["doc_id", "text"]
+    )
+    out2 = dedup.incremental_exact_dedup(spark, b2, "text", "doc_id", fp)
+    assert [r["doc_id"] for r in out2.collect()] == [11]
+    # replaying batch 2 accepts nothing (idempotent)
+    out3 = dedup.incremental_exact_dedup(spark, b2, "text", "doc_id", fp)
+    assert out3.count() == 0
