@@ -194,21 +194,36 @@ def write_zordered(
     cols: list[str],
     bits: int = 10,
     num_files: int | None = None,
+    robust: bool = False,
 ) -> None:
     """Write ``df`` clustered by the Z-order of ``cols``: one tiny
-    min/max aggregate for the bucket bounds, then
-    ``repartitionByRange`` on the key (range exchange — each output
-    file owns a contiguous key range) + ``sortWithinPartitions`` so
-    parquet min/max stats are tight per row group in every Z-order
-    dimension."""
+    bounds aggregate, then ``repartitionByRange`` on the key (range
+    exchange — each output file owns a contiguous key range) +
+    ``sortWithinPartitions`` so parquet min/max stats are tight per
+    row group in every Z-order dimension.
+
+    ``robust=True`` takes the 1st/99th percentile (approxQuantile, one
+    extra pass) as bucket bounds instead of min/max: with a skewed or
+    outlier-bearing column, a single extreme value would otherwise
+    stretch the linear bucketing until all real data shares a handful
+    of buckets (outliers clamp to the edge buckets, which is fine —
+    they land in the edge files)."""
     from pyspark.sql import functions as F
 
-    stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"_lo{i}") for i, c in enumerate(cols)],
-        *[F.max(F.col(c).cast("double")).alias(f"_hi{i}") for i, c in enumerate(cols)],
-    ).first()
-    mins = [stats[f"_lo{i}"] for i in range(len(cols))]
-    maxs = [stats[f"_hi{i}"] for i in range(len(cols))]
+    if robust:
+        casted = df.select(
+            *[F.col(c).cast("double").alias(c) for c in cols]
+        ).dropna()
+        bounds = casted.stat.approxQuantile(cols, [0.01, 0.99], 0.001)
+        mins = [b[0] if b else None for b in bounds]
+        maxs = [b[1] if b else None for b in bounds]
+    else:
+        stats = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"_lo{i}") for i, c in enumerate(cols)],
+            *[F.max(F.col(c).cast("double")).alias(f"_hi{i}") for i, c in enumerate(cols)],
+        ).first()
+        mins = [stats[f"_lo{i}"] for i in range(len(cols))]
+        maxs = [stats[f"_hi{i}"] for i in range(len(cols))]
     if any(v is None for v in (*mins, *maxs)):  # empty or all-null input
         df.write.mode("overwrite").parquet(path)
         return

@@ -159,3 +159,38 @@ def test_overwrite_partitions_touches_only_updated_days(spark, tmp_path):
     sinks.overwrite_partitions(upd, path, ["day"])
     got = {r["day"]: r["total"] for r in spark.read.parquet(path).collect()}
     assert got == {"d1": 10, "d2": 99, "d3": 30}
+
+
+def test_write_zordered_robust_bounds_resist_outliers(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    # uniform data in [0, 1000) plus one extreme outlier per dim
+    base = spark.range(10_000).select(
+        (F.hash("id") % 500 + 500).alias("x"),
+        (F.hash("id", F.lit(1)) % 500 + 500).alias("y"),
+    )
+    outlier = spark.createDataFrame([(10**9, 10**9)], ["x", "y"])
+    df = base.unionByName(outlier)
+
+    def nonempty_files(path):
+        return sum(
+            1
+            for f in glob.glob(path + "/*.parquet")
+            if pq.ParquetFile(f).metadata.num_rows > 0
+        )
+
+    naive = str(tmp_path / "naive_z")
+    robust = str(tmp_path / "robust_z")
+    sinks.write_zordered(df, naive, ["x", "y"], bits=8, num_files=8)
+    sinks.write_zordered(
+        df, robust, ["x", "y"], bits=8, num_files=8, robust=True
+    )
+    # min/max bounds: the outlier stretches each bucket to ~4M wide, so
+    # EVERY real row shares z-bucket 0 and the range exchange collapses
+    # the data into one or two nonempty files — clustering resolution
+    # is gone. Quantile bounds keep the real data spread across files.
+    assert nonempty_files(naive) <= 2
+    assert nonempty_files(robust) >= 6
