@@ -35,6 +35,11 @@ _RESAMPLE_HOURS = {"MS": 30 * 24, "D": 24, "h": 1}
 # long-term mean days per calendar month (aep.py:185-188)
 NUM_DAYS_LT = np.array([31, 28.25, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31])
 
+_SIM_OUTPUTS = (
+    "aep_GWh", "avail_pct", "curt_pct", "lt_por_ratio", "r2", "mse",
+    "n_points", "iav",
+)
+
 
 @dataclass
 class MonteCarloAEPResult:
@@ -92,6 +97,16 @@ class MonteCarloAEP:
             raise ValueError("reg_model must be lin, etr, gbm, or gam")
         self._freq = _RESAMPLE[self.time_resolution]
         self._monthly = self.time_resolution == "MS"
+        self._capacity_mw = float(self.plant.metadata.capacity)
+
+    def __getstate__(self):
+        """Worker-side pickling for the distributed Monte-Carlo path:
+        everything the per-sim math touches is plain pandas/NumPy/
+        config; the PlantData handle (Spark session, DataFrames) is
+        driver-only and must not ship."""
+        state = self.__dict__.copy()
+        state["plant"] = None
+        return state
 
     # ------------------------------------------------------------ Spark prep
 
@@ -278,52 +293,142 @@ class MonteCarloAEP:
 
     # ------------------------------------------------------------ MC loop
 
-    def run(self, num_sim: int = 200) -> MonteCarloAEPResult:
+    def run(
+        self,
+        num_sim: int = 200,
+        distributed: bool = False,
+        partitions: int | None = None,
+    ) -> MonteCarloAEPResult:
+        """Run the Monte-Carlo simulations.
+
+        ``distributed=True`` fans the sims out over the cluster (every
+        per-sim input is a driver-collected calendar-grain aggregate,
+        so each task ships <1 MB and returns 8 floats per sim — the
+        embarrassingly-parallel shape the serial pandas reference
+        can't exploit). Results are bit-identical to the serial path:
+        all random draws are made up-front on the driver, bootstrap
+        indices come from a per-sim seeded generator, and nonlinear
+        hyper-parameters are fixed per product before the loop.
+        """
         if self.aggregate is None:
             self.prepare()
         rng = np.random.default_rng(self.seed)
-        products = rng.choice(self.reanalysis_products, num_sim)
-        meter_frac = rng.normal(1.0, self.uncertainty_meter, num_sim)
-        loss_frac = rng.normal(1.0, self.uncertainty_losses, num_sim)
-        wind_years = rng.integers(
-            self.uncertainty_windiness[0], self.uncertainty_windiness[1] + 1, num_sim
-        )
-        loss_thresh = rng.integers(
-            self.uncertainty_loss_max[0], self.uncertainty_loss_max[1] + 1, num_sim
-        ) / 100.0
-        out_thresh = (
-            rng.integers(
-                int(self.uncertainty_outlier[0] * 10),
-                int((self.uncertainty_outlier[1] + 0.1) * 10),
-                num_sim,
-            ) / 10.0
-            if self.outlier_detection else np.ones(num_sim)
-        )
+        num = num_sim
+        draws = {
+            "products": rng.choice(self.reanalysis_products, num),
+            "meter_frac": rng.normal(1.0, self.uncertainty_meter, num),
+            "loss_frac": rng.normal(1.0, self.uncertainty_losses, num),
+            "wind_years": rng.integers(
+                self.uncertainty_windiness[0],
+                self.uncertainty_windiness[1] + 1,
+                num,
+            ),
+            "loss_thresh": rng.integers(
+                self.uncertainty_loss_max[0],
+                self.uncertainty_loss_max[1] + 1,
+                num,
+            ) / 100.0,
+            "out_thresh": (
+                rng.integers(
+                    int(self.uncertainty_outlier[0] * 10),
+                    int((self.uncertainty_outlier[1] + 0.1) * 10),
+                    num,
+                ) / 10.0
+                if self.outlier_detection else np.ones(num)
+            ),
+        }
+        # Nonlinear hyper-opt ONCE per product, BEFORE the sim loop, on
+        # nominal (un-MC'd) data — execution-layout independent, so the
+        # serial and distributed paths train identical models.
+        self._ml_params = {}
+        if self.reg_model != "lin":
+            nominal_loss = float(np.mean(self.uncertainty_loss_max)) / 100.0
+            nominal_out = (
+                float(np.mean(self.uncertainty_outlier))
+                if self.outlier_detection else 1.0
+            )
+            for product in sorted(set(str(p) for p in draws["products"])):
+                valid = self._filter_outliers(
+                    product, nominal_loss, nominal_out, {}
+                )
+                gross = (
+                    valid["energy_gwh"].to_numpy()
+                    + valid["availability_gwh"].to_numpy()
+                    + valid["curtailment_gwh"].to_numpy()
+                )
+                if self._monthly:
+                    gross = gross * 30.0 / valid["num_days_expected"].to_numpy()
+                self._ml_params[product] = reg.hyper_optimize_np(
+                    self.reg_model, self._features(valid, product), gross,
+                    n_iter=8, k_folds=3, seed=self.seed,
+                )
 
+        if distributed:
+            from openoa_spark.session import ship_package
+
+            spark = self.plant.spark
+            ship_package(spark)
+            sc = spark.sparkContext
+            n_parts = partitions or min(sc.defaultParallelism * 2, num)
+            chunks = [c.tolist() for c in np.array_split(np.arange(num), n_parts)]
+            analysis = self  # __getstate__ drops the Spark-side plant
+            parts = (
+                sc.parallelize(chunks, len(chunks))
+                .map(lambda idxs: (idxs, analysis._simulate_batch(
+                    draws, np.asarray(idxs, dtype=int))))
+                .collect()
+            )
+            n_out = {k: np.empty(num) for k in _SIM_OUTPUTS}
+            for idxs, part in parts:
+                for k in _SIM_OUTPUTS:
+                    n_out[k][idxs] = part[k]
+        else:
+            n_out = self._simulate_batch(draws, np.arange(num))
+
+        # apply mean IAV multiplier (aep.py:1075-1080)
+        iav_mult = rng.normal(1.0, float(np.nanmean(n_out["iav"])), num)
+        n_out["aep_GWh"] *= iav_mult
+        n_out["lt_por_ratio"] *= iav_mult
+        results = pd.DataFrame(n_out)
+        return MonteCarloAEPResult(results, self.aggregate, self.long_term_losses)
+
+    def _simulate_batch(
+        self, draws: dict, indices: np.ndarray
+    ) -> dict[str, np.ndarray]:
+        """Per-sim math for a batch of simulation indices — pure
+        pandas/NumPy over the prepared aggregates, no Spark handle, so
+        the same code runs on the driver (serial) or inside executor
+        tasks (distributed). Bootstrap rows come from a generator
+        seeded per sim index, making results independent of how sims
+        are batched."""
         filter_memo: dict = {}
         lt_memo: dict = {}
-        ml_memo: dict = {}
-        n_out = {k: np.empty(num_sim) for k in
-                 ("aep_GWh", "avail_pct", "curt_pct", "lt_por_ratio", "r2", "mse",
-                  "n_points", "iav")}
+        out = {k: np.empty(len(indices)) for k in _SIM_OUTPUTS}
 
-        for n in range(num_sim):
-            product = str(products[n])
-            valid = self._filter_outliers(product, loss_thresh[n], out_thresh[n], filter_memo)
+        for j, n in enumerate(indices):
+            product = str(draws["products"][n])
+            loss_frac_n = draws["loss_frac"][n]
+            wind_years_n = int(draws["wind_years"][n])
+            valid = self._filter_outliers(
+                product, draws["loss_thresh"][n], draws["out_thresh"][n],
+                filter_memo,
+            )
             # MC-sampled gross energy, 30-day normalized (aep.py:842-895)
             mc_gross = (
-                valid["energy_gwh"].to_numpy() * meter_frac[n]
+                valid["energy_gwh"].to_numpy() * draws["meter_frac"][n]
                 + (valid["availability_gwh"].to_numpy()
-                   + valid["curtailment_gwh"].to_numpy()) * loss_frac[n]
+                   + valid["curtailment_gwh"].to_numpy()) * loss_frac_n
             )
             if self._monthly:
                 mc_norm = mc_gross * 30.0 / valid["num_days_expected"].to_numpy()
             else:
                 mc_norm = mc_gross
             X = self._features(valid, product)
-            # bootstrap rows (aep.py:914-916)
-            idx = rng.integers(0, len(X), len(X))
-            lt = self._sample_long_term(product, int(wind_years[n]), lt_memo)
+            # bootstrap rows (aep.py:914-916), per-sim seeded
+            idx = np.random.default_rng((self.seed, 100_000 + int(n))).integers(
+                0, len(X), len(X)
+            )
+            lt = self._sample_long_term(product, wind_years_n, lt_memo)
             if self.reg_model == "lin":
                 coef, intercept = reg.ols_fit(X[idx], mc_norm[idx])
                 yhat = reg.ols_predict(X[idx], coef, intercept)
@@ -332,50 +437,40 @@ class MonteCarloAEP:
                     self._features(self.reanalysis_por, product), coef, intercept
                 )
             else:
-                # nonlinear path (reference aep.py:897-959): randomized
-                # hyper-opt ONCE per product (memoized), then a per-sim
-                # refit on the bootstrap with the optimized params
-                if product not in ml_memo:
-                    ml_memo[product] = reg.hyper_optimize_np(
-                        self.reg_model, X, mc_norm, n_iter=8, k_folds=3,
-                        seed=self.seed,
-                    )
+                # nonlinear path (reference aep.py:897-959): per-product
+                # hyper-params fixed before the loop; per-sim refit on
+                # the bootstrap
                 model = reg.make_ml_model(
-                    self.reg_model, ml_memo[product], seed=self.seed + n
+                    self.reg_model, self._ml_params[product],
+                    seed=self.seed + int(n),
                 )
                 model.fit(X[idx], mc_norm[idx])
                 yhat = model.predict(X[idx])
                 gross_lt = model.predict(self._features(lt, product))
                 gross_por = model.predict(self._features(self.reanalysis_por, product))
-            n_out["r2"][n] = reg.r2_score(mc_norm[idx], yhat)
-            n_out["mse"][n] = reg.mse_score(mc_norm[idx], yhat)
-            n_out["n_points"][n] = len(X)
+            out["r2"][j] = reg.r2_score(mc_norm[idx], yhat)
+            out["mse"][j] = reg.mse_score(mc_norm[idx], yhat)
+            out["n_points"][j] = len(X)
             gross_por = pd.Series(gross_por, index=self.reanalysis_por.index)
             gross_por_cal = self._groupby_time_res(gross_por)
             if self._monthly:  # undo 30-day normalization (aep.py:1040-1049)
                 last_month = self._reanalysis_aggregate.index[-1].month
                 roll = np.roll(NUM_DAYS_LT, 12 - last_month)
-                gross_lt = gross_lt * np.tile(roll, int(wind_years[n])) / 30.0
+                gross_lt = gross_lt * np.tile(roll, wind_years_n) / 30.0
                 gross_por_cal = gross_por_cal.to_numpy() * NUM_DAYS_LT / 30.0
 
             gross_lt_s = pd.Series(gross_lt, index=lt.index)
             annual = self._annual_values(gross_lt_s)
-            avail_lt, curt_lt = self._sample_long_term_losses(gross_lt_s, loss_frac[n])
+            avail_lt, curt_lt = self._sample_long_term_losses(gross_lt_s, loss_frac_n)
 
-            n_out["aep_GWh"][n] = gross_lt.sum() / wind_years[n] * (1.0 - avail_lt)
-            n_out["iav"][n] = annual.std(ddof=1) / annual.mean() if len(annual) > 1 else 0.0
-            n_out["avail_pct"][n] = avail_lt
-            n_out["curt_pct"][n] = curt_lt
-            n_out["lt_por_ratio"][n] = (
-                (gross_lt.sum() / wind_years[n]) / np.sum(gross_por_cal)
+            out["aep_GWh"][j] = gross_lt.sum() / wind_years_n * (1.0 - avail_lt)
+            out["iav"][j] = annual.std(ddof=1) / annual.mean() if len(annual) > 1 else 0.0
+            out["avail_pct"][j] = avail_lt
+            out["curt_pct"][j] = curt_lt
+            out["lt_por_ratio"][j] = (
+                (gross_lt.sum() / wind_years_n) / np.sum(gross_por_cal)
             )
-
-        # apply mean IAV multiplier (aep.py:1075-1080)
-        iav_mult = rng.normal(1.0, float(np.nanmean(n_out["iav"])), num_sim)
-        n_out["aep_GWh"] *= iav_mult
-        n_out["lt_por_ratio"] *= iav_mult
-        results = pd.DataFrame(n_out)
-        return MonteCarloAEPResult(results, self.aggregate, self.long_term_losses)
+        return out
 
     # ------------------------------------------------------------ helpers
 
@@ -399,7 +494,7 @@ class MonteCarloAEP:
             ((df["availability_pct"] + df["curtailment_pct"]) < loss_threshold)
             & (~df["nan_flag"])
         ].copy()
-        plant_capac = self.plant.metadata.capacity / 1000.0 * _RESAMPLE_HOURS[self.time_resolution]
+        plant_capac = self._capacity_mw / 1000.0 * _RESAMPLE_HOURS[self.time_resolution]
         flag = ~sub[product].between(0.0, 40.0)
         if self.reg_temperature:
             flag |= ~sub[f"{product}_WMETR_EnvTmp"].between(200.0, 320.0)

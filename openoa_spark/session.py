@@ -52,3 +52,39 @@ def get_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ship_package(spark) -> None:
+    """Make ``openoa_spark`` importable on executor Python workers by
+    zipping the package and ``addPyFile``-ing it — the same mechanism
+    as ``spark-submit --py-files``, so it works on any cluster
+    manager (local workers don't inherit the driver's runtime
+    ``sys.path`` mutations). Idempotent per SparkContext. Needed
+    before shipping closures that reference package code (e.g. the
+    distributed Monte-Carlo paths)."""
+    import os
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    if getattr(sc, "_openoa_pkg_shipped", False):
+        return
+    import openoa_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(openoa_spark.__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"openoa_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "openoa_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._openoa_pkg_shipped = True

@@ -152,3 +152,22 @@ def test_reg_model_validation(spark, tables):
     )
     with pytest.raises(ValueError, match="reg_model"):
         MonteCarloAEP(plant, reg_model="nope")
+
+
+def test_distributed_run_matches_serial_exactly(analysis):
+    """The distributed Monte-Carlo path must be bit-identical to the
+    serial one: draws are made up-front, bootstraps are per-sim
+    seeded, so batching across executors cannot change results."""
+    serial = analysis.run(num_sim=12)
+    dist = analysis.run(num_sim=12, distributed=True)
+    pd.testing.assert_frame_equal(serial.results, dist.results)
+
+
+def test_distributed_run_matches_serial_nonlinear(analysis):
+    mc = MonteCarloAEP(
+        analysis.plant, reg_model="etr", uncertainty_windiness=(1, 2)
+    )
+    mc.prepare()
+    serial = mc.run(num_sim=4)
+    dist = mc.run(num_sim=4, distributed=True)
+    pd.testing.assert_frame_equal(serial.results, dist.results)
