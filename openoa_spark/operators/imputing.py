@@ -303,12 +303,16 @@ def impute_data(
             F.avg(x).alias("mx"),
         ).first()
         slope = fit["slope"]
+        if slope is None:  # no co-present rows (e.g. empty input):
+            return j.drop("_ref")  # nothing fittable, nothing to fill
         intercept = fit["my"] - slope * fit["mx"]
         pred = F.lit(slope) * x + F.lit(intercept)
     else:
         import numpy as np
 
         st = both.agg(F.avg(x).alias("mu"), F.stddev_samp(x).alias("sd")).first()
+        if st["mu"] is None:  # no co-present rows: nothing fittable
+            return j.drop("_ref")
         mu = float(st["mu"])
         sd = float(st["sd"]) if st["sd"] else 1.0
         z = (x - F.lit(mu)) / F.lit(sd)  # standardized for conditioning
