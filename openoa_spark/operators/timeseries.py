@@ -391,3 +391,63 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+
+
+def bfill(
+    df: DataFrame,
+    cols: list[str],
+    time_col: str,
+    keys: list[str] | None = None,
+    allow_unkeyed: bool = False,
+) -> DataFrame:
+    """Backward-fill NULLs in ``cols`` (next non-null value in time
+    order, per key group) — ffill's mirror; ``first(ignorenulls)``
+    over an unbounded-FOLLOWING window. Same one-shuffle shape and
+    the same keyless guard as :func:`ffill`."""
+    w = (
+        _ordered_window(keys, allow_unkeyed, "bfill")
+        .orderBy(time_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.first(c, ignorenulls=True).over(w))
+    return out
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str,
+    value_cols: list[str],
+    keys: list[str] | None = None,
+    right_time_col: str | None = None,
+    allow_unkeyed: bool = False,
+) -> DataFrame:
+    """Forward as-of join: for each left row, the EARLIEST right
+    values at or after its timestamp ("next reading"), matched per
+    key group — the mirror of :func:`asof_join`, same union + keyed
+    window shape (backward-filled over a FOLLOWING frame), one
+    shuffle, no range-join explosion. At equal timestamps the left
+    row orders FIRST (``_src`` desc) so an exactly-simultaneous right
+    reading is inside the left row's following frame and matches."""
+    rt = right_time_col or time_col
+    keys = keys or []
+    r = right.select(
+        *keys, F.col(rt).alias(time_col), *[F.col(c) for c in value_cols],
+        F.lit(0).alias("_src"),
+    )
+    l = left.select(*left.columns, F.lit(1).alias("_src"))
+    for c in value_cols:
+        if c not in left.columns:
+            l = l.withColumn(c, F.lit(None).cast(r.schema[c].dataType))
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        _ordered_window(keys, allow_unkeyed, "asof_join_forward")
+        .orderBy(F.col(time_col).asc(), F.col("_src").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    out = unioned
+    for c in value_cols:
+        out = out.withColumn(c, F.first(c, ignorenulls=True).over(w))
+    return out.where(F.col("_src") == 1).drop("_src")

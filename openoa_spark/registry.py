@@ -3725,6 +3725,45 @@ def bigram_pmi_top(spark, sf_dir):
     return scored.orderBy(F.desc("pmi"), "gram").limit(20)
 
 
+@register(
+    "asof_forward_hourly_value",
+    """
+    WITH b AS (
+      SELECT user_id,
+             CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+      FROM events GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+    ),
+    dedup AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS value
+      FROM events GROUP BY user_id, ts
+    )
+    SELECT s.user_id, s.hour,
+           (SELECT d.value FROM dedup d
+            WHERE d.user_id = s.user_id AND d.ts >= s.hour
+            ORDER BY d.ts ASC LIMIT 1) AS value
+    FROM spine s
+    """,
+)
+def asof_forward_hourly_value(spark, sf_dir):
+    """Forward as-of: each hourly spine point takes the NEXT reading
+    at or after it (asof_hourly_value's mirror). Same union + keyed
+    window shape over a FOLLOWING frame — one shuffle, no range join;
+    the oracle's correlated subquery is the semantics, not the plan."""
+    ev = _t(spark, sf_dir, "events")
+    dedup_ev = ev.groupBy("user_id", "ts").agg(
+        F.max_by("value", "event_id").alias("value")
+    )
+    hours = ev.select("user_id", F.date_trunc("hour", "ts").alias("hour"))
+    spine = timeseries.calendar_spine(hours, "hour", "h", keys=["user_id"])
+    return timeseries.asof_join_forward(
+        spine, dedup_ev, "hour", ["value"], keys=["user_id"], right_time_col="ts"
+    )
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================

@@ -87,3 +87,46 @@ def test_num_days_full_span(spark):
     df = spark.createDataFrame([(_ts(2020, 1, 1, 5),), (_ts(2020, 1, 10, 3),)], ["time"])
     assert ts.num_days(df, "time") == 10  # full spine, reference semantics
     assert ts.num_hours(df, "time") == 9 * 24 - 2 + 1
+
+
+def test_bfill_mirrors_ffill(spark):
+    import datetime as dt
+
+    from openoa_spark.operators import timeseries as ts
+
+    rows = [
+        ("a", dt.datetime(2020, 1, 1, h), v)
+        for h, v in [(0, None), (1, 10.0), (2, None), (3, 30.0), (4, None)]
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = {
+        r["t"].hour: r["v"]
+        for r in ts.bfill(df, ["v"], "t", keys=["k"]).collect()
+    }
+    assert out == {0: 10.0, 1: 10.0, 2: 30.0, 3: 30.0, 4: None}
+
+
+def test_asof_join_forward_next_reading(spark):
+    import datetime as dt
+
+    from openoa_spark.operators import timeseries as ts
+
+    left = spark.createDataFrame(
+        [("a", dt.datetime(2020, 1, 1, 0, 30)),
+         ("a", dt.datetime(2020, 1, 1, 2, 0)),
+         ("a", dt.datetime(2020, 1, 1, 9, 0))],
+        ["k", "t"],
+    )
+    right = spark.createDataFrame(
+        [("a", dt.datetime(2020, 1, 1, 1, 0), 1.0),
+         ("a", dt.datetime(2020, 1, 1, 2, 0), 2.0),
+         ("a", dt.datetime(2020, 1, 1, 3, 0), 3.0)],
+        ["k", "t", "x"],
+    )
+    out = {
+        r["t"].hour * 60 + r["t"].minute: r["x"]
+        for r in ts.asof_join_forward(left, right, "t", ["x"], keys=["k"]).collect()
+    }
+    # 00:30 -> next reading 01:00; 02:00 matches the simultaneous one;
+    # 09:00 has nothing after it
+    assert out == {30: 1.0, 120: 2.0, 540: None}
