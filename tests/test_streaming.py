@@ -326,3 +326,55 @@ def test_stream_to_parquet_exactly_once_across_restart(spark, tmp_path):
 
     got = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert got == list(range(8))  # no duplicates, nothing lost
+
+
+def test_streaming_curation_pipeline_end_to_end(spark, tmp_path):
+    """Capstone: the batch text operators (quality score, language id,
+    token count — pure Column expressions) compose UNCHANGED onto a
+    stream, with watermark dedup and the exactly-once parquet sink.
+    One code path for batch and streaming curation."""
+    import datetime as dt
+
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from openoa_spark.datapipe import text
+    from openoa_spark.streaming import ingest
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, t0, "the quick brown fox jumps over the lazy dog"),
+        (2, t0, "the quick  brown fox jumps over the lazy dog"),  # dup (ws)
+        (3, t0, "le chat et la maison des gens et le chien"),
+        (4, t0, "!!! ??? !!!"),  # punctuation spam -> low quality
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ])
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    stream = ingest.file_stream(spark, src, schema)
+    deduped = ingest.stream_dedup(stream, "ts", "text")
+    curated = deduped.select(
+        "doc_id", "ts", "text",
+        text.quality_score("text").alias("quality"),
+        text.language_id("text").alias("lang"),
+        text.token_count("text").alias("n_tokens"),
+    ).where(F.col("quality") > 0.3)
+    q = ingest.stream_to_parquet(curated, out, ckpt)
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    # docs 1 and 2 are content-equal: exactly ONE survives dedup (which
+    # of the two wins within a micro-batch is unspecified); the
+    # punctuation-spam doc 4 is filtered by quality.
+    assert len(got) == 2 and 3 in got and 4 not in got
+    winner = (set(got) - {3}).pop()
+    assert winner in (1, 2)
+    assert got[winner]["lang"] == "en" and got[3]["lang"] == "fr"
+    assert got[winner]["n_tokens"] == 9
