@@ -305,15 +305,70 @@ class PlantData:
 
     # ------------------------------------------------------------ export
 
-    def to_parquet(self, save_path: str) -> None:
+    def to_parquet(self, save_path: str, metadata: str = "metadata") -> None:
         """Write every attached table under save_path/<table>.parquet
-        (parquet is the Spark-native interchange format)."""
+        (parquet is the Spark-native interchange format) plus a
+        canonical metadata file so :meth:`from_parquet` round-trips."""
         for name in ("scada", "meter", "tower", "status", "curtail", "asset"):
             df = getattr(self, name)
             if df is not None:
                 df.write.mode("overwrite").parquet(f"{save_path}/{name}.parquet")
         for product, df in self.reanalysis.items():
             df.write.mode("overwrite").parquet(f"{save_path}/reanalysis_{product}.parquet")
+
+        import json
+        from pathlib import Path
+
+        Path(save_path, f"{metadata}.json").write_text(
+            json.dumps(self.metadata.to_dict(canonical=True))
+        )
+
+    @classmethod
+    def from_parquet(
+        cls,
+        spark: SparkSession,
+        load_path: str,
+        metadata: str = "metadata",
+        analysis_type: list[str] | str | None = None,
+    ) -> "PlantData":
+        """Re-load a :meth:`to_parquet` export: tables discovered by
+        ``<table>.parquet`` directory name, reanalysis products by the
+        ``reanalysis_<product>.parquet`` prefix, metadata from the
+        exported canonical file. Parquet keeps types, so no cast pass
+        is needed — this is the zero-copy-shaped interchange between
+        engine sessions (and the fast path a warehouse would use)."""
+        from pathlib import Path
+
+        root = Path(load_path)
+        meta_file = next(
+            (root / f"{metadata}{ext}" for ext in (".json", ".yml", ".yaml")
+             if (root / f"{metadata}{ext}").is_file()),
+            None,
+        )
+        if meta_file is None:
+            raise FileNotFoundError(f"no {metadata}.json/.yml under {load_path}")
+        meta = PlantMetaData.load(str(meta_file))
+
+        def read(name: str):
+            p = root / f"{name}.parquet"
+            return spark.read.parquet(str(p)) if p.exists() else None
+
+        reanalysis = {
+            p.name[len("reanalysis_"):-len(".parquet")]: spark.read.parquet(str(p))
+            for p in sorted(root.glob("reanalysis_*.parquet"))
+        }
+        return cls(
+            spark,
+            meta,
+            analysis_type=analysis_type,
+            scada=read("scada"),
+            meter=read("meter"),
+            tower=read("tower"),
+            status=read("status"),
+            curtail=read("curtail"),
+            asset=read("asset"),
+            reanalysis=reanalysis or None,
+        )
 
     def to_csv(
         self,

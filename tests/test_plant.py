@@ -209,3 +209,17 @@ def test_create_views_enables_raw_sql(spark, plant):
             ).collect()
         }
         assert prods == set(plant.reanalysis.keys())
+
+
+def test_parquet_round_trip(spark, plant, tmp_path):
+    path = str(tmp_path / "export")
+    plant.to_parquet(path)
+    p2 = PlantData.from_parquet(
+        spark, path, analysis_type=["MonteCarloAEP", "ElectricalLosses"]
+    )
+    assert p2.scada.count() == plant.scada.count()
+    assert set(p2.reanalysis) == set(plant.reanalysis)
+    # parquet keeps types: timestamps stay timestamps
+    assert dict(p2.meter.dtypes)["time"].startswith("timestamp")
+    # canonical column names survive the round trip
+    assert set(p2.scada.columns) == set(plant.scada.columns)
