@@ -3764,6 +3764,45 @@ def asof_forward_hourly_value(spark, sf_dir):
     )
 
 
+@register(
+    "ohlc_daily_user",
+    """
+    WITH v AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, day,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MAX(CASE WHEN rn_z = 1 THEN value END), 6) AS close,
+           COUNT(value) AS n
+    FROM v GROUP BY 1, 2
+    """,
+)
+def ohlc_daily_user(spark, sf_dir):
+    """OHLC rollup: per user-day first/max/min/last value (open-high-
+    low-close, the bar-chart aggregation). ONE hash aggregate —
+    min_by/max_by over a (ts, event_id) struct replaces the window +
+    row_number formulation, so there is no sort anywhere; event_id
+    tie-breaks simultaneous readings deterministically."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(F.min_by("value", order), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max_by("value", order), 6).alias("close"),
+        F.count("value").alias("n"),
+    )
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================
