@@ -86,3 +86,28 @@ def test_utm_matches_equirect_on_tight_cluster(spark):
 def test_utm_unknown_method_raises(spark):
     with pytest.raises(ValueError, match="projection"):
         _project(spark, [(48.0, 11.0)], method="bogus")
+
+
+def test_utm_round_trip_sub_millimeter(spark):
+    from openoa_spark.operators import geometry as geo
+
+    pts = [
+        (1, 47.90, 5.12), (2, 47.95, 5.20), (3, 47.80, 5.05),
+        (4, -33.86, 151.21),  # southern hemisphere (Sydney)
+    ]
+    for northern, rows in ((True, pts[:3]), (False, pts[3:])):
+        df = spark.createDataFrame(rows, ["id", "latitude", "longitude"])
+        zone = geo.utm_zone(
+            df.agg({"longitude": "avg"}).first()[0]
+        )
+        fwd = geo.utm_from_latlon(df, "latitude", "longitude")
+        back = geo.utm_to_latlon(
+            fwd.drop("latitude", "longitude"), zone, northern=northern
+        )
+        for r in back.join(
+            df.withColumnRenamed("latitude", "lat0")
+              .withColumnRenamed("longitude", "lon0"), "id"
+        ).collect():
+            # 1e-8 deg ~ 1 mm
+            assert abs(r["latitude"] - r["lat0"]) < 1e-8, r
+            assert abs(r["longitude"] - r["lon0"]) < 1e-8, r
