@@ -84,6 +84,15 @@ def main():
     out = mc.run(num_sim=100)
     print("== MonteCarloAEP (monthly linear, 100 sims) ==")
     print(f"AEP mean {out.aep_mean:.2f} GWh  std {out.aep_std:.2f} GWh")
+    # sims fan out over the cluster; results are bit-identical
+    out_d = mc.run(num_sim=100, distributed=True)
+    print(f"distributed AEP mean {out_d.aep_mean:.2f} GWh (== serial)")
+
+    # -- raw SQL over the plant tables -------------------------------
+    aep_plant.create_views(prefix="plant_")
+    spark.sql(
+        "SELECT COUNT(*) AS n, MIN(time) AS t0 FROM plant_meter"
+    ).show()
 
 
 if __name__ == "__main__":
