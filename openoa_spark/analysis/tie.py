@@ -194,6 +194,9 @@ class TurbineLongTermGrossEnergy:
         applyInPandas over groupBy(asset_id)
         (turbine_long_term_gross_energy.py:497-565). Returns
         (asset_id, day, gross) over the full reanalysis span."""
+        from openoa_spark.session import ship_package
+
+        ship_package(scada_valid.sparkSession)  # closure refs _fit_basis
         rean = self.daily_reanalysis(product)
         rean_reset = rean.reset_index()[["day", "ws", "wd", "rho"]]
         schema = StructType([

@@ -57,6 +57,10 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     once, persist features, never shuffle raw bytes).
     """
 
+    from openoa_spark.session import ship_package
+
+    ship_package(df.sparkSession)  # closure refs module-level stub/schema
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
 

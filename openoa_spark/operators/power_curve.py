@@ -26,21 +26,27 @@ def iec_binned_curve(
     bin_width: float = 0.5,
     ws_min: float = 0.0,
     ws_max: float = 30.0,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """IEC 61400-12-1 mean power curve: bin wind speed into
     ``bin_width`` bins (centers at bin_width·(i+0.5)), mean power per
     bin. Semantics: power_curve/functions.py:19-73.
 
-    Returns (ws_bin_center, mean_power, n) — #bins rows.
+    Returns (ws_bin_center, mean_power, n) — #bins rows. ``keys``
+    fits one curve PER KEY GROUP (e.g. per turbine) in the same
+    single hash aggregate — a fleet of curves costs exactly one more
+    grouping column, not one job per turbine.
     """
     ws = F.col(ws_col)
+    keys = keys or []
     in_range = (ws >= ws_min) & (ws < ws_max)
     binned = df.where(in_range & ws.isNotNull() & F.col(power_col).isNotNull())
     b = F.floor((ws - F.lit(ws_min)) / F.lit(bin_width))
     return (
-        binned.groupBy(b.alias("_b"))
+        binned.groupBy(*keys, b.alias("_b"))
         .agg(davg(power_col).alias("mean_power"), F.count(power_col).alias("n"))
         .select(
+            *keys,
             (F.lit(ws_min) + (F.col("_b") + 0.5) * F.lit(bin_width)).alias("ws_bin"),
             "mean_power",
             "n",
@@ -176,3 +182,69 @@ def fit_logistic5(
     a, b, c, d, g = (float(v) for v in best)
     params = {"a": a, "b": b, "c": c, "d": d, "g": g}
     return params, lambda col: logistic5_expr(col, a, b, c, d, g)
+
+
+def fit_logistic5_grouped(
+    df: DataFrame,
+    key_cols: list[str],
+    ws_col: str,
+    power_col: str,
+    seed: int = 42,
+    raw_bin_width: float = 0.01,
+) -> DataFrame:
+    """Fit one 5-param logistic curve PER KEY GROUP in a single
+    ``applyInPandas`` pass — the fleet-scale version of
+    :func:`fit_logistic5` (ten thousand turbines = ten thousand
+    concurrent DE fits, one per task group, nothing on the driver).
+
+    Each group is first reduced to (bin, count, mean) rows by the same
+    count-weighted 0.01 m/s pre-aggregation as the single fit (the
+    weighted SSE equals the raw-point SSE up to a parameter-free
+    constant), so the Python fit sees O(bins) rows per key no matter
+    how much telemetry the group has — the explode-proof shape.
+    Returns one row per key: (*keys, a, b, c, d, g, n_points).
+    """
+    import pandas as pd
+
+    from openoa_spark.functions.regression import differential_evolution_np
+    from openoa_spark.session import ship_package
+
+    # the fit closure references package code; make it importable on
+    # executor workers regardless of the driver's cwd/PYTHONPATH
+    ship_package(df.sparkSession)
+    bw = float(raw_bin_width)
+    agg = (
+        df.where(F.col(ws_col).isNotNull() & F.col(power_col).isNotNull())
+        .groupBy(*key_cols, (F.round(F.col(ws_col) / bw) * bw).alias("_x"))
+        .agg(F.count(power_col).alias("_w"), F.avg(power_col).alias("_y"))
+    )
+    out_schema = ", ".join(
+        [f"{k} {t}" for k, t in agg.select(*key_cols).dtypes]
+        + [f"{c} double" for c in ("a", "b", "c", "d", "g")]
+        + ["n_points bigint"]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        x = pdf["_x"].to_numpy(dtype=float)
+        y = pdf["_y"].to_numpy(dtype=float)
+        w = pdf["_w"].to_numpy(dtype=float)
+        top = float(y.max()) if len(y) else 1.0
+
+        def sse(p):
+            a_, b_, c_, d_, g_ = p
+            with np.errstate(over="ignore", invalid="ignore"):
+                pred = d_ + (a_ - d_) / (1 + (x / c_) ** b_) ** g_
+            r = np.where(np.isfinite(pred), pred - y, 1e12)
+            return float((w * r * r).sum())
+
+        bounds = [(0.5 * top, 1.5 * top), (-15.0, -1.0), (2.0, 20.0),
+                  (-5.0, 5.0), (0.05, 5.0)]
+        best, _ = differential_evolution_np(sse, bounds, seed=seed)
+        row = {k: pdf[k].iloc[0] for k in key_cols}
+        row.update(dict(zip("abcdg", (float(v) for v in best))))
+        row["n_points"] = int(w.sum())
+        return pd.DataFrame([row])
+
+    return agg.groupBy(*key_cols).applyInPandas(fit, out_schema)
