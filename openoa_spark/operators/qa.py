@@ -126,3 +126,98 @@ def describe(df: DataFrame, percentiles: list[str] | None = None) -> DataFrame:
             row[r["summary"]] = float(v) if v is not None else None
         rows.append(row)
     return df.sparkSession.createDataFrame(rows)
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-PASS data-quality profile: per column, row count, null
+    count/fraction, distinct estimate, and min/max rendered as
+    strings (type-agnostic). All columns' aggregates ride a single
+    scan + single aggregate — profiling 500 columns of a 100 TB table
+    costs one job, not 500 (``df.describe`` has the same shape but
+    drops non-numerics and nulls; this is the ops-oriented variant).
+    """
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+            F.approx_count_distinct(c).alias(f"_dist_{c}"),
+            # min/max compare in the NATIVE type (string-casting first
+            # would order numerics lexicographically), rendered after
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    n = row["_n"]
+    out = [
+        {
+            "column": c,
+            "n_rows": n,
+            "n_null": row[f"_null_{c}"],
+            "null_frac": (row[f"_null_{c}"] / n) if n else None,
+            "approx_distinct": row[f"_dist_{c}"],
+            "min_str": row[f"_min_{c}"],
+            "max_str": row[f"_max_{c}"],
+        }
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(out)
+
+
+def population_stability_index(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Distribution-drift score between two snapshots: bucket the
+    CURRENT values by the REFERENCE distribution's exact quantile
+    edges, compare bucket proportions, PSI = Σ (p_cur − p_ref) ·
+    ln(p_cur / p_ref). The standard monitoring gate (<0.1 stable,
+    >0.25 drifted) for feature/label drift between training snapshots.
+
+    Shape: one exact-percentile aggregate on the reference (tiny edge
+    list to the driver), then ONE conditional-count aggregate per
+    side — no join, no sort. Zero-count buckets are floored at 1e-6
+    proportion (the standard PSI regularization, keeps ln finite).
+    Returns a single row (psi, n_reference, n_current).
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = reference.where(F.col(value_col).isNotNull()).agg(
+        F.percentile(F.col(value_col), qs).alias("e")
+    ).first()["e"]
+    if edges is None:
+        raise ValueError("reference has no non-null values")
+
+    def bucket_counts(df):
+        v = F.col(value_col)
+        b = F.lit(0)
+        for e in edges:
+            b = b + (v > F.lit(float(e))).cast("int")
+        return (
+            df.where(v.isNotNull())
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum((b == i).cast("long")).alias(f"_b{i}")
+                    for i in range(n_buckets)
+                ],
+            )
+            .first()
+        )
+
+    r, c = bucket_counts(reference), bucket_counts(current)
+    floor = 1e-6
+    psi = 0.0
+    import math
+
+    for i in range(n_buckets):
+        p_ref = max((r[f"_b{i}"] / r["_n"]) if r["_n"] else 0.0, floor)
+        p_cur = max((c[f"_b{i}"] / c["_n"]) if c["_n"] else 0.0, floor)
+        psi += (p_cur - p_ref) * math.log(p_cur / p_ref)
+    spark = reference.sparkSession
+    return spark.createDataFrame(
+        [(round(psi, round_digits), r["_n"], c["_n"])],
+        "psi double, n_reference bigint, n_current bigint",
+    )

@@ -3803,6 +3803,84 @@ def ohlc_daily_user(spark, sf_dir):
     )
 
 
+@register(
+    "profile_events",
+    """
+    SELECT 'event_type' AS column, COUNT(*) AS n_rows,
+           SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(MIN(event_type) AS VARCHAR) AS min_str,
+           CAST(MAX(event_type) AS VARCHAR) AS max_str
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*),
+           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+           CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+    FROM events
+    """,
+)
+def profile_events(spark, sf_dir):
+    """One-pass data-quality profile (ops variant of describe): all
+    per-column aggregates ride a single scan + single aggregate. The
+    oracle twin covers the string/integer columns (double→string
+    rendering is engine-specific; approx-distinct is sketch-specific
+    — both stay in the operator, outside the hash-checked slice)."""
+    ev = _t(spark, sf_dir, "events")
+    return qa_ops.profile_table(ev, ["event_type", "user_id"]).select(
+        "column", "n_rows", "n_null", "min_str", "max_str"
+    )
+
+
+@register(
+    "value_drift_psi",
+    """
+    WITH m AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+    ),
+    ref AS (SELECT value FROM events, m
+            WHERE value IS NOT NULL AND epoch_us(ts) < mid),
+    cur AS (SELECT value FROM events, m
+            WHERE value IS NOT NULL AND epoch_us(ts) >= mid),
+    e AS (SELECT quantile_cont(value,
+            [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges FROM ref),
+    rb AS (SELECT len(list_filter((SELECT edges FROM e), x -> value > x)) AS b
+           FROM ref),
+    cb AS (SELECT len(list_filter((SELECT edges FROM e), x -> value > x)) AS b
+           FROM cur),
+    rn AS (SELECT COUNT(*) AS n FROM ref),
+    cn AS (SELECT COUNT(*) AS n FROM cur),
+    buckets AS (SELECT unnest(generate_series(0, 9)) AS b),
+    props AS (
+      SELECT buckets.b,
+             GREATEST(CAST((SELECT COUNT(*) FROM rb WHERE rb.b = buckets.b)
+               AS DOUBLE) / (SELECT n FROM rn), 1e-6) AS p_ref,
+             GREATEST(CAST((SELECT COUNT(*) FROM cb WHERE cb.b = buckets.b)
+               AS DOUBLE) / (SELECT n FROM cn), 1e-6) AS p_cur
+      FROM buckets
+    )
+    SELECT ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
+           (SELECT n FROM rn) AS n_reference,
+           (SELECT n FROM cn) AS n_current
+    FROM props
+    """,
+)
+def value_drift_psi(spark, sf_dir):
+    """Population stability index between the first and second half of
+    the events span (the train-vs-serve drift gate): current bucketed
+    by the reference's exact decile edges, PSI from the proportion
+    deltas. One exact-percentile aggregate + one conditional-count
+    aggregate per side — no join, no sort (see
+    qa.population_stability_index)."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()
+    mid = (bounds["lo"] + bounds["hi"]) // 2
+    ref = ev.where(F.unix_micros("ts") < mid)
+    cur = ev.where(F.unix_micros("ts") >= mid)
+    return qa_ops.population_stability_index(ref, cur, "value")
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================

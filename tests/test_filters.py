@@ -76,3 +76,37 @@ def test_cluster_mahalanobis(spark):
     # and flags a small minority
     n_flagged = out.where("cluster_flag").count()
     assert 0 <= n_flagged < 40
+
+
+def test_profile_table_one_pass(spark):
+    from openoa_spark.operators import qa as qa_ops
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, None), (3, "c", 1.0)], ["id", "s", "v"]
+    )
+    prof = {r["column"]: r for r in qa_ops.profile_table(df).collect()}
+    assert prof["s"]["n_null"] == 1 and prof["v"]["n_null"] == 1
+    assert prof["id"]["n_rows"] == 3
+    assert prof["v"]["min_str"] == "1.0" and prof["v"]["max_str"] == "5.0"
+    assert prof["id"]["approx_distinct"] == 3
+
+
+def test_psi_detects_shift(spark):
+    import numpy as np
+
+    from openoa_spark.operators import qa as qa_ops
+
+    rng = np.random.default_rng(3)
+    same = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(0, 1, 4000)], ["v"]
+    )
+    ref = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(0, 1, 4000)], ["v"]
+    )
+    shifted = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(1.0, 1, 4000)], ["v"]
+    )
+    psi_same = qa_ops.population_stability_index(ref, same, "v").first()["psi"]
+    psi_shift = qa_ops.population_stability_index(ref, shifted, "v").first()["psi"]
+    assert psi_same < 0.05          # identical distributions: stable
+    assert psi_shift > 0.25         # one-sigma mean shift: drifted
