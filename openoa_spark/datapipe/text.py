@@ -373,3 +373,23 @@ def char_entropy(col: Column | str) -> Column:
         * F.log2(F.size(F.filter(chars, lambda x: x == d)) / n),
     )
     return F.round(ent, 6)
+
+
+def tokenize_key(
+    col: Column | str, secret: str, length: int = 16
+) -> Column:
+    """Deterministic pseudonymization: replace an identifier with a
+    keyed-hash token (sha256 over secret||value, truncated). Unlike
+    redaction, tokenization PRESERVES JOINS — the same (secret, value)
+    always maps to the same token, so tokenized tables still link on
+    the pseudonym — while the identifier itself never leaves the
+    cluster. Rotate ``secret`` to unlink releases. JVM-side sha2, no
+    UDF. (Truncation to 16 hex chars = 64 bits: collision-safe to
+    ~2^32 distinct keys; raise ``length`` beyond that.)
+    """
+    c = _c(col)
+    return F.substring(
+        F.sha2(F.concat(F.lit(secret), F.lit("|"), c.cast("string")), 256),
+        1,
+        length,
+    )

@@ -3881,6 +3881,28 @@ def value_drift_psi(spark, sf_dir):
     return qa_ops.population_stability_index(ref, cur, "value")
 
 
+@register(
+    "tokenized_user_activity",
+    """
+    SELECT substring(sha256('demo-secret|' || CAST(user_id AS VARCHAR)), 1, 16)
+             AS user_token,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def tokenized_user_activity(spark, sf_dir):
+    """Join-preserving pseudonymization: per-user activity keyed by a
+    keyed-hash token instead of the raw id (same (secret, id) -> same
+    token, so downstream tables still link; rotate the secret to
+    unlink releases). JVM-side sha2 — aggregating on the token costs
+    the same one shuffle as aggregating on the id."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        text.tokenize_key("user_id", "demo-secret").alias("user_token")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================

@@ -126,3 +126,32 @@ def read_jsonl_corpus(
     if id_col is None and "doc_id" not in good.columns:
         good = good.withColumn("doc_id", F.xxhash64(F.col(text_col)))
     return good, bad
+
+
+def read_evolving_parquet(
+    spark: SparkSession,
+    path: str,
+    expected: T.StructType | None = None,
+) -> DataFrame:
+    """Read an append-only parquet dataset whose schema has GROWN over
+    time (new columns in newer files): ``mergeSchema`` unions the file
+    schemas and older files surface NULL for columns they predate —
+    the standard contract for long-lived telemetry/corpus datasets.
+
+    ``expected`` (optional) declares the current canonical schema: the
+    read is then projected/cast onto it, so columns the dataset has
+    not grown yet still appear (all-NULL) and readers never break on
+    deployment order. mergeSchema costs one footer read per file —
+    fine at 100 TB where files are ~256 MB, ruinous with millions of
+    tiny files (run compact_parquet first).
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if expected is not None:
+        df = df.select(
+            *[
+                (F.col(f.name) if f.name in df.columns
+                 else F.lit(None)).cast(f.dataType).alias(f.name)
+                for f in expected.fields
+            ]
+        )
+    return df

@@ -194,3 +194,30 @@ def test_write_zordered_robust_bounds_resist_outliers(spark, tmp_path):
     # is gone. Quantile bounds keep the real data spread across files.
     assert nonempty_files(naive) <= 2
     assert nonempty_files(robust) >= 6
+
+
+def test_read_evolving_parquet_merges_and_projects(spark, tmp_path):
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from openoa_spark.sources import readers
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "x"]).write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.0)], ["id", "x", "y"]
+    ).write.mode("append").parquet(path)
+
+    merged = readers.read_evolving_parquet(spark, path)
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["y"] is None and rows[2]["y"] == 9.0
+
+    expected = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("x", T.StringType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("z", T.IntegerType()),  # not grown yet
+    ])
+    proj = readers.read_evolving_parquet(spark, path, expected)
+    assert proj.columns == ["id", "x", "y", "z"]
+    assert all(r["z"] is None for r in proj.collect())
