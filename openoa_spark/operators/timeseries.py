@@ -451,3 +451,49 @@ def asof_join_forward(
     for c in value_cols:
         out = out.withColumn(c, F.first(c, ignorenulls=True).over(w))
     return out.where(F.col("_src") == 1).drop("_src")
+
+
+def interpolate_linear(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    keys: list[str] | None = None,
+    allow_unkeyed: bool = False,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Time-weighted linear interpolation of INTERIOR NULL runs (the
+    pandas ``interpolate(method="time", limit_area="inside")``
+    semantics): each null between two readings takes
+    prev + (next - prev) * (t - t_prev) / (t_next - t_prev); leading
+    and trailing nulls stay null (use ffill/bfill for edge policy).
+
+    Two windows per key group (last-non-null before, first-non-null
+    after — value and its timestamp each), one shuffle total; same
+    keyless guard as the other ordered ops.
+    """
+    v = F.col(value_col)
+    t_us = F.unix_micros(F.col(time_col)).cast("double")
+    marked = F.when(v.isNotNull(), t_us)
+    w_b = (
+        _ordered_window(keys, allow_unkeyed, "interpolate_linear")
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_f = (
+        _ordered_window(keys, allow_unkeyed, "interpolate_linear")
+        .orderBy(time_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last(v, ignorenulls=True).over(w_b)
+    prev_t = F.last(marked, ignorenulls=True).over(w_b)
+    next_v = F.first(v, ignorenulls=True).over(w_f)
+    next_t = F.first(marked, ignorenulls=True).over(w_f)
+    interp = prev_v + (next_v - prev_v) * (t_us - prev_t) / (next_t - prev_t)
+    if round_digits is not None:
+        interp = F.round(interp, round_digits)
+    return df.withColumn(
+        value_col,
+        F.when(v.isNotNull(), v).when(
+            prev_v.isNotNull() & next_v.isNotNull(), interp
+        ),
+    )

@@ -3903,6 +3903,53 @@ def tokenized_user_activity(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n_events"))
 
 
+@register(
+    "interpolate_user_values",
+    """
+    WITH dedup AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS value
+      FROM events GROUP BY user_id, ts
+    ),
+    b AS (
+      SELECT user_id, ts, value,
+             CAST(epoch_us(ts) AS DOUBLE) AS tu,
+             last_value(value IGNORE NULLS) OVER w_b AS prev_v,
+             last_value(CASE WHEN value IS NOT NULL
+               THEN CAST(epoch_us(ts) AS DOUBLE) END IGNORE NULLS)
+               OVER w_b AS prev_t,
+             first_value(value IGNORE NULLS) OVER w_f AS next_v,
+             first_value(CASE WHEN value IS NOT NULL
+               THEN CAST(epoch_us(ts) AS DOUBLE) END IGNORE NULLS)
+               OVER w_f AS next_t
+      FROM dedup
+      WINDOW w_b AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_f AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, ts,
+           ROUND(CASE WHEN value IS NOT NULL THEN value
+                 WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                 THEN prev_v + (next_v - prev_v) * (tu - prev_t)
+                      / (next_t - prev_t) END, 6) AS value
+    FROM b
+    """,
+)
+def interpolate_user_values(spark, sf_dir):
+    """Time-weighted linear interpolation of interior NULL runs per
+    user (pandas interpolate(method='time', limit_area='inside')
+    semantics): two keyed windows, one shuffle; edges stay null. The
+    series is first deduped to (user, ts) grain with the event_id
+    tiebreak so window order is engine-deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    dedup_ev = ev.groupBy("user_id", "ts").agg(
+        F.max_by("value", "event_id").alias("value")
+    )
+    return timeseries.interpolate_linear(
+        dedup_ev, "value", "ts", keys=["user_id"], round_digits=6
+    )
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================

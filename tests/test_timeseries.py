@@ -130,3 +130,25 @@ def test_asof_join_forward_next_reading(spark):
     # 00:30 -> next reading 01:00; 02:00 matches the simultaneous one;
     # 09:00 has nothing after it
     assert out == {30: 1.0, 120: 2.0, 540: None}
+
+
+def test_interpolate_linear_interior_only(spark):
+    import datetime as dt
+
+    from openoa_spark.operators import timeseries as ts
+
+    rows = [
+        ("a", dt.datetime(2020, 1, 1, h), v)
+        for h, v in [
+            (0, None), (1, 10.0), (2, None), (4, None), (5, 40.0), (6, None),
+        ]
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = {
+        r["t"].hour: r["v"]
+        for r in ts.interpolate_linear(df, "v", "t", keys=["k"]).collect()
+    }
+    # hour 2: 10 + 30 * (1/4) = 17.5 ; hour 4: 10 + 30 * (3/4) = 32.5
+    assert out[0] is None and out[6] is None  # edges untouched
+    assert out[1] == 10.0 and out[5] == 40.0
+    assert out[2] == 17.5 and out[4] == 32.5
