@@ -152,3 +152,44 @@ class MachineLearningSetup:
         if self.opt_model is None:
             raise RuntimeError("call hyper_optimize first")
         return self.opt_model.transform(self._assemble(df))
+
+
+def time_series_splits(
+    df,
+    time_col: str,
+    n_splits: int = 5,
+    min_train_frac: float = 0.3,
+):
+    """Leakage-free expanding-window cross-validation splits for
+    time-ordered data (sklearn TimeSeriesSplit analog): yields
+    ``(train_df, test_df)`` pairs where every training row precedes
+    every test row in event time — random K-fold on telemetry leaks
+    the future into training and inflates scores.
+
+    Boundaries come from ONE min/max aggregate (timestamps divided
+    evenly over [min_train_frac, 1]); each split is a pair of pushed-
+    down time filters over the same lazy frame, so no data moves until
+    the caller acts on a split.
+    """
+    from pyspark.sql import functions as F
+
+    if not 1 <= n_splits:
+        raise ValueError("n_splits must be >= 1")
+    b = df.agg(
+        F.min(F.unix_micros(F.col(time_col))).alias("lo"),
+        F.max(F.unix_micros(F.col(time_col))).alias("hi"),
+    ).first()
+    lo, hi = b["lo"], b["hi"]
+    if lo is None:
+        return
+    span = hi - lo
+    start = lo + int(span * min_train_frac)
+    step = (hi - start) // n_splits if n_splits else 0
+    t = F.unix_micros(F.col(time_col))
+    for i in range(n_splits):
+        cut = start + i * step
+        end = hi + 1 if i == n_splits - 1 else start + (i + 1) * step
+        yield (
+            df.where(t < F.lit(cut)),
+            df.where((t >= F.lit(cut)) & (t < F.lit(end))),
+        )

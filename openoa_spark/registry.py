@@ -3950,6 +3950,40 @@ def interpolate_user_values(spark, sf_dir):
     )
 
 
+@register(
+    "user_value_trend",
+    """
+    SELECT user_id,
+           ROUND(regr_slope(value,
+             CAST(epoch_us(ts) AS DOUBLE) / 3600e6), 6) AS slope_per_hour,
+           ROUND(regr_intercept(value,
+             CAST(epoch_us(ts) AS DOUBLE) / 3600e6), 6) AS intercept,
+           ROUND(regr_r2(value,
+             CAST(epoch_us(ts) AS DOUBLE) / 3600e6), 6) AS r2,
+           regr_count(value,
+             CAST(epoch_us(ts) AS DOUBLE) / 3600e6) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def user_value_trend(spark, sf_dir):
+    """Per-key OLS trend (drift/degradation screening across a fleet):
+    slope/intercept/R² of value vs time for EVERY user in ONE hash
+    aggregate — the built-in regr_* aggregates carry the co-moment
+    sums map-side, so a million keys cost the same single shuffle a
+    count would. Round-6 (co-moment merges are order-sensitive in the
+    last ulps)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = (F.unix_micros("ts").cast("double") / F.lit(3600e6))
+    y = F.col("value")
+    return ev.groupBy("user_id").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope_per_hour"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================

@@ -77,3 +77,28 @@ def test_describe(spark):
     assert set(d) == {"a"}
     assert d["a"]["count"] == 4 and d["a"]["mean"] == 2.5
     assert d["a"]["min"] == 1.0 and d["a"]["max"] == 4.0
+
+
+def test_time_series_splits_never_leak_future(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from openoa_spark.ml import time_series_splits
+
+    rows = [(dt.datetime(2020, 1, 1) + dt.timedelta(hours=h), h)
+            for h in range(100)]
+    df = spark.createDataFrame(rows, ["t", "v"])
+    splits = list(time_series_splits(df, "t", n_splits=4))
+    assert len(splits) == 4
+    total_test = 0
+    for train, test in splits:
+        max_train = train.agg(F.max("t")).first()[0]
+        min_test = test.agg(F.min("t")).first()[0]
+        assert max_train < min_test            # strictly before
+        assert test.count() > 0
+        total_test += test.count()
+    # the test windows tile the post-warmup span without overlap
+    assert total_test == sum(t.count() for _, t in splits)
+    # later splits train on strictly more history
+    assert splits[0][0].count() < splits[-1][0].count()
