@@ -36,12 +36,52 @@ BENCH_QUERIES = [
 ]
 
 
+def time_oracles(sf_dir: str) -> dict[str, float]:
+    """--oracle mode: time each bench query's DuckDB SQL twin on the
+    same parquet at the same SF (32 threads, best of two runs) —
+    the transparent same-machine baseline for the 'within 2x of
+    DuckDB' target. Printed as a SEPARATE JSON line; the primary
+    contract line stays unchanged."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    osql = registry.oracle_sql()
+    out = {}
+    for name in BENCH_QUERIES:
+        sql = osql[name]
+        con.execute(sql).fetchall()  # warm
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 4)
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
+    if "--oracle" in sys.argv:
+        o = time_oracles(sf_dir)
+        print(json.dumps({
+            "metric": "duckdb_oracle_total_wall",
+            "value": round(sum(o.values()), 4),
+            "unit": "sec",
+            "queries": o,
+            "sf": sf,
+        }))
+        return
     spark = get_session("openoa-spark-bench")
     qs = registry.queries()
 
