@@ -3984,6 +3984,54 @@ def user_value_trend(spark, sf_dir):
     )
 
 
+@register(
+    "near_dup_edit_verified",
+    f"""
+    WITH mh AS ({_minhash_sql(32, 8, 0.3)}),
+    j AS (
+      SELECT mh.id_a, mh.id_b, a.text AS ta, b.text AS tb
+      FROM mh
+      JOIN documents a ON a.doc_id = mh.id_a
+      JOIN documents b ON b.doc_id = mh.id_b
+    )
+    SELECT id_a, id_b,
+           levenshtein(ta, tb) AS edit_distance,
+           ROUND(1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+                 / GREATEST(length(ta), length(tb)), 6) AS edit_similarity
+    FROM j
+    WHERE 1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+          / GREATEST(length(ta), length(tb)) >= 0.4
+    """,
+)
+def near_dup_edit_verified(spark, sf_dir):
+    """Post-LSH exact verification: MinHash candidate pairs re-scored
+    by true edit distance (normalized similarity >= 0.4). The standard
+    fuzzy-dedup refinement — the O(len^2) Levenshtein kernel runs ONLY
+    on LSH candidates (never all pairs), and the pair texts arrive by
+    two id-equi-joins against the corpus, so the quadratic step is
+    bounded by candidate count."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=8,
+        jaccard_threshold=0.3, hash_fn="md5",
+    )
+    a = docs.select(F.col("doc_id").alias("_ida"), F.col("text").alias("_ta"))
+    b = docs.select(F.col("doc_id").alias("_idb"), F.col("text").alias("_tb"))
+    sim = F.lit(1.0) - F.levenshtein("_ta", "_tb") / F.greatest(
+        F.length("_ta"), F.length("_tb")
+    )
+    return (
+        pairs.join(a, pairs.id_a == F.col("_ida"))
+        .join(b, pairs.id_b == F.col("_idb"))
+        .where(sim >= 0.4)
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("_ta", "_tb").alias("edit_distance"),
+            F.round(sim, 6).alias("edit_similarity"),
+        )
+    )
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================
