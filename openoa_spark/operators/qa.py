@@ -161,7 +161,13 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         }
         for c in cols
     ]
-    return df.sparkSession.createDataFrame(out)
+    # explicit schema: with zero rows every None field would otherwise
+    # make type inference fail
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, n_rows bigint, n_null bigint, null_frac double, "
+        "approx_distinct bigint, min_str string, max_str string",
+    )
 
 
 def population_stability_index(

@@ -3875,6 +3875,10 @@ def value_drift_psi(spark, sf_dir):
         F.min(F.unix_micros("ts")).alias("lo"),
         F.max(F.unix_micros("ts")).alias("hi"),
     ).first()
+    if bounds["lo"] is None:  # empty input: nothing to compare
+        return spark.createDataFrame(
+            [], "psi double, n_reference bigint, n_current bigint"
+        )
     mid = (bounds["lo"] + bounds["hi"]) // 2
     ref = ev.where(F.unix_micros("ts") < mid)
     cur = ev.where(F.unix_micros("ts") >= mid)
@@ -4029,6 +4033,47 @@ def near_dup_edit_verified(spark, sf_dir):
             F.levenshtein("_ta", "_tb").alias("edit_distance"),
             F.round(sim, 6).alias("edit_similarity"),
         )
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS days_since
+      FROM events e JOIN first_day f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, days_since, COUNT(*) AS n_active
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, per
+    (cohort, days-since-join) distinct-active counts — the standard
+    product-retention triangle. One aggregate for cohorts (broadcast
+    back), one distinct + count; both shuffles key on user_id/cohort,
+    never on raw events."""
+    ev = _t(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(F.broadcast(first_day), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+              .alias("days_since"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "days_since").agg(
+        F.count(F.lit(1)).alias("n_active")
     )
 
 
