@@ -260,3 +260,32 @@ def freestream_turbines(
         r["asset_a"] for r in distance_pairs.select("asset_a").distinct().collect()
     }
     return sorted(all_assets - waked)
+
+
+def haversine_m(
+    lat_a: Column, lon_a: Column, lat_b: Column, lon_b: Column
+) -> Column:
+    """Great-circle distance in meters (haversine, mean-Earth radius
+    6371 km) — the projection-free cross-check for the UTM planar
+    distances (agrees to ~0.1% intra-plant; use it when points span
+    UTM zones). Pure trig Column expressions."""
+    rla, rlo = F.radians(lat_a), F.radians(lon_a)
+    rlb, rlob = F.radians(lat_b), F.radians(lon_b)
+    dphi, dlam = rlb - rla, rlob - rlo
+    h = (
+        F.pow(F.sin(dphi / 2), 2)
+        + F.cos(rla) * F.cos(rlb) * F.pow(F.sin(dlam / 2), 2)
+    )
+    return 2.0 * 6371000.0 * F.asin(F.sqrt(h))
+
+
+def initial_bearing_deg(
+    lat_a: Column, lon_a: Column, lat_b: Column, lon_b: Column
+) -> Column:
+    """Initial great-circle bearing a→b in [0, 360) degrees — the
+    spherical twin of the planar direction matrix."""
+    rla, rlb = F.radians(lat_a), F.radians(lat_b)
+    dlam = F.radians(lon_b) - F.radians(lon_a)
+    y = F.sin(dlam) * F.cos(rlb)
+    x = F.cos(rla) * F.sin(rlb) - F.sin(rla) * F.cos(rlb) * F.cos(dlam)
+    return F.pmod(F.degrees(F.atan2(y, x)), F.lit(360.0))

@@ -111,3 +111,31 @@ def test_utm_round_trip_sub_millimeter(spark):
             # 1e-8 deg ~ 1 mm
             assert abs(r["latitude"] - r["lat0"]) < 1e-8, r
             assert abs(r["longitude"] - r["lon0"]) < 1e-8, r
+
+
+def test_haversine_agrees_with_utm_intra_plant(spark):
+    from pyspark.sql import functions as F
+
+    from openoa_spark.operators import geometry as geo
+
+    df = spark.createDataFrame(
+        [(1, 47.90, 5.12), (2, 47.95, 5.20)], ["id", "latitude", "longitude"]
+    )
+    utm = geo.utm_from_latlon(df, "latitude", "longitude")
+    a = utm.where("id = 1").first()
+    b = utm.where("id = 2").first()
+    planar = ((a["x_m"] - b["x_m"]) ** 2 + (a["y_m"] - b["y_m"]) ** 2) ** 0.5
+    hav = df.agg(
+        F.max(F.when(F.col("id") == 1, F.col("latitude"))).alias("la"),
+    )
+    row = spark.createDataFrame([(47.90, 5.12, 47.95, 5.20)],
+                                ["la", "lo", "lb", "lob"]).select(
+        geo.haversine_m(F.col("la"), F.col("lo"), F.col("lb"), F.col("lob"))
+          .alias("d"),
+        geo.initial_bearing_deg(F.col("la"), F.col("lo"), F.col("lb"),
+                                F.col("lob")).alias("brg"),
+    ).first()
+    # spherical vs projected: within 0.2% over ~8 km
+    assert abs(row["d"] - planar) / planar < 0.002
+    # bearing roughly NE (north-east quadrant)
+    assert 0 < row["brg"] < 90
