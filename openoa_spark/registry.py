@@ -4077,6 +4077,130 @@ def cohort_retention(spark, sf_dir):
     )
 
 
+@register(
+    "dow_hour_heatmap",
+    """
+    SELECT CAST(dayofweek(ts) AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hod,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 6)
+             AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def dow_hour_heatmap(spark, sf_dir):
+    """Day-of-week × hour-of-day activity heatmap (the calendar
+    profile behind load/usage dashboards): one hash aggregate to an
+    at-most-168-cell grid. DuckDB dayofweek is 0=Sunday;
+    Spark's dayofweek is 1=Sunday — shifted to match."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), 6)
+          .alias("total_value"),
+    )
+
+
+@register(
+    "event_gini_by_type",
+    """
+    WITH u AS (
+      SELECT event_type, user_id, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY c, user_id) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(c) OVER (PARTITION BY event_type) AS s
+      FROM u
+    )
+    SELECT event_type,
+           ROUND(CAST(SUM((2.0 * i - n - 1) * c) AS DOUBLE)
+                 / (MAX(n) * MAX(s)), 6) AS gini,
+           MAX(n) AS n_users
+    FROM r GROUP BY event_type
+    """,
+)
+def event_gini_by_type(spark, sf_dir):
+    """Activity-concentration Gini per event type (is engagement
+    spread out or dominated by a few heavy users?): per-user counts,
+    rank window within type (user_id tiebreak for determinism), then
+    the closed-form Gini Σ(2i−n−1)c / (n·Σc). Two shuffles — the
+    per-user aggregate and the per-type window — both keyed."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("c", "user_id")
+    wp = Window.partitionBy("event_type")
+    r = u.select(
+        "event_type",
+        "c",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("c").over(wp).alias("s"),
+    )
+    return r.groupBy("event_type").agg(
+        F.round(
+            F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("c"))
+            .cast("double")
+            / (F.max("n") * F.max("s")),
+            6,
+        ).alias("gini"),
+        F.max("n").alias("n_users"),
+    )
+
+
+@register(
+    "zipf_slope",
+    rf"""
+    WITH tf AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk
+      FROM tf
+    )
+    SELECT ROUND(regr_slope(log(CAST(c AS DOUBLE)),
+                            log(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
+           ROUND(regr_r2(log(CAST(c AS DOUBLE)),
+                         log(CAST(rnk AS DOUBLE))), 6) AS r2,
+           COUNT(*) AS n_terms
+    FROM ranked
+    """,
+)
+def zipf_slope(spark, sf_dir):
+    """Corpus-health check: the log-log slope of the term
+    frequency-rank curve (natural text ≈ −1; spam/templated corpora
+    deviate). Term counts (one shuffle on token), a rank window over
+    the TERM table (vocabulary-sized, not corpus-sized), then the
+    regr_* co-moment aggregate — slope fitted without collecting
+    anything."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    ranked = tf.select("c", F.row_number().over(w).alias("rnk"))
+    return ranked.agg(
+        F.round(
+            F.regr_slope(F.log(F.col("c").cast("double")),
+                         F.log(F.col("rnk").cast("double"))), 6
+        ).alias("zipf_slope"),
+        F.round(
+            F.regr_r2(F.log(F.col("c").cast("double")),
+                      F.log(F.col("rnk").cast("double"))), 6
+        ).alias("r2"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================
