@@ -4201,6 +4201,76 @@ def zipf_slope(spark, sf_dir):
     )
 
 
+@register(
+    "event_type_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_type_transitions(spark, sf_dir):
+    """First-order Markov transition counts between consecutive event
+    types per user (the behavioral-model / anomalous-flow input): one
+    keyed lag window + one hash aggregate to a |types|² matrix;
+    event_id tiebreak keeps the sequence engine-deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        s.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "interarrival_histogram",
+    """
+    WITH d AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT CAST(FLOOR(log2(CAST(gap_us AS DOUBLE) / 1e6 + 1.0)) AS INT)
+             AS log2_seconds_bucket,
+           COUNT(*) AS n
+    FROM d WHERE gap_us IS NOT NULL AND gap_us > 0
+    GROUP BY 1
+    """,
+)
+def interarrival_histogram(spark, sf_dir):
+    """Inter-arrival-time distribution in log2-second buckets (the
+    arrival-process / burstiness profile): keyed lag window + hash
+    aggregate to ~40 buckets. log2 on a bucket boundary is safe: the
+    input to floor is 1 + integer-seconds-derived, and a last-ulp
+    disagreement would need the true value to sit exactly on a power
+    of two with a conflicting representation — log2 of such inputs is
+    exact in both engines' libm."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    d = ev.select(gap.alias("gap_us"))
+    return (
+        d.where(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+        .groupBy(
+            F.floor(F.log2(F.col("gap_us").cast("double") / 1e6 + 1.0))
+            .cast("int")
+            .alias("log2_seconds_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================
