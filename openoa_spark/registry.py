@@ -4177,17 +4177,41 @@ def event_gini_by_type(spark, sf_dir):
 def zipf_slope(spark, sf_dir):
     """Corpus-health check: the log-log slope of the term
     frequency-rank curve (natural text ≈ −1; spam/templated corpora
-    deviate). Term counts (one shuffle on token), a rank window over
-    the TERM table (vocabulary-sized, not corpus-sized), then the
-    regr_* co-moment aggregate — slope fitted without collecting
+    deviate). Term counts (one shuffle on token), then a DISTRIBUTED
+    global rank: a naive ``Window.orderBy(c desc, tok)`` would sort
+    the whole vocabulary in one task (WindowExec warns, and a web
+    corpus's vocabulary is 10⁸⁺ terms). Instead rank(t) decomposes as
+    offset(c, pfx) + within-group row_number, where pfx is an
+    order-preserving 2-char prefix of the token: truncation preserves
+    lexicographic order, so (c desc, pfx asc, tok asc) == the original
+    total order. The offset table is per-(count, prefix) — bounded by
+    |distinct counts| × |prefixes|, orders of magnitude below the
+    vocabulary (the only keyless window runs over it, same accepted
+    tiny-table pattern as operators/timeseries.py:122) — and the
+    within-group window is keyed by (c, pfx), which sub-buckets the
+    hapax (c=1) mass that would otherwise skew a c-only key. Finally
+    the regr_* co-moment aggregate fits the slope without collecting
     anything."""
     docs = _t(spark, sf_dir, "documents")
     tf = (
         docs.select(F.explode(text.tokens("text")).alias("tok"))
         .groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("_pfx", F.substring("tok", 1, 2))
     )
-    w = Window.orderBy(F.desc("c"), F.asc("tok"))
-    ranked = tf.select("c", F.row_number().over(w).alias("rnk"))
+    grp = tf.groupBy("c", "_pfx").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.orderBy(F.desc("c"), F.asc("_pfx"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = grp.select(
+        "c", "_pfx",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_in = Window.partitionBy("c", "_pfx").orderBy("tok")
+    ranked = (
+        tf.join(F.broadcast(off), ["c", "_pfx"])
+        .select("c", (F.col("_off") + F.row_number().over(w_in)).alias("rnk"))
+    )
     return ranked.agg(
         F.round(
             F.regr_slope(F.log(F.col("c").cast("double")),
@@ -4268,6 +4292,222 @@ def interarrival_histogram(spark, sf_dir):
             .alias("log2_seconds_bucket")
         )
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "latest_event_per_user",
+    """
+    WITH r AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           event_type AS last_event_type, value AS last_value
+    FROM r WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark, sf_dir):
+    """Keep-latest survivorship as ONE hash aggregate: max of a
+    (ts, event_id, payload...) struct picks the newest row per key by
+    lexicographic struct comparison — no window, no sort, full
+    map-side partial aggregation. This is the scale-correct shape for
+    latest-record dedup over an append-only log (the window/row_number
+    form the oracle uses shuffles and sorts every row; the aggregate
+    form shuffles one struct per key per map task). event_id breaks
+    ts ties before any nullable payload field is ever compared."""
+    ev = _t(spark, sf_dir, "events")
+    picked = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("_s")
+    )
+    return picked.select(
+        "user_id",
+        F.col("_s.ts").alias("last_ts"),
+        F.col("_s.event_id").alias("last_event_id"),
+        F.col("_s.event_type").alias("last_event_type"),
+        F.col("_s.value").alias("last_value"),
+    )
+
+
+@register(
+    "rolling_zscore_outliers",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(CAST(value AS DECIMAL(12,2))) OVER w AS s1,
+             SUM(CAST(value AS DECIMAL(12,2))
+                 * CAST(value AS DECIMAL(12,2))) OVER w AS s2,
+             COUNT(value) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts, event_id, value,
+           ROUND((value - CAST(s1 AS DOUBLE) / n)
+                 / sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                        / (n - 1)), 6) AS z
+    FROM s
+    WHERE n >= 10
+      AND (CAST(s2 AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) > 0
+      AND abs((value - CAST(s1 AS DOUBLE) / n)
+              / sqrt((CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                     / (n - 1))) > 2.5
+    """,
+)
+def rolling_zscore_outliers(spark, sf_dir):
+    """Streaming-style anomaly flag: each event's value scored
+    against the mean/std of its user's trailing 20 events (the
+    self-baselined outlier detector a telemetry QA pipeline runs on
+    every metric). One keyed window, deterministic (ts, event_id)
+    frame order, and the moments are EXACT decimal sums — value is a
+    raw 2-decimal measure, so dec²-products and sums are associative
+    and bit-identical across engines/partitionings (functions/stats
+    rule); the only float ops are the final division and a correctly
+    rounded IEEE sqrt, identical everywhere, with round(6) belt."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    v = dec("value", 12, 2)
+    s = ev.select(
+        "user_id", "ts", "event_id", "value",
+        F.sum(v).over(w).alias("s1"),
+        F.sum(v * v).over(w).alias("s2"),
+        F.count("value").over(w).alias("n"),
+    )
+    s1d = F.col("s1").cast("double")
+    var = (F.col("s2").cast("double") - s1d * s1d / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (F.col("value") - s1d / F.col("n")) / F.sqrt(var)
+    return (
+        s.where((F.col("n") >= 10) & (var > 0) & (F.abs(z) > 2.5))
+        .select(
+            "user_id", "ts", "event_id", "value",
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+@register(
+    "rabin_karp_fingerprints",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(
+               CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(
+                   string_split(regexp_replace(lower(text),
+                                               '[^a-z0-9]', '', 'g'), ''),
+                   ch -> ch <> ''),
+                 ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, code) -> (acc * 31 + code) % 1000000007) AS rk_hash
+    FROM documents
+    """,
+)
+def rabin_karp_fingerprints(spark, sf_dir):
+    """Polynomial rolling-hash (Rabin-Karp) document fingerprint over
+    the normalized text — the content-defined-chunking / shift-robust
+    cousin of the md5 fingerprint (text.fingerprint): hash = fold
+    (acc·31 + code) mod 1e9+7 over the alphanumeric-lowercase byte
+    stream. Pure JVM array fold (F.aggregate), no UDF, no shuffle —
+    embarrassingly parallel per document at any scale. Normalization
+    restricts codes to ASCII so Spark's and DuckDB's ascii() agree;
+    mod keeps the accumulator < 2³¹ so 64-bit products never
+    overflow."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = F.filter(
+        F.split(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""), ""
+        ),
+        lambda ch: ch != F.lit(""),
+    )
+    rk = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(31) + F.ascii(ch).cast("long"))
+        % F.lit(1000000007),
+    )
+    return docs.select("doc_id", rk.alias("rk_hash"))
+
+
+@register(
+    "price_histogram",
+    f"""
+    SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS INT) AS bucket,
+           COUNT(*) AS n,
+           {sql_dsum('l_extendedprice')} AS total_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def price_histogram(spark, sf_dir):
+    """Equi-width histogram (the profiling primitive behind every
+    distribution plot and equi-width binned stat): bucket via floor
+    division — one narrow-key hash aggregate with full map-side
+    combine, output is O(buckets). Float division and floor are exact
+    IEEE ops, identical across engines, so no rounding belt is
+    needed on the key; the per-bucket sum uses the decimal-exact
+    path."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 5000.0)
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "modal_event_type_per_user",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type ASC) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS modal_type, n AS modal_count
+    FROM r WHERE rn = 1
+    """,
+)
+def modal_event_type_per_user(spark, sf_dir):
+    """Per-key mode (most frequent value) as TWO hash aggregates and
+    zero windows: count per (key, value), then min of a
+    (-count, value) struct picks highest-count-then-lexicographic
+    deterministically. The aggregate form partial-aggregates map-side
+    on both passes; the oracle's row_number form sorts every (key,
+    value) group — the same window-vs-aggregate trade as
+    latest_event_per_user, at mode semantics."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    picked = c.groupBy("user_id").agg(
+        F.min(F.struct((-F.col("n")).alias("_neg"), "event_type", "n"))
+        .alias("_s")
+    )
+    return picked.select(
+        "user_id",
+        F.col("_s.event_type").alias("modal_type"),
+        F.col("_s.n").alias("modal_count"),
     )
 
 
