@@ -4511,6 +4511,111 @@ def modal_event_type_per_user(spark, sf_dir):
     )
 
 
+@register(
+    "state_islands",
+    """
+    WITH m AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             CASE WHEN LAG(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, state, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM m
+    )
+    SELECT user_id, state, MIN(ts) AS valid_from, MAX(ts) AS last_seen,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id, state, grp
+    """,
+)
+def state_islands(spark, sf_dir):
+    """Gaps-and-islands / SCD2 interval builder: collapse each run of
+    consecutive same-state events per user into one (valid_from,
+    last_seen, n_events) interval — the change-data-capture →
+    dimension-history primitive. Change-flag lag window + running-sum
+    island id + hash aggregate; both windows share one (user_id)
+    partitioning and (ts, event_id) sort, so Spark plans a single
+    shuffle + single sort for the whole query."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = ev.select(
+        "user_id", F.col("event_type").alias("state"), "ts", "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+            1,
+        ).otherwise(0).alias("chg"),
+    )
+    g = m.select(
+        "user_id", "state", "ts",
+        F.sum("chg").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("grp"),
+    )
+    return (
+        g.groupBy("user_id", "state", "grp")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.max("ts").alias("last_seen"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("grp")
+    )
+
+
+@register(
+    "winsorized_quantity_stats",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.05) AS lo,
+             quantile_cont(l_quantity, 0.95) AS hi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           CAST(SUM(CAST(ROUND(LEAST(GREATEST(l_quantity, lo), hi), 6)
+                         AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*)
+             AS winsor_mean,
+           COUNT(*) AS n
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY 1
+    """,
+)
+def winsorized_quantity_stats(spark, sf_dir):
+    """Winsorized (5%/95%-clipped) mean per group — the
+    outlier-robust mean a feature pipeline uses where a plain mean is
+    skew-hostage. Two passes, both scale-correct: exact grouped
+    percentiles reduce to an O(groups) table that broadcast-joins
+    back onto the fact scan (no fact shuffle for the join), then one
+    decimal-exact hash aggregate. Clipped values are rounded to the
+    1e-6 grid before the decimal cast: the boundary is an
+    interpolated (derived) double, and round-then-cast is the
+    documented safe path for those (functions/stats)."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.05)").alias("lo"),
+        F.expr("percentile(l_quantity, 0.95)").alias("hi"),
+    )
+    clipped = F.round(
+        F.least(F.greatest(F.col("l_quantity"), F.col("lo")), F.col("hi")),
+        6,
+    ).cast("decimal(20,6)")
+    return (
+        li.join(F.broadcast(b), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            (F.sum(clipped).cast("double") / F.count(F.lit(1)))
+            .alias("winsor_mean"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================
@@ -4586,10 +4691,20 @@ _PRIORITY = [
     # adds the per-component arg-max — displaces repetition_ratio_docs
     # (single array expression, pytest-pinned).
     "near_dedup_keep_best_docs",
+    # session additions with real cross-engine failure modes:
+    # rolling_zscore_outliers (decimal-exact window moments + float
+    # z), zipf_slope (the distributed-rank rewrite — freshly changed
+    # code belongs in the hard window). They displace
+    # describe_quantity_by_flag (percentile parity already pinned
+    # in-window by exact_quantiles_by_type) and
+    # intersect_both_halves_users (set-op cousin
+    # except_lapsed_customers stays).
+    "rolling_zscore_outliers", "zipf_slope",
 ]
 for _demoted in (
     "quality_score_docs", "bpe_token_counts", "lsh_knn_topk",
     "common_ngram_docs", "repetition_ratio_docs",
+    "describe_quantity_by_flag", "intersect_both_halves_users",
 ):
     _PRIORITY.remove(_demoted)
 
