@@ -4616,6 +4616,59 @@ def winsorized_quantity_stats(spark, sf_dir):
     )
 
 
+@register(
+    "dq_checks_events",
+    """
+    WITH t AS (
+      SELECT COUNT(*) AS total,
+             SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS v1,
+             COUNT(event_id) - COUNT(DISTINCT event_id) AS v2,
+             SUM(CASE WHEN value NOT BETWEEN 0 AND 1000
+                        OR value IS NULL THEN 1 ELSE 0 END) AS v3,
+             SUM(CASE WHEN event_type NOT IN
+                        ('click','error','purchase','signup','view')
+                        OR event_type IS NULL THEN 1 ELSE 0 END) AS v4,
+             SUM(CASE WHEN NOT COALESCE(user_id >= 0, FALSE)
+                      THEN 1 ELSE 0 END) AS v5
+      FROM events
+    )
+    SELECT 'ts_not_null' AS rule, v1 AS violations, total, v1 = 0 AS pass FROM t
+    UNION ALL
+    SELECT 'event_id_unique', v2, total, v2 = 0 FROM t
+    UNION ALL
+    SELECT 'value_in_range', v3, total, v3 = 0 FROM t
+    UNION ALL
+    SELECT 'type_in_set', v4, total, v4 = 0 FROM t
+    UNION ALL
+    SELECT 'user_id_nonneg', v5, total, v5 = 0 FROM t
+    """,
+)
+def dq_checks_events(spark, sf_dir):
+    """Declarative expectation suite over the event log — five rules
+    (not-null, uniqueness, range, accepted-set, custom predicate)
+    compiled by operators/checks.run_checks into ONE aggregation pass:
+    a single scan with map-side partial aggregation no matter how many
+    rules are attached, then a stack() unpivot of the 1-row result.
+    The gate every ingest job runs before anything downstream."""
+    from openoa_spark.operators.checks import Rule, run_checks
+
+    ev = _t(spark, sf_dir, "events")
+    return run_checks(
+        ev,
+        [
+            Rule("ts_not_null", "not_null", "ts"),
+            Rule("event_id_unique", "unique", "event_id"),
+            Rule("value_in_range", "in_range", "value",
+                 {"lo": 0, "hi": 1000}),
+            Rule("type_in_set", "in_set", "event_type",
+                 {"values": ["click", "error", "purchase", "signup",
+                             "view"]}),
+            Rule("user_id_nonneg", "custom", "user_id",
+                 {"predicate": F.col("user_id") >= 0}),
+        ],
+    )
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================

@@ -41,11 +41,18 @@ PROBE_QUERIES = [
     "event_sessions",
     "cumulative_sum_per_user",
     "resample_hour_mean_by_type",
+    # stacked-window + aggregate (gaps-and-islands): rows×N
+    "state_islands",
+    # keyed trailing-frame window with decimal moments: rows×N
+    "rolling_zscore_outliers",
     # documents-table datapipe ops (corpus inflated by id-offset copies)
     "exact_dedup_docs",
     "char_entropy_docs",
     "pack_blocks_docs",
     "minhash_near_dups",
+    # vocabulary-distributed global rank (the round-3 zipf rewrite):
+    # vocab grows ~N under the copy-tag transform, rank stays bucketed
+    "zipf_slope",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
