@@ -4669,6 +4669,226 @@ def dq_checks_events(spark, sf_dir):
     )
 
 
+@register(
+    "top_session_paths",
+    """
+    WITH d AS (
+      SELECT user_id, ts, event_id, event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts)) AS delta_us
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(CASE WHEN delta_us IS NULL OR delta_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM d
+    ),
+    p AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             COUNT(*) AS n_events
+      FROM s GROUP BY 1, 2
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM p WHERE n_events BETWEEN 2 AND 8
+    GROUP BY 1
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def top_session_paths(spark, sf_dir):
+    """Navigation-path mining: most common within-session event-type
+    sequences (the clickstream / funnel-discovery primitive).
+    Gap-sessionize (operators/timeseries.sessionize — one keyed
+    window), build each session's path with array_sort over a
+    collected (ts, event_id, type) struct — order restored inside the
+    aggregate, engine-deterministic, no second window — then count
+    paths and TakeOrderedAndProject the global top 20 with a (count
+    desc, path) total order. Path length capped at 8 so the group key
+    stays bounded; longer sessions are the tail by construction."""
+    ev = _t(spark, sf_dir, "events")
+    s = timeseries.sessionize(ev, "ts", ["user_id"], gap_seconds=1800.0)
+    p = s.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda st: st["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        p.where(F.col("n_events").between(2, 8))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@register(
+    "seasonal_residual_outliers",
+    """
+    WITH m AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+             SUM(CAST(value AS DECIMAL(12,2))) AS s1,
+             SUM(CAST(value AS DECIMAL(12,2))
+                 * CAST(value AS DECIMAL(12,2))) AS s2,
+             COUNT(value) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT event_type, hr,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             sqrt((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                  / (n - 1)) AS sd,
+             n
+      FROM m
+    )
+    SELECT e.event_id, e.user_id, e.event_type, b.hr, e.value,
+           ROUND((e.value - b.mu) / b.sd, 6) AS resid_z
+    FROM events e
+    JOIN b ON e.event_type = b.event_type
+          AND CAST(EXTRACT(hour FROM e.ts) AS INT) = b.hr
+    WHERE b.n >= 30 AND b.sd > 0
+      AND abs((e.value - b.mu) / b.sd) > 3.0
+    """,
+)
+def seasonal_residual_outliers(spark, sf_dir):
+    """Seasonal-baseline anomaly flag: each value scored against the
+    mean/std of its (event_type, hour-of-day) cell — the calendar
+    complement of rolling_zscore_outliers' trailing window (diurnal
+    patterns are baseline, not anomaly). The baseline is an O(types ×
+    24) decimal-exact aggregate that BROADCASTS back onto the fact
+    scan, so the fact table is never shuffled; only the final float
+    division and an IEEE sqrt run per row."""
+    ev = _t(spark, sf_dir, "events")
+    hr = F.hour("ts").cast("int")
+    v = dec("value", 12, 2)
+    m = ev.groupBy("event_type", hr.alias("hr")).agg(
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.count("value").alias("n"),
+    )
+    s1d = F.col("s1").cast("double")
+    b = m.select(
+        "event_type", "hr",
+        (s1d / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("s2").cast("double") - s1d * s1d / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+        "n",
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.withColumn("hr", hr)
+        .join(F.broadcast(b), ["event_type", "hr"])
+        .where((F.col("n") >= 30) & (F.col("sd") > 0) & (F.abs(z) > 3.0))
+        .select(
+            "event_id", "user_id", "event_type", "hr", "value",
+            F.round(z, 6).alias("resid_z"),
+        )
+    )
+
+
+@register(
+    "lineitem_corr_matrix",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sp,
+             SUM(CAST(l_discount AS DECIMAL(12,2))) AS sd,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS sqq,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS spp,
+             SUM(CAST(l_discount AS DECIMAL(12,2))
+                 * CAST(l_discount AS DECIMAL(12,2))) AS sdd,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS sqp,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_discount AS DECIMAL(12,2))) AS sqd,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_discount AS DECIMAL(12,2))) AS spd
+      FROM lineitem
+    )
+    SELECT n,
+           ROUND((n * CAST(sqp AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+                 / sqrt((n * CAST(sqq AS DOUBLE)
+                         - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                        * (n * CAST(spp AS DOUBLE)
+                           - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))),
+                 6) AS corr_qty_price,
+           ROUND((n * CAST(sqd AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+                 / sqrt((n * CAST(sqq AS DOUBLE)
+                         - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                        * (n * CAST(sdd AS DOUBLE)
+                           - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))),
+                 6) AS corr_qty_disc,
+           ROUND((n * CAST(spd AS DOUBLE)
+                  - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+                 / sqrt((n * CAST(spp AS DOUBLE)
+                         - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                        * (n * CAST(sdd AS DOUBLE)
+                           - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))),
+                 6) AS corr_price_disc
+    FROM m
+    """,
+)
+def lineitem_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix of the lineitem measures in
+    ONE aggregation pass: all co-moments as exact decimal sums (raw
+    2-decimal factors multiplied in decimal space — associative,
+    engine- and partitioning-independent), correlations assembled from
+    them in float afterward. The feature-selection / multicollinearity
+    screen at 100 TB costs exactly one scan — never one pass per
+    pair like naive corr() loops."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p, d = (dec(c, 12, 2) for c in
+               ("l_quantity", "l_extendedprice", "l_discount"))
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"), F.sum(p).alias("sp"), F.sum(d).alias("sd"),
+        F.sum(q * q).alias("sqq"), F.sum(p * p).alias("spp"),
+        F.sum(d * d).alias("sdd"), F.sum(q * p).alias("sqp"),
+        F.sum(q * d).alias("sqd"), F.sum(p * d).alias("spd"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        n = F.col("n")
+        num = n * F.col(sxy).cast("double") - F.col(sx).cast(
+            "double"
+        ) * F.col(sy).cast("double")
+        vx = n * F.col(sxx).cast("double") - F.col(sx).cast(
+            "double"
+        ) * F.col(sx).cast("double")
+        vy = n * F.col(syy).cast("double") - F.col(sy).cast(
+            "double"
+        ) * F.col(sy).cast("double")
+        return F.round(num / F.sqrt(vx * vy), 6)
+
+    return m.select(
+        "n",
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
+    )
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================
