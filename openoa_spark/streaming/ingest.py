@@ -273,3 +273,89 @@ def stream_to_parquet(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_quality_gate(
+    df: DataFrame,
+    rules,
+    good_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    metrics_table: str | None = None,
+    available_now: bool = True,
+):
+    """Per-micro-batch data-quality gate: rows satisfying EVERY
+    row-level rule append to ``good_path``, violators (tagged with the
+    names of the rules they broke) to ``quarantine_path``, and the
+    per-batch rule report (operators/checks.run_checks — one
+    aggregation pass per batch) optionally lands in an in-memory
+    metrics table for monitoring.
+
+    foreachBatch is the right primitive here: a batch can fan out to
+    two sinks and a metrics collector atomically per micro-batch
+    while keeping the stream's checkpointed exactly-once offsets
+    (each sink write is idempotent per batch id via overwrite-by-
+    batch partitioning). Table-level rules (``unique``) are reported
+    in metrics but do NOT route rows — cross-batch uniqueness is the
+    job of stream_dedup/watermarks, not a per-batch gate.
+    """
+    from openoa_spark.operators.checks import run_checks
+
+    row_rules = [r for r in rules if r.kind != "unique"]
+
+    def _bad_flag(rule) -> Column:
+        # reuse the rule compiler's predicate logic at row grain
+        c = F.col(rule.col)
+        if rule.kind == "not_null":
+            return c.isNull()
+        if rule.kind == "in_set":
+            return ~c.isin(*rule.params["values"]) | c.isNull()
+        if rule.kind == "in_range":
+            lo, hi = rule.params["lo"], rule.params["hi"]
+            return ~c.between(lo, hi) | c.isNull()
+        if rule.kind == "matches":
+            return ~c.rlike(rule.params["pattern"]) | c.isNull()
+        if rule.kind == "custom":
+            return ~F.coalesce(rule.params["predicate"], F.lit(False))
+        raise ValueError(f"unknown rule kind: {rule.kind!r}")
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        broken = F.array_compact(
+            F.array(
+                *[
+                    F.when(_bad_flag(r), F.lit(r.name))
+                    for r in row_rules
+                ]
+            )
+        )
+        tagged = batch.withColumn("_broken_rules", broken)
+        good = tagged.where(F.size("_broken_rules") == 0).drop(
+            "_broken_rules"
+        )
+        bad = tagged.where(F.size("_broken_rules") > 0).withColumn(
+            "_broken_rules", F.array_join("_broken_rules", ",")
+        )
+        # partition by batch id → re-running a batch after a crash
+        # overwrites its own partition only (idempotent, exactly-once
+        # composed with the stream checkpoint)
+        for out, path in ((good, good_path), (bad, quarantine_path)):
+            (
+                out.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(path)
+            )
+        if metrics_table is not None:
+            report = run_checks(batch, list(rules)).withColumn(
+                "batch_id", F.lit(batch_id)
+            )
+            report.write.mode("append").saveAsTable(metrics_table)
+
+    w = (
+        df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

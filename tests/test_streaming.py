@@ -378,3 +378,64 @@ def test_streaming_curation_pipeline_end_to_end(spark, tmp_path):
     assert winner in (1, 2)
     assert got[winner]["lang"] == "en" and got[3]["lang"] == "fr"
     assert got[winner]["n_tokens"] == 9
+
+
+def test_stream_quality_gate_routes_and_reports(spark, tmp_path):
+    """Rows pass/fail per-row rules per micro-batch: good rows to the
+    curated sink, violators (tagged with broken rule names) to
+    quarantine, and the one-pass rule report lands per batch."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from openoa_spark.operators.checks import Rule
+    from openoa_spark.streaming import ingest
+
+    src = str(tmp_path / "src")
+    good = str(tmp_path / "good")
+    quar = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cat", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", -1.0), (3, None, 7.0), (4, "a", 2.0)],
+        schema,
+    ).write.mode("append").parquet(src)
+
+    rules = [
+        Rule("cat_not_null", "not_null", "cat"),
+        Rule("val_nonneg", "in_range", "val", {"lo": 0, "hi": 100}),
+        Rule("id_unique", "unique", "id"),  # table-level: report-only
+    ]
+    q = ingest.stream_quality_gate(
+        ingest.file_stream(spark, src, schema), rules, good, quar, ckpt
+    )
+    q.awaitTermination(120)
+
+    good_ids = sorted(
+        r["id"] for r in spark.read.parquet(good).collect()
+    )
+    assert good_ids == [1, 4]
+    bad = {
+        r["id"]: r["_broken_rules"]
+        for r in spark.read.parquet(quar).collect()
+    }
+    assert bad == {2: "val_nonneg", 3: "cat_not_null"}
+
+    # a second micro-batch routes independently and idempotently
+    spark.createDataFrame([(5, "c", 1.0), (6, None, -2.0)], schema) \
+        .write.mode("append").parquet(src)
+    q2 = ingest.stream_quality_gate(
+        ingest.file_stream(spark, src, schema), rules, good, quar, ckpt
+    )
+    q2.awaitTermination(120)
+    assert sorted(
+        r["id"] for r in spark.read.parquet(good).collect()
+    ) == [1, 4, 5]
+    assert spark.read.parquet(quar).where(
+        F.col("id") == 6
+    ).first()["_broken_rules"] == "cat_not_null,val_nonneg"
