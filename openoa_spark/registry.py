@@ -4889,6 +4889,89 @@ def lineitem_corr_matrix(spark, sf_dir):
     )
 
 
+@register(
+    "customer_rfm_segments",
+    f"""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             {sql_dsum('o_totalprice')} AS monetary
+      FROM orders GROUP BY 1
+    )
+    SELECT NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_quartile,
+           NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_quartile,
+           NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m_quartile,
+           o_custkey, frequency
+    FROM rfm
+    """,
+)
+def customer_rfm_segments(spark, sf_dir):
+    """RFM (recency/frequency/monetary) quartile segmentation — the
+    standard customer-scoring shape. The fact scan reduces to one row
+    per customer first (hash aggregate, decimal-exact monetary), so
+    the three ntile windows run over the customer table, not the
+    orders log; customer-id tiebreaks make every quartile boundary
+    engine-deterministic. At 10⁹ customers the global ntile would be
+    the next bottleneck — the documented scale path is quantile-bucket
+    boundaries (sources/sinks.write_zordered uses the same idea), but
+    quartiles-by-sort is exact and correct at dimension grain."""
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    return rfm.select(
+        F.ntile(4)
+        .over(Window.orderBy("last_order", "o_custkey"))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .alias("m_quartile"),
+        "o_custkey",
+        "frequency",
+    )
+
+
+@register(
+    "monthly_revenue_growth",
+    f"""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             {sql_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           ROUND(revenue / LAG(revenue) OVER (ORDER BY month) - 1.0, 6)
+             AS mom_growth
+    FROM m
+    """,
+)
+def monthly_revenue_growth(spark, sf_dir):
+    """Month-over-month growth: the fact table collapses to an
+    O(months) aggregate (decimal-exact revenue) before the lag window
+    touches anything — the keyless window runs over ≤ a few hundred
+    rows (accepted tiny-table pattern), never the order log. Growth
+    ratio is a float division of two exact decimals, identical across
+    engines, rounded as belt."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        # F.trunc returns DATE (matching DuckDB's date_trunc on a
+        # DATE input); F.date_trunc would return TIMESTAMP
+        F.trunc("o_orderdate", "month").alias("month")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month")
+    return m.select(
+        "month", "revenue",
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1.0, 6)
+        .alias("mom_growth"),
+    )
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================
