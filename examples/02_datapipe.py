@@ -79,6 +79,21 @@ def main():
     )
     sketches.hll_merge(rollup).select("distinct_estimate", "n_rows").show()
 
+    print("== declarative data-quality gate (one aggregation pass) ==")
+    from openoa_spark.operators.checks import Rule, run_checks
+
+    run_checks(
+        docs,
+        [
+            Rule("text_not_null", "not_null", "text"),
+            Rule("doc_id_unique", "unique", "doc_id"),
+            Rule("lang_known", "in_set", "lang",
+                 {"values": ["en", "de", "fr", "es", "unk"]}),
+            Rule("n_chars_sane", "in_range", "n_chars",
+                 {"lo": 1, "hi": 1_000_000}),
+        ],
+    ).show()
+
 
 if __name__ == "__main__":
     main()
