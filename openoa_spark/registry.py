@@ -4972,6 +4972,45 @@ def monthly_revenue_growth(spark, sf_dir):
     )
 
 
+@register(
+    "doc_chunks",
+    """
+    SELECT doc_id, u AS chunk_start, substr(text, u + 1, 200) AS chunk
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(
+               0, CAST(greatest(length(text) - 1, 0) AS BIGINT), 150))
+               AS u
+      FROM documents WHERE text IS NOT NULL
+    )
+    """,
+)
+def doc_chunks(spark, sf_dir):
+    """RAG-style document chunking: overlapping 200-char windows at
+    stride 150 (50-char overlap so no boundary-straddling content is
+    lost) via sequence + explode + substring — map-side only, zero
+    shuffle, embarrassingly parallel at any corpus size. The
+    token-grain equivalent reuses the same shape with
+    datapipe.text.tokens offsets; sequence packing of the chunks is
+    datapipe.sampling.pack_sequences."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.greatest(F.length("text") - 1, F.lit(0)).cast("long"),
+                F.lit(150).cast("long"),
+            )
+        ).alias("chunk_start"),
+        "text",
+    ).select(
+        "doc_id",
+        "chunk_start",
+        F.expr("substr(text, chunk_start + 1, 200)").alias("chunk"),
+    )
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================
