@@ -128,6 +128,11 @@ def minhash_near_dup_pairs(
     Output: (id_a, id_b, est_jaccard), id_a < id_b.
     """
     rows_per_band = num_hashes // bands
+    # signature computation is the dominant CPU; don't let a
+    # single-file scan serialize it onto one core (no-op at scale)
+    from openoa_spark.session import spread_small_input
+
+    df = spread_small_input(df)
     if hash_fn == "md5":
         # Kirsch-Mitzenmacher double hashing: h_i(s) = (h1 + i·h2) mod
         # (2^31-1). Two md5 evaluations per shingle TOTAL instead of
@@ -167,6 +172,13 @@ def minhash_near_dup_pairs(
             ).alias("_sig"),
         )
     sig = sig.where(F.col("_sig").getItem(0).isNotNull())  # docs with ≥1 shingle
+    # Lazy localCheckpoint: the band join is a SELF-join, and without
+    # this the signature lineage (shingle + md5/xxhash + num_hashes
+    # array mins — by far the dominant cost) executes on BOTH sides
+    # (the broadcast side does not reuse the probe side's exchange).
+    # Checkpointing materializes signatures ONCE on first use; lazy
+    # (eager=False) keeps the operator's contract lazy.
+    sig = sig.localCheckpoint(eager=False)
 
     banded = sig.select(
         "_id",
@@ -187,25 +199,30 @@ def minhash_near_dup_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    # Estimate Jaccard BEFORE the pair-dedup so dropDuplicates runs
+    # over scalar columns only: with the signature arrays still
+    # attached, Spark is forced into a SortAggregate (first() over
+    # array values has no hash-agg support); on scalars it plans the
+    # ordinary hash aggregate. The estimate is identical in every
+    # band occurrence of a pair, so dedup-after is equivalent, and
+    # thresholding first shrinks the dedup input.
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a._sig"), F.col("b._sig"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    est = agree / F.lit(float(num_hashes))
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bhash") == F.col("b.bhash")))
         .where(F.col("a._id") < F.col("b._id"))
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a._sig").alias("_sa"),
-            F.col("b._sig").alias("_sb"),
+            est.alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    agree = F.size(
-        F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v)
-    )
-    est = agree / F.lit(float(num_hashes))
-    return (
-        cand.withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -254,7 +271,9 @@ def ngram_jaccard_pairs(
     affected pairs; None keeps exact semantics (and is what the
     correctness oracle replays).
     """
-    sh = df.select(
+    from openoa_spark.session import spread_small_input
+
+    sh = spread_small_input(df).select(
         F.col(id_col).alias("_id"),
         F.explode(shingles(text_col, shingle_n)).alias("_sh"),
     ).withColumn("_shh", F.xxhash64("_sh")).drop("_sh")

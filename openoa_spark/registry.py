@@ -3599,10 +3599,15 @@ def full_outer_daily_activity(spark, sf_dir):
 )
 def char_entropy_docs(spark, sf_dir):
     """Per-doc character-distribution entropy (gibberish/binary/spam
-    signal). Spark side is a map-only array fold — zero shuffles — vs
-    the oracle's explode + two aggregations; at corpus scale the
-    shuffle saved IS the cost of the query."""
-    docs = _t(spark, sf_dir, "documents")
+    signal). Spark side is a map-only array fold — zero data-dependent
+    shuffles — vs the oracle's explode + two aggregations; at corpus
+    scale the shuffle saved IS the cost of the query.
+    spread_small_input adds one round-robin exchange ONLY when the
+    scan yields fewer partitions than cores (single-file local input),
+    so the per-char fold parallelizes; it is a no-op at scale."""
+    from openoa_spark.session import spread_small_input
+
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", text.char_entropy("text").alias("char_entropy")
     )

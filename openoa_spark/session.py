@@ -88,3 +88,25 @@ def ship_package(spark) -> None:
                     z.write(full, rel)
     sc.addPyFile(zpath)
     sc._openoa_pkg_shipped = True
+
+
+def spread_small_input(df, min_partitions: int | None = None):
+    """Decouple compute parallelism from file layout for CPU-heavy
+    expression pipelines (minhash signatures, entropy folds, shingle
+    explodes): a small table read from one parquet file arrives as ONE
+    partition, so everything downstream of the scan runs on one core
+    until the first shuffle — locally that single core dominates the
+    wall clock even though the cluster is idle.
+
+    No-op when the scan already yields >= min_partitions (the 100 TB
+    case — production inputs split into thousands of tasks via
+    spark.sql.files.maxPartitionBytes); otherwise one lightweight
+    round-robin exchange of the raw rows, which costs far less than
+    the per-row compute it parallelizes. Defaults min_partitions to
+    the cluster's default parallelism.
+    """
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_partitions:
+        return df
+    return df.repartition(min_partitions)
