@@ -5016,6 +5016,90 @@ def doc_chunks(spark, sf_dir):
     )
 
 
+@register(
+    "nation_share_of_region",
+    f"""
+    WITH nrev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             {sql_dsum('o.o_totalprice')} AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 6)
+             AS share_of_region
+    FROM nrev
+    """,
+)
+def nation_share_of_region(spark, sf_dir):
+    """Hierarchical share-of-parent: nation revenue as a fraction of
+    its region's total. The fact scan joins only BROADCAST dimensions
+    (customer→nation→region) and collapses to an O(nations) rollup
+    before the share window runs — the window is partitioned at
+    region grain over ≤ 25 rows, never over the fact table. Share is
+    a float ratio of two exact decimal sums, identical across
+    engines."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nrev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("region")
+    return nrev.select(
+        "region", "nation", "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6)
+        .alias("share_of_region"),
+    )
+
+
+@register(
+    "event_type_cooccurrence",
+    """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def event_type_cooccurrence(spark, sf_dir):
+    """Market-basket co-occurrence: how many users exhibit each PAIR
+    of event types. Distinct (user, type) first — the self-join fans
+    out per user only over their distinct types (≤ |types|, bounded),
+    never over raw events, and the output is the |types|² matrix.
+    The association-rule / cross-feature input at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================
