@@ -1086,7 +1086,11 @@ def _langid_sql() -> str:
 
 @register("language_id", None)
 def language_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # spread: the n-gram scoring expression is CPU-bound; don't let a
+    # single-file scan serialize it onto one core (no-op at scale)
+    from openoa_spark.session import spread_small_input
+
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", text.language_id("text").alias("pred_lang"))
 
 
