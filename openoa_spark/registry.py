@@ -5104,6 +5104,76 @@ def event_type_cooccurrence(spark, sf_dir):
     )
 
 
+@register(
+    "hourly_active_users",
+    """
+    SELECT date_trunc('hour', ts) AS hour,
+           COUNT(DISTINCT user_id) AS active_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def hourly_active_users(spark, sf_dir):
+    """HAU/DAU-style activity series: exact distinct users per hour.
+    Spark plans COUNT(DISTINCT) as expand + two-phase aggregate —
+    still one scan, partial aggregation map-side; for corpus-scale
+    distinct-over-windows the mergeable-sketch path
+    (datapipe.sketches.hll_rollup) is the documented alternative with
+    rollup-without-rescan semantics."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count_distinct(F.col("user_id")).alias("active_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "first_touch_attribution",
+    """
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    f AS (
+      SELECT r.user_id,
+             MAX(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM r GROUP BY 1
+    )
+    SELECT first_type, COUNT(*) AS n_users,
+           SUM(converted) AS n_converted,
+           ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6)
+             AS conversion_rate
+    FROM f GROUP BY 1
+    """,
+)
+def first_touch_attribution(spark, sf_dir):
+    """First-touch attribution: per acquisition channel (the user's
+    FIRST event type), how many users eventually purchase. Two hash
+    aggregates, zero windows: the first touch is a struct-min over
+    (ts, event_id, type) — same aggregate-instead-of-window trade as
+    latest_event_per_user — and conversion is a conditional max in
+    the same pass over the per-user rollup."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))["event_type"]
+        .alias("first_type"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return f.groupBy("first_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        F.round(
+            F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+        ).alias("conversion_rate"),
+    )
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================
