@@ -5174,6 +5174,36 @@ def first_touch_attribution(spark, sf_dir):
     )
 
 
+@register(
+    "behavior_cohorts",
+    """
+    WITH u AS (
+      SELECT user_id,
+             array_to_string(list_sort(list(DISTINCT event_type)), ',')
+               AS type_set
+      FROM events WHERE EXTRACT(day FROM ts) <= 2 GROUP BY 1
+    )
+    SELECT type_set, COUNT(*) AS n_users
+    FROM u GROUP BY 1
+    """,
+)
+def behavior_cohorts(spark, sf_dir):
+    """Set-valued cohorting: group users by their exact SET of event
+    types in an early-window slice (the canonical 'identical behavior fingerprint' shape).
+    collect_set + sort_array canonicalizes the set inside one hash
+    aggregate — order-insensitive and engine-deterministic — then a
+    second narrow aggregate counts fingerprint frequencies. Both
+    aggregates partial-combine map-side; the fingerprint domain is
+    2^|types|, bounded regardless of user count."""
+    ev = _t(spark, sf_dir, "events").where(F.dayofmonth("ts") <= 2)
+    u = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("event_type")), ","
+        ).alias("type_set")
+    )
+    return u.groupBy("type_set").agg(F.count(F.lit(1)).alias("n_users"))
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================
