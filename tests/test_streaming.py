@@ -412,9 +412,18 @@ def test_stream_quality_gate_routes_and_reports(spark, tmp_path):
         Rule("id_unique", "unique", "id"),  # table-level: report-only
     ]
     q = ingest.stream_quality_gate(
-        ingest.file_stream(spark, src, schema), rules, good, quar, ckpt
+        ingest.file_stream(spark, src, schema), rules, good, quar, ckpt,
+        metrics_table="dq_gate_metrics",
     )
     q.awaitTermination(120)
+
+    metrics = {
+        r["rule"]: r["violations"]
+        for r in spark.table("dq_gate_metrics").collect()
+    }
+    assert metrics == {
+        "cat_not_null": 1, "val_nonneg": 1, "id_unique": 0
+    }
 
     good_ids = sorted(
         r["id"] for r in spark.read.parquet(good).collect()
