@@ -5288,11 +5288,18 @@ _PRIORITY = [
     # intersect_both_halves_users (set-op cousin
     # except_lapsed_customers stays).
     "rolling_zscore_outliers", "zipf_slope",
+    # minhash_near_dups' implementation changed this session
+    # (signature checkpoint across the self-join + scalars-only pair
+    # dedup): driver-green in r1+r2, but changed code re-enters the
+    # hard window. Displaces hash_sample_docs (single md5-threshold
+    # filter; the md5 path stays pinned by minhash itself).
+    "minhash_near_dups",
 ]
 for _demoted in (
     "quality_score_docs", "bpe_token_counts", "lsh_knn_topk",
     "common_ngram_docs", "repetition_ratio_docs",
     "describe_quantity_by_flag", "intersect_both_halves_users",
+    "hash_sample_docs",
 ):
     _PRIORITY.remove(_demoted)
 
