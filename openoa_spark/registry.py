@@ -5204,6 +5204,105 @@ def behavior_cohorts(spark, sf_dir):
     return u.groupBy("type_set").agg(F.count(F.lit(1)).alias("n_users"))
 
 
+@register(
+    "quantity_weighted_avg_price",
+    """
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE),
+                 6) AS wavg_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def quantity_weighted_avg_price(spark, sf_dir):
+    """Weighted mean (weights from a second column) with both the
+    numerator product and the sums in exact decimal space — one hash
+    aggregate, full map-side combine, engine/partitioning-independent
+    down to the final float division."""
+    li = _t(spark, sf_dir, "lineitem")
+    p, q = dec("l_extendedprice", 12, 2), dec("l_quantity", 12, 2)
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(p * q).cast("double") / F.sum(q).cast("double"), 6
+        ).alias("wavg_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "active_users_grouping_sets",
+    """
+    SELECT event_type, CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+           COUNT(DISTINCT user_id) AS active_users
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (dow), (event_type, dow))
+    """,
+)
+def active_users_grouping_sets(spark, sf_dir):
+    """Distinct-count across three grains in one statement: GROUPING
+    SETS expands each row to its grouping combinations and the
+    distinct aggregate adds its own expand — Spark plans the composed
+    expansion as one scan + two-phase aggregate, which is the point:
+    three separate distinct-count queries would scan three times.
+    DOW numbering: Spark's dayofweek is 1=Sunday..7, DuckDB's dow is
+    0=Sunday..6 — aligned by subtracting 1."""
+    ev = _t(spark, sf_dir, "events")
+    ev.select(
+        "user_id", "event_type",
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+    ).createOrReplaceTempView("_au_events")
+    return spark.sql(
+        """
+        SELECT event_type, dow,
+               COUNT(DISTINCT user_id) AS active_users
+        FROM _au_events
+        GROUP BY GROUPING SETS ((event_type), (dow), (event_type, dow))
+        """
+    )
+
+
+@register(
+    "mad_by_type",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT e.event_type,
+           ROUND(MIN(m.med), 6) AS median_value,
+           ROUND(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def mad_by_type(spark, sf_dir):
+    """Median absolute deviation per group — the robust spread
+    estimator behind the reference's mad-mode bin_filter
+    (operators/filters.bin_filter), exposed as a standalone rollup.
+    Two passes by necessity (MAD is defined on deviations from the
+    median): each pass is an exact grouped percentile, and the
+    O(groups) median table broadcast-joins back onto the fact scan
+    in between. abs() of a double difference is exact IEEE both
+    engines."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 6).alias("median_value"),
+            F.round(
+                F.expr("percentile(abs(value - med), 0.5)"), 6
+            ).alias("mad"),
+        )
+    )
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================
