@@ -281,15 +281,17 @@ def stream_quality_gate(
     good_path: str,
     quarantine_path: str,
     checkpoint: str,
-    metrics_table: str | None = None,
+    metrics_path: str | None = None,
     available_now: bool = True,
 ):
     """Per-micro-batch data-quality gate: rows satisfying EVERY
     row-level rule append to ``good_path``, violators (tagged with the
     names of the rules they broke) to ``quarantine_path``, and the
     per-batch rule report (operators/checks.run_checks — one
-    aggregation pass per batch) optionally lands in an in-memory
-    metrics table for monitoring.
+    aggregation pass per batch) optionally appends to a parquet
+    ``metrics_path`` for monitoring (a path, not a managed table:
+    no metastore dependency, and re-registering after a restart
+    cannot collide with a leftover warehouse location).
 
     foreachBatch is the right primitive here: a batch can fan out to
     two sinks and a metrics collector atomically per micro-batch
@@ -346,11 +348,11 @@ def stream_quality_gate(
                 .partitionBy("_batch_id")
                 .parquet(path)
             )
-        if metrics_table is not None:
+        if metrics_path is not None:
             report = run_checks(batch, list(rules)).withColumn(
                 "batch_id", F.lit(batch_id)
             )
-            report.write.mode("append").saveAsTable(metrics_table)
+            report.write.mode("append").parquet(metrics_path)
 
     w = (
         df.writeStream.foreachBatch(_process)

@@ -411,15 +411,16 @@ def test_stream_quality_gate_routes_and_reports(spark, tmp_path):
         Rule("val_nonneg", "in_range", "val", {"lo": 0, "hi": 100}),
         Rule("id_unique", "unique", "id"),  # table-level: report-only
     ]
+    metrics_path = str(tmp_path / "metrics")
     q = ingest.stream_quality_gate(
         ingest.file_stream(spark, src, schema), rules, good, quar, ckpt,
-        metrics_table="dq_gate_metrics",
+        metrics_path=metrics_path,
     )
     q.awaitTermination(120)
 
     metrics = {
         r["rule"]: r["violations"]
-        for r in spark.table("dq_gate_metrics").collect()
+        for r in spark.read.parquet(metrics_path).collect()
     }
     assert metrics == {
         "cat_not_null": 1, "val_nonneg": 1, "id_unique": 0
