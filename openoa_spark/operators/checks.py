@@ -73,30 +73,39 @@ def run_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rule names: {names}")
 
+    # positional aliases (_v_0, _v_1, ...) — rule names never enter a
+    # SQL string or an identifier, so a name containing quotes,
+    # spaces, dots, or hyphens is just data, not an injection hazard
     aggs = [F.count(F.lit(1)).alias("_total")]
-    for r in rules:
+    for i, r in enumerate(rules):
         if r.kind == "unique":
             aggs.append(
                 (
                     F.count(r.col) - F.count_distinct(F.col(r.col))
-                ).cast("long").alias(f"_v_{r.name}")
+                ).cast("long").alias(f"_v_{i}")
             )
         else:
-            aggs.append(_violation_expr(r).alias(f"_v_{r.name}"))
+            aggs.append(_violation_expr(r).alias(f"_v_{i}"))
     one = df.agg(*aggs)
 
-    # unpivot the 1-row aggregate to (rule, violations, total): stack()
-    # over literals — no extra scan, the aggregate row is already tiny.
-    pairs = ", ".join(f"'{r.name}', _v_{r.name}" for r in rules)
-    long = one.select(
-        F.expr(
-            f"stack({len(rules)}, {pairs}) as (rule, violations)"
-        ),
-        F.col("_total").alias("total"),
+    # unpivot the 1-row aggregate to (rule, violations, total) via
+    # explode over an array of (name-literal, count) structs — no
+    # extra scan (the aggregate row is already tiny), no F.expr.
+    kv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r.name).alias("rule"),
+                    F.col(f"_v_{i}").alias("violations"),
+                )
+                for i, r in enumerate(rules)
+            ]
+        )
     )
+    long = one.select(kv.alias("_kv"), F.col("_total").alias("total"))
     return long.select(
-        "rule",
-        "violations",
+        F.col("_kv.rule").alias("rule"),
+        F.col("_kv.violations").alias("violations"),
         "total",
-        (F.col("violations") == 0).alias("pass"),
+        (F.col("_kv.violations") == 0).alias("pass"),
     )

@@ -1788,10 +1788,10 @@ def q10_returned_revenue(spark, sf_dir):
     "q12_priority_counts",
     """
     SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1994-01-01'
       AND l_shipdate <  TIMESTAMP '1996-01-01'
@@ -1990,11 +1990,11 @@ def describe_quantity_by_flag(spark, sf_dir):
     ),
     s AS (
       SELECT user_id, ts,
-             SUM(CASE WHEN delta_us IS NULL OR delta_us > 1800000000
+             CAST(SUM(CASE WHEN delta_us IS NULL OR delta_us > 1800000000
                       THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+               AS BIGINT) AS session_id
       FROM d
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -3816,13 +3816,14 @@ def ohlc_daily_user(spark, sf_dir):
     "profile_events",
     """
     SELECT 'event_type' AS column, COUNT(*) AS n_rows,
-           SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
            CAST(MIN(event_type) AS VARCHAR) AS min_str,
            CAST(MAX(event_type) AS VARCHAR) AS max_str
     FROM events
     UNION ALL
     SELECT 'user_id', COUNT(*),
-           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
     FROM events
     """,
@@ -4207,6 +4208,11 @@ def zipf_slope(spark, sf_dir):
         .groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
         .withColumn("_pfx", F.substring("tok", 1, 2))
     )
+    # tf (the explode + token-count shuffle — the dominant cost) feeds
+    # BOTH the offset table and the final rank join; checkpoint it so
+    # the tokenize/count pipeline executes once, not twice (same
+    # lineage-cut pattern as the minhash signature reuse)
+    tf = tf.localCheckpoint(eager=False)
     grp = tf.groupBy("c", "_pfx").agg(F.count(F.lit(1)).alias("_n"))
     w_off = (
         Window.orderBy(F.desc("c"), F.asc("_pfx"))
@@ -4630,15 +4636,18 @@ def winsorized_quantity_stats(spark, sf_dir):
     """
     WITH t AS (
       SELECT COUNT(*) AS total,
-             SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS v1,
+             CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v1,
              COUNT(event_id) - COUNT(DISTINCT event_id) AS v2,
-             SUM(CASE WHEN value NOT BETWEEN 0 AND 1000
-                        OR value IS NULL THEN 1 ELSE 0 END) AS v3,
-             SUM(CASE WHEN event_type NOT IN
+             CAST(SUM(CASE WHEN value NOT BETWEEN 0 AND 1000
+                        OR value IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v3,
+             CAST(SUM(CASE WHEN event_type NOT IN
                         ('click','error','purchase','signup','view')
-                        OR event_type IS NULL THEN 1 ELSE 0 END) AS v4,
-             SUM(CASE WHEN NOT COALESCE(user_id >= 0, FALSE)
-                      THEN 1 ELSE 0 END) AS v5
+                        OR event_type IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v4,
+             CAST(SUM(CASE WHEN NOT COALESCE(user_id >= 0, FALSE)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v5
       FROM events
     )
     SELECT 'ts_not_null' AS rule, v1 AS violations, total, v1 = 0 AS pass FROM t
@@ -5134,7 +5143,7 @@ def hourly_active_users(spark, sf_dir):
       SELECT user_id, event_type,
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     f AS (
       SELECT r.user_id,
@@ -5144,7 +5153,7 @@ def hourly_active_users(spark, sf_dir):
       FROM r GROUP BY 1
     )
     SELECT first_type, COUNT(*) AS n_users,
-           SUM(converted) AS n_converted,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
            ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6)
              AS conversion_rate
     FROM f GROUP BY 1
@@ -5156,8 +5165,11 @@ def first_touch_attribution(spark, sf_dir):
     aggregates, zero windows: the first touch is a struct-min over
     (ts, event_id, type) — same aggregate-instead-of-window trade as
     latest_event_per_user — and conversion is a conditional max in
-    the same pass over the per-user rollup."""
-    ev = _t(spark, sf_dir, "events")
+    the same pass over the per-user rollup. NULL-ts rows are excluded
+    up front: Spark's struct-min would sort a NULL ts FIRST while the
+    oracle's ORDER BY ts defaults to NULLS LAST, so the filter pins
+    both engines to the same (well-defined) semantics."""
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     f = ev.groupBy("user_id").agg(
         F.min(F.struct("ts", "event_id", "event_type"))["event_type"]
         .alias("first_type"),
@@ -5314,93 +5326,60 @@ def mad_by_type(spark, sf_dir):
 # single-expression scalar queries that went driver-green in BOTH
 # rounds 1 and 2 and are pinned by pytest; rotating them out lets the
 # whole registry accumulate hard verification across rounds.
-# Window composition, round 3: the 50 slots hold the most structural
-# of the queries with no driver CORRECTNESS row from rounds 1-2
-# (registry has since grown past 110, so full coverage needs the
-# rotation to continue across rounds). Every query outside the window
-# is green in tools/check_correctness.py at sf0.01 and pinned by
-# pytest; displaced round-1 names additionally carry green driver
-# rows from BOTH prior rounds. Flagship q1_pricing_summary stays
-# exercised every round via entry(). Slot-triage rationales for the
-# in-session rotations are inline below.
+# Window composition, round 4 (per VERDICT r3 instruction #3):
+#   * Slots 1-2: the two round-3 red rows (q12_priority_counts,
+#     event_sessions) stay IN the window to prove the HUGEINT-oracle
+#     fix at the driver's own Arrow-path gate.
+#   * Slots 3-50: the 48 most structural of the 57 queries that have
+#     never had a driver CORRECTNESS row (rounds 1-3 union) — the
+#     round-3c §17 analytics batch (funnel, retention, OHLC, Markov,
+#     islands, checks, attribution — including the three latent
+#     HUGEINT fixes: profile_events, dq_checks_events,
+#     first_touch_attribution) plus the displaced round-3b set.
+# The 9 never-checked names deferred to round 5 are single-expression
+# queries whose machinery is hash-pinned by in-window cousins and
+# pytest: uv_components / veer_values (met exprs, u-v round-trip
+# property), feet_to_meter_part (unit multiply),
+# quality_score_docs / bpe_token_counts / repetition_ratio_docs
+# (single projections; language_id pins the token exprs),
+# lsh_knn_topk (embedding_cosine_near_dups green r3 pins the bucket
+# join), hash_sample_docs (md5 path pinned by minhash, green r3),
+# describe_quantity_by_flag (percentile parity pinned by
+# exact_quantiles_by_type, green r3). Every query outside the window
+# is green in tools/check_correctness.py at sf0.01 (now with the
+# HUGEINT output-type lint, tests/test_oracle_types.py) and pinned by
+# pytest. Flagship q1_pricing_summary stays exercised every round via
+# entry().
 _PRIORITY = [
-    # relational core — never checked
-    "q4_late_shipment_priority", "q7_volume_shipping",
-    "q8_market_share", "q10_returned_revenue", "q12_priority_counts",
-    "q13_order_count_distribution", "q14_promo_revenue_pct",
-    "q15_top_suppliers", "q16_supplier_variety",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_bracketed_revenue", "q20_heavy_suppliers",
-    "q22_idle_customers", "q2_min_price_part_supplier",
-    "q9_profit_by_nation_year", "q21_waiting_suppliers",
-    "pivot_daily_by_type", "cube_returnflag_status",
-    "except_lapsed_customers", "intersect_both_halves_users",
-    "unpivot_lineitem_measures", "ntile_value_quartiles",
-    "exact_quantiles_by_type",
-    # time series — never checked
-    "gap_fill_daily", "upsample_ffill_hourly", "event_sessions",
-    # flags / filters / qa — never checked
-    "mahalanobis_flag_lineitem", "describe_quantity_by_flag",
-    "qa_offset_dst",
-    # imputation — never checked
-    "impute_quadratic_synthetic", "impute_best_neighbor",
-    # power curve / met — never checked
-    "logistic5_power_values",
-    # geometry — never checked
-    "freestream_membership", "freestream_iec_membership",
-    # analysis proxy — never checked
-    "electrical_losses_proxy",
-    # datapipe — never checked
-    "near_dedup_docs", "ngram_jaccard_pairs", "quality_score_docs",
-    "bpe_token_counts", "embedding_cosine_near_dups",
-    "repetition_ratio_docs", "tfidf_top_terms", "common_ngram_docs",
-    "lsh_knn_topk",
-    # pipeline utilities — never checked (round-3 final additions).
-    # Slot triage among never-checked rows: doc_shards and
-    # stratified_sample_lang yield their slots (their md5-threshold
-    # machinery is already in-window via hash_sample_docs) to the
-    # interval join and the time-RANGE window — shapes with real
-    # cross-engine failure modes no prior round has hard-checked.
-    "hash_sample_docs", "json_props_stats", "benchmark_overlap_docs",
-    "interval_join_daily_activity", "rolling_1h_sum_per_user",
-    # round-3c additions — structurally nontrivial (scalar-threshold
-    # subquery; explode+decimal-mean agg; broadcast pair-join over an
-    # aggregate; bounded self-join on gram). They displace
-    # quality_score_docs, bpe_token_counts, lsh_knn_topk, and
-    # common_ngram_docs (single-projection expression queries whose
-    # machinery is hash-pinned by pytest and in-window cousins:
-    # language_id shares the token exprs, minhash/simhash pin the md5
-    # hash path, benchmark_overlap_docs pins the n-gram joins).
-    "q11_important_stock", "label_centroids", "centroid_distances",
-    "source_overlap_matrix",
-    # quality-aware cluster-representative selection: shares the
-    # recursive-components oracle with in-window near_dedup_docs but
-    # adds the per-component arg-max — displaces repetition_ratio_docs
-    # (single array expression, pytest-pinned).
-    "near_dedup_keep_best_docs",
-    # session additions with real cross-engine failure modes:
-    # rolling_zscore_outliers (decimal-exact window moments + float
-    # z), zipf_slope (the distributed-rank rewrite — freshly changed
-    # code belongs in the hard window). They displace
-    # describe_quantity_by_flag (percentile parity already pinned
-    # in-window by exact_quantiles_by_type) and
-    # intersect_both_halves_users (set-op cousin
-    # except_lapsed_customers stays).
-    "rolling_zscore_outliers", "zipf_slope",
-    # minhash_near_dups' implementation changed this session
-    # (signature checkpoint across the self-join + scalars-only pair
-    # dedup): driver-green in r1+r2, but changed code re-enters the
-    # hard window. Displaces hash_sample_docs (single md5-threshold
-    # filter; the md5 path stays pinned by minhash itself).
-    "minhash_near_dups",
+    # round-3 red rows — oracle HUGEINT casts fixed, prove it here
+    "q12_priority_counts", "event_sessions",
+    # latent HUGEINT fixes — rotate in to hard-verify the casts
+    "profile_events", "dq_checks_events", "first_touch_attribution",
+    # round-3c §17 analytics batch — never checked
+    "event_funnel", "cohort_retention", "ohlc_daily_user",
+    "event_type_transitions", "state_islands", "top_session_paths",
+    "customer_rfm_segments", "latest_event_per_user",
+    "modal_event_type_per_user", "behavior_cohorts",
+    "hourly_active_users", "monthly_revenue_growth",
+    "seasonal_residual_outliers", "dow_hour_heatmap",
+    "interarrival_histogram", "event_gini_by_type",
+    "event_type_cooccurrence", "bigram_pmi_top",
+    "winsorized_quantity_stats", "price_histogram",
+    "nation_share_of_region", "quantity_weighted_avg_price",
+    "active_users_grouping_sets", "mad_by_type", "value_drift_psi",
+    "lineitem_corr_matrix",
+    # displaced round-3b set — never checked
+    "percent_rank_daily_user_value", "grouping_sets_revenue",
+    "value_moments_by_type", "full_outer_daily_activity",
+    "char_entropy_docs", "asof_forward_hourly_value",
+    "interpolate_user_values", "user_value_trend",
+    "near_dup_edit_verified", "rabin_karp_fingerprints",
+    "tokenized_user_activity", "redact_docs", "doc_chunks",
+    "stratified_sample_lang", "doc_shards", "pack_blocks_docs",
+    "lang_sampling_weights",
+    # set-op / distribution shapes never checked
+    "intersect_both_halves_users", "common_ngram_docs",
 ]
-for _demoted in (
-    "quality_score_docs", "bpe_token_counts", "lsh_knn_topk",
-    "common_ngram_docs", "repetition_ratio_docs",
-    "describe_quantity_by_flag", "intersect_both_halves_users",
-    "hash_sample_docs",
-):
-    _PRIORITY.remove(_demoted)
 
 def _reorder() -> None:
     assert not (set(_PRIORITY) - set(_REGISTRY)), sorted(

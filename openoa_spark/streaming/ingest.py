@@ -288,10 +288,13 @@ def stream_quality_gate(
     row-level rule append to ``good_path``, violators (tagged with the
     names of the rules they broke) to ``quarantine_path``, and the
     per-batch rule report (operators/checks.run_checks — one
-    aggregation pass per batch) optionally appends to a parquet
-    ``metrics_path`` for monitoring (a path, not a managed table:
-    no metastore dependency, and re-registering after a restart
-    cannot collide with a leftover warehouse location).
+    aggregation pass per batch) optionally lands at a parquet
+    ``metrics_path``, partitioned by ``batch_id`` and written with
+    dynamic partition overwrite — so a micro-batch replayed after a
+    crash overwrites its own report instead of appending a duplicate,
+    the same idempotence contract as the row sinks. (A path, not a
+    managed table: no metastore dependency, and re-registering after
+    a restart cannot collide with a leftover warehouse location.)
 
     foreachBatch is the right primitive here: a batch can fan out to
     two sinks and a metrics collector atomically per micro-batch
@@ -330,29 +333,42 @@ def stream_quality_gate(
                 ]
             )
         )
-        tagged = batch.withColumn("_broken_rules", broken)
-        good = tagged.where(F.size("_broken_rules") == 0).drop(
-            "_broken_rules"
-        )
-        bad = tagged.where(F.size("_broken_rules") > 0).withColumn(
-            "_broken_rules", F.array_join("_broken_rules", ",")
-        )
-        # partition by batch id → re-running a batch after a crash
-        # overwrites its own partition only (idempotent, exactly-once
-        # composed with the stream checkpoint)
-        for out, path in ((good, good_path), (bad, quarantine_path)):
-            (
-                out.withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_batch_id")
-                .parquet(path)
+        # the batch feeds three consumers (good sink, quarantine sink,
+        # metrics aggregate) — persist once so expensive upstream
+        # transforms run a single time per micro-batch
+        tagged = batch.withColumn("_broken_rules", broken).persist()
+        try:
+            good = tagged.where(F.size("_broken_rules") == 0).drop(
+                "_broken_rules"
             )
-        if metrics_path is not None:
-            report = run_checks(batch, list(rules)).withColumn(
-                "batch_id", F.lit(batch_id)
+            bad = tagged.where(F.size("_broken_rules") > 0).withColumn(
+                "_broken_rules", F.array_join("_broken_rules", ",")
             )
-            report.write.mode("append").parquet(metrics_path)
+            # partition by batch id → re-running a batch after a crash
+            # overwrites its own partition only (idempotent,
+            # exactly-once composed with the stream checkpoint); the
+            # metrics report gets the SAME treatment so a replayed
+            # batch cannot append its rule report twice
+            for out, path in ((good, good_path), (bad, quarantine_path)):
+                (
+                    out.withColumn("_batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(path)
+                )
+            if metrics_path is not None:
+                report = run_checks(
+                    tagged.drop("_broken_rules"), list(rules)
+                ).withColumn("batch_id", F.lit(batch_id))
+                (
+                    report.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(metrics_path)
+                )
+        finally:
+            tagged.unpersist()
 
     w = (
         df.writeStream.foreachBatch(_process)

@@ -87,3 +87,17 @@ def test_bad_inputs(dirty):
         )
     with pytest.raises(ValueError):
         run_checks(dirty, [Rule("x", "nope", "cat")]).collect()
+
+
+def test_hostile_rule_names(dirty):
+    # rule names never enter a SQL string or identifier: quotes,
+    # spaces, dots, hyphens, and parens all pass through as data
+    names = [
+        "has space", "has-hyphen", "has.dot", "has'quote",
+        'has"dquote', "weird)(",
+    ]
+    rows = run_checks(
+        dirty, [Rule(n, "not_null", "cat") for n in names]
+    ).collect()
+    assert sorted(r["rule"] for r in rows) == sorted(names)
+    assert len({r["violations"] for r in rows}) == 1

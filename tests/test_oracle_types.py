@@ -1,0 +1,148 @@
+"""Oracle output-type lint: make the local gate see what the driver sees.
+
+Round-3 post-mortem: the driver's correctness harness fetches DuckDB
+results via Arrow/pandas, where HUGEINT (DuckDB's type for SUM over
+integers) coerces to float64 — so an oracle emitting HUGEINT hashes
+``61234.0`` against Spark's bigint ``61234`` and fails even though the
+values agree. ``fetchall()`` (the local checker's old path) converts
+HUGEINT to Python int and cannot see the failure, which is how two red
+gate rows shipped in round 3 (VERDICT.md "What's wrong" #1/#2).
+
+This lint closes the *class*, not just the five instances:
+
+1. No oracle may emit HUGEINT/UHUGEINT — wrap integer SUMs in
+   ``CAST(... AS BIGINT)``.
+2. Every oracle column's type bucket (int/float/decimal/str/bool/
+   date/timestamp/...) must match the Spark query's output bucket, so
+   a DECIMAL-typed oracle column vs a Spark double (or vice versa) is
+   caught before the driver's hash does.
+
+The type probe is ``SELECT * FROM (<sql>) LIMIT 0`` — DuckDB resolves
+output types without executing the query, so the duck-side sweep is
+fast.  The Spark side only needs ``.schema`` (plan analysis, no jobs)
+except for the handful of queries that collect bin-grain intermediates
+while *building* the plan, which sf0.001 keeps cheap.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from openoa_spark import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+BANNED = {"HUGEINT", "UHUGEINT"}
+
+
+def _duck_bucket(t: str) -> str:
+    t = t.upper()
+    if t in BANNED:
+        return "banned"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT"}:
+        return "int"
+    if t in {"FLOAT", "REAL", "DOUBLE"}:
+        return "float"
+    if t in {"VARCHAR", "STRING", "TEXT"}:
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t.startswith("STRUCT") or t.startswith("MAP"):
+        return "struct"
+    if t.endswith("[]") or t.startswith("LIST"):
+        return "array"
+    return t.lower()
+
+
+def _spark_bucket(t: str) -> str:
+    t = t.lower()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t in {"tinyint", "smallint", "int", "bigint", "byte", "short",
+             "integer", "long"}:
+        return "int"
+    if t in {"float", "double"}:
+        return "float"
+    if t == "string":
+        return "str"
+    if t == "boolean":
+        return "bool"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.startswith("struct") or t.startswith("map"):
+        return "struct"
+    if t.startswith("array"):
+        return "array"
+    return t
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _oracle_types(con, sql: str) -> dict[str, str]:
+    rel = con.sql(f"SELECT * FROM ({sql}) AS _lint_q LIMIT 0")
+    return dict(zip(rel.columns, (str(t) for t in rel.types)))
+
+
+def test_no_hugeint_oracle_columns(duck):
+    """The exact round-3 regression class: any HUGEINT output column
+    will hash-mismatch through the driver's Arrow/pandas fetch."""
+    bad = {}
+    for name, sql in registry.oracle_sql().items():
+        types = _oracle_types(duck, sql)
+        banned = {c: t for c, t in types.items()
+                  if _duck_bucket(t) == "banned"}
+        if banned:
+            bad[name] = banned
+    assert not bad, (
+        "oracles emitting HUGEINT/UHUGEINT (wrap the integer SUM in "
+        f"CAST(... AS BIGINT)): {bad}"
+    )
+
+
+def test_oracle_spark_type_buckets_agree(duck, spark):
+    """Column-by-column type-bucket parity between each oracle and its
+    Spark twin — catches DECIMAL-vs-DOUBLE (and int-vs-float) output
+    mismatches that survive fetchall() but not the driver's hash."""
+    oracles = registry.oracle_sql()
+    qs = registry.queries()
+    mismatches = {}
+    for name, sql in oracles.items():
+        duck_types = _oracle_types(duck, sql)
+        sdf = qs[name](spark, SF_DIR)
+        spark_types = dict(sdf.dtypes)
+        assert sorted(duck_types) == sorted(spark_types), (
+            f"{name}: column names differ: "
+            f"{sorted(duck_types)} vs {sorted(spark_types)}"
+        )
+        diff = {
+            c: (duck_types[c], spark_types[c])
+            for c in duck_types
+            if _duck_bucket(duck_types[c]) != _spark_bucket(spark_types[c])
+        }
+        if diff:
+            mismatches[name] = diff
+    assert not mismatches, f"oracle/Spark output-type mismatches: {mismatches}"

@@ -449,3 +449,17 @@ def test_stream_quality_gate_routes_and_reports(spark, tmp_path):
     assert spark.read.parquet(quar).where(
         F.col("id") == 6
     ).first()["_broken_rules"] == "cat_not_null,val_nonneg"
+
+    # metrics sink idempotence: replaying batch 0 (fresh checkpoint,
+    # same source — now 6 rows) OVERWRITES the batch-0 report instead
+    # of appending a duplicate: one row per rule, full-source counts
+    q3 = ingest.stream_quality_gate(
+        ingest.file_stream(spark, src, schema), rules, good, quar,
+        str(tmp_path / "ckpt2"), metrics_path=metrics_path,
+    )
+    q3.awaitTermination(120)
+    replayed = spark.read.parquet(metrics_path).collect()
+    assert len(replayed) == 3  # not 6: batch-0 partition overwritten
+    assert {r["rule"]: r["violations"] for r in replayed} == {
+        "cat_not_null": 2, "val_nonneg": 2, "id_unique": 0
+    }

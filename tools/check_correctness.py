@@ -90,6 +90,24 @@ def main():
             n_rowsonly += 1
             continue
         try:
+            # Output-type lint first: the driver fetches via Arrow/
+            # pandas, where HUGEINT coerces to float64 and hash-
+            # mismatches Spark's bigint even when values agree (the
+            # round-3 48/50 regression). fetchall() below cannot see
+            # that, so reject the type up front.
+            rel = con.sql(f"SELECT * FROM ({oracles[name]}) AS _q LIMIT 0")
+            banned = {
+                c: str(t)
+                for c, t in zip(rel.columns, rel.types)
+                if str(t).upper() in ("HUGEINT", "UHUGEINT")
+            }
+            if banned:
+                print(
+                    f"FAIL  {name}: oracle emits HUGEINT (driver Arrow "
+                    f"fetch renders float64): {banned} — CAST(... AS BIGINT)"
+                )
+                n_fail += 1
+                continue
             res = con.execute(oracles[name])
             duck_cols = [d[0] for d in res.description]
             duck_rows = res.fetchall()
