@@ -16,9 +16,9 @@ from pyspark.sql import Column, functions as F
 
 # IEC 61400-12 constants (public standard), matching the reference's
 # compute_air_density (met_data_processing.py:126-175).
-R_CONST = 287.05  # specific gas constant, dry air [J/kg/K]
+R_CONST = 287.058  # specific gas constant, dry air [J/kg/K]
 RW_CONST = 461.5  # specific gas constant, water vapor [J/kg/K]
-G_CONST = 9.81  # gravitational acceleration [m/s^2]
+G_CONST = 9.80665  # standard gravity [m/s^2]
 
 
 def _c(col: Column | str) -> Column:

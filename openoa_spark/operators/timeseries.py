@@ -165,7 +165,10 @@ def find_duplicate_times(df: DataFrame, time_col: str, keys: list[str] | None = 
     engine needs an explicit order).
     """
     group = [time_col] + (keys or [])
-    order = [c for c in df.columns if c not in group]
+    # tiebreak on the remaining columns; when the frame is ONLY the
+    # group columns every duplicate row is identical, so any ordering
+    # works — order by the time column itself to satisfy row_number
+    order = [c for c in df.columns if c not in group] or [time_col]
     w = Window.partitionBy(*group).orderBy(*[F.col(c).asc_nulls_last() for c in order])
     return (
         df.withColumn("_rn", F.row_number().over(w))

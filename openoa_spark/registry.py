@@ -612,9 +612,9 @@ def circular_mean_by_type(spark, sf_dir):
     SELECT event_id,
            ROUND(
              (1.0 / (273.15 + (value % 30))) * (
-               (101325 - value * 10) / 287.05
+               (101325 - value * 10) / 287.058
                - 0.5 * (0.0000205 * exp(0.0631846 * (273.15 + (value % 30))))
-                 * (1.0/287.05 - 1.0/461.5)
+                 * (1.0/287.058 - 1.0/461.5)
              ), 6) AS rho
     FROM events
     """,
@@ -632,7 +632,7 @@ def air_density(spark, sf_dir):
     "pressure_extrapolation",
     """
     SELECT event_id,
-           ROUND(101325.0 * exp(-9.81 * 80.0 / (287.05 * (273.15 + (value % 30)))), 6)
+           ROUND(101325.0 * exp(-9.80665 * 80.0 / (287.058 * (273.15 + (value % 30)))), 6)
              AS p1
     FROM events
     """,

@@ -1,0 +1,115 @@
+"""Load the reference's pure NumPy/pandas utils for head-to-head parity
+tests, without importing the ``openoa`` package __init__ (which pulls
+pyproj/attrs analysis machinery this container lacks).
+
+The three modules under test — ``filters``, ``timeseries``,
+``met_data_processing`` — are pandas/NumPy code. Their only unmet
+imports are:
+
+- ``scipy``: used for ``scipy.linalg.inv``, ``scipy.spatial.distance.
+  mahalanobis`` (both trivially NumPy-expressible) and
+  ``scipy.constants.g`` (standard gravity, 9.80665 — a published
+  constant). Stubbed below with exact equivalents.
+- ``sklearn.cluster.KMeans``: only reached by cluster_mahalanobis_2d.
+  Stubbed for the deterministic n_clusters=1 case (labels all zero,
+  centroid = column means) — parity tests pin that case; k>1 paths are
+  covered by the engine's own MLlib tests.
+
+The stubs are registered in ``sys.modules`` once and shared; they are
+exact for everything the reference modules call.
+"""
+
+from __future__ import annotations
+
+import importlib
+import importlib.machinery
+import sys
+import types
+
+import numpy as np
+
+_REF_ROOT = "/root/reference/openoa"
+
+
+def _mod(name: str) -> types.ModuleType:
+    """Stub module with a valid __spec__ (pyspark probes optional deps
+    via importlib.util.find_spec, which raises on spec-less modules)."""
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return m
+
+
+class _StubKMeans:
+    """Deterministic n_clusters=1 stand-in for sklearn KMeans."""
+
+    def __init__(self, n_clusters=8, **_kw):
+        self.n_clusters = n_clusters
+
+    def fit(self, data):
+        if self.n_clusters != 1:
+            raise NotImplementedError(
+                "reference-parity stub supports n_clusters=1 only"
+            )
+        x = np.asarray(data, dtype=float)
+        self.labels_ = np.zeros(len(x), dtype=int)
+        self.cluster_centers_ = x.mean(axis=0, keepdims=True)
+        return self
+
+
+def _mahalanobis(u, v, vi):
+    d = np.asarray(u, dtype=float) - np.asarray(v, dtype=float)
+    return float(np.sqrt(d @ np.asarray(vi, dtype=float) @ d))
+
+
+def _install_stubs() -> None:
+    if "scipy" in sys.modules and not getattr(
+        sys.modules["scipy"], "_parity_stub", False
+    ):
+        return  # real scipy present; nothing to do
+    scipy = _mod("scipy")
+    scipy._parity_stub = True
+    linalg = _mod("scipy.linalg")
+    linalg.inv = np.linalg.inv
+    spatial = _mod("scipy.spatial")
+    distance = _mod("scipy.spatial.distance")
+    distance.mahalanobis = _mahalanobis
+    spatial.distance = distance
+    constants = _mod("scipy.constants")
+    constants.g = 9.80665  # CODATA standard gravity, == scipy.constants.g
+    scipy.linalg, scipy.spatial, scipy.constants = linalg, spatial, constants
+    sys.modules.update(
+        {
+            "scipy": scipy,
+            "scipy.linalg": linalg,
+            "scipy.spatial": spatial,
+            "scipy.spatial.distance": distance,
+            "scipy.constants": constants,
+        }
+    )
+
+    if "sklearn" not in sys.modules:
+        sklearn = _mod("sklearn")
+        cluster = _mod("sklearn.cluster")
+        cluster.KMeans = _StubKMeans
+        sklearn.cluster = cluster
+        sys.modules.update({"sklearn": sklearn, "sklearn.cluster": cluster})
+
+
+def load_reference_utils():
+    """Return (filters, timeseries, met_data_processing) reference
+    modules, loading them directly from /root/reference."""
+    _install_stubs()
+    if "openoa" not in sys.modules:
+        # package shells with __path__ so absolute imports inside the
+        # modules (`from openoa.utils._converters import ...`) resolve
+        # WITHOUT executing the package __init__
+        pkg = _mod("openoa")
+        pkg.__path__ = [_REF_ROOT]
+        upkg = _mod("openoa.utils")
+        upkg.__path__ = [f"{_REF_ROOT}/utils"]
+        sys.modules["openoa"] = pkg
+        sys.modules["openoa.utils"] = upkg
+    filters = importlib.import_module("openoa.utils.filters")
+    timeseries = importlib.import_module("openoa.utils.timeseries")
+    met = importlib.import_module("openoa.utils.met_data_processing")
+    return filters, timeseries, met
