@@ -207,3 +207,125 @@ def plant_tables(days: int = 60) -> dict[str, pd.DataFrame]:
         "curtail": make_curtail(scada),
         "reanalysis": make_reanalysis(),
     }
+
+
+def make_end_to_end_plant(
+    por_days: int = 730,
+    wake_deficit: float = 0.12,
+    avail_frac: float = 0.01,
+    curt_frac: float = 0.005,
+    yaw_offsets: dict[str, float] | None = None,
+    seed: int = 99,
+) -> dict:
+    """ENGIE-shaped coherent plant: ONE hourly weather process drives a
+    4-year reanalysis (2017-2020) and a ``por_days`` 10-min SCADA slice
+    (from 2019-01-01), with every planted truth known exactly:
+
+    - wake: westerly sector wakes every turbine but T01 by
+      ``wake_deficit`` (structure of make_wake_tables);
+    - yaw: per-turbine static vane offset, power x cos^2(vane-offset);
+    - electrical loss: meter = plant scada energy x (1 - 0.02);
+    - availability/curtailment: uniform ``avail_frac``/``curt_frac``
+      of potential energy, recorded in the curtail table;
+    - AEP: meter energy derives from the same weather as the
+      reanalysis, so the monthly regression has a real signal.
+
+    Returns the tables plus the exact truth values from the
+    generating arrays.
+    """
+    yaw_offsets = yaw_offsets or {"T01": 0.0, "T02": 4.0, "T03": -6.0, "T04": 10.0}
+    rng = np.random.default_rng(seed)
+
+    rean_times = pd.date_range("2017-01-01", "2020-12-31 23:00", freq="h")
+    n = len(rean_times)
+    hours = np.arange(n, dtype=float)
+    doy = rean_times.dayofyear.to_numpy().astype(float)
+    ws_all = np.clip(
+        8.0 + 2.0 * np.sin(2 * np.pi * hours / (24 * 7))
+        + 1.2 * np.sin(2 * np.pi * doy / 365.25)
+        + rng.normal(0, 1.0, n),
+        4.0, 13.0,
+    )
+    wd_all = (270.0 + 28.0 * np.sin(2 * np.pi * hours / 96.0)
+              + rng.normal(0, 3, n)) % 360.0
+    temp_k = 283.0 + 10.0 * np.sin(2 * np.pi * doy / 365.25) + rng.normal(0, 1, n)
+    pres = 101325.0 + rng.normal(0, 300, n)
+    rean = pd.DataFrame({
+        "time": rean_times,
+        "WMETR_HorWdSpd": ws_all,
+        "WMETR_HorWdDir": wd_all,
+        "WMETR_HorWdSpdU": -ws_all * np.sin(np.radians(wd_all)),
+        "WMETR_HorWdSpdV": -ws_all * np.cos(np.radians(wd_all)),
+        "WMETR_EnvTmp": temp_k,
+        "WMETR_EnvPres": pres,
+    })
+
+    # SCADA: 10-min grid over the POR, weather repeated 6x per hour
+    scada_start = pd.Timestamp("2019-01-01")
+    i0 = int((scada_start - rean_times[0]) / pd.Timedelta("1h"))
+    ws_h = ws_all[i0:i0 + por_days * 24]
+    wd_h = wd_all[i0:i0 + por_days * 24]
+    temp_h = temp_k[i0:i0 + por_days * 24]
+    times = pd.date_range(scada_start, periods=por_days * 144, freq="10min")
+    ws = np.repeat(ws_h, 6)
+    wd = np.repeat(wd_h, 6)
+    temp10 = np.repeat(temp_h, 6) - 273.15
+    waked_sector = np.abs((wd - 270.0 + 180.0) % 360.0 - 180.0) <= 45.0
+
+    produced_factor = 1.0 - avail_frac - curt_frac
+    frames = []
+    actual_sum = potential_unwaked_sum = 0.0
+    plant_pot_kw = np.zeros(len(times))
+    for t in TURBINES:
+        off = yaw_offsets[t]
+        vane = np.clip(rng.normal(0.0, 13.0, len(times)), -30.0, 30.0)
+        is_waked = waked_sector & (t != "T01")
+        ws_t = np.where(is_waked, ws * (1.0 - wake_deficit), ws)
+        yaw_factor = np.cos(np.deg2rad(vane - off)) ** 2
+        noise = 1.0 + rng.normal(0, 0.005, len(times))
+        pot = power_curve(ws_t) * yaw_factor * noise          # potential kW
+        pot_free = power_curve(ws) * yaw_factor * noise       # unwaked twin
+        actual_sum += pot.sum()
+        potential_unwaked_sum += pot_free.sum()
+        plant_pot_kw += pot
+        frames.append(pd.DataFrame({
+            "time": times, "asset_id": t,
+            "WTUR_W": pot * produced_factor,
+            "WMET_HorWdSpd": ws_t,
+            "WMET_HorWdDir": wd,
+            "WMET_HorWdDirRel": vane,
+            "WROT_BlPthAngVal": np.zeros(len(times)),
+            "WMET_EnvTmp": temp10,
+        }))
+    scada = pd.concat(frames, ignore_index=True)
+    truth_wake_por = 1.0 - actual_sum / potential_unwaked_sum
+
+    plant_prod_kwh = plant_pot_kw * produced_factor / 6.0  # per 10-min
+    meter = pd.DataFrame({
+        "time": times,
+        "MMTR_SupWh": plant_prod_kwh * (1.0 - ELEC_LOSS),
+    })
+    curtail = pd.DataFrame({
+        "time": times,
+        "IAVL_DnWh": plant_pot_kw * avail_frac / 6.0,
+        "IAVL_ExtPwrDnWh": plant_pot_kw * curt_frac / 6.0,
+    })
+    return {
+        "asset": make_asset(),
+        "scada": scada,
+        "meter": meter,
+        "curtail": curtail,
+        "reanalysis": rean,
+        "yaw_offsets": yaw_offsets,
+        "truth_wake_por": truth_wake_por,
+        "truth_elec_loss": ELEC_LOSS,
+        "truth_avail": avail_frac,
+        "truth_curt": curt_frac,
+        # long-term annual net energy truth from the generating process:
+        # mean produced power over the POR x hours/year, minus the
+        # electrical loss the meter sees
+        "truth_net_annual_gwh": (
+            plant_prod_kwh.mean() * 6.0 * 8766.0 / 1e6 * (1.0 - ELEC_LOSS)
+        ),
+        "truth_gross_annual_gwh": plant_pot_kw.mean() * 8766.0 / 1e6,
+    }

@@ -53,6 +53,17 @@ PROBE_QUERIES = [
     # vocabulary-distributed global rank (the round-3 zipf rewrite):
     # vocab grows ~N under the copy-tag transform, rank stays bucketed
     "zipf_slope",
+    # TPC-H join family (round-4 VERDICT instruction #6): lineitem and
+    # orders inflated ×N by ORDERKEY-offset copies — join structure
+    # replicates per copy (each copy joins within itself), dims fixed.
+    # q1: scan + hash agg, groups fixed -> rows×N work
+    "q1_pricing_summary",
+    # q9: 5-way join into (nation, year) agg -> join output ×N
+    "q9_profit_by_nation_year",
+    # q18: big-agg on orderkey (keys ×N) + semi-join back
+    "q18_large_volume_customers",
+    # q21: per-order supplier-count aggregate + anti/semi composition
+    "q21_waiting_suppliers",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
@@ -60,7 +71,7 @@ JOB_FLOOR_S = 0.4
 LINEAR_SLACK = 1.8
 
 TABLES = (
-    "region nation customer supplier part orders lineitem embeddings"
+    "region nation customer supplier part embeddings"
 ).split()
 
 
@@ -111,6 +122,26 @@ def build_probe_dir(spark, base_dir: str, factor: int, probe_dir: str) -> None:
     stacked.write.mode("overwrite").parquet(
         os.path.join(probe_dir, "documents.parquet")
     )
+    # lineitem + orders x factor: offset the ORDER KEY on both sides by
+    # the same per-copy constant, so each copy's lineitems join its own
+    # orders — the join graph replicates x factor while dimension
+    # tables (customer/supplier/part/nation) stay fixed. Dates and
+    # quantities are untouched, so filters select the same fraction and
+    # per-order aggregates (q18's HAVING) keep their per-copy answers.
+    key_off = 1_000_000_000
+    li = spark.read.parquet(os.path.join(base_dir, "lineitem.parquet"))
+    ords = spark.read.parquet(os.path.join(base_dir, "orders.parquet"))
+    for tname, df, key in (
+        ("lineitem", li, "l_orderkey"),
+        ("orders", ords, "o_orderkey"),
+    ):
+        out = None
+        for i in range(factor):
+            c = df.withColumn(key, F.col(key) + F.lit(i * key_off))
+            out = c if out is None else out.unionByName(c)
+        out.write.mode("overwrite").parquet(
+            os.path.join(probe_dir, f"{tname}.parquet")
+        )
 
 
 def timed(fn, spark, d) -> float:
