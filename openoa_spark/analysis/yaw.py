@@ -108,11 +108,17 @@ class StaticYawMisalignment:
         half = self.ws_bin_width / 2.0
         df = df.withColumn(
             "ws_bin",
-            F.filter(
-                ws_bins_arr,
-                lambda b: (F.col("WMET_HorWdSpd") >= b - half)
-                & (F.col("WMET_HorWdSpd") < b + half),
-            )[0],
+            # F.get, not [0]: a wind speed outside EVERY bin filters to
+            # an empty array, and ANSI mode turns [0] on an empty array
+            # into a runtime error; get() yields NULL, dropped next line
+            F.get(
+                F.filter(
+                    ws_bins_arr,
+                    lambda b: (F.col("WMET_HorWdSpd") >= b - half)
+                    & (F.col("WMET_HorWdSpd") < b + half),
+                ),
+                0,
+            ),
         ).where(F.col("ws_bin").isNotNull())
         if bootstrap_seed is not None:
             # bootstrap resample within the analysis set

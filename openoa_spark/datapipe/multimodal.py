@@ -40,26 +40,59 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _decode_image_stub(content: bytes) -> tuple[int, int]:
-    """STUB — real impl uses PIL.Image.open(io.BytesIO(content)).size.
-    Deterministic fake: dimensions derived from the byte length so
-    tests have stable expectations."""
+def default_image_codec(content: bytes) -> tuple[int, int, list[float]]:
+    """STUB codec — real impl: PIL.Image.open(io.BytesIO(content)) for
+    dimensions + a batched CNN/CLIP embedding for the feature.
+    Deterministic fake: dimensions derive from byte length, feature is
+    an 8-bin byte histogram (np.frombuffer + bincount keeps even the
+    stub vectorized). The contract this codec implements — and that
+    tests/test_multimodal_codec.py pins end-to-end with an injected
+    fake — is ``bytes -> (width, height, feature list)``; a real
+    PIL/ffmpeg drop-in is one :func:`set_image_codec` call.
+    """
     n = len(content or b"")
-    return (64 + n % 256, 64 + (n // 256) % 256)
+    feature = (
+        np.bincount(np.frombuffer(content or b"", dtype=np.uint8) & 7, minlength=8)
+        .astype(float)
+        .tolist()
+    )
+    return (64 + n % 256, 64 + (n // 256) % 256, feature)
 
 
-def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+# Pluggable decode kernel: ``bytes -> (width, height, feature)``.
+# None -> default_image_codec. Swapping in a real decoder is a config
+# change, not a code change; the Arrow plumbing is identical.
+_IMAGE_CODEC = None
+
+
+def set_image_codec(codec) -> None:
+    """Register the image decode kernel used by :func:`image_features`
+    (pass None to restore the stub). The codec must be picklable — a
+    module-level function or a functools.partial of one."""
+    global _IMAGE_CODEC
+    _IMAGE_CODEC = codec
+
+
+def image_features(
+    df: DataFrame, batch_hint: int = 1024, codec=None
+) -> DataFrame:
     """Extract per-image features via ``mapInPandas`` (Arrow-batched).
 
     Binary payloads stay in Arrow buffers end-to-end; the output drops
     the payload so downstream stages shuffle only features, which is
     the pattern that keeps a 100 TB image corpus tractable (decode
     once, persist features, never shuffle raw bytes).
+
+    ``codec`` (or a prior :func:`set_image_codec`) supplies the decode
+    kernel; the plumbing guarantees it receives raw ``bytes`` per item
+    (b"" for NULL payloads) and contributes (width, height, feature)
+    while n_bytes/content_hash come from the harness itself.
     """
 
     from openoa_spark.session import ship_package
 
     ship_package(df.sparkSession)  # closure refs module-level stub/schema
+    decode = codec or _IMAGE_CODEC or default_image_codec
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
@@ -68,7 +101,7 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(content) if content is not None else b""
-                w, h = _decode_image_stub(raw)
+                w, h, feature = decode(raw)
                 rows.append(
                     {
                         "media_id": mid,
@@ -76,16 +109,7 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                         "height": h,
                         "n_bytes": len(raw),
                         "content_hash": zlib.crc32(raw),
-                        # STUB feature: 8-dim byte histogram
-                        # (deterministic); real impl: CNN/CLIP
-                        # embedding batched on GPU. np.frombuffer +
-                        # bincount keeps even the stub vectorized —
-                        # this loop is the per-item hot path if a real
-                        # decoder is dropped in.
-                        "feature": np.bincount(
-                            np.frombuffer(raw, dtype=np.uint8) & 7,
-                            minlength=8,
-                        ).astype(float).tolist(),
+                        "feature": feature,
                     }
                 )
             yield pd.DataFrame(

@@ -267,7 +267,13 @@ def make_end_to_end_plant(
     wd_h = wd_all[i0:i0 + por_days * 24]
     temp_h = temp_k[i0:i0 + por_days * 24]
     times = pd.date_range(scada_start, periods=por_days * 144, freq="10min")
-    ws = np.repeat(ws_h, 6)
+    # per-10-min jitter on the repeated hourly wind: real SCADA never
+    # reports a frozen value 6x in a row, and the TIE pipeline's
+    # unresponsive_flag would (correctly!) flag a constant-repeat
+    # series wholesale
+    ws = np.clip(
+        np.repeat(ws_h, 6) + rng.normal(0, 0.2, por_days * 144), 0.05, None
+    )
     wd = np.repeat(wd_h, 6)
     temp10 = np.repeat(temp_h, 6) - 273.15
     waked_sector = np.abs((wd - 270.0 + 180.0) % 360.0 - 180.0) <= 45.0
