@@ -116,11 +116,99 @@ def hash_shard(
     return (h % F.lit(num_shards)).cast("int")
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: Column | str,
+    weight_col: Column | str,
+    base_fraction: float,
+    ref_weight: float,
+    seed: int = 0,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Deterministic weighted (Poisson) sampling: row inclusion
+    probability = min(1, base_fraction * weight / ref_weight), decided
+    by a content hash — the weighted analogue of :func:`hash_sample`
+    (e.g. keep long documents proportionally more often when building
+    a char-budgeted subcorpus).
+
+    Cross-engine determinism: the per-row threshold is
+    ``floor(c * weight)`` with ``c = base_fraction * 2^60 /
+    ref_weight`` computed ONCE driver-side; both engines evaluate the
+    identical double multiply + floor (IEEE-deterministic), and the
+    hash comparison stays in integer space — no double rendering of
+    the 60-bit hash (exact only to 2^53).
+    """
+    if base_fraction < 0 or ref_weight <= 0:
+        raise ValueError("need base_fraction >= 0 and ref_weight > 0")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    c = base_fraction * M60 / ref_weight
+    thr = F.floor(F.lit(c) * w.cast("double")).cast("long")
+    h = hash64(_key(key_col), seed=seed, hash_fn=hash_fn)
+    if hash_fn == "xxhash64":
+        h = F.pmod(h, F.lit(M60))
+    return df.where(h < thr)
+
+
+# Canonical 3-way split breakpoints; cumulative fractions.
+DEFAULT_SPLITS = (("train", 0.8), ("val", 0.9), ("test", 1.0))
+
+
+def hash_split(
+    key_col: Column | str,
+    splits=DEFAULT_SPLITS,
+    seed: int = 0,
+    hash_fn: str = "md5",
+) -> Column:
+    """Deterministic dataset-split label (train/val/test) from a
+    content hash: a row's split never changes across runs, engines, or
+    partitionings — the property that makes retraining comparable and
+    prevents test-set leakage when the corpus is rebuilt.
+
+    ``splits``: ordered (label, cumulative_fraction) pairs; the last
+    cumulative fraction must be 1.0.
+    """
+    if abs(splits[-1][1] - 1.0) > 1e-12:
+        raise ValueError("last cumulative fraction must be 1.0")
+    h = hash64(_key(key_col), seed=seed, hash_fn=hash_fn)
+    if hash_fn == "xxhash64":
+        h = F.pmod(h, F.lit(M60))
+    # build right-to-left so the FIRST (smallest) matching threshold wins
+    out = F.lit(splits[-1][0])
+    for label, cum in reversed(splits[:-1]):
+        out = F.when(h < F.lit(hash_threshold(cum)), F.lit(label)).otherwise(out)
+    return out
+
+
 # ------------------------------------------------------------------ SQL twins
 
 def sql_hash_sample_pred(key_expr: str, fraction: float, seed: int = 0) -> str:
     """DuckDB predicate replaying ``hash_sample(..., hash_fn='md5')``."""
     return f"{sql_hash64(key_expr, seed)} < {hash_threshold(fraction)}"
+
+
+def sql_weighted_sample_pred(
+    key_expr: str,
+    weight_expr: str,
+    base_fraction: float,
+    ref_weight: float,
+    seed: int = 0,
+) -> str:
+    """DuckDB predicate replaying ``weighted_hash_sample`` (md5)."""
+    c = base_fraction * M60 / ref_weight
+    return (
+        f"{sql_hash64(key_expr, seed)} < "
+        f"CAST(FLOOR({c!r} * CAST(({weight_expr}) AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def sql_hash_split(key_expr: str, splits=DEFAULT_SPLITS, seed: int = 0) -> str:
+    """DuckDB expression replaying ``hash_split`` (md5)."""
+    h = sql_hash64(key_expr, seed)
+    cases = " ".join(
+        f"WHEN {h} < {hash_threshold(cum)} THEN '{label}'"
+        for label, cum in splits[:-1]
+    )
+    return f"(CASE {cases} ELSE '{splits[-1][0]}' END)"
 
 
 def sql_hash_shard(key_expr: str, num_shards: int, seed: int = 0) -> str:

@@ -126,6 +126,85 @@ def lsh_bucket(
     return acc
 
 
+def lsh_recall_at_k(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    planes: list[list[float]],
+    k: int = 3,
+    query_fraction: float = 0.1,
+    seed: int = 5,
+    hash_fn: str = "md5",
+    round_digits: int | None = None,
+    max_queries: int | None = None,
+) -> DataFrame:
+    """Measured recall@k of sign-LSH kNN against exact kNN on a
+    deterministic sample of query points — the "measure, don't guess"
+    harness for the ANN layer: before shipping an index config
+    (planes/bands), quantify what it actually retrieves.
+
+    Scale shape: queries are a hash-sample (pure function of the id —
+    reproducible), so the exact ground truth is |Q|×n scored pairs via
+    a BROADCAST of the small query side (never n², never a global
+    index scan), and the LSH side reuses the bucketed equi-join. The
+    panel must stay broadcast-small BY CONTRACT: at corpus scale set
+    ``query_fraction`` tiny and/or ``max_queries`` (deterministic
+    lowest-ids cap) so |Q| is hundreds, which is how recall panels are
+    sized in practice. Output per query id: (id_a, n_hit, recall) with
+    both rankings on round-6 cosine + id tiebreak
+    (engine-deterministic).
+    """
+    from openoa_spark.datapipe.sampling import hash_sample
+
+    queries = hash_sample(
+        df.select(F.col(id_col), _vec(vec_col).alias("_qv")),
+        id_col, query_fraction, seed=seed, hash_fn=hash_fn,
+    ).select(F.col(id_col).alias("id_a"), "_qv")
+    if max_queries is not None:
+        queries = queries.orderBy("id_a").limit(max_queries)
+
+    # exact ground truth: |Q| x n scored pairs, query side broadcast
+    base = df.select(F.col(id_col).alias("id_b"), _vec(vec_col).alias("_v"))
+    exact_pairs = (
+        base.join(F.broadcast(queries), F.col("id_a") != F.col("id_b"))
+        .withColumn(
+            "cosine6",
+            F.round(
+                dot(F.col("_qv"), F.col("_v"))
+                / (norm(F.col("_qv")) * norm(F.col("_v"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine6"), F.asc("id_b"))
+    exact_top = (
+        exact_pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("id_a", "id_b")
+    )
+
+    approx_pairs = _bucketed_cosine_pairs(
+        df, vec_col, id_col, planes, round_digits=round_digits, ordered=True
+    ).join(F.broadcast(queries.select("id_a")), "id_a")
+    approx_top = (
+        approx_pairs.withColumn("cosine6", F.round("cosine", 6))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("id_a", "id_b", F.lit(1).alias("_hit"))
+    )
+
+    return (
+        exact_top.join(approx_top, ["id_a", "id_b"], "left")
+        .groupBy("id_a")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_hit"))
+        .select(
+            "id_a",
+            "n_hit",
+            F.round(F.col("n_hit") / F.lit(float(k)), 6).alias("recall"),
+        )
+    )
+
+
 def _bucketed_cosine_pairs(
     df: DataFrame,
     vec_col: str,

@@ -227,3 +227,65 @@ def population_stability_index(
         [(round(psi, round_digits), r["_n"], c["_n"])],
         "psi double, n_reference bigint, n_current bigint",
     )
+
+
+def ks_statistic(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic on a reference-
+    quantile grid: D = max over the reference's decile edges of
+    |F_ref(edge) - F_cur(edge)|. The companion gate to
+    :func:`population_stability_index` — PSI weights proportional
+    shifts, KS catches a localized CDF gap; monitoring suites run
+    both.
+
+    Same scale shape as PSI: one exact-percentile aggregate on the
+    reference (edge list to the driver), then ONE conditional-count
+    aggregate per side; cumulative sums and the max are integer/driver
+    arithmetic. Evaluating D on the quantile grid (not every distinct
+    value) keeps the cost independent of cardinality — the classical
+    exact KS needs a global sorted merge of both samples, which is the
+    kind of single-task global sort this engine avoids; with
+    n_buckets=10 the grid statistic lower-bounds exact D and converges
+    to it as the grid refines.
+
+    Returns one row (ks, n_reference, n_current).
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = reference.where(F.col(value_col).isNotNull()).agg(
+        F.percentile(F.col(value_col), qs).alias("e")
+    ).first()["e"]
+    if edges is None:
+        raise ValueError("reference has no non-null values")
+
+    def cum_counts(df):
+        v = F.col(value_col)
+        return (
+            df.where(v.isNotNull())
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum((v <= F.lit(float(e))).cast("long")).alias(f"_c{j}")
+                    for j, e in enumerate(edges)
+                ],
+            )
+            .first()
+        )
+
+    r, c = cum_counts(reference), cum_counts(current)
+    d = 0.0
+    for j in range(len(edges)):
+        f_ref = r[f"_c{j}"] / r["_n"] if r["_n"] else 0.0
+        f_cur = c[f"_c{j}"] / c["_n"] if c["_n"] else 0.0
+        diff = abs(f_ref - f_cur)
+        if diff > d:
+            d = diff
+    spark = reference.sparkSession
+    return spark.createDataFrame(
+        [(round(d, round_digits), r["_n"], c["_n"])],
+        "ks double, n_reference bigint, n_current bigint",
+    )

@@ -5316,6 +5316,225 @@ def mad_by_type(spark, sf_dir):
 
 
 # ================================================================
+# 18. Round-4 additions: weighted/split sampling, KS drift, dedup
+#     cluster audit, measured ANN recall.
+# ================================================================
+
+
+@register(
+    "weighted_sample_docs",
+    f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE {sampling.sql_weighted_sample_pred(
+        "CAST(doc_id AS VARCHAR)", "n_chars", 0.3, 1000.0, seed=11)}
+    """,
+)
+def weighted_sample_docs(spark, sf_dir):
+    """Deterministic weighted (Poisson) sampling: inclusion
+    probability = min(1, 0.3 * n_chars / 1000) decided by a content
+    hash — long documents kept proportionally more often (the
+    char-budgeted subcorpus builder). Pure codegen'd filter on the
+    scan, membership reproducible across runs/engines/partitionings;
+    the per-row threshold stays in integer hash space (see
+    sampling.weighted_hash_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.weighted_hash_sample(
+        docs, "doc_id", "n_chars", 0.3, 1000.0, seed=11
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "train_val_test_split_docs",
+    f"""
+    SELECT {sampling.sql_hash_split("CAST(doc_id AS VARCHAR)", seed=13)}
+             AS split,
+           lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def train_val_test_split_docs(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment from a content
+    hash: a document's split NEVER changes when the corpus is rebuilt,
+    repartitioned, or incrementally extended — the property that
+    prevents test-set leakage across retraining runs. One codegen'd
+    CASE over the hash + one aggregate to audit the per-language
+    balance."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", sampling.hash_split("doc_id", seed=13))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "ks_value_drift",
+    """
+    WITH m AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+    ),
+    ref AS (SELECT value FROM events, m
+            WHERE value IS NOT NULL AND epoch_us(ts) < mid),
+    cur AS (SELECT value FROM events, m
+            WHERE value IS NOT NULL AND epoch_us(ts) >= mid),
+    e AS (SELECT quantile_cont(value,
+            [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges FROM ref),
+    rn AS (SELECT COUNT(*) AS n FROM ref),
+    cn AS (SELECT COUNT(*) AS n FROM cur),
+    grid AS (SELECT unnest(generate_series(1, 9)) AS j),
+    d AS (
+      SELECT grid.j,
+             ABS(
+               CAST((SELECT COUNT(*) FROM ref
+                     WHERE value <= (SELECT edges[grid.j] FROM e))
+                    AS DOUBLE) / (SELECT n FROM rn)
+               - CAST((SELECT COUNT(*) FROM cur
+                       WHERE value <= (SELECT edges[grid.j] FROM e))
+                      AS DOUBLE) / (SELECT n FROM cn)
+             ) AS diff
+      FROM grid
+    )
+    SELECT ROUND(MAX(diff), 6) AS ks,
+           (SELECT n FROM rn) AS n_reference,
+           (SELECT n FROM cn) AS n_current
+    FROM d
+    """,
+)
+def ks_value_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift between the first and
+    second half of the events span, evaluated on the reference's exact
+    decile grid — PSI's companion gate (PSI weights proportional
+    shifts, KS catches a localized CDF gap). One exact-percentile
+    aggregate + one conditional-count aggregate per side; no global
+    sort of either sample (see qa.ks_statistic)."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()
+    if bounds["lo"] is None:
+        return spark.createDataFrame(
+            [], "ks double, n_reference bigint, n_current bigint"
+        )
+    mid = (bounds["lo"] + bounds["hi"]) // 2
+    ref = ev.where(F.unix_micros("ts") < mid)
+    cur = ev.where(F.unix_micros("ts") >= mid)
+    return qa_ops.ks_statistic(ref, cur, "value")
+
+
+@register(
+    "near_dup_cluster_sizes",
+    f"""
+    WITH RECURSIVE mh AS ({_minhash_sql(32, 8, 0.4)}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM mh
+      UNION
+      SELECT id_b AS a, id_a AS b FROM mh
+    ),
+    verts AS (SELECT DISTINCT a FROM edges),
+    reach(a, b) AS (
+      SELECT a, a FROM verts
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+    sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT cluster_size, COUNT(*) AS n_clusters
+    FROM sizes GROUP BY 1
+    """,
+)
+def near_dup_cluster_sizes(spark, sf_dir):
+    """Dedup-audit histogram: size distribution of the MinHash-LSH
+    near-duplicate clusters (how much of the corpus is 2-way vs
+    100-way duplicated — the number that decides whether dedup is
+    worth its cost and catches template explosions). Reuses the
+    candidate-pair + pointer-doubling components machinery; the
+    histogram itself is two tiny aggregates over the (doc, component)
+    labels."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=8,
+        jaccard_threshold=0.4, hash_fn="md5",
+    )
+    comp = dedup.connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+def _ann_recall_sql(planes: list[list[float]], k: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in p)}]), 6) > 0 THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    qpred = sampling.sql_hash_sample_pred("CAST(vec_id AS VARCHAR)", 0.1, seed=5)
+    return f"""
+    WITH q AS (SELECT vec_id FROM embeddings WHERE {qpred}),
+    b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST({terms} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    exact AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY ROUND(list_dot_product(a.v, b2.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b2.v, b2.v))), 6) DESC,
+                        b2.vec_id
+             ) AS rn
+      FROM b a JOIN q ON a.vec_id = q.vec_id
+      JOIN b b2 ON b2.vec_id <> a.vec_id
+    ),
+    approx AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY ROUND(list_dot_product(a.v, b2.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b2.v, b2.v))), 6) DESC,
+                        b2.vec_id
+             ) AS rn
+      FROM b a JOIN q ON a.vec_id = q.vec_id
+      JOIN b b2 ON b2.bucket = a.bucket AND b2.vec_id <> a.vec_id
+    ),
+    et AS (SELECT id_a, id_b FROM exact WHERE rn <= {k}),
+    at2 AS (SELECT id_a, id_b FROM approx WHERE rn <= {k})
+    SELECT et.id_a,
+           CAST(SUM(CASE WHEN at2.id_b IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN at2.id_b IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / {float(k)!r}, 6) AS recall
+    FROM et LEFT JOIN at2 ON et.id_a = at2.id_a AND et.id_b = at2.id_b
+    GROUP BY et.id_a
+    """
+
+
+@register("ann_recall_lsh", _ann_recall_sql(_LSH_PLANES, 3))
+def ann_recall_lsh(spark, sf_dir):
+    """Measured recall@3 of the sign-LSH kNN against exact kNN on a
+    deterministic 10% query sample — 'measure, don't guess' for the
+    ANN layer: the number that tells you whether the plane/band config
+    retrieves what the O(n^2) baseline would. Ground truth is
+    |Q| x n with the small query side broadcast (never all-pairs);
+    the approximate side reuses the bucketed equi-join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_recall_at_k(
+        emb, "embedding", "vec_id", _LSH_PLANES, k=3,
+        query_fraction=0.1, seed=5, hash_fn="md5", round_digits=6,
+    )
+
+
+# ================================================================
 # Registry iteration order
 # ================================================================
 # The driver's correctness gate samples queries in dict-iteration

@@ -55,6 +55,11 @@ ALLOWED_CARTESIAN = {
     "calendar_hour_profile",
     "tfidf_top_terms",          # one-row corpus-size (N) broadcast
     "intersect_both_halves_users",  # one-row midpoint scalar broadcast
+    # exact-kNN ground truth = query-panel x corpus with the PANEL
+    # broadcast: recall measurement runs over a bounded sample of
+    # queries (hundreds), so the NLJ build side is small by contract —
+    # the measured (LSH) side stays a bucketed equi-join
+    "ann_recall_lsh",
 }
 
 

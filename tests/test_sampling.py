@@ -147,3 +147,55 @@ def test_temperature_sampling_weights(spark):
     assert abs(rows["en"]["natural_frac"] - 0.9) < 1e-6
     total = rows["en"]["target_frac"] + rows["sw"]["target_frac"]
     assert abs(total - 1.0) < 1e-5
+
+
+def test_weighted_hash_sample_proportional(spark):
+    from openoa_spark.datapipe import sampling
+
+    df = spark.createDataFrame(
+        [(i, 100 if i % 2 == 0 else 2000) for i in range(4000)],
+        ["id", "w"],
+    )
+    out = sampling.weighted_hash_sample(
+        df, "id", "w", base_fraction=0.2, ref_weight=1000.0, seed=3
+    )
+    rows = out.groupBy("w").count().collect()
+    by_w = {r["w"]: r["count"] for r in rows}
+    # inclusion prob: 0.02 for w=100, 0.4 for w=2000 (2000 rows each)
+    assert 15 <= by_w.get(100, 0) <= 70
+    assert 700 <= by_w[2000] <= 900
+    # deterministic: same call -> same membership
+    ids1 = sorted(r["id"] for r in out.collect())
+    ids2 = sorted(
+        r["id"]
+        for r in sampling.weighted_hash_sample(
+            df.repartition(7), "id", "w", 0.2, 1000.0, seed=3
+        ).collect()
+    )
+    assert ids1 == ids2
+    # xxhash production backend also runs
+    n_xx = sampling.weighted_hash_sample(
+        df, "id", "w", 0.2, 1000.0, seed=3, hash_fn="xxhash64"
+    ).count()
+    assert 700 <= n_xx <= 1000
+
+
+def test_hash_split_partition_and_stability(spark):
+    from openoa_spark.datapipe import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], ["id"])
+    out = df.withColumn("split", sampling.hash_split("id", seed=13))
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] + counts["val"] + counts["test"] == 5000
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    # a row's split is a pure function of the key: stable under
+    # repartitioning and incremental extension
+    sub = df.where("id < 1000").withColumn(
+        "split", sampling.hash_split("id", seed=13)
+    )
+    full = {r["id"]: r["split"] for r in out.where("id < 1000").collect()}
+    assert {r["id"]: r["split"] for r in sub.collect()} == full
+    with __import__("pytest").raises(ValueError):
+        sampling.hash_split("id", splits=(("a", 0.5), ("b", 0.9)))
