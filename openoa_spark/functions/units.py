@@ -36,12 +36,22 @@ def compute_gross_energy(
     Semantics: unit_conversion.py:40-89.
     """
     net, a, c = _c(net_energy), _c(avail), _c(curt)
+    nonneg = (a >= 0) & (c >= 0)
     if avail_type == "frac" and curt_type == "frac":
-        valid = (a + c < 1.0) & (a >= 0) & (c >= 0)
+        valid = nonneg & (a + c < 1.0)
         return F.when(valid, net / (F.lit(1.0) - a - c))
+    if avail_type == "frac" and curt_type == "energy":
+        # unit_conversion.py:81: gross = net / (1 - avail_frac) + curt_kwh
+        return F.when(nonneg & (a < 1.0), net / (F.lit(1.0) - a) + c)
+    if avail_type == "energy" and curt_type == "frac":
+        # unit_conversion.py:83: gross = net / (1 - curt_frac) + avail_kwh
+        return F.when(nonneg & (c < 1.0), net / (F.lit(1.0) - c) + a)
     if avail_type == "energy" and curt_type == "energy":
-        return net + a + c
-    raise ValueError("avail_type and curt_type must both be 'frac' or both 'energy'")
+        return F.when(nonneg, net + a + c)
+    raise ValueError(
+        f"avail_type/curt_type must each be 'frac' or 'energy', got "
+        f"{avail_type!r}/{curt_type!r}"
+    )
 
 
 def convert_feet_to_meter(x: Column | str) -> Column:

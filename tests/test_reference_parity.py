@@ -114,7 +114,7 @@ def test_unresponsive_flag_parity(spark, threshold):
             "v": vals,
         }
     )
-    out = sts_order = sflt.unresponsive_flag(
+    out = sflt.unresponsive_flag(
         _sdf(spark, pdf), "v", threshold=threshold, time_col="t"
     )
     got = [
@@ -493,3 +493,61 @@ def test_offset_and_frequency_parity(spark):
         _sdf(spark, pdf.reset_index(names="t")), "t"
     )
     assert got == ref
+
+
+# ----------------------------------------------------------------- #
+# unit_conversion.py                                                 #
+# ----------------------------------------------------------------- #
+
+
+def test_unit_conversion_parity(spark):
+    """unit_conversion.py:13-106 — power->energy across sampling
+    rates, gross energy in all four loss-type modes, feet->meter."""
+    import importlib
+
+    ref_uc = importlib.import_module("openoa.utils.unit_conversion")
+    from openoa_spark.functions import units as sunits
+
+    n = 200
+    power = np.round(RNG.uniform(0, 2100, n), 6)
+    pdf = pd.DataFrame({"id": np.arange(n), "p": power})
+    for alias, secs in (("10min", 600.0), ("h", 3600.0), ("5min", 300.0)):
+        ref = ref_uc.convert_power_to_energy(
+            pd.Series(power), sample_rate_min=alias
+        )
+        _met_parity(
+            spark, pdf, sunits.convert_power_to_energy("p", secs), ref,
+            tol=1e-9,
+        )
+
+    net = np.round(RNG.uniform(100, 1000, n), 6)
+    av_frac = np.round(RNG.uniform(0.0, 0.2, n), 6)
+    cu_frac = np.round(RNG.uniform(0.0, 0.2, n), 6)
+    av_kwh = np.round(RNG.uniform(0, 50, n), 6)
+    cu_kwh = np.round(RNG.uniform(0, 50, n), 6)
+    gpdf = pd.DataFrame(
+        {"id": np.arange(n), "net": net, "af": av_frac, "cf": cu_frac,
+         "ae": av_kwh, "ce": cu_kwh}
+    )
+    cases = [
+        ("frac", "frac", "af", "cf"),
+        ("frac", "energy", "af", "ce"),
+        ("energy", "frac", "ae", "cf"),
+        ("energy", "energy", "ae", "ce"),
+    ]
+    for at, ct, acol, ccol in cases:
+        ref = ref_uc.compute_gross_energy(
+            pd.Series(net), pd.Series(gpdf[acol].to_numpy()),
+            pd.Series(gpdf[ccol].to_numpy()),
+            availability_type=at, curtailment_type=ct,
+        )
+        _met_parity(
+            spark, gpdf,
+            sunits.compute_gross_energy("net", acol, ccol, at, ct),
+            ref, tol=1e-9,
+        )
+
+    feet = np.round(RNG.uniform(0, 500, n), 6)
+    fpdf = pd.DataFrame({"id": np.arange(n), "ft": feet})
+    ref = ref_uc.convert_feet_to_meter(pd.Series(feet))
+    _met_parity(spark, fpdf, sunits.convert_feet_to_meter("ft"), ref)
