@@ -106,30 +106,21 @@ def minhash_signature(
     return F.array(*mins)
 
 
-def minhash_near_dup_pairs(
+def _minhash_signatures(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_n: int = 3,
-    jaccard_threshold: float = 0.5,
-    hash_fn: str = "xxhash64",
+    num_hashes: int,
+    shingle_n: int,
+    hash_fn: str,
 ) -> DataFrame:
-    """MinHash-LSH near-duplicate candidate pairs with estimated
-    Jaccard similarity.
-
-    Pipeline: shingle → minhash signature → split into ``bands`` bands
-    of ``num_hashes/bands`` rows → hash each band → self-equi-join on
-    (band_idx, band_hash) → estimate Jaccard as signature agreement
-    fraction → threshold. The join key is the band hash, so candidate
-    generation is linear-ish in data size (LSH guarantee), not O(n²).
-
-    Output: (id_a, id_b, est_jaccard), id_a < id_b.
-    """
-    rows_per_band = num_hashes // bands
-    # signature computation is the dominant CPU; don't let a
-    # single-file scan serialize it onto one core (no-op at scale)
+    """(_id, _sig) MinHash signature frame — the shared front end of
+    every MinHash consumer (self-join pairs, incremental state).
+    Returned lazily localCheckpoint'ed: signature computation is the
+    dominant CPU and every consumer reads it at least twice (self-join
+    sides, or within-batch + cross-batch joins)."""
+    # don't let a single-file scan serialize the hashing onto one core
+    # (no-op at scale)
     from openoa_spark.session import spread_small_input
 
     df = spread_small_input(df)
@@ -172,15 +163,19 @@ def minhash_near_dup_pairs(
             ).alias("_sig"),
         )
     sig = sig.where(F.col("_sig").getItem(0).isNotNull())  # docs with ≥1 shingle
-    # Lazy localCheckpoint: the band join is a SELF-join, and without
-    # this the signature lineage (shingle + md5/xxhash + num_hashes
-    # array mins — by far the dominant cost) executes on BOTH sides
-    # (the broadcast side does not reuse the probe side's exchange).
-    # Checkpointing materializes signatures ONCE on first use; lazy
-    # (eager=False) keeps the operator's contract lazy.
-    sig = sig.localCheckpoint(eager=False)
+    # Lazy localCheckpoint: without this the signature lineage
+    # (shingle + md5/xxhash + num_hashes array mins) replays on every
+    # consumer side (a broadcast side does not reuse the probe side's
+    # exchange). Lazy (eager=False) keeps the operator contract lazy.
+    return sig.localCheckpoint(eager=False)
 
-    banded = sig.select(
+
+def _band_hashes(
+    sig: DataFrame, num_hashes: int, bands: int, hash_fn: str
+) -> DataFrame:
+    """(_id, _sig, band, bhash) LSH band table from a signature frame."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
         "_id",
         "_sig",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
@@ -197,6 +192,33 @@ def minhash_near_dup_pairs(
             hash_fn,
         ),
     )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs with estimated
+    Jaccard similarity.
+
+    Pipeline: shingle → minhash signature → split into ``bands`` bands
+    of ``num_hashes/bands`` rows → hash each band → self-equi-join on
+    (band_idx, band_hash) → estimate Jaccard as signature agreement
+    fraction → threshold. The join key is the band hash, so candidate
+    generation is linear-ish in data size (LSH guarantee), not O(n²).
+
+    Output: (id_a, id_b, est_jaccard), id_a < id_b.
+    """
+    sig = _minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, hash_fn
+    )
+    banded = _band_hashes(sig, num_hashes, bands, hash_fn)
     a = banded.alias("a")
     b = banded.alias("b")
     # Estimate Jaccard BEFORE the pair-dedup so dropDuplicates runs
@@ -521,3 +543,111 @@ def incremental_exact_dedup(
         fingerprint_path
     )
     return fresh.drop("_key")
+
+
+def incremental_near_dedup(
+    spark,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    state_path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-batch NEAR-duplicate removal for a continuously-ingesting
+    corpus — the MinHash analogue of :func:`incremental_exact_dedup`:
+    drop batch rows whose estimated Jaccard against ANY previously
+    accepted document reaches ``jaccard_threshold`` (history wins:
+    first-accepted representative survives, like the exact path), run
+    the ordinary within-batch near_dedup on what remains, and append
+    the survivors' LSH state.
+
+    Persistent state under ``state_path`` (two append-only tables,
+    never rewritten):
+
+    - ``bands/``  (id, band, bhash) — 3 longs per (doc, band): the
+      candidate-generation index. The cross-batch join is a bucketed
+      equi-join on (band, bhash) shipping 24-byte rows, never text.
+    - ``sigs/``   (id, sig) — one array<long> row per accepted doc
+      (~8·num_hashes bytes), consulted ONLY for candidate
+      verification via a broadcast of the batch's candidate-id set —
+      at corpus scale the scan prunes by id when the table is written
+      sorted/bucketed by id, and nothing ever shuffles it.
+
+    Replay idempotence by construction: re-running a committed batch
+    finds each doc's own signature in history (estimate 1.0 — SELF
+    matches are deliberately not excluded) and returns zero rows.
+    Docs too short to shingle carry no signature, cannot be judged,
+    and pass through (same unpaired-doc semantics as near_dedup).
+    """
+    sig = _minhash_signatures(
+        batch, text_col, id_col, num_hashes, shingle_n, hash_fn
+    )
+    banded = _band_hashes(sig, num_hashes, bands, hash_fn)
+
+    jvm = spark._jvm
+    bands_path = f"{state_path}/bands"
+    sigs_path = f"{state_path}/sigs"
+    p = jvm.org.apache.hadoop.fs.Path(bands_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    if fs.exists(p):
+        hist_bands = spark.read.parquet(bands_path)
+        hist_sigs = spark.read.parquet(sigs_path)
+        # candidate history docs per batch doc: equi-join on the band
+        # key, then verify against the full history signature
+        cand = (
+            banded.join(
+                hist_bands,
+                (banded["band"] == hist_bands["band"])
+                & (banded["bhash"] == hist_bands["bhash"]),
+            )
+            .select(F.col("_id"), F.col("_sig"), hist_bands["id"].alias("_hid"))
+            .dropDuplicates(["_id", "_hid"])
+        )
+        verified = cand.join(
+            hist_sigs.withColumnRenamed("id", "_hid"), "_hid"
+        ).withColumn(
+            "_est",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("_sig"), F.col("sig"), lambda x, y: x == y),
+                    lambda v: v,
+                )
+            )
+            / F.lit(float(num_hashes)),
+        )
+        dup_of_history = (
+            verified.where(F.col("_est") >= jaccard_threshold)
+            .select(F.col("_id").alias(id_col))
+            .distinct()
+        )
+        survivors = batch.join(dup_of_history, id_col, "left_anti")
+    else:
+        survivors = batch
+
+    # within-batch near-dedup of what history didn't already cover
+    accepted = near_dedup(
+        survivors, text_col, id_col, num_hashes, bands, shingle_n,
+        jaccard_threshold, hash_fn,
+    )
+    # fix the accepted set BEFORE appending its state (the lazy plan
+    # would otherwise re-read the tables it just grew)
+    accepted = accepted.localCheckpoint(eager=True)
+
+    acc_ids = accepted.select(F.col(id_col).alias("_aid"))
+    new_sig = sig.join(acc_ids, sig["_id"] == F.col("_aid")).select(
+        F.col("_id").alias("id"), F.col("_sig").alias("sig")
+    )
+    new_sig = new_sig.localCheckpoint(eager=True)
+    _band_hashes(
+        new_sig.select(F.col("id").alias("_id"), F.col("sig").alias("_sig")),
+        num_hashes, bands, hash_fn,
+    ).select(F.col("_id").alias("id"), "band", "bhash").write.mode(
+        "append"
+    ).parquet(bands_path)
+    new_sig.write.mode("append").parquet(sigs_path)
+    return accepted

@@ -440,3 +440,58 @@ def test_incremental_exact_dedup_across_batches(spark, tmp_path):
     # replaying batch 2 accepts nothing (idempotent)
     out3 = dedup.incremental_exact_dedup(spark, b2, "text", "doc_id", fp)
     assert out3.count() == 0
+
+
+def test_incremental_near_dedup_across_batches(spark, tmp_path):
+    sp = str(tmp_path / "near_state")
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on "
+        "running through the quiet green field toward the distant hills"
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tonight"),           # near-dup of 1 within batch
+            (3, "completely different content about spark engines and "
+                "distributed query processing at large scale today"),
+        ],
+        ["doc_id", "text"],
+    )
+    out1 = dedup.incremental_near_dedup(
+        spark, b1, "text", "doc_id", sp, jaccard_threshold=0.5
+    )
+    assert sorted(r["doc_id"] for r in out1.collect()) == [1, 3]
+
+    # batch 2: a near-dup of history (different id), one genuinely new
+    b2 = spark.createDataFrame(
+        [
+            (10, base + " again"),            # near-dup of accepted doc 1
+            (11, "an entirely novel passage mentioning turbines wakes "
+                 "and the yearly energy production of a wind plant"),
+        ],
+        ["doc_id", "text"],
+    )
+    out2 = dedup.incremental_near_dedup(
+        spark, b2, "text", "doc_id", sp, jaccard_threshold=0.5
+    )
+    assert [r["doc_id"] for r in out2.collect()] == [11]
+
+    # crash-replay of batch 2: every doc matches its own signature in
+    # history (estimate 1.0) -> zero rows, append-only state unharmed
+    out3 = dedup.incremental_near_dedup(
+        spark, b2, "text", "doc_id", sp, jaccard_threshold=0.5
+    )
+    assert out3.count() == 0
+
+    # too-short docs (no shingles) pass through and never enter state
+    b3 = spark.createDataFrame([(20, "hi"), (21, "ok")], ["doc_id", "text"])
+    out4 = dedup.incremental_near_dedup(
+        spark, b3, "text", "doc_id", sp, jaccard_threshold=0.5
+    )
+    assert sorted(r["doc_id"] for r in out4.collect()) == [20, 21]
+
+    # state tables carry only ids/hashes/signatures — never text
+    bands_cols = set(spark.read.parquet(sp + "/bands").columns)
+    sigs_cols = set(spark.read.parquet(sp + "/sigs").columns)
+    assert bands_cols == {"id", "band", "bhash"}
+    assert sigs_cols == {"id", "sig"}
