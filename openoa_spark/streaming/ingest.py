@@ -377,3 +377,57 @@ def stream_quality_gate(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_near_dedup(
+    stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_path: str,
+    state_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+):
+    """Streaming NEAR-duplicate removal: each micro-batch runs
+    datapipe.dedup.incremental_near_dedup against the persistent LSH
+    state at ``state_path`` (history wins; within-batch components
+    collapse to their min-id representative) and accepted rows land at
+    ``out_path`` partitioned by batch id with dynamic overwrite — so a
+    replayed micro-batch overwrites its own output AND re-filters to
+    zero against state that already contains it (double idempotence;
+    the state tables are append-only and self-deduplicating under
+    replay because self-matches are kept).
+
+    Unlike stream_dedup (exact, watermark-bounded state), near-dup
+    state cannot be watermark-evicted — a template duplicated a month
+    later is still a duplicate — so state lives in the append-only
+    parquet tables, sized ~8·num_hashes bytes per accepted doc, not in
+    the streaming state store.
+    """
+    from openoa_spark.datapipe.dedup import incremental_near_dedup
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        accepted = incremental_near_dedup(
+            batch.sparkSession, batch, text_col, id_col, state_path,
+            num_hashes, bands, shingle_n, jaccard_threshold, hash_fn,
+        )
+        (
+            accepted.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+
+    w = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

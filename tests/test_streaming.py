@@ -463,3 +463,56 @@ def test_stream_quality_gate_routes_and_reports(spark, tmp_path):
     assert {r["rule"]: r["violations"] for r in replayed} == {
         "cat_not_null": 2, "val_nonneg": 2, "id_unique": 0
     }
+
+
+def test_stream_near_dedup_across_batches(spark, tmp_path):
+    """Near-dup state persists ACROSS micro-batch boundaries: a
+    template re-ingested in a later batch is dropped against the
+    accepted history, and a replayed batch lands zero new rows."""
+    import pyspark.sql.types as T
+
+    from openoa_spark.streaming import ingest
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on "
+        "running through the quiet green field toward the distant hills"
+    )
+    spark.createDataFrame(
+        [(1, base), (2, base + " tonight"),
+         (3, "fully unrelated passage about query engines and shuffle "
+             "planning in distributed columnar execution systems")],
+        schema,
+    ).write.mode("append").parquet(src)
+    q = ingest.stream_near_dedup(
+        ingest.file_stream(spark, src, schema), "text", "doc_id",
+        out, state, str(tmp_path / "ckpt"), jaccard_threshold=0.5,
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 3]
+
+    # second batch: near-dup of history + one new doc
+    spark.createDataFrame(
+        [(10, base + " again"),
+         (11, "another novel text describing wind turbine wakes and "
+              "long term yearly energy production estimates")],
+        schema,
+    ).write.mode("append").parquet(src)
+    q2 = ingest.stream_near_dedup(
+        ingest.file_stream(spark, src, schema), "text", "doc_id",
+        out, state, str(tmp_path / "ckpt"), jaccard_threshold=0.5,
+    )
+    q2.awaitTermination(120)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 3, 11]
