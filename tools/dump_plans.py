@@ -14,6 +14,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from openoa_spark import registry  # noqa: E402
+from openoa_spark.functions import stats  # noqa: E402
 from openoa_spark.session import get_session  # noqa: E402
 
 from bench import BENCH_QUERIES  # noqa: E402
@@ -29,14 +30,17 @@ def main():
         "",
         f"`.explain('formatted')` at `{sf_dir}` (AQE on; plans are the",
         "pre-execution shape — AQE may further coalesce/convert at runtime).",
+        "Captured in `stats.fast_sums()` mode — the deploy plans bench.py",
+        "times (exact decimal mode differs only in aggregate datatypes).",
         "",
     ]
-    for name in BENCH_QUERIES:
-        df = qs[name](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
-        lines += [f"## {name}", "", "```", plan.rstrip(), "```", ""]
+    with stats.fast_sums():
+        for name in BENCH_QUERIES:
+            df = qs[name](spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            lines += [f"## {name}", "", "```", plan.rstrip(), "```", ""]
     with open(out_md, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {out_md} ({len(BENCH_QUERIES)} plans)")
