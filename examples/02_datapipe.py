@@ -94,6 +94,27 @@ def main():
         ],
     ).show()
 
+    print("== deterministic dataset splits + weighted sampling ==")
+    docs.withColumn("split", sampling.hash_split("doc_id")).groupBy(
+        "split"
+    ).count().orderBy("split").show()
+    weighted = sampling.weighted_hash_sample(
+        docs, "doc_id", "n_chars", base_fraction=0.3, ref_weight=1000.0
+    )
+    print("weighted sample (p ~ n_chars):", weighted.count(), "docs")
+
+    print("== measured ANN recall (LSH vs exact, query panel) ==")
+    planes = similarity.random_hyperplanes(64, 8, seed=42)
+    for probe in (0, 2):
+        rec = similarity.lsh_recall_at_k(
+            emb, "embedding", "vec_id", planes, k=3, query_fraction=0.1,
+            max_queries=50, probe_bits=probe,
+        )
+        label = "single-probe" if probe == 0 else f"multi-probe({probe})"
+        rec.agg(
+            F.round(F.avg("recall"), 3).alias(f"mean_recall@3 {label}")
+        ).show()
+
 
 if __name__ == "__main__":
     main()

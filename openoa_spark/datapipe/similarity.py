@@ -137,6 +137,7 @@ def lsh_recall_at_k(
     hash_fn: str = "md5",
     round_digits: int | None = None,
     max_queries: int | None = None,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Measured recall@k of sign-LSH kNN against exact kNN on a
     deterministic sample of query points — the "measure, don't guess"
@@ -183,9 +184,61 @@ def lsh_recall_at_k(
         .select("id_a", "id_b")
     )
 
-    approx_pairs = _bucketed_cosine_pairs(
-        df, vec_col, id_col, planes, round_digits=round_digits, ordered=True
-    ).join(F.broadcast(queries.select("id_a")), "id_a")
+    if probe_bits > 0:
+        # measure the MULTI-PROBE retriever: only the query panel
+        # explodes across Hamming-<=probe_bits bucket flips; the
+        # corpus side stays un-exploded, join stays an equi-join
+        from itertools import combinations
+
+        n_planes = len(planes)
+        masks = [
+            sum(1 << b for b in bits)
+            for d in range(1, min(probe_bits, n_planes) + 1)
+            for bits in combinations(range(n_planes), d)
+        ]
+        bucketed = df.select(
+            F.col(id_col).alias("_bid"),
+            _vec(vec_col).alias("_bv"),
+            lsh_bucket(vec_col, planes, round_digits=round_digits).alias(
+                "_bucket"
+            ),
+        )
+        qside = bucketed.join(
+            F.broadcast(queries.select(F.col("id_a").alias("_bid"))), "_bid"
+        ).withColumn(
+            "_probe",
+            F.explode(
+                F.array(
+                    F.col("_bucket"),
+                    *[
+                        F.col("_bucket").bitwiseXOR(F.lit(m).cast("long"))
+                        for m in masks
+                    ],
+                )
+            ),
+        )
+        approx_pairs = (
+            qside.alias("a")
+            .join(
+                bucketed.alias("b"),
+                F.col("a._probe") == F.col("b._bucket"),
+            )
+            .where(F.col("a._bid") != F.col("b._bid"))
+            .select(
+                F.col("a._bid").alias("id_a"),
+                F.col("b._bid").alias("id_b"),
+                (
+                    dot(F.col("a._bv"), F.col("b._bv"))
+                    / (norm(F.col("a._bv")) * norm(F.col("b._bv")))
+                ).alias("cosine"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        approx_pairs = _bucketed_cosine_pairs(
+            df, vec_col, id_col, planes, round_digits=round_digits,
+            ordered=True,
+        ).join(F.broadcast(queries.select("id_a")), "id_a")
     approx_top = (
         approx_pairs.withColumn("cosine6", F.round("cosine", 6))
         .withColumn("_rn", F.row_number().over(w))

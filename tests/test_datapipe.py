@@ -495,3 +495,24 @@ def test_incremental_near_dedup_across_batches(spark, tmp_path):
     sigs_cols = set(spark.read.parquet(sp + "/sigs").columns)
     assert bands_cols == {"id", "band", "bhash"}
     assert sigs_cols == {"id", "sig"}
+
+
+def test_lsh_recall_harness_probe_monotonicity(spark):
+    """Measured recall@k: multi-probe must dominate single-probe (it
+    only ADDS candidate buckets), and recall is within [0, 1] with the
+    exact-truth denominator k."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = similarity.random_hyperplanes(64, 8, seed=42)
+    rs = {}
+    for probe in (0, 2):
+        rec = similarity.lsh_recall_at_k(
+            emb, "embedding", "vec_id", planes, k=3,
+            query_fraction=0.1, max_queries=40, probe_bits=probe,
+        ).toPandas()
+        assert rec["recall"].between(0, 1).all()
+        assert (rec["n_hit"] <= 3).all()
+        rs[probe] = rec.set_index("id_a")["recall"].sort_index()
+    # same query panel both runs; probing only adds candidates
+    assert set(rs[0].index) == set(rs[2].index)
+    assert (rs[2] >= rs[0] - 1e-12).all()
+    assert rs[2].mean() > rs[0].mean()
