@@ -126,6 +126,33 @@ def lsh_bucket(
     return acc
 
 
+def embedding_near_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    planes: list[list[float]],
+    threshold: float,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """End-to-end embedding near-duplicate REMOVAL — the cosine
+    analogue of dedup.near_dedup: sign-LSH bucketed cosine pairs →
+    connected components (pointer doubling) → keep the lowest-id
+    vector per cluster; vectors in no pair survive untouched. Every
+    stage is a bucketed equi-join or a bounded label join — never
+    all-pairs. Returns the kept rows of ``df``.
+    """
+    from openoa_spark.datapipe.dedup import connected_components
+
+    pairs = cosine_near_dup_pairs(
+        df, vec_col, id_col, planes, threshold, round_digits
+    )
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def lsh_recall_at_k(
     df: DataFrame,
     vec_col: str,

@@ -5519,6 +5519,44 @@ def _ann_recall_sql(planes: list[list[float]], k: int) -> str:
     """
 
 
+def _embedding_near_dedup_sql(planes: list[list[float]], threshold: float) -> str:
+    pairs = _cosine_pairs_sql(planes, threshold)
+    return f"""
+    WITH RECURSIVE p AS ({pairs}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM p
+      UNION
+      SELECT id_b AS a, id_a AS b FROM p
+    ),
+    verts AS (SELECT DISTINCT a FROM edges),
+    reach(a, b) AS (
+      SELECT a, a FROM verts
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS vid, MIN(b) AS component FROM reach GROUP BY a)
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT vid FROM comp WHERE vid <> component)
+    """
+
+
+@register(
+    "embedding_near_dedup_vecs",
+    _embedding_near_dedup_sql(_LSH_PLANES, 0.25),
+)
+def embedding_near_dedup_vecs(spark, sf_dir):
+    """End-to-end embedding near-dedup (the semantic-dedup pass a
+    training corpus runs AFTER text dedup — paraphrases and
+    re-encodings that text hashing can't see): LSH-bucketed cosine
+    pairs → connected components → keep lowest vec_id per cluster.
+    The composition twin of near_dedup_docs on the embedding side;
+    oracle replays it with a recursive CTE."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dedup(
+        emb, "embedding", "vec_id", _LSH_PLANES, threshold=0.25
+    ).select("vec_id", "label")
+
+
 @register("ann_recall_lsh", _ann_recall_sql(_LSH_PLANES, 3))
 def ann_recall_lsh(spark, sf_dir):
     """Measured recall@3 of the sign-LSH kNN against exact kNN on a
