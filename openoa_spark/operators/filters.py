@@ -147,6 +147,20 @@ def bin_filter(
     ``bin_min_col``/``bin_max_col`` allow per-row (per-key) domain
     bounds, e.g. fractions of each turbine's rated power.
     """
+    from openoa_spark.functions import stats as _stats
+
+    def _median(c):
+        # exactness mode (functions/stats.py): exact sort-based median
+        # for the oracle-pinned default; deploy fast mode uses
+        # approx_percentile (KLL-style, rank error <= n/accuracy) —
+        # flags for rows sitting within the tiny center error of the
+        # threshold boundary may differ between modes.
+        col = c if isinstance(c, str) else c
+        if _stats.exact_sums_enabled():
+            return F.median(col)
+        target = col if isinstance(col, Column) else F.col(col)
+        return F.percentile_approx(target, 0.5, 10000)
+
     keys = keys or []
     x = F.col(bin_col)
     if bin_min_col is not None:
@@ -165,7 +179,7 @@ def bin_filter(
 
     gb = keys + ["_bin"]
     center_agg = (
-        F.avg(value_col) if center_type == "mean" else F.median(value_col)
+        F.avg(value_col) if center_type == "mean" else _median(value_col)
     ).alias("_center")
     stats = binned.groupBy(*gb).agg(center_agg)
     if threshold_type == "std":
@@ -175,7 +189,7 @@ def bin_filter(
     elif threshold_type == "mad":
         centered = binned.join(F.broadcast(stats), gb, "left")
         mads = centered.groupBy(*gb).agg(
-            F.median(F.abs(F.col(value_col) - F.col("_center"))).alias("_dev")
+            _median(F.abs(F.col(value_col) - F.col("_center"))).alias("_dev")
         )
         stats = stats.join(mads, gb, "inner")
     elif threshold_type == "scalar":
