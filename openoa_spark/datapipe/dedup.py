@@ -261,14 +261,93 @@ def simhash(col: Column | str, bits: int = 64, hash_fn: str = "xxhash64") -> Col
     def bit_test(b: int):
         return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
 
-    bit_cols = []
+    # bits are disjoint: accumulate with OR over shifted 1-bits, not
+    # addition of 2^b literals — bit 63's weight overflows a signed
+    # long literal (and ANSI mode turns the sum's overflow into a
+    # runtime error), while shiftleft(1L, 63) is just the sign bit
+    out = F.lit(0).cast("long")
     for b in range(bits):
         ones = F.size(F.filter(hashes, bit_test(b)))
-        bit_cols.append(F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(2 ** b).cast("long"))
-    out = bit_cols[0]
-    for bc in bit_cols[1:]:
-        out = out + bc
+        bit = F.when(
+            ones * 2 > n, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        out = out.bitwiseOR(bit)
     return out
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 64,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: documents whose SimHash
+    fingerprints differ in at most ``max_hamming`` bits (the classic
+    web-dedup configuration: 64-bit fingerprints, distance 3).
+
+    Candidate generation by the pigeonhole banding: split the
+    fingerprint into ``max_hamming + 1`` contiguous chunks — any pair
+    within distance ``max_hamming`` agrees EXACTLY on at least one
+    chunk — and self-equi-join on (chunk_idx, chunk_value). The join
+    key space is 2^(bits/(k+1)) per chunk, so at production width
+    (64 bits, 16-bit chunks) buckets stay sparse and the join is
+    linear-ish; verification is one bit_count(XOR) per candidate.
+    Never all-pairs. Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    n_chunks = max_hamming + 1
+    sim = df.select(
+        F.col(id_col).alias("_id"),
+        simhash(text_col, bits=bits, hash_fn=hash_fn).alias("_sh"),
+    )
+    # fingerprint computation feeds both sides of the self-join
+    sim = sim.localCheckpoint(eager=False)
+    base = bits // n_chunks
+    rem = bits % n_chunks
+    # chunk c covers [off_c, off_c + w_c); first `rem` chunks one wider
+    offsets, widths, off = [], [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < rem else 0)
+        offsets.append(off)
+        widths.append(w)
+        off += w
+    chunked = sim.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("idx"),
+                        F.shiftright("_sh", offsets[c])
+                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
+                        .alias("val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("_chunk"),
+    ).select("_id", "_sh", "_chunk.idx", "_chunk.val")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    ham = F.bit_count(
+        F.col("a._sh").bitwiseXOR(F.col("b._sh"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.idx") == F.col("b.idx"))
+            & (F.col("a.val") == F.col("b.val")),
+        )
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.cast("bigint").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def ngram_jaccard_pairs(

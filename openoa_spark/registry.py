@@ -5519,6 +5519,50 @@ def _ann_recall_sql(planes: list[list[float]], k: int) -> str:
     """
 
 
+def _simhash_pairs_sql(bits: int, max_hamming: int) -> str:
+    n_chunks = max_hamming + 1
+    base, rem = bits // n_chunks, bits % n_chunks
+    offsets, widths, off = [], [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < rem else 0)
+        offsets.append(off)
+        widths.append(w)
+        off += w
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS idx, "
+        f"(simhash >> {offsets[c]}) & {(1 << widths[c]) - 1} AS val FROM sim"
+        for c in range(n_chunks)
+    )
+    body = _simhash_sql(bits).strip()
+    return f"""
+    WITH sim AS ({body}),
+    chunked AS ({chunk_rows})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           MIN(bit_count(xor(a.simhash, b.simhash))) AS hamming
+    FROM chunked a JOIN chunked b
+      ON a.idx = b.idx AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    GROUP BY 1, 2
+    """
+
+
+@register("simhash_near_dups", _simhash_pairs_sql(16, 1))
+def simhash_near_dups(spark, sf_dir):
+    """SimHash near-duplicate pairs via pigeonhole chunk banding: a
+    pair within Hamming distance k agrees exactly on one of k+1
+    fingerprint chunks -> self-equi-join on (chunk, value), never
+    all-pairs; one bit_count(XOR) verifies each candidate. The classic
+    web-dedup shape is 64-bit fingerprints at distance 3 (16-bit
+    chunks); this query runs 16-bit at distance 1 (8-bit chunks) so
+    the synthetic corpus's shared-vocabulary fingerprints still
+    produce a selective pair set — same plan shape, same banding
+    guarantee."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(
+        docs, "text", "doc_id", bits=16, max_hamming=1, hash_fn="md5"
+    )
+
+
 def _embedding_near_dedup_sql(planes: list[list[float]], threshold: float) -> str:
     pairs = _cosine_pairs_sql(planes, threshold)
     return f"""

@@ -516,3 +516,35 @@ def test_lsh_recall_harness_probe_monotonicity(spark):
     assert set(rs[0].index) == set(rs[2].index)
     assert (rs[2] >= rs[0] - 1e-12).all()
     assert rs[2].mean() > rs[0].mean()
+
+
+def test_simhash_near_dup_pairs_planted(spark):
+    """Banding guarantee: a planted near-identical pair (tiny token
+    delta -> small fingerprint Hamming distance) is found; unrelated
+    docs at large distance are not; hamming values match a driver-side
+    recomputation."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (1, base),
+        (2, base + " phi"),  # one-token delta
+        (3, "totally different words about engines shuffles and plans "
+            "catalyst tungsten codegen arrow parquet partitions"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dup_pairs(
+            df, "text", "doc_id", bits=64, max_hamming=6
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # verify hamming against a direct fingerprint diff
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", dedup.simhash("text", bits=64).alias("sh")
+        ).collect()
+    }
+    assert pairs[(1, 2)] == bin(sh[1] ^ sh[2]).count("1")
