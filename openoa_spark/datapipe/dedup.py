@@ -282,63 +282,74 @@ def simhash_near_dup_pairs(
     bits: int = 64,
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: documents whose SimHash
     fingerprints differ in at most ``max_hamming`` bits (the classic
     web-dedup configuration: 64-bit fingerprints, distance 3).
 
-    Candidate generation by the pigeonhole banding: split the
-    fingerprint into ``max_hamming + 1`` contiguous chunks — any pair
-    within distance ``max_hamming`` agrees EXACTLY on at least one
-    chunk — and self-equi-join on (chunk_idx, chunk_value). The join
-    key space is 2^(bits/(k+1)) per chunk, so at production width
-    (64 bits, 16-bit chunks) buckets stay sparse and the join is
-    linear-ish; verification is one bit_count(XOR) per candidate.
-    Never all-pairs. Output: (id_a, id_b, hamming), id_a < id_b.
+    Candidate generation by pigeonhole banding over ``n_chunks``
+    contiguous fingerprint chunks (default ``max_hamming + 1``): a
+    pair within distance k has at most k differing chunks, so at
+    least ``n_chunks - k`` chunks agree — every combination of
+    ``n_chunks - k`` chunks forms a candidate table, and the pair is
+    guaranteed to collide in at least one. With the default, tables
+    are single chunks of bits/(k+1) bits. At corpus scale, RAISE
+    ``n_chunks`` (the Manku et al. web-dedup construction): e.g.
+    bits=64, k=3, n_chunks=6 gives C(6,3)=20 tables keyed on 3 chunks
+    (~32 bits) — the join key space grows from 2^16 to 2^32, keeping
+    buckets sparse at billions of documents for C(m, m-k)× explode
+    cost. Either way the join is an equi-join on (table, key) — never
+    all-pairs — and one bit_count(XOR) verifies each candidate.
+    Output: (id_a, id_b, hamming), id_a < id_b.
     """
-    n_chunks = max_hamming + 1
+    from itertools import combinations
+
+    m = n_chunks if n_chunks is not None else max_hamming + 1
+    if m <= max_hamming:
+        raise ValueError(
+            f"n_chunks ({m}) must exceed max_hamming ({max_hamming})"
+        )
     sim = df.select(
         F.col(id_col).alias("_id"),
         simhash(text_col, bits=bits, hash_fn=hash_fn).alias("_sh"),
     )
     # fingerprint computation feeds both sides of the self-join
     sim = sim.localCheckpoint(eager=False)
-    base = bits // n_chunks
-    rem = bits % n_chunks
+    base, rem = bits // m, bits % m
     # chunk c covers [off_c, off_c + w_c); first `rem` chunks one wider
     offsets, widths, off = [], [], 0
-    for c in range(n_chunks):
+    for c in range(m):
         w = base + (1 if c < rem else 0)
         offsets.append(off)
         widths.append(w)
         off += w
-    chunked = sim.select(
-        "_id",
-        "_sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("idx"),
-                        F.shiftright("_sh", offsets[c])
-                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
-                        .alias("val"),
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("_chunk"),
-    ).select("_id", "_sh", "_chunk.idx", "_chunk.val")
-    a, b = chunked.alias("a"), chunked.alias("b")
-    ham = F.bit_count(
-        F.col("a._sh").bitwiseXOR(F.col("b._sh"))
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.idx") == F.col("b.idx"))
-            & (F.col("a.val") == F.col("b.val")),
+
+    def chunk_val(c: int):
+        return F.shiftright("_sh", offsets[c]).bitwiseAND(
+            F.lit((1 << widths[c]) - 1)
         )
+
+    combos = list(combinations(range(m), m - max_hamming))
+    keyed_rows = [
+        F.struct(
+            F.lit(ci).alias("tbl"),
+            *[chunk_val(c).alias(f"k{j}") for j, c in enumerate(combo)],
+        )
+        for ci, combo in enumerate(combos)
+    ]
+    key_cols = [f"k{j}" for j in range(m - max_hamming)]
+    chunked = sim.select(
+        "_id", "_sh", F.explode(F.array(*keyed_rows)).alias("_c")
+    ).select("_id", "_sh", F.col("_c.tbl").alias("tbl"),
+             *[F.col(f"_c.{k}").alias(k) for k in key_cols])
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cond = F.col("a.tbl") == F.col("b.tbl")
+    for k in key_cols:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    ham = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
+    return (
+        a.join(b, cond)
         .where(F.col("a._id") < F.col("b._id"))
         .select(
             F.col("a._id").alias("id_a"),

@@ -548,3 +548,22 @@ def test_simhash_near_dup_pairs_planted(spark):
         ).collect()
     }
     assert pairs[(1, 2)] == bin(sh[1] ^ sh[2]).count("1")
+
+
+def test_simhash_banding_generalized_equivalence(spark):
+    """The Manku-style multi-chunk banding (n_chunks > k+1, combination
+    tables) finds EXACTLY the same verified pair set as the default
+    pigeonhole banding — both are guaranteed-complete candidate
+    generators for the same Hamming bound."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(150)
+    base = dedup.simhash_near_dup_pairs(
+        docs, "text", "doc_id", bits=64, max_hamming=3
+    )
+    manku = dedup.simhash_near_dup_pairs(
+        docs, "text", "doc_id", bits=64, max_hamming=3, n_chunks=6
+    )
+    got_b = sorted(tuple(r) for r in base.collect())
+    got_m = sorted(tuple(r) for r in manku.collect())
+    assert got_b == got_m
