@@ -219,6 +219,15 @@ def minhash_near_dup_pairs(
         df, text_col, id_col, num_hashes, shingle_n, hash_fn
     )
     banded = _band_hashes(sig, num_hashes, bands, hash_fn)
+    return _pairs_from_banded(banded, num_hashes, jaccard_threshold)
+
+
+def _pairs_from_banded(
+    banded: DataFrame, num_hashes: int, jaccard_threshold: float
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard) pairs from a (_id, _sig, band, bhash)
+    band table — shared by the batch and incremental paths so the
+    signature pipeline is computed exactly once per input."""
     a = banded.alias("a")
     b = banded.alias("b")
     # Estimate Jaccard BEFORE the pair-dedup so dropDuplicates runs
@@ -326,9 +335,11 @@ def simhash_near_dup_pairs(
         off += w
 
     def chunk_val(c: int):
-        return F.shiftright("_sh", offsets[c]).bitwiseAND(
-            F.lit((1 << widths[c]) - 1)
-        )
+        # a 64-bit chunk (n_chunks=1) needs the all-ones mask, whose
+        # unsigned literal overflows a Java long — use -1's bit pattern
+        w = widths[c]
+        mask = F.lit(-1).cast("long") if w >= 64 else F.lit((1 << w) - 1)
+        return F.shiftright("_sh", offsets[c]).bitwiseAND(mask)
 
     combos = list(combinations(range(m), m - max_hamming))
     keyed_rows = [
@@ -646,6 +657,7 @@ def incremental_near_dedup(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    sink=None,
 ) -> DataFrame:
     """Cross-batch NEAR-duplicate removal for a continuously-ingesting
     corpus — the MinHash analogue of :func:`incremental_exact_dedup`:
@@ -672,6 +684,20 @@ def incremental_near_dedup(
     matches are deliberately not excluded) and returns zero rows.
     Docs too short to shingle carry no signature, cannot be judged,
     and pass through (same unpaired-doc semantics as near_dedup).
+
+    Crash-ordering contract: pass ``sink`` (a callable receiving the
+    materialized accepted rows) to land output BEFORE any state
+    appends — a crash after the sink replays the batch against
+    unchanged state and overwrites the same output, a crash after the
+    state appends replays to zero rows against an output that already
+    landed. (Returning rows for a later external write instead leaves
+    a window where appended state suppresses rows that never landed —
+    the same at-most-once caveat incremental_exact_dedup documents.)
+    State append order is sigs/ then bands/, and history existence is
+    gated on bands/ (written LAST), so a crash between the two leaves
+    a sigs-only remnant that reads as empty history and is safely
+    re-processed — never a bands-without-sigs state that would fail
+    every subsequent read.
     """
     sig = _minhash_signatures(
         batch, text_col, id_col, num_hashes, shingle_n, hash_fn
@@ -684,6 +710,7 @@ def incremental_near_dedup(
     p = jvm.org.apache.hadoop.fs.Path(bands_path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
 
+    dup_of_history = None
     if fs.exists(p):
         hist_bands = spark.read.parquet(bands_path)
         hist_sigs = spark.read.parquet(sigs_path)
@@ -716,28 +743,39 @@ def incremental_near_dedup(
             .distinct()
         )
         survivors = batch.join(dup_of_history, id_col, "left_anti")
+        banded_surv = banded.join(
+            dup_of_history.withColumnRenamed(id_col, "_id"), "_id",
+            "left_anti",
+        )
     else:
         survivors = batch
+        banded_surv = banded
 
-    # within-batch near-dedup of what history didn't already cover
-    accepted = near_dedup(
-        survivors, text_col, id_col, num_hashes, bands, shingle_n,
-        jaccard_threshold, hash_fn,
+    # within-batch near-dedup of what history didn't already cover —
+    # REUSING the batch's banded signatures (the signature pipeline is
+    # the dominant CPU; it must run once per batch, not twice)
+    pairs = _pairs_from_banded(banded_surv, num_hashes, jaccard_threshold)
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
     )
-    # fix the accepted set BEFORE appending its state (the lazy plan
-    # would otherwise re-read the tables it just grew)
+    accepted = survivors.join(losers, id_col, "left_anti")
+    # fix the accepted set BEFORE the sink and state appends (the lazy
+    # plan would otherwise re-read the tables it is about to grow)
     accepted = accepted.localCheckpoint(eager=True)
+    if sink is not None:
+        sink(accepted)
 
     acc_ids = accepted.select(F.col(id_col).alias("_aid"))
     new_sig = sig.join(acc_ids, sig["_id"] == F.col("_aid")).select(
         F.col("_id").alias("id"), F.col("_sig").alias("sig")
     )
     new_sig = new_sig.localCheckpoint(eager=True)
+    new_sig.write.mode("append").parquet(sigs_path)
     _band_hashes(
         new_sig.select(F.col("id").alias("_id"), F.col("sig").alias("_sig")),
         num_hashes, bands, hash_fn,
     ).select(F.col("_id").alias("id"), "band", "bhash").write.mode(
         "append"
     ).parquet(bands_path)
-    new_sig.write.mode("append").parquet(sigs_path)
     return accepted

@@ -153,6 +153,19 @@ def weighted_hash_sample(
 DEFAULT_SPLITS = (("train", 0.8), ("val", 0.9), ("test", 1.0))
 
 
+def _validate_splits(splits) -> None:
+    if abs(splits[-1][1] - 1.0) > 1e-12:
+        raise ValueError("last cumulative fraction must be 1.0")
+    prev = 0.0
+    for label, cum in splits:
+        if not prev < cum <= 1.0:
+            raise ValueError(
+                "cumulative fractions must be strictly increasing in "
+                f"(0, 1]; got {cum} after {prev} at {label!r}"
+            )
+        prev = cum
+
+
 def hash_split(
     key_col: Column | str,
     splits=DEFAULT_SPLITS,
@@ -164,11 +177,12 @@ def hash_split(
     partitionings — the property that makes retraining comparable and
     prevents test-set leakage when the corpus is rebuilt.
 
-    ``splits``: ordered (label, cumulative_fraction) pairs; the last
-    cumulative fraction must be 1.0.
+    ``splits``: ordered (label, cumulative_fraction) pairs; fractions
+    must be strictly increasing within (0, 1] and end at 1.0 — a
+    non-monotonic list would silently yield empty/oversized splits in
+    a function whose whole point is leakage-proof assignment.
     """
-    if abs(splits[-1][1] - 1.0) > 1e-12:
-        raise ValueError("last cumulative fraction must be 1.0")
+    _validate_splits(splits)
     h = hash64(_key(key_col), seed=seed, hash_fn=hash_fn)
     if hash_fn == "xxhash64":
         h = F.pmod(h, F.lit(M60))
@@ -203,6 +217,7 @@ def sql_weighted_sample_pred(
 
 def sql_hash_split(key_expr: str, splits=DEFAULT_SPLITS, seed: int = 0) -> str:
     """DuckDB expression replaying ``hash_split`` (md5)."""
+    _validate_splits(splits)
     h = sql_hash64(key_expr, seed)
     cases = " ".join(
         f"WHEN {h} < {hash_threshold(cum)} THEN '{label}'"

@@ -104,6 +104,29 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return planes
 
 
+def probe_flips(
+    bucket_col: Column | str, n_planes: int, probe_bits: int
+) -> Column:
+    """Multi-probe bucket expansion: array of the bucket id plus every
+    XOR flip of up to ``probe_bits`` plane bits (Hamming ball). The
+    mask list is driver-side (n_planes is small) and broadcast inside
+    the literal array; explode it and equi-join against un-exploded
+    buckets. Shared by lsh_multi_probe_neighbors and lsh_recall_at_k
+    so the probe-expansion logic cannot drift between the retriever
+    and its measurement harness."""
+    from itertools import combinations
+
+    b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    masks = [
+        sum(1 << p for p in bits)
+        for d in range(1, min(probe_bits, n_planes) + 1)
+        for bits in combinations(range(n_planes), d)
+    ]
+    return F.array(
+        b, *[b.bitwiseXOR(F.lit(m).cast("long")) for m in masks]
+    )
+
+
 def lsh_bucket(
     vec_col: Column | str,
     planes: list[list[float]],
@@ -213,16 +236,9 @@ def lsh_recall_at_k(
 
     if probe_bits > 0:
         # measure the MULTI-PROBE retriever: only the query panel
-        # explodes across Hamming-<=probe_bits bucket flips; the
-        # corpus side stays un-exploded, join stays an equi-join
-        from itertools import combinations
-
-        n_planes = len(planes)
-        masks = [
-            sum(1 << b for b in bits)
-            for d in range(1, min(probe_bits, n_planes) + 1)
-            for bits in combinations(range(n_planes), d)
-        ]
+        # explodes across Hamming-<=probe_bits bucket flips (the SAME
+        # probe_flips expansion the retriever uses); the corpus side
+        # stays un-exploded, join stays an equi-join
         bucketed = df.select(
             F.col(id_col).alias("_bid"),
             _vec(vec_col).alias("_bv"),
@@ -234,15 +250,7 @@ def lsh_recall_at_k(
             F.broadcast(queries.select(F.col("id_a").alias("_bid"))), "_bid"
         ).withColumn(
             "_probe",
-            F.explode(
-                F.array(
-                    F.col("_bucket"),
-                    *[
-                        F.col("_bucket").bitwiseXOR(F.lit(m).cast("long"))
-                        for m in masks
-                    ],
-                )
-            ),
+            F.explode(probe_flips("_bucket", len(planes), probe_bits)),
         )
         approx_pairs = (
             qside.alias("a")
@@ -383,24 +391,10 @@ def lsh_multi_probe_neighbors(
     if n_probe_bits < 1:
         probes = bucketed.withColumn("_probe", F.col("_bucket"))
     else:
-        from itertools import combinations
-
-        # all XOR masks with 1..n_probe_bits bits set (driver-side —
-        # n_planes is small, so the mask list is tiny and broadcast
-        # inside the literal array)
-        masks = [
-            sum(1 << b for b in bits)
-            for d in range(1, min(n_probe_bits, n_planes) + 1)
-            for bits in combinations(range(n_planes), d)
-        ]
-        flips = F.array(
-            F.col("_bucket"),
-            *[
-                F.col("_bucket").bitwiseXOR(F.lit(m).cast("long"))
-                for m in masks
-            ],
+        probes = bucketed.withColumn(
+            "_probe",
+            F.explode(probe_flips("_bucket", n_planes, n_probe_bits)),
         )
-        probes = bucketed.withColumn("_probe", F.explode(flips))
     a = probes.alias("a")
     b = bucketed.alias("b")
     pairs = (

@@ -155,11 +155,9 @@ def bin_filter(
         # approx_percentile (KLL-style, rank error <= n/accuracy) —
         # flags for rows sitting within the tiny center error of the
         # threshold boundary may differ between modes.
-        col = c if isinstance(c, str) else c
         if _stats.exact_sums_enabled():
-            return F.median(col)
-        target = col if isinstance(col, Column) else F.col(col)
-        return F.percentile_approx(target, 0.5, 10000)
+            return F.median(c)
+        return F.percentile_approx(c, 0.5, 10000)
 
     keys = keys or []
     x = F.col(bin_col)

@@ -397,11 +397,15 @@ def stream_near_dedup(
     datapipe.dedup.incremental_near_dedup against the persistent LSH
     state at ``state_path`` (history wins; within-batch components
     collapse to their min-id representative) and accepted rows land at
-    ``out_path`` partitioned by batch id with dynamic overwrite — so a
-    replayed micro-batch overwrites its own output AND re-filters to
-    zero against state that already contains it (double idempotence;
-    the state tables are append-only and self-deduplicating under
-    replay because self-matches are kept).
+    ``out_path`` partitioned by batch id with dynamic overwrite.
+
+    Crash-safety ordering: the output write runs as the dedup's
+    ``sink`` — BEFORE any state append — so whichever side a crash
+    lands on, replay is safe: crash after the sink replays against
+    unchanged state and overwrites the same output partition; crash
+    after the state appends replays to zero rows against an output
+    that already landed. (Output-after-state would let appended state
+    suppress rows that never landed anywhere.)
 
     Unlike stream_dedup (exact, watermark-bounded state), near-dup
     state cannot be watermark-evicted — a template duplicated a month
@@ -412,16 +416,19 @@ def stream_near_dedup(
     from openoa_spark.datapipe.dedup import incremental_near_dedup
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        accepted = incremental_near_dedup(
+        def _sink(accepted: DataFrame) -> None:
+            (
+                accepted.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(out_path)
+            )
+
+        incremental_near_dedup(
             batch.sparkSession, batch, text_col, id_col, state_path,
             num_hashes, bands, shingle_n, jaccard_threshold, hash_fn,
-        )
-        (
-            accepted.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(out_path)
+            sink=_sink,
         )
 
     w = (

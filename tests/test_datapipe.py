@@ -567,3 +567,45 @@ def test_simhash_banding_generalized_equivalence(spark):
     got_b = sorted(tuple(r) for r in base.collect())
     got_m = sorted(tuple(r) for r in manku.collect())
     assert got_b == got_m
+
+
+def test_incremental_near_dedup_sigs_only_remnant(spark, tmp_path):
+    """Crash window between the two state appends: a sigs-only remnant
+    (sigs/ written, crash before bands/) must read as EMPTY history —
+    the batch reprocesses safely instead of failing on a missing
+    table."""
+    sp = str(tmp_path / "state")
+    b = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight "
+             "while the moon rises slowly over the quiet harbor")],
+        ["doc_id", "text"],
+    )
+    # simulate the remnant: sigs/ exists, bands/ does not
+    from openoa_spark.datapipe.dedup import _minhash_signatures
+    from pyspark.sql import functions as SF
+
+    _minhash_signatures(b, "text", "doc_id", 64, 3, "xxhash64").select(
+        SF.col("_id").alias("id"), SF.col("_sig").alias("sig")
+    ).write.parquet(sp + "/sigs")
+    out = dedup.incremental_near_dedup(spark, b, "text", "doc_id", sp)
+    assert [r["doc_id"] for r in out.collect()] == [1]
+    # both tables now exist; replay returns zero rows
+    assert dedup.incremental_near_dedup(
+        spark, b, "text", "doc_id", sp
+    ).count() == 0
+
+
+def test_simhash_single_chunk_64bit(spark):
+    """bits=64 with max_hamming=0 makes ONE 64-bit chunk — the
+    all-ones mask must not overflow a Java long; exact-duplicate
+    fingerprints are found at distance 0."""
+    txt = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    df = spark.createDataFrame(
+        [(1, txt), (2, txt), (3, "other words entirely " * 5)],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.simhash_near_dup_pairs(
+        df, "text", "doc_id", bits=64, max_hamming=0
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]

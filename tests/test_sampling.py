@@ -199,3 +199,14 @@ def test_hash_split_partition_and_stability(spark):
     assert {r["id"]: r["split"] for r in sub.collect()} == full
     with __import__("pytest").raises(ValueError):
         sampling.hash_split("id", splits=(("a", 0.5), ("b", 0.9)))
+
+
+def test_hash_split_rejects_non_monotonic():
+    import pytest
+
+    from openoa_spark.datapipe import sampling
+
+    with pytest.raises(ValueError, match="strictly increasing"):
+        sampling.hash_split("id", splits=(("a", 0.9), ("b", 0.8), ("c", 1.0)))
+    with pytest.raises(ValueError, match="strictly increasing"):
+        sampling.sql_hash_split("id", splits=(("a", 0.0), ("b", 1.0)))
