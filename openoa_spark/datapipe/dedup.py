@@ -779,3 +779,74 @@ def incremental_near_dedup(
         "append"
     ).parquet(bands_path)
     return accepted
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Chunk-level exact deduplication — the C4/RefinedWeb "line
+    dedup" analogue for corpora without newline structure: split each
+    document into consecutive ``chunk_tokens``-token chunks, keep each
+    distinct chunk only at its FIRST occurrence corpus-wide (smallest
+    ``(id, position)``), drop every other occurrence, and reassemble
+    the surviving chunks of each document in order.
+
+    Documents whose every chunk appeared earlier vanish from the
+    output entirely — that IS the dedup (the whole document is
+    repeated content). Training-data-pipeline extension; the reference
+    has no corpus-level text dedup.
+
+    Scale shape: ownership is decided on 64-bit chunk hashes — the
+    ownership aggregate and its join back shuffle only (hash, id, pos)
+    triples, never chunk text. Full text is shuffled exactly once, in
+    the reassembly aggregate the output requires anyway. The chunk
+    table feeds both the ownership path and the reassembly join, so it
+    is lineage-cut once (lazy localCheckpoint) rather than recomputed
+    per consumer.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
+    ct = F.lit(chunk_tokens)
+    # split() yields >= 1 element even for empty text, so n_chunks >= 1
+    # and sequence() never sees stop < start (which would COUNT DOWN);
+    # null text -> null array -> posexplode drops the row.
+    chunks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(toks, i * ct + 1, ct), " "),
+            )
+        ).alias("pos", "chunk"),
+    ).localCheckpoint(eager=False)
+    hashed = chunks.select(
+        "_id", "pos", F.xxhash64(F.col("chunk")).alias("_h")
+    )
+    owner = hashed.groupBy("_h").agg(
+        F.min(F.struct("_id", "pos")).alias("_o")
+    )
+    kept = (
+        hashed.join(owner, "_h")
+        .where(
+            (F.col("_id") == F.col("_o._id")) & (F.col("pos") == F.col("_o.pos"))
+        )
+        .select("_id", "pos")
+    )
+    return (
+        chunks.join(kept, ["_id", "pos"])
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(F.col("_id").alias(id_col), "n_kept", "clean_text")
+    )

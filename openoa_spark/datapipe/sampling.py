@@ -312,3 +312,58 @@ def temperature_sampling_weights(
             "weight"
         ),
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Select documents in (``tokens_col`` DESC, ``id_col`` ASC)
+    priority order until the cumulative token budget is exhausted: a
+    document is kept iff the tokens accumulated BEFORE it are under
+    ``budget`` (so the budget boundary document is included). This is
+    the "build a fixed-token-count training mix from the best
+    documents" primitive.
+
+    Scale shape: a naive ``Window.orderBy(...)`` cumulative sum pulls
+    the whole corpus through ONE task. Instead the running total
+    decomposes per distinct token-count value (the zipf-rank offset
+    pattern, registry zipf_slope): cum(id) = offset(v) + v * rank of
+    the doc within its token-count group, where offset(v) = total
+    tokens of all strictly-higher groups. The offset table is bounded
+    by |distinct token counts| — orders of magnitude below the corpus
+    (the only keyless window runs over it) — and the within-group
+    rank is a keyed window. Output: (id, n_tokens, cum_tokens) for
+    the selected set.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens").isNotNull())
+    base = base.localCheckpoint(eager=False)
+    grp = base.groupBy("n_tokens").agg(F.sum("n_tokens").alias("_gtot"))
+    w_off = Window.orderBy(F.desc("n_tokens")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = grp.select(
+        "n_tokens",
+        F.coalesce(F.sum("_gtot").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_in = Window.partitionBy("n_tokens").orderBy("_id")
+    out = (
+        base.join(F.broadcast(off), "n_tokens")
+        .select(
+            F.col("_id"),
+            "n_tokens",
+            (
+                F.col("_off")
+                + F.col("n_tokens") * F.row_number().over(w_in)
+            ).alias("cum_tokens"),
+        )
+        .where(F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget))
+    )
+    return out.select(F.col("_id").alias(id_col), "n_tokens", "cum_tokens")

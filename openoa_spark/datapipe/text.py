@@ -393,3 +393,66 @@ def tokenize_key(
         1,
         length,
     )
+
+
+def char_bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style language-model quality signal without an external
+    model: fit a character-bigram LM on the corpus itself (bigram
+    probabilities from global counts) and score each document by its
+    average negative log2 bigram probability ("bits per bigram") —
+    templated/repetitive documents score low, character soup scores
+    high, and outliers on either tail are curation candidates.
+
+    Scale shape: one explode to (id, bigram) and ONE aggregate to
+    per-doc bigram counts (map-side combined; the shuffle is bounded
+    by docs x observed-alphabet², not corpus chars). The global model
+    is a second tiny aggregate over that table — bounded by alphabet²
+    rows — broadcast back for the scoring join. The counts table
+    feeds both consumers, so it is lineage-cut once (lazy
+    localCheckpoint) rather than recomputing the explode.
+
+    Determinism: per-bigram log2 probabilities are rounded to 6
+    decimals and fixed as DECIMAL(18,6); per-doc totals are exact
+    integer x decimal sums, so the only float op is the final single
+    IEEE division (then round 6) — bit-equal across engines.
+    """
+    c = F.col(text_col)
+    # guard: sequence(1, 0) would COUNT DOWN ([1, 0]) for docs with
+    # fewer than 2 chars — emit an empty array instead (explode drops)
+    grams = F.when(
+        F.length(c) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - 1),
+            lambda i: F.substring(c, i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dc = (
+        df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("bigram"))
+        .groupBy("_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    g = dc.groupBy("bigram").agg(F.sum("c").alias("gc"))
+    total = g.agg(F.sum("gc").alias("_t"))
+    lp = g.crossJoin(F.broadcast(total)).select(
+        "bigram",
+        F.round(F.log2(F.col("gc").cast("double") / F.col("_t")), 6)
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    return (
+        dc.join(F.broadcast(lp), "bigram")
+        .groupBy("_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(
+                (-F.sum(F.col("c").cast("decimal(18,0)") * F.col("lp")))
+                .cast("double")
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("bits_per_bigram"),
+        )
+        .select(F.col("_id").alias(id_col), "n_bigrams", "bits_per_bigram")
+    )

@@ -5616,6 +5616,128 @@ def ann_recall_lsh(spark, sf_dir):
     )
 
 
+@register(
+    "chunk_dedup_docs",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, CAST(ceil(len(toks) / 10.0) AS INT) - 1))
+               AS pos
+      FROM d
+    ),
+    ch AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(toks, pos * 10 + 1, pos * 10 + 10), ' ')
+               AS chunk
+      FROM c
+    ),
+    o1 AS (SELECT chunk, MIN(doc_id) AS d0 FROM ch GROUP BY 1),
+    o2 AS (
+      SELECT ch.chunk, MIN(ch.pos) AS p0
+      FROM ch JOIN o1 ON ch.chunk = o1.chunk AND ch.doc_id = o1.d0
+      GROUP BY 1
+    ),
+    kept AS (
+      SELECT ch.doc_id, ch.pos, ch.chunk
+      FROM ch
+      JOIN o1 ON ch.chunk = o1.chunk AND ch.doc_id = o1.d0
+      JOIN o2 ON ch.chunk = o2.chunk AND ch.pos = o2.p0
+    )
+    SELECT doc_id, COUNT(*) AS n_kept,
+           string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def chunk_dedup_docs(spark, sf_dir):
+    """Chunk-level exact dedup (C4/RefinedWeb line-dedup analogue):
+    each 10-token chunk survives only at its first corpus-wide
+    occurrence (min (doc_id, pos)); documents reassemble from their
+    surviving chunks. Ownership shuffles 64-bit chunk hashes + ids
+    only; chunk text moves once, in the reassembly aggregate the
+    output needs anyway (datapipe/dedup.chunk_dedup). The oracle
+    replays ownership on the chunk strings directly."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.chunk_dedup(docs, "text", "doc_id", chunk_tokens=10)
+
+
+@register(
+    "lm_score_docs",
+    """
+    WITH g AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, GREATEST(length(text) - 1, 0))) AS i
+      FROM documents
+    ),
+    b AS (SELECT doc_id, substring(text, i, 2) AS bigram FROM g),
+    dc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    gl AS (SELECT bigram, SUM(c) AS gc FROM dc GROUP BY 1),
+    tot AS (SELECT CAST(SUM(gc) AS DOUBLE) AS t FROM gl),
+    lp AS (
+      SELECT bigram,
+             CAST(ROUND(log2(CAST(gc AS DOUBLE) / (SELECT t FROM tot)), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM gl
+    )
+    SELECT dc.doc_id,
+           CAST(SUM(dc.c) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(-SUM(CAST(dc.c AS DECIMAL(18,0)) * lp.lp) AS DOUBLE)
+                 / CAST(SUM(dc.c) AS DOUBLE), 6) AS bits_per_bigram
+    FROM dc JOIN lp USING (bigram)
+    GROUP BY 1
+    """,
+)
+def lm_score_docs(spark, sf_dir):
+    """CCNet-style LM quality signal with the corpus as its own model:
+    per-document average negative log2 char-bigram probability ("bits
+    per bigram") — templated text scores low, character soup high.
+    One explode + one map-side-combined aggregate to per-doc bigram
+    counts; the global model is an alphabet²-bounded rollup of that
+    table broadcast back for scoring. Per-bigram logprobs are fixed
+    as rounded DECIMAL(18,6) so both engines' doc scores reduce to
+    exact integer x decimal sums plus one IEEE division
+    (datapipe/text.char_bigram_lm_scores)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.char_bigram_lm_scores(docs, "text", "doc_id")
+
+
+@register(
+    "token_budget_selection",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < 5000
+    """,
+)
+def token_budget_selection(spark, sf_dir):
+    """Fixed-token-budget corpus selection: take documents in
+    (n_tokens DESC, doc_id) priority order until 5000 cumulative
+    tokens — the "assemble a training mix of exactly N tokens from
+    the best documents" primitive. The running total is DISTRIBUTED
+    via the zipf-rank decomposition (offset per distinct token count
+    + keyed within-group rank) — no corpus-wide single-task window
+    (datapipe/sampling.token_budget_select)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", text.token_count("text").alias("n_tokens"))
+    return sampling.token_budget_select(d, "doc_id", "n_tokens", 5000)
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================

@@ -54,6 +54,7 @@ ALLOWED_CARTESIAN = {
     "find_hour_gaps",
     "calendar_hour_profile",
     "tfidf_top_terms",          # one-row corpus-size (N) broadcast
+    "lm_score_docs",            # one-row bigram-total broadcast
     "intersect_both_halves_users",  # one-row midpoint scalar broadcast
     # exact-kNN ground truth = query-panel x corpus with the PANEL
     # broadcast: recall measurement runs over a bounded sample of
