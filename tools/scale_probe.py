@@ -64,6 +64,12 @@ PROBE_QUERIES = [
     "q18_large_volume_customers",
     # q21: per-order supplier-count aggregate + anti/semi composition
     "q21_waiting_suppliers",
+    # round-4c additions: chunk ownership (hash-shuffle + reassembly,
+    # rows×N), bigram explode + bounded global model (rows×N), and the
+    # distributed token-budget cumsum (offset table ~constant, rows×N)
+    "chunk_dedup_docs",
+    "lm_score_docs",
+    "token_budget_selection",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
@@ -153,13 +159,14 @@ def timed(fn, spark, d) -> float:
 def main():
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    subset = sys.argv[3:] or PROBE_QUERIES
     probe = os.path.abspath("spark-warehouse/scale_probe_sf")
     spark = get_session("scale-probe")
     build_probe_dir(spark, base, factor, probe)
 
     qs = registry.queries()
     failures = []
-    for name in PROBE_QUERIES:
+    for name in subset:
         fn = qs[name]
         # warm both sizes once (codegen), then time
         fn(spark, base).write.format("noop").mode("overwrite").save()
