@@ -5784,11 +5784,16 @@ _PRIORITY = [
     "customer_rfm_segments", "latest_event_per_user",
     "modal_event_type_per_user", "behavior_cohorts",
     "hourly_active_users", "monthly_revenue_growth",
-    "seasonal_residual_outliers", "dow_hour_heatmap",
-    "interarrival_histogram", "event_gini_by_type",
+    "seasonal_residual_outliers", "event_gini_by_type",
     "event_type_cooccurrence", "bigram_pmi_top",
-    "winsorized_quantity_stats", "price_histogram",
+    "winsorized_quantity_stats",
     "nation_share_of_region", "quantity_weighted_avg_price",
+    # round-4c structural additions — brand-new, most in need of a
+    # driver row (displacing three single-agg histogram queries —
+    # dow_hour_heatmap / interarrival_histogram / price_histogram —
+    # to round 5: each is one date_trunc/width_bucket projection +
+    # hash agg, machinery pinned by in-window cousins)
+    "chunk_dedup_docs", "lm_score_docs", "token_budget_selection",
     "active_users_grouping_sets", "mad_by_type", "value_drift_psi",
     "lineitem_corr_matrix",
     # displaced round-3b set — never checked

@@ -92,3 +92,38 @@ def test_scoring_plan_stays_jvm_side(corpus):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_scoring_applies_to_a_stream(spark, corpus, tmp_path):
+    """The apply path is a map-only transform, so a fitted model must
+    score a readStream directly (the streaming-curation deployment
+    shape) and agree with the batch scores."""
+    import uuid
+
+    labeled = qm.silver_labels(qm.featurize(corpus))
+    model = qm.fit_quality_classifier(labeled)
+    src = str(tmp_path / "docs_in")
+    corpus.select("doc_id", "text").write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    scored = qm.score_documents(stream, model)
+    assert scored.isStreaming
+    name = f"qm_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["doc_id"]: (r["quality_prob"], r["quality_pred"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        r["doc_id"]: (r["quality_prob"], r["quality_pred"])
+        for r in qm.score_documents(
+            corpus.select("doc_id", "text"), model
+        ).collect()
+    }
+    assert got == want
