@@ -609,3 +609,80 @@ def test_simhash_single_chunk_64bit(spark):
         df, "text", "doc_id", bits=64, max_hamming=0
     ).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+
+def test_chunk_dedup_invariants(spark):
+    """Planted-duplicate semantics: (a) the output corpus contains no
+    chunk twice, (b) a fully-novel document survives verbatim, (c) a
+    document that is a pure copy of an earlier one vanishes, (d) a
+    half-copied document keeps exactly its novel chunks."""
+    from openoa_spark.datapipe.dedup import chunk_dedup
+
+    a = " ".join(f"a{i}" for i in range(20))          # 2 chunks, novel
+    b = " ".join(f"b{i}" for i in range(10))          # 1 chunk, novel
+    c = a                                             # pure copy of a
+    d = (
+        " ".join(f"a{i}" for i in range(10))          # chunk 0 == a's chunk 0
+        + " " + " ".join(f"d{i}" for i in range(10))  # novel chunk
+    )
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 4}                      # doc 3 vanished
+    assert out[1]["clean_text"] == a and out[1]["n_kept"] == 2
+    assert out[2]["clean_text"] == b
+    assert out[4]["n_kept"] == 1
+    assert out[4]["clean_text"] == " ".join(f"d{i}" for i in range(10))
+    # global invariant: no chunk string appears twice across the output
+    all_chunks = []
+    for r in out.values():
+        toks = r["clean_text"].split(" ")
+        all_chunks += [
+            " ".join(toks[i : i + 10]) for i in range(0, len(toks), 10)
+        ]
+    assert len(all_chunks) == len(set(all_chunks))
+
+
+def test_token_budget_select_boundary(spark):
+    """The selected set is the priority-ordered prefix: total tokens
+    BEFORE each kept doc < budget, and the first excluded doc would
+    have started at/after the budget."""
+    from openoa_spark.datapipe.sampling import token_budget_select
+
+    rows = [(i, 10 * (1 + i % 5)) for i in range(40)]  # 10..50 tokens
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    budget = 300
+    got = token_budget_select(df, "doc_id", "n_tokens", budget).collect()
+    # replay serially
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum, want = 0, []
+    for i, n in order:
+        if cum < budget:
+            want.append((i, n, cum + n))
+        cum += n
+    assert sorted((r["doc_id"], r["n_tokens"], r["cum_tokens"]) for r in got) \
+        == sorted(want)
+    # boundary doc included, next one excluded
+    kept_ids = {r["doc_id"] for r in got}
+    assert len(kept_ids) < len(rows)
+
+
+def test_char_bigram_lm_scores_orders_anomalies(spark):
+    """Repetitive text scores fewer bits per bigram than the corpus
+    norm; rare-character soup scores more."""
+    from openoa_spark.datapipe.text import char_bigram_lm_scores
+
+    normal = [
+        (i, "the wind turbine generates power from moving air " * 3)
+        for i in range(10)
+    ]
+    rep = [(100, "aa" * 40)]
+    soup = [(101, "zq xv jk qz vx kj " * 5)]
+    df = spark.createDataFrame(
+        normal + rep + soup, "doc_id long, text string"
+    )
+    s = {r["doc_id"]: r["bits_per_bigram"]
+         for r in char_bigram_lm_scores(df, "text", "doc_id").collect()}
+    norm_avg = sum(s[i] for i in range(10)) / 10
+    assert s[100] < norm_avg < s[101]
