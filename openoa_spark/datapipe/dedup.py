@@ -801,7 +801,11 @@ def chunk_dedup(
 
     Scale shape: ownership is decided on 64-bit chunk hashes — the
     ownership aggregate and its join back shuffle only (hash, id, pos)
-    triples, never chunk text. Full text is shuffled exactly once, in
+    triples, never chunk text. (``min(struct(id, pos))`` plans as a
+    SortAggregate — Spark has no hash-agg buffer for struct extrema —
+    but the sorted rows are post-shuffle fixed-width triples, so the
+    extra cost is a per-partition sort, not a second shuffle; the ×16
+    probe measures 1.53× time.) Full text is shuffled exactly once, in
     the reassembly aggregate the output requires anyway. The chunk
     table feeds both the ownership path and the reassembly join, so it
     is lineage-cut once (lazy localCheckpoint) rather than recomputed

@@ -221,3 +221,31 @@ def test_read_evolving_parquet_merges_and_projects(spark, tmp_path):
     proj = readers.read_evolving_parquet(spark, path, expected)
     assert proj.columns == ["id", "x", "y", "z"]
     assert all(r["z"] is None for r in proj.collect())
+
+
+def test_read_table_orc_and_json_round_trip(spark, tmp_path):
+    """read_table's generic format path covers ORC and JSON (both
+    Spark-native): round-trip a frame through each and confirm the
+    declared-schema cast projection applies."""
+    from pyspark.sql import types as T
+
+    from openoa_spark.sources import readers
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], ["id", "name", "v"]
+    )
+    want = {(1, "a", 1.5), (2, "b", 2.5)}
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    for fmt, write in (
+        ("orc", lambda p: df.write.orc(p)),
+        ("json", lambda p: df.write.json(p)),
+    ):
+        p = str(tmp_path / fmt)
+        write(p)
+        back = readers.read_table(spark, p, fmt=fmt, schema=schema)
+        assert back.schema == schema
+        assert {tuple(r) for r in back.collect()} == want
