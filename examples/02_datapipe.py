@@ -103,6 +103,31 @@ def main():
     )
     print("weighted sample (p ~ n_chars):", weighted.count(), "docs")
 
+    print("== chunk-level dedup / LM scoring / token-budget mix ==")
+    chunked = dedup.chunk_dedup(docs, "text", "doc_id", chunk_tokens=10)
+    print("chunk-dedup survivors:", chunked.count())
+    lm = text.char_bigram_lm_scores(docs, "text", "doc_id")
+    lm.agg(
+        F.round(F.min("bits_per_bigram"), 3).alias("min_bits"),
+        F.round(F.avg("bits_per_bigram"), 3).alias("avg_bits"),
+        F.round(F.max("bits_per_bigram"), 3).alias("max_bits"),
+    ).show()
+    budgeted = sampling.token_budget_select(
+        docs.select("doc_id", text.token_count("text").alias("n_tokens")),
+        "doc_id", "n_tokens", budget=5000,
+    )
+    print("docs selected for a 5000-token mix:", budgeted.count())
+
+    print("== model-based quality filter (silver labels -> MLlib LR) ==")
+    from openoa_spark.datapipe import quality_model as qm
+
+    labeled = qm.silver_labels(qm.featurize(docs))
+    model = qm.fit_quality_classifier(labeled)
+    qm.score_documents(docs, model).groupBy("quality_pred").agg(
+        F.count("*").alias("docs"),
+        F.round(F.avg("quality_prob"), 3).alias("avg_prob"),
+    ).orderBy("quality_pred").show()
+
     print("== measured ANN recall (LSH vs exact, query panel) ==")
     planes = similarity.random_hyperplanes(64, 8, seed=42)
     for probe in (0, 2):
