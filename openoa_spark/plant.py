@@ -480,6 +480,27 @@ class PlantData:
             validate=validate,
         )
 
+    @classmethod
+    def from_entr(cls, *args, **kwargs) -> "PlantData":
+        """Load a plant from an ENTR warehouse via the optional
+        ``py-entr`` plugin — the reference's exact delegation contract
+        (reference plant.py:1515-1524: import ``entr.plantdata
+        .from_entr``, else raise NotImplementedError pointing at the
+        installer; arguments pass through untouched). No plugin logic
+        is reimplemented here — there is none to reimplement; the
+        reference body IS the import + delegation below. Tested
+        through an injected stand-in module, same seam discipline as
+        the multimodal codec."""
+        try:
+            from entr.plantdata import from_entr as _entr_loader
+        except ModuleNotFoundError:
+            raise NotImplementedError(
+                "The entr python package was not found. Install py-entr "
+                "(https://github.com/entralliance/py-entr) to load from "
+                "an ENTR warehouse."
+            )
+        return _entr_loader(*args, **kwargs)
+
     def reanalysis_union(self) -> DataFrame | None:
         """All reanalysis products as ONE DataFrame with a `product`
         column — the Spark-preferred layout for partition pruning at

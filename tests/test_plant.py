@@ -223,3 +223,39 @@ def test_parquet_round_trip(spark, plant, tmp_path):
     assert dict(p2.meter.dtypes)["time"].startswith("timestamp")
     # canonical column names survive the round trip
     assert set(p2.scada.columns) == set(plant.scada.columns)
+
+
+def test_from_entr_delegates_to_plugin(spark, monkeypatch):
+    """from_entr mirrors the reference's delegation contract exactly
+    (reference plant.py:1515-1524): without the py-entr plugin it
+    raises NotImplementedError; with one installed, arguments pass
+    through untouched and the plugin's return value is the result."""
+    import sys
+    import types
+
+    import pytest as _pytest
+
+    from openoa_spark.plant import PlantData
+
+    # absent plugin -> NotImplementedError (the reference's behavior)
+    monkeypatch.setitem(sys.modules, "entr", None)
+    with _pytest.raises((NotImplementedError, ImportError)):
+        PlantData.from_entr("thrift://host:9083")
+
+    # injected plugin -> pure pass-through delegation
+    seen = {}
+
+    def fake_loader(*args, **kwargs):
+        seen["args"], seen["kwargs"] = args, kwargs
+        return "PLANT"
+
+    pkg = types.ModuleType("entr")
+    sub = types.ModuleType("entr.plantdata")
+    sub.from_entr = fake_loader
+    pkg.plantdata = sub
+    monkeypatch.setitem(sys.modules, "entr", pkg)
+    monkeypatch.setitem(sys.modules, "entr.plantdata", sub)
+    out = PlantData.from_entr("thrift://host:9083", wind_plant="LPP")
+    assert out == "PLANT"
+    assert seen["args"] == ("thrift://host:9083",)
+    assert seen["kwargs"] == {"wind_plant": "LPP"}
