@@ -811,6 +811,9 @@ def chunk_dedup(
     is lineage-cut once (lazy localCheckpoint) rather than recomputed
     per consumer.
     """
+    from openoa_spark.session import spread_small_input
+
+    df = spread_small_input(df)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
     ct = F.lit(chunk_tokens)

@@ -418,6 +418,9 @@ def char_bigram_lm_scores(
     integer x decimal sums, so the only float op is the final single
     IEEE division (then round 6) — bit-equal across engines.
     """
+    from openoa_spark.session import spread_small_input
+
+    df = spread_small_input(df)
     c = F.col(text_col)
     # guard: sequence(1, 0) would COUNT DOWN ([1, 0]) for docs with
     # fewer than 2 chars — emit an empty array instead (explode drops)
