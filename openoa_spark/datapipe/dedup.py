@@ -799,22 +799,32 @@ def chunk_dedup(
     repeated content). Training-data-pipeline extension; the reference
     has no corpus-level text dedup.
 
-    Scale shape: ownership is decided on 64-bit chunk hashes — the
-    ownership aggregate and its join back shuffle only (hash, id, pos)
-    triples, never chunk text. (``min(struct(id, pos))`` plans as a
-    SortAggregate — Spark has no hash-agg buffer for struct extrema —
-    but the sorted rows are post-shuffle fixed-width triples, so the
-    extra cost is a per-partition sort, not a second shuffle; the ×16
-    probe measures 1.53× time.) Full text is shuffled exactly once, in
-    the reassembly aggregate the output requires anyway. The chunk
-    table feeds both the ownership path and the reassembly join, so it
-    is lineage-cut once (lazy localCheckpoint) rather than recomputed
-    per consumer.
+    Scale shape: ownership is decided on a 128-bit chunk fingerprint
+    (two independent xxhash64 passes — collision odds ~n²/2¹²⁹, i.e.
+    ~1e-15 even at 10¹² chunks, so the "exact" claim survives corpus
+    scale where a single 64-bit hash would be expected to collide) —
+    the ownership aggregate and its join back shuffle only
+    (hash₁, hash₂, id, pos) tuples, never chunk text.
+    (``min(struct(id, pos))`` plans as a SortAggregate — Spark has no
+    hash-agg buffer for struct extrema — but the sorted rows are
+    post-shuffle fixed-width tuples, so the extra cost is a
+    per-partition sort, not a second shuffle.) Chunk TEXT crosses the
+    network exactly once: the kept (id, pos) pairs collapse to one
+    int-array row per doc, the reassembly joins on ``id`` alone, and
+    the final per-doc aggregate reuses that join's hash partitioning
+    (joining on (id, pos) instead would partition by the pair and
+    force a second full-text exchange for the id-grain aggregate).
+    The in-doc membership probe is ``array_contains`` over the doc's
+    own kept positions — O(chunks-per-doc) per chunk, bounded by
+    document length, never by corpus size. The chunk table feeds both
+    the ownership path and the reassembly join, so it is lineage-cut
+    once (lazy localCheckpoint) rather than recomputed per consumer.
     """
+    from openoa_spark.datapipe.text import tokens
     from openoa_spark.session import spread_small_input
 
     df = spread_small_input(df)
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = tokens(F.col(text_col))  # the corpus-canonical tokenizer
     n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
     ct = F.lit(chunk_tokens)
     # split() yields >= 1 element even for empty text, so n_chunks >= 1
@@ -830,20 +840,22 @@ def chunk_dedup(
         ).alias("pos", "chunk"),
     ).localCheckpoint(eager=False)
     hashed = chunks.select(
-        "_id", "pos", F.xxhash64(F.col("chunk")).alias("_h")
+        "_id",
+        "pos",
+        F.xxhash64(F.col("chunk")).alias("_h1"),
+        F.xxhash64(F.lit(1), F.col("chunk")).alias("_h2"),
     )
-    owner = hashed.groupBy("_h").agg(
+    owner = hashed.groupBy("_h1", "_h2").agg(
         F.min(F.struct("_id", "pos")).alias("_o")
     )
-    kept = (
-        hashed.join(owner, "_h")
-        .where(
-            (F.col("_id") == F.col("_o._id")) & (F.col("pos") == F.col("_o.pos"))
-        )
-        .select("_id", "pos")
+    kept_sets = (
+        owner.select(F.col("_o._id").alias("_id"), F.col("_o.pos").alias("pos"))
+        .groupBy("_id")
+        .agg(F.collect_list("pos").alias("_keep"))
     )
     return (
-        chunks.join(kept, ["_id", "pos"])
+        chunks.join(kept_sets, "_id")
+        .where(F.array_contains(F.col("_keep"), F.col("pos")))
         .groupBy("_id")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),

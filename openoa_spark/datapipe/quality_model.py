@@ -80,13 +80,20 @@ def silver_labels(
     repetition below ``max_repetition`` (quality_score alone passes
     long low-punctuation spam like "buy now buy now ..."; the Gopher
     repetition gate catches exactly that class). Map-only."""
-    c = F.col(text_col)
+    raw = F.col(text_col)
+    # empty/null docs are low quality BY DEFINITION — and must not
+    # reach the ratio signals, which (a) divide by zero under ANSI on
+    # empty text and (b) null-skip inside least/greatest for NULL text,
+    # which would silently label garbage rows 1.0
+    blank = raw.isNull() | (F.length(F.trim(raw)) == 0)
     return df.withColumn(
         "label",
-        (
-            (text.quality_score(c) >= F.lit(threshold))
-            & (text.repetition_ratio(c, 2) < F.lit(max_repetition))
-        ).cast("double"),
+        F.when(blank, F.lit(0.0)).otherwise(
+            (
+                (text.quality_score(raw) >= F.lit(threshold))
+                & (text.repetition_ratio(raw, 2) < F.lit(max_repetition))
+            ).cast("double")
+        ),
     )
 
 

@@ -5758,17 +5758,23 @@ def token_budget_selection(spark, sf_dir):
 #     round-3c §17 analytics batch (funnel, retention, OHLC, Markov,
 #     islands, checks, attribution — including the three latent
 #     HUGEINT fixes: profile_events, dq_checks_events,
-#     first_touch_attribution) plus the displaced round-3b set.
-# The 9 never-checked names deferred to round 5 are single-expression
-# queries whose machinery is hash-pinned by in-window cousins and
-# pytest: uv_components / veer_values (met exprs, u-v round-trip
-# property), feet_to_meter_part (unit multiply),
+#     first_touch_attribution) plus the displaced round-3b set, with
+#     three late swaps: the round-4c structural ops (chunk_dedup_docs,
+#     lm_score_docs, token_budget_selection) took the slots of the
+#     three single-agg histogram queries (dow_hour_heatmap,
+#     interarrival_histogram, price_histogram).
+# The 12 never-checked names deferred to round 5 are single-expression
+# or single-agg queries whose machinery is hash-pinned by in-window
+# cousins and pytest: uv_components / veer_values (met exprs, u-v
+# round-trip property), feet_to_meter_part (unit multiply),
 # quality_score_docs / bpe_token_counts / repetition_ratio_docs
 # (single projections; language_id pins the token exprs),
 # lsh_knn_topk (embedding_cosine_near_dups green r3 pins the bucket
 # join), hash_sample_docs (md5 path pinned by minhash, green r3),
 # describe_quantity_by_flag (percentile parity pinned by
-# exact_quantiles_by_type, green r3). Every query outside the window
+# exact_quantiles_by_type, green r3), and the three displaced
+# histogram queries above (date_trunc/width_bucket projection + hash
+# agg). Every query outside the window
 # is green in tools/check_correctness.py at sf0.01 (now with the
 # HUGEINT output-type lint, tests/test_oracle_types.py) and pinned by
 # pytest. Flagship q1_pricing_summary stays exercised every round via

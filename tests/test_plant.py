@@ -237,9 +237,13 @@ def test_from_entr_delegates_to_plugin(spark, monkeypatch):
 
     from openoa_spark.plant import PlantData
 
-    # absent plugin -> NotImplementedError (the reference's behavior)
+    # absent plugin -> NotImplementedError, STRICTLY (None in
+    # sys.modules makes the import raise ModuleNotFoundError, which
+    # from_entr must translate — asserting ImportError here would let
+    # a deleted except-clause pass unnoticed since ModuleNotFoundError
+    # subclasses it)
     monkeypatch.setitem(sys.modules, "entr", None)
-    with _pytest.raises((NotImplementedError, ImportError)):
+    with _pytest.raises(NotImplementedError):
         PlantData.from_entr("thrift://host:9083")
 
     # injected plugin -> pure pass-through delegation

@@ -127,3 +127,20 @@ def test_scoring_applies_to_a_stream(spark, corpus, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_silver_labels_blank_and_null_are_low_quality(spark):
+    """Empty/whitespace/NULL docs must label 0.0 WITHOUT tripping the
+    ANSI divide-by-zero in the ratio signals, and must not be
+    null-skipped into label 1.0 by least/greatest semantics."""
+    # every bigram contains a unique w_i token, so repetition ~ 0
+    rng_text = " ".join(
+        f"the w{3*i} and w{3*i+1} for w{3*i+2}" for i in range(20)
+    )
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, rng_text)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["label"] for r in qm.silver_labels(df).collect()}
+    assert got[1] == 0.0 and got[2] == 0.0 and got[3] == 0.0
+    assert got[4] == 1.0
