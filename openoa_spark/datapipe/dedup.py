@@ -821,16 +821,33 @@ def chunk_dedup(
     once (lazy localCheckpoint) rather than recomputed per consumer.
     """
     from openoa_spark.datapipe.text import tokens
+    chunks = _chunk_table(df, text_col, id_col, chunk_tokens)
+    hashed = _chunk_fingerprints(chunks)
+    owner = hashed.groupBy("_h1", "_h2").agg(
+        F.min(F.struct("_id", "pos")).alias("_o")
+    )
+    kept = owner.select(
+        F.col("_o._id").alias("_id"), F.col("_o.pos").alias("pos")
+    )
+    return _reassemble(chunks, kept, id_col)
+
+
+def _chunk_table(
+    df: DataFrame, text_col: str, id_col: str, chunk_tokens: int
+) -> DataFrame:
+    """(id, pos, chunk) rows: consecutive ``chunk_tokens``-token chunks
+    per document, lineage-cut once (multiple consumers). split()
+    yields >= 1 element even for empty text, so n_chunks >= 1 and
+    sequence() never sees stop < start (which would COUNT DOWN); null
+    text -> null array -> posexplode drops the row."""
+    from openoa_spark.datapipe.text import tokens
     from openoa_spark.session import spread_small_input
 
     df = spread_small_input(df)
     toks = tokens(F.col(text_col))  # the corpus-canonical tokenizer
     n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
     ct = F.lit(chunk_tokens)
-    # split() yields >= 1 element even for empty text, so n_chunks >= 1
-    # and sequence() never sees stop < start (which would COUNT DOWN);
-    # null text -> null array -> posexplode drops the row.
-    chunks = df.select(
+    return df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
             F.transform(
@@ -839,20 +856,24 @@ def chunk_dedup(
             )
         ).alias("pos", "chunk"),
     ).localCheckpoint(eager=False)
-    hashed = chunks.select(
+
+
+def _chunk_fingerprints(chunks: DataFrame) -> DataFrame:
+    """128-bit chunk fingerprint (two independent xxhash64 passes)."""
+    return chunks.select(
         "_id",
         "pos",
         F.xxhash64(F.col("chunk")).alias("_h1"),
         F.xxhash64(F.lit(1), F.col("chunk")).alias("_h2"),
     )
-    owner = hashed.groupBy("_h1", "_h2").agg(
-        F.min(F.struct("_id", "pos")).alias("_o")
-    )
-    kept_sets = (
-        owner.select(F.col("_o._id").alias("_id"), F.col("_o.pos").alias("pos"))
-        .groupBy("_id")
-        .agg(F.collect_list("pos").alias("_keep"))
-    )
+
+
+def _reassemble(chunks: DataFrame, kept: DataFrame, id_col: str) -> DataFrame:
+    """Rebuild documents from their kept (id, pos) chunk occurrences.
+    The kept pairs collapse to one int-array row per doc so the join
+    runs on id alone and the final id-grain aggregate reuses its
+    partitioning — chunk TEXT crosses the network exactly once."""
+    kept_sets = kept.groupBy("_id").agg(F.collect_list("pos").alias("_keep"))
     return (
         chunks.join(kept_sets, "_id")
         .where(F.array_contains(F.col("_keep"), F.col("pos")))
@@ -869,3 +890,63 @@ def chunk_dedup(
         )
         .select(F.col("_id").alias(id_col), "n_kept", "clean_text")
     )
+
+
+def incremental_chunk_dedup(
+    spark,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    state_path: str,
+    chunk_tokens: int = 10,
+    sink=None,
+) -> DataFrame:
+    """Cross-batch chunk-level dedup for a continuously-ingesting
+    corpus: a chunk survives only if it was never accepted in ANY
+    previous batch (persistent 128-bit fingerprint table at
+    ``state_path``) and is the first occurrence within this batch;
+    documents reassemble from their surviving chunks (docs whose every
+    chunk is old vanish — they carry no new content).
+
+    Crash ordering follows the corrected incremental_near_dedup
+    discipline: the accepted output is FIXED (eager localCheckpoint),
+    handed to ``sink`` first, and only then are the new fingerprints
+    appended — a crash between sink and state append replays the same
+    batch output (sink must be idempotent per batch, e.g. the
+    overwrite-by-batch partitioned writers in sources/sinks.py); a
+    crash after the append makes the replay yield zero rows. State
+    stores ONLY 16 bytes per distinct chunk — never text — so the
+    anti-join ships fingerprints and the table is ~0.1% of corpus
+    size. The append is the only write (no rewrite of accumulated
+    state).
+    """
+    chunks = _chunk_table(batch, text_col, id_col, chunk_tokens)
+    hashed = _chunk_fingerprints(chunks)
+    owner = hashed.groupBy("_h1", "_h2").agg(
+        F.min(F.struct("_id", "pos")).alias("_o")
+    )
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        seen = spark.read.parquet(state_path)
+        fresh_owner = owner.join(
+            seen,
+            (owner["_h1"] == seen["h1"]) & (owner["_h2"] == seen["h2"]),
+            "left_anti",
+        )
+    else:
+        fresh_owner = owner
+    # fix the accepted set BEFORE the sink and the state append (the
+    # lazy plan would otherwise re-read the table it is about to grow)
+    fresh_owner = fresh_owner.localCheckpoint(eager=True)
+    kept = fresh_owner.select(
+        F.col("_o._id").alias("_id"), F.col("_o.pos").alias("pos")
+    )
+    accepted = _reassemble(chunks, kept, id_col).localCheckpoint(eager=True)
+    if sink is not None:
+        sink(accepted)
+    fresh_owner.select(
+        F.col("_h1").alias("h1"), F.col("_h2").alias("h2")
+    ).write.mode("append").parquet(state_path)
+    return accepted

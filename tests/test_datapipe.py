@@ -686,3 +686,57 @@ def test_char_bigram_lm_scores_orders_anomalies(spark):
          for r in char_bigram_lm_scores(df, "text", "doc_id").collect()}
     norm_avg = sum(s[i] for i in range(10)) / 10
     assert s[100] < norm_avg < s[101]
+
+
+def test_incremental_chunk_dedup_across_batches(spark, tmp_path):
+    """Cross-batch chunk dedup: batch-2 chunks already accepted in
+    batch 1 are dropped, novel chunks survive, and a replay after a
+    crash-before-state-append re-emits the same output while a replay
+    after the append emits nothing."""
+    from openoa_spark.datapipe.dedup import incremental_chunk_dedup
+
+    state = str(tmp_path / "chunk_state")
+    a = " ".join(f"a{i}" for i in range(20))          # 2 chunks
+    b1 = spark.createDataFrame([(1, a)], "doc_id long, text string")
+    out1 = incremental_chunk_dedup(spark, b1, "text", "doc_id", state)
+    assert {r["doc_id"]: r["n_kept"] for r in out1.collect()} == {1: 2}
+
+    # batch 2: doc 2 = copy of a (vanishes), doc 3 = half old half new
+    d3 = (
+        " ".join(f"a{i}" for i in range(10))
+        + " " + " ".join(f"n{i}" for i in range(10))
+    )
+    b2 = spark.createDataFrame(
+        [(2, a), (3, d3)], "doc_id long, text string"
+    )
+    out2 = incremental_chunk_dedup(spark, b2, "text", "doc_id", state)
+    rows2 = {r["doc_id"]: r for r in out2.collect()}
+    assert set(rows2) == {3}
+    assert rows2[3]["n_kept"] == 1
+    assert rows2[3]["clean_text"] == " ".join(f"n{i}" for i in range(10))
+
+    # replay of batch 2 AFTER its state append -> all chunks old
+    out2b = incremental_chunk_dedup(spark, b2, "text", "doc_id", state)
+    assert out2b.count() == 0
+
+    # sink-before-state: a sink that dies leaves state unappended, so
+    # the retry re-emits the identical accepted set
+    b3 = spark.createDataFrame(
+        [(4, " ".join(f"z{i}" for i in range(10)))],
+        "doc_id long, text string",
+    )
+
+    class Boom(Exception):
+        pass
+
+    def dying_sink(df):
+        df.count()
+        raise Boom
+
+    import pytest as _pytest
+    with _pytest.raises(Boom):
+        incremental_chunk_dedup(
+            spark, b3, "text", "doc_id", state, sink=dying_sink
+        )
+    retry = incremental_chunk_dedup(spark, b3, "text", "doc_id", state)
+    assert {r["doc_id"] for r in retry.collect()} == {4}
