@@ -740,3 +740,39 @@ def test_incremental_chunk_dedup_across_batches(spark, tmp_path):
         )
     retry = incremental_chunk_dedup(spark, b3, "text", "doc_id", state)
     assert {r["doc_id"] for r in retry.collect()} == {4}
+
+
+def test_chunk_dedup_text_shuffles_once(spark):
+    """Plan pin for the chunk_dedup scale contract: with broadcast
+    joins disabled (the at-scale shape), exactly ONE exchange carries
+    the chunk text — ownership and kept-set exchanges move only
+    fixed-width fingerprints/ints, and the final id-grain aggregate
+    reuses the reassembly join's partitioning."""
+    import contextlib
+    import io
+
+    from openoa_spark.datapipe.dedup import chunk_dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(25))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = chunk_dedup(df, "text", "doc_id")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain(mode="formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # formatted explain lists each operator's Input/Output columns;
+    # count Exchange blocks whose input carries the chunk string
+    blocks = plan.split("\n\n")
+    text_exchanges = [
+        b for b in blocks
+        if b.startswith("(") and ") Exchange" in b.splitlines()[0]
+        and "chunk#" in b
+    ]
+    assert len(text_exchanges) == 1, plan
