@@ -500,3 +500,52 @@ def interpolate_linear(
             prev_v.isNotNull() & next_v.isNotNull(), interp
         ),
     )
+
+
+def refresh_time_rollup(
+    raw: DataFrame,
+    changed: DataFrame,
+    time_col: str,
+    rollup_path: str,
+    freq: str,
+    aggs: dict[str, Column],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Continuous-aggregate maintenance (the TimescaleDB/Druid
+    "hypertable rollup with invalidation" pattern): keep a persistent
+    time-bucketed rollup of ``raw`` at ``rollup_path``, refreshed by
+    RECOMPUTING exactly the buckets that ``changed`` touches and
+    dynamically overwriting only those partitions.
+
+    Recompute-from-raw makes the refresh idempotent by construction —
+    replaying the same delta (crash, at-least-once upstream) lands
+    byte-identical partitions, with none of the double-count hazards
+    of merging partial aggregates into state. Cost tracks the DELTA'S
+    bucket span, not table history: the invalidated-bucket set (tiny
+    — distinct truncated timestamps of the delta) broadcast
+    semi-joins against raw, so Catalyst prunes the recompute scan to
+    the affected buckets; with the raw table date-partitioned the
+    pruning reaches the file listing.
+
+    ``aggs``: output-column -> aggregate Column over the raw rows.
+    The rollup parquet is partitioned by ``_bucket_day`` (one
+    directory per day) so a late-arriving hour re-lands one day.
+    Returns the recomputed slice that was written.
+    """
+    from openoa_spark.sources.sinks import overwrite_partitions
+
+    keys = keys or []
+    bucket = F.date_trunc(freq, F.col(time_col))
+    invalid = (
+        changed.select(bucket.alias("_bucket")).distinct()
+        .localCheckpoint(eager=False)
+    )
+    slice_df = (
+        raw.withColumn("_bucket", bucket)
+        .join(F.broadcast(invalid), "_bucket", "left_semi")
+        .groupBy("_bucket", *keys)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .withColumn("_bucket_day", F.to_date("_bucket"))
+    )
+    overwrite_partitions(slice_df, rollup_path, ["_bucket_day"])
+    return slice_df

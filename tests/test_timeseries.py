@@ -152,3 +152,67 @@ def test_interpolate_linear_interior_only(spark):
     assert out[0] is None and out[6] is None  # edges untouched
     assert out[1] == 10.0 and out[5] == 40.0
     assert out[2] == 17.5 and out[4] == 32.5
+
+
+def test_refresh_time_rollup_recomputes_only_touched_buckets(spark, tmp_path):
+    """Hypertable-rollup maintenance: late data re-lands only its own
+    day's partition, the refresh is idempotent under replay, and the
+    maintained table always equals a full recompute."""
+    import datetime as dt
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from openoa_spark.operators.timeseries import refresh_time_rollup
+
+    path = str(tmp_path / "rollup")
+
+    def rows(day, n, base):
+        return [
+            (dt.datetime(2024, 3, day, h % 24, 0), float(base + h))
+            for h in range(n)
+        ]
+
+    raw1 = spark.createDataFrame(
+        rows(1, 24, 0) + rows(2, 24, 100), "ts timestamp, v double"
+    )
+    aggs = {"sum_v": F.sum("v"), "n": F.count(F.lit(1))}
+    refresh_time_rollup(raw1, raw1, "ts", path, "day", aggs)
+    t1 = {
+        r["_bucket_day"]: (r["sum_v"], r["n"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert len(t1) == 2 and t1[dt.date(2024, 3, 1)][1] == 24
+
+    day1_files = sorted(glob.glob(os.path.join(path, "_bucket_day=2024-03-01", "*.parquet")))
+    mtimes = [os.path.getmtime(f) for f in day1_files]
+
+    # late-arriving rows for day 2 only
+    late = spark.createDataFrame(rows(2, 4, 1000), "ts timestamp, v double")
+    raw2 = raw1.unionByName(late)
+    refresh_time_rollup(raw2, late, "ts", path, "day", aggs)
+
+    got = {
+        r["_bucket_day"]: (r["sum_v"], r["n"])
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        r["d"]: (r["sum_v"], r["n"])
+        for r in raw2.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .agg(F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    # day-1 partition untouched by the day-2 refresh
+    assert [os.path.getmtime(f) for f in sorted(
+        glob.glob(os.path.join(path, "_bucket_day=2024-03-01", "*.parquet"))
+    )] == mtimes
+
+    # replaying the same delta is a no-op on values
+    refresh_time_rollup(raw2, late, "ts", path, "day", aggs)
+    again = {
+        r["_bucket_day"]: (r["sum_v"], r["n"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert again == got
