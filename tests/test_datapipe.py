@@ -776,3 +776,49 @@ def test_chunk_dedup_text_shuffles_once(spark):
         and "chunk#" in b
     ]
     assert len(text_exchanges) == 1, plan
+
+
+def test_chunk_dedup_matches_python_replay_randomized(spark):
+    """Randomized differential test: chunk_dedup output equals a
+    straightforward serial Python replay on corpora with planted
+    chunk reuse (seeded generator — deterministic)."""
+    import random
+
+    from openoa_spark.datapipe.dedup import chunk_dedup
+
+    rng = random.Random(1234)
+    vocab = [f"t{i}" for i in range(30)]
+    CT = 5
+
+    for trial in range(6):
+        docs = []
+        pool = []  # previously-emitted chunks to replant
+        for did in range(rng.randint(3, 12)):
+            n_ch = rng.randint(1, 6)
+            parts = []
+            for _ in range(n_ch):
+                if pool and rng.random() < 0.4:
+                    parts.append(rng.choice(pool))
+                else:
+                    ch = " ".join(rng.choice(vocab) for _ in range(CT))
+                    pool.append(ch)
+                    parts.append(ch)
+            docs.append((did, " ".join(parts)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_kept"], r["clean_text"])
+            for r in chunk_dedup(df, "text", "doc_id", CT).collect()
+        }
+        # serial replay
+        seen, want = set(), {}
+        for did, text in sorted(docs):
+            toks = text.split(" ")
+            kept = []
+            for i in range(0, len(toks), CT):
+                ch = " ".join(toks[i : i + CT])
+                if ch not in seen:
+                    seen.add(ch)
+                    kept.append(ch)
+            if kept:
+                want[did] = (len(kept), " ".join(kept))
+        assert got == want, f"trial {trial}"
