@@ -438,3 +438,56 @@ def stream_near_dedup(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_time_rollup(
+    stream: DataFrame,
+    raw_path: str,
+    rollup_path: str,
+    time_col: str,
+    freq: str,
+    aggs: dict[str, Column],
+    checkpoint: str,
+    keys: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Streaming lakehouse pattern: land each micro-batch in the raw
+    table AND keep a time-bucketed continuous aggregate fresh — the
+    foreachBatch composition of the two idempotent writers.
+
+    Per batch: (1) raw rows land partitioned by batch id with dynamic
+    overwrite (a replayed batch overwrites its own partition — no
+    double-landing); (2) operators.timeseries.refresh_time_rollup
+    recomputes exactly the buckets this batch touches FROM the raw
+    table (which now includes the batch) and dynamically overwrites
+    those rollup partitions. Both steps are idempotent, so any crash
+    point replays to the same raw + rollup state — the rollup is
+    always a pure function of raw, never a merge of partials.
+    """
+    from openoa_spark.operators.timeseries import refresh_time_rollup
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            (
+                batch.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(raw_path)
+            )
+            spark = batch.sparkSession
+            raw = spark.read.parquet(raw_path).drop("_batch_id")
+            refresh_time_rollup(
+                raw, batch, time_col, rollup_path, freq, aggs, keys
+            )
+        finally:
+            batch.unpersist()
+
+    w = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

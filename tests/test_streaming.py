@@ -516,3 +516,50 @@ def test_stream_near_dedup_across_batches(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(out).collect()
     ) == [1, 3, 11]
+
+
+def test_stream_time_rollup_maintains_continuous_aggregate(spark, tmp_path):
+    """Raw + rollup stay consistent across micro-batches: after the
+    stream drains, the rollup equals a full recompute of the raw
+    table, and re-running the maintenance for the last batch (crash
+    replay) changes nothing."""
+    src = str(tmp_path / "in")
+    raw = str(tmp_path / "raw")
+    roll = str(tmp_path / "roll")
+    ck = str(tmp_path / "ck")
+
+    _rows(spark, 40).write.parquet(src)
+    stream = ingest.file_stream(spark, src, SCHEMA)
+    aggs = {"sum_v": F.sum("value"), "n": F.count(F.lit(1))}
+    q = ingest.stream_time_rollup(
+        stream, raw, roll, "time", "hour", aggs, ck, keys=["asset_id"]
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    raw_df = spark.read.parquet(raw).drop("_batch_id")
+    assert raw_df.count() == 40
+    got = {
+        (r["_bucket_day"], str(r["_bucket"]), r["asset_id"]): (r["sum_v"], r["n"])
+        for r in spark.read.parquet(roll).collect()
+    }
+    want = {
+        (r["_bucket_day"], str(r["_bucket"]), r["asset_id"]): (r["sum_v"], r["n"])
+        for r in raw_df.withColumn("_bucket", F.date_trunc("hour", "time"))
+        .groupBy("_bucket", "asset_id")
+        .agg(F.sum("value").alias("sum_v"), F.count(F.lit(1)).alias("n"))
+        .withColumn("_bucket_day", F.to_date("_bucket"))
+        .collect()
+    }
+    assert got == want
+
+    # crash replay of the whole maintenance for the same data: re-run
+    # refresh for every bucket; rollup unchanged
+    from openoa_spark.operators.timeseries import refresh_time_rollup
+
+    refresh_time_rollup(raw_df, raw_df, "time", roll, "hour", aggs, ["asset_id"])
+    again = {
+        (r["_bucket_day"], str(r["_bucket"]), r["asset_id"]): (r["sum_v"], r["n"])
+        for r in spark.read.parquet(roll).collect()
+    }
+    assert again == got
