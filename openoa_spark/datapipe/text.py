@@ -459,3 +459,101 @@ def char_bigram_lm_scores(
         )
         .select(F.col("_id").alias(id_col), "n_bigrams", "bits_per_bigram")
     )
+
+
+# Gopher's (Rae et al. 2021, arXiv:2112.11446 §A1.1) required
+# stopwords: a document must contain at least two of these to pass
+# the lexical quality gate.
+GOPHER_REQUIRED_STOPWORDS = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+
+
+def gopher_flags(
+    col: Column | str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_alpha_pct: int = 80,
+    min_stop_hits: int = 2,
+    stopwords: list[str] | None = None,
+) -> Column:
+    """Gopher-style lexical quality rules as ONE struct-valued map
+    expression (no shuffle, no UDF): word-count bounds, mean-word-
+    length bounds, alphabetic-word fraction, and the required-stopword
+    gate, with both the raw integer signals and the pass/fail flags.
+
+    Every threshold comparison is INTEGER math (``total_len <= 10*n``
+    rather than ``total_len/n <= 10.0``) so the flags are exact — no
+    float boundary can flip a document between engines. Defaults are
+    the published Gopher rule values; the line-grain rules (bullet /
+    ellipsis fractions) belong to a corpus with newline structure and
+    are intentionally out of this operator (see repetition_ratio /
+    top_ngram_char_frac for the repetition family).
+    """
+    t = tokens(col)
+    low = F.transform(t, F.lower)
+    n = F.size(t)
+    total_len = F.aggregate(t, F.lit(0), lambda acc, w: acc + F.length(w))
+    n_alpha = F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]")))
+    sw = stopwords if stopwords is not None else GOPHER_REQUIRED_STOPWORDS
+    stop_hits = sum(
+        (F.array_contains(low, w).cast("int") for w in sw), F.lit(0)
+    )
+    return F.struct(
+        n.cast("long").alias("n_words"),
+        total_len.cast("long").alias("total_word_chars"),
+        n_alpha.cast("long").alias("n_alpha_words"),
+        stop_hits.cast("long").alias("stop_hits"),
+        ((n >= min_words) & (n <= max_words)).alias("pass_word_count"),
+        (
+            (total_len >= min_mean_word_len * n)
+            & (total_len <= max_mean_word_len * n)
+        ).alias("pass_mean_word_len"),
+        (n_alpha * 100 >= n * min_alpha_pct).alias("pass_alpha_ratio"),
+        (stop_hits >= min_stop_hits).alias("pass_stopwords"),
+    )
+
+
+def top_ngram_char_frac(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Gopher's dominant-n-gram repetition rule: the fraction of a
+    document's characters covered by occurrences of its most frequent
+    word n-gram (count x n-gram character length, spaces included, /
+    document length). Boilerplate and template spam concentrate mass
+    in one n-gram; natural text spreads it. Documents with fewer than
+    ``n`` words have no n-gram and are omitted.
+
+    Scale shape: one explode to (id, gram) rows and two map-side-
+    combined hash aggregates — (id, gram) counts, then a per-id MAX of
+    the count x length product (MAX of the product also resolves ties
+    without an ordering on gram text). The document length rides the
+    aggregates as a functionally-dependent MAX, so no join back to the
+    corpus is needed and text crosses the shuffle only as n-grams.
+
+    Determinism: counts and lengths are integers; the only float op is
+    the final division (round 6).
+    """
+    from openoa_spark.session import spread_small_input
+
+    g = spread_small_input(df).select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("_n_chars"),
+        F.explode(word_ngrams(text_col, n)).alias("_gram"),
+    )
+    per = g.groupBy(id_col, "_gram").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.max("_n_chars").alias("_n_chars")
+    )
+    return per.groupBy(id_col).agg(
+        F.max(F.col("_cnt") * F.length("_gram"))
+        .cast("long")
+        .alias("top_gram_chars"),
+        F.round(
+            F.max(F.col("_cnt") * F.length("_gram")).cast("double")
+            / F.max("_n_chars").cast("double"),
+            6,
+        ).alias("rep_frac"),
+    )

@@ -5738,6 +5738,124 @@ def token_budget_selection(spark, sf_dir):
     return sampling.token_budget_select(d, "doc_id", "n_tokens", 5000)
 
 
+@register(
+    "gopher_quality_docs",
+    r"""
+    WITH t AS (
+      SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             len(toks) AS n,
+             CAST(list_sum(list_transform(toks, x -> length(x)))
+                  AS BIGINT) AS total_len,
+             len(list_filter(toks,
+                             x -> regexp_matches(x, '[A-Za-z]')))
+               AS n_alpha,
+             (CASE WHEN list_contains(list_transform(toks, x -> lower(x)),
+                                      'the') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(list_transform(toks, x -> lower(x)),
+                                        'be') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(list_transform(toks, x -> lower(x)),
+                                        'to') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(list_transform(toks, x -> lower(x)),
+                                        'of') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(list_transform(toks, x -> lower(x)),
+                                        'and') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(list_transform(toks, x -> lower(x)),
+                                        'that') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(list_transform(toks, x -> lower(x)),
+                                        'have') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(list_transform(toks, x -> lower(x)),
+                                        'with') THEN 1 ELSE 0 END)
+               AS stop_hits
+      FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n BETWEEN 50 AND 100000
+                          AND total_len BETWEEN 3 * n AND 10 * n
+                          AND n_alpha * 100 >= n * 80
+                          AND stop_hits >= 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+           CAST(SUM(CASE WHEN n NOT BETWEEN 50 AND 100000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_count,
+           CAST(SUM(CASE WHEN total_len NOT BETWEEN 3 * n AND 10 * n
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mean_word_len,
+           CAST(SUM(CASE WHEN n_alpha * 100 < n * 80
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+           CAST(SUM(CASE WHEN stop_hits < 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopwords
+    FROM s GROUP BY 1
+    """,
+)
+def gopher_quality_docs(spark, sf_dir):
+    """Gopher-rule corpus report: per source, how many documents pass
+    ALL the published lexical gates (word count 50..100k, mean word
+    length 3..10, >=80% alphabetic words, >=2 required stopwords) and
+    how many fail each individual rule. The flags come from ONE
+    struct-valued map expression (datapipe/text.gopher_flags — every
+    threshold is integer math, so no float boundary can flip a flag
+    between engines) followed by a single per-source hash aggregate:
+    map-only + bounded-cardinality agg, the minimal 100-TB shape."""
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select("source", text.gopher_flags("text").alias("_g"))
+    f = F.col  # noqa: E741 - brevity in the aggregate list below
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        flag(
+            f("_g.pass_word_count")
+            & f("_g.pass_mean_word_len")
+            & f("_g.pass_alpha_ratio")
+            & f("_g.pass_stopwords")
+        ).alias("n_pass_all"),
+        flag(~f("_g.pass_word_count")).alias("n_fail_word_count"),
+        flag(~f("_g.pass_mean_word_len")).alias("n_fail_mean_word_len"),
+        flag(~f("_g.pass_alpha_ratio")).alias("n_fail_alpha"),
+        flag(~f("_g.pass_stopwords")).alias("n_fail_stopwords"),
+    )
+
+
+@register(
+    "top_ngram_repetition_docs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, length(text) AS n_chars,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n_chars,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1]))
+               AS gram
+      FROM t WHERE len(toks) >= 2
+    ),
+    c AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt, MAX(n_chars) AS n_chars
+      FROM g GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(MAX(cnt * length(gram)) AS BIGINT) AS top_gram_chars,
+           ROUND(CAST(MAX(cnt * length(gram)) AS DOUBLE)
+                 / CAST(MAX(n_chars) AS DOUBLE), 6) AS rep_frac
+    FROM c GROUP BY 1
+    """,
+)
+def top_ngram_repetition_docs(spark, sf_dir):
+    """Gopher's dominant-bigram repetition rule per document: the
+    fraction of characters covered by the most frequent word 2-gram
+    (count x gram length / doc length). One explode + two map-side-
+    combined hash aggregates; MAX over the count x length product
+    resolves ties without ordering on gram text, and the doc length
+    rides the aggregates so no join back to the corpus is needed
+    (datapipe/text.top_ngram_char_frac)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.top_ngram_char_frac(docs, "text", "doc_id", n=2)
+
+
 # ================================================================
 # Registry iteration order
 # ================================================================

@@ -822,3 +822,68 @@ def test_chunk_dedup_matches_python_replay_randomized(spark):
             if kept:
                 want[did] = (len(kept), " ".join(kept))
         assert got == want, f"trial {trial}"
+
+
+def test_gopher_flags(spark):
+    long_ok = " ".join(["the", "band", "went", "to", "the", "show"] * 10)
+    short = "the cat sat on the mat"  # fails word count only... and len
+    no_stop = " ".join(["word"] * 60)  # no required stopwords
+    digits = " ".join(["123"] * 40 + ["the", "to"] + ["word"] * 10)
+    df = spark.createDataFrame(
+        [(1, long_ok), (2, short), (3, no_stop), (4, digits)],
+        ["doc_id", "t"],
+    )
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", text.gopher_flags("t").alias("g")
+        ).collect()
+    }
+    g1 = out[1]
+    assert g1.n_words == 60
+    assert g1.pass_word_count and g1.pass_mean_word_len
+    assert g1.pass_alpha_ratio and g1.pass_stopwords
+    assert g1.stop_hits == 2  # 'the' and 'to'
+    g2 = out[2]
+    assert not g2.pass_word_count  # 6 words < 50
+    assert g2.stop_hits == 1 and not g2.pass_stopwords  # only 'the'
+    assert not g2.pass_mean_word_len  # 17 chars / 6 words < 3
+    g3 = out[3]
+    assert g3.stop_hits == 0 and not g3.pass_stopwords
+    assert g3.pass_word_count  # 60 words
+    g4 = out[4]
+    # 40 of 52 words are digit-only -> alpha frac = 12/52 < 80%
+    assert not g4.pass_alpha_ratio
+    assert g4.n_alpha_words == 12
+
+
+def test_gopher_flags_mean_word_len_bounds(spark):
+    # mean word length 2 (< 3) and 12 (> 10), via integer-exact bounds
+    df = spark.createDataFrame(
+        [(1, " ".join(["ab"] * 50)), (2, " ".join(["abcdefghijkl"] * 50))],
+        ["doc_id", "t"],
+    )
+    rows = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", text.gopher_flags("t").alias("g")
+        ).collect()
+    }
+    assert not rows[1].pass_mean_word_len
+    assert not rows[2].pass_mean_word_len
+
+
+def test_top_ngram_char_frac(spark):
+    # "a b a b a b": bigrams = [a b, b a, a b, b a, a b] -> top "a b"
+    # cnt=3, len=3 -> 9 chars / 11 chars = 0.818182
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "one"), (3, "x y")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.top_ngram_char_frac(df, "text", "doc_id").collect()
+    }
+    assert out[1]["top_gram_chars"] == 9
+    assert abs(out[1]["rep_frac"] - round(9 / 11, 6)) < 1e-12
+    assert 2 not in out  # single word: no bigram -> omitted
+    assert out[3]["top_gram_chars"] == 3 and out[3]["rep_frac"] == 1.0
