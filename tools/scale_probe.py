@@ -70,6 +70,11 @@ PROBE_QUERIES = [
     "chunk_dedup_docs",
     "lm_score_docs",
     "token_budget_selection",
+    # Gopher quality family: map-only flag projection + bounded
+    # per-source agg (rows×N), and the dominant-bigram explode with
+    # two map-side-combined aggs (gram rows ×N)
+    "gopher_quality_docs",
+    "top_ngram_repetition_docs",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
