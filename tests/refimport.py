@@ -94,6 +94,13 @@ def _install_stubs() -> None:
         sklearn.cluster = cluster
         sys.modules.update({"sklearn": sklearn, "sklearn.cluster": cluster})
 
+    if "tqdm" not in sys.modules:
+        # imputing.py imports tqdm for progress bars only — an
+        # identity passthrough is behavior-exact
+        tq = _mod("tqdm")
+        tq.tqdm = lambda it=None, *a, **kw: it
+        sys.modules["tqdm"] = tq
+
 
 def load_reference_utils():
     """Return (filters, timeseries, met_data_processing) reference
@@ -113,3 +120,10 @@ def load_reference_utils():
     timeseries = importlib.import_module("openoa.utils.timeseries")
     met = importlib.import_module("openoa.utils.met_data_processing")
     return filters, timeseries, met
+
+
+def load_reference_imputing():
+    """Return the reference ``imputing`` module (pandas/NumPy +
+    numpy.polynomial only; tqdm stubbed as identity)."""
+    load_reference_utils()  # installs stubs + package shells
+    return importlib.import_module("openoa.utils.imputing")

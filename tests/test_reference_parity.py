@@ -551,3 +551,142 @@ def test_unit_conversion_parity(spark):
     fpdf = pd.DataFrame({"id": np.arange(n), "ft": feet})
     ref = ref_uc.convert_feet_to_meter(pd.Series(feet))
     _met_parity(spark, fpdf, sunits.convert_feet_to_meter("ft"), ref)
+
+
+# ----------------------------------------------------------------- #
+# imputing.py                                                        #
+# ----------------------------------------------------------------- #
+
+
+def _panel(n_assets=4, n_times=160):
+    """Correlated multi-asset panel with disjoint per-asset NaN holes
+    (disjoint so a single best-neighbor pass fills everything — the
+    regime where the reference's neighbor loop and the engine's
+    one-pass operator provably coincide)."""
+    times = pd.date_range("2020-01-01", periods=n_times, freq="h")
+    assets = [f"T{i}" for i in range(n_assets)]
+    base = RNG.normal(8.0, 2.5, n_times)
+    cols = {}
+    for i, a in enumerate(assets):
+        noise = RNG.normal(0.0, 0.2 + 0.05 * i, n_times)
+        cols[a] = np.round(base * (1.0 + 0.04 * i) + 0.5 * i + noise, 6)
+    wide = pd.DataFrame(cols, index=times)
+    for i, a in enumerate(assets):
+        wide.iloc[i::13, i] = np.nan  # disjoint hole lattice per asset
+    long = wide.stack(future_stack=True).rename("v").reset_index()
+    long.columns = ["t", "asset", "v"]
+    return long
+
+
+def _ref_multiindex(long):
+    return long.set_index(["t", "asset"]).sort_index()
+
+
+def test_asset_correlation_matrix_parity(spark):
+    """imputing.py:13-31 — pairwise Pearson over the time-aligned
+    panel (pandas .corr pairwise-complete), diagonal excluded; both
+    the matrix-GEMM and join strategies against the reference."""
+    from openoa_spark.operators import imputing as simp
+
+    long = _panel()
+    ref_imp = __import__(
+        "tests.refimport", fromlist=["load_reference_imputing"]
+    ).load_reference_imputing()
+    ref_corr = ref_imp.asset_correlation_matrix(_ref_multiindex(long), "v")
+
+    sdf = _sdf(spark, long)
+    for strategy in ("matrix", "vector", "join"):
+        pairs = simp.asset_correlation_pairs(
+            sdf, "t", "asset", "v", strategy=strategy
+        ).collect()
+        assert pairs, strategy
+        for r in pairs:
+            want = ref_corr.loc[r["asset_a"], r["asset_b"]]
+            assert abs(r["corr"] - want) < 1e-9, (
+                strategy, r["asset_a"], r["asset_b"], r["corr"], want
+            )
+
+
+@pytest.mark.parametrize("degree", [1, 2])
+def test_impute_data_parity(spark, degree):
+    """imputing.py:34-131 — polynomial fit on co-present rows, fill
+    target NULLs where the reference series is finite. The engine's
+    distributed-moments normal equations vs numpy Polynomial.fit."""
+    from openoa_spark.operators import imputing as simp
+
+    ref_imp = __import__(
+        "tests.refimport", fromlist=["load_reference_imputing"]
+    ).load_reference_imputing()
+
+    n = 240
+    t = np.arange(n)
+    x = np.round(RNG.uniform(2.0, 14.0, n), 6)
+    y = np.round(1.5 * x + 0.02 * x * x + RNG.normal(0, 0.3, n) + 4.0, 6)
+    y[::7] = np.nan
+    x_holes = x.copy()
+    x_holes[::31] = np.nan  # some reference holes too
+
+    target = pd.DataFrame({"y": y}, index=t)
+    refdat = pd.DataFrame({"x": x_holes}, index=t)
+    ref_out = ref_imp.impute_data(
+        target_col="y", reference_col="x",
+        target_data=target, reference_data=refdat,
+        method="polynomial", degree=degree,
+    )
+
+    tdf = _sdf(spark, pd.DataFrame({"t": t, "y": y}))
+    rdf = _sdf(spark, pd.DataFrame({"t": t, "x": x_holes}))
+    got = {
+        r["t"]: r["y"]
+        for r in simp.impute_data(tdf, rdf, "t", "y", "x", degree=degree)
+        .collect()
+    }
+    for i in t:
+        want = ref_out.loc[i]
+        if pd.isna(want):
+            assert got[i] is None or np.isnan(got[i]), i
+        else:
+            assert got[i] is not None
+            assert abs(got[i] - want) <= 1e-6 + 1e-6 * abs(want), (
+                degree, i, got[i], want
+            )
+
+
+def test_impute_all_assets_by_correlation_parity(spark):
+    """imputing.py:134-229 — best-correlated-neighbor imputation.
+    Disjoint hole lattices mean the top neighbor fills every hole in
+    one pass, so the reference's iterate-while-NaN loop terminates
+    after its first neighbor and coincides with the engine's one-pass
+    operator. (Threshold conventions differ on paper — reference
+    compares raw corr, engine corr² — but both pass at corr≈0.99 vs
+    0.7.)"""
+    from openoa_spark.operators import imputing as simp
+
+    ref_imp = __import__(
+        "tests.refimport", fromlist=["load_reference_imputing"]
+    ).load_reference_imputing()
+
+    long = _panel()
+    ref_out = ref_imp.impute_all_assets_by_correlation(
+        _ref_multiindex(long), impute_col="v", reference_col="v",
+        asset_id_col="asset", r2_threshold=0.7,
+    )
+
+    got = {
+        (r["t"], r["asset"]): r["v"]
+        for r in simp.impute_all_assets_by_correlation(
+            _sdf(spark, long), "t", "asset", "v", r2_threshold=0.7
+        ).collect()
+    }
+    n_imputed = 0
+    for (ts, asset), want in ref_out.items():
+        have = got[(pd.Timestamp(ts), asset)]
+        if pd.isna(want):
+            assert have is None or np.isnan(have), (ts, asset)
+            continue
+        assert have is not None, (ts, asset)
+        assert abs(have - want) <= 1e-6 + 1e-6 * abs(want), (
+            ts, asset, have, want
+        )
+        n_imputed += 1
+    assert n_imputed == len(long)  # every non-NaN slot compared
