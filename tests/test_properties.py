@@ -195,3 +195,75 @@ def test_temperature_weights_property(spark, groups):
     # more than the smallest
     by_n = sorted(out, key=lambda r: r["n_docs"])
     assert by_n[0]["weight"] >= by_n[-1]["weight"] - 1e-9
+
+
+# ------------------------------------------------------- gopher rules
+
+_gopher_word = st.one_of(
+    st.sampled_from(
+        ["the", "be", "to", "of", "and", "that", "have", "with",
+         "word", "spark", "123", "42", "x", "...", "#tag",
+         "longlongword", "abcdefghijklmn"]
+    ),
+    st.text(
+        alphabet="abcZ019!.",
+        min_size=1,
+        max_size=12,
+    ),
+)
+
+
+def _py_gopher(words, sw=("the", "be", "to", "of", "and", "that",
+                          "have", "with")):
+    import re
+
+    n = len(words)
+    total_len = sum(len(w) for w in words)
+    n_alpha = sum(1 for w in words if re.search("[A-Za-z]", w))
+    low = {w.lower() for w in words}
+    stop_hits = sum(1 for w in sw if w in low)
+    return {
+        "n_words": n,
+        "total_word_chars": total_len,
+        "n_alpha_words": n_alpha,
+        "stop_hits": stop_hits,
+        "pass_word_count": 50 <= n <= 100_000,
+        "pass_mean_word_len": 3 * n <= total_len <= 10 * n,
+        "pass_alpha_ratio": n_alpha * 100 >= n * 80,
+        "pass_stopwords": stop_hits >= 2,
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_gopher_word, min_size=1, max_size=120))
+def test_gopher_flags_matches_python_replay(spark, words):
+    from openoa_spark.datapipe import text as dtext
+
+    doc = " ".join(words)
+    row = (
+        spark.createDataFrame([(doc,)], ["t"])
+        .select(dtext.gopher_flags("t").alias("g"))
+        .first()["g"]
+        .asDict()
+    )
+    assert row == _py_gopher(words)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.sampled_from(["a", "b", "cc", "ddd"]),
+                min_size=2, max_size=60))
+def test_top_ngram_char_frac_matches_python_replay(spark, words):
+    from collections import Counter
+
+    from openoa_spark.datapipe import text as dtext
+
+    doc = " ".join(words)
+    grams = Counter(
+        f"{a} {b}" for a, b in zip(words, words[1:])
+    )
+    want_top = max(c * len(g) for g, c in grams.items())
+    want_frac = round(want_top / len(doc), 6)
+    df = spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+    got = dtext.top_ngram_char_frac(df, "text", "doc_id").first()
+    assert got["top_gram_chars"] == want_top
+    assert abs(got["rep_frac"] - want_frac) < 1e-12
