@@ -114,11 +114,36 @@ class BinnedCurve:
 def logistic5_expr(ws: Column | str, a: float, b: float, c: float, d: float, g: float) -> Column:
     """5-parameter logistic power curve
     d + (a - d) / (1 + (x/c)^b)^g — applied as a pure expression.
-    Semantics: power_curve/parametric_forms.py:22-53.
+    Semantics: power_curve/parametric_forms.py:22-68, including the
+    b<0, x==0 singularity (0^b diverges there; the curve's limit — and
+    the reference's explicit branch — is the max asymptote ``d``).
     """
     x = F.col(ws) if isinstance(ws, str) else ws
-    return F.lit(d) + (F.lit(a) - F.lit(d)) / F.pow(
+    curve = F.lit(d) + (F.lit(a) - F.lit(d)) / F.pow(
         F.lit(1.0) + F.pow(x / F.lit(c), F.lit(b)), F.lit(g)
+    )
+    if b < 0:
+        return F.when(x == 0.0, F.lit(float(d))).otherwise(curve)
+    return curve
+
+
+def logistic5_capped_expr(
+    ws: Column | str,
+    a: float,
+    b: float,
+    c: float,
+    d: float,
+    g: float,
+    lower: float,
+    upper: float,
+) -> Column:
+    """Capped 5-param logistic curve: the logistic value clipped into
+    [lower, upper] (power_curve/parametric_forms.py:71-115 — the form
+    used when a fitted curve must respect cut-in floor / rated-power
+    ceiling). Pure expression: greatest/least over logistic5_expr."""
+    return F.least(
+        F.greatest(logistic5_expr(ws, a, b, c, d, g), F.lit(float(lower))),
+        F.lit(float(upper)),
     )
 
 

@@ -127,3 +127,18 @@ def load_reference_imputing():
     numpy.polynomial only; tqdm stubbed as identity)."""
     load_reference_utils()  # installs stubs + package shells
     return importlib.import_module("openoa.utils.imputing")
+
+
+def load_reference_parametric_forms():
+    """Return the reference ``power_curve.parametric_forms`` module
+    (pure NumPy/pandas). A shell package for
+    ``openoa.utils.power_curve`` bypasses its __init__, which imports
+    the pygam/scipy-backed fitting module this container lacks."""
+    load_reference_utils()
+    if "openoa.utils.power_curve" not in sys.modules:
+        pkg = _mod("openoa.utils.power_curve")
+        pkg.__path__ = [f"{_REF_ROOT}/utils/power_curve"]
+        sys.modules["openoa.utils.power_curve"] = pkg
+    return importlib.import_module(
+        "openoa.utils.power_curve.parametric_forms"
+    )

@@ -690,3 +690,66 @@ def test_impute_all_assets_by_correlation_parity(spark):
         )
         n_imputed += 1
     assert n_imputed == len(long)  # every non-NaN slot compared
+
+
+# ----------------------------------------------------------------- #
+# power_curve/parametric_forms.py                                    #
+# ----------------------------------------------------------------- #
+
+
+def test_logistic5param_parity(spark):
+    """parametric_forms.py:22-68 — the 5-param logistic curve across
+    b>0 and b<0 (including the x==0 singularity branch, whose
+    reference value is the max asymptote d)."""
+    from tests.refimport import load_reference_parametric_forms
+    from openoa_spark.operators import power_curve as spc
+
+    forms = load_reference_parametric_forms()
+    x = np.concatenate(([0.0], np.round(RNG.uniform(0.1, 25.0, 150), 6)))
+    pdf = pd.DataFrame({"id": np.arange(len(x)), "ws": x})
+    cases = [
+        (1300.0, -5.0, 9.0, 2100.0, 0.8),   # typical fitted params (b<0)
+        (0.0, 4.0, 8.0, 2000.0, 1.2),        # b>0 branch
+        (100.0, -2.5, 11.0, 1800.0, 2.0),    # asymmetric, b<0
+    ]
+    for a, b, c, d, g in cases:
+        ref = forms.logistic5param(x, a, b, c, d, g)
+        got = (
+            _sdf(spark, pdf)
+            .select("id", spc.logistic5_expr("ws", a, b, c, d, g).alias("p"))
+            .orderBy("id")
+            .collect()
+        )
+        for r, want in zip(got, ref):
+            assert abs(r["p"] - want) <= 1e-9 + 1e-9 * abs(want), (
+                (a, b, c, d, g), r["id"], r["p"], want
+            )
+
+
+def test_logistic5param_capped_parity(spark):
+    """parametric_forms.py:71-115 — logistic curve clipped into
+    [lower, upper]."""
+    from tests.refimport import load_reference_parametric_forms
+    from openoa_spark.operators import power_curve as spc
+
+    forms = load_reference_parametric_forms()
+    x = np.concatenate(([0.0], np.round(RNG.uniform(0.1, 25.0, 150), 6)))
+    pdf = pd.DataFrame({"id": np.arange(len(x)), "ws": x})
+    a, b, c, d, g = 1300.0, -5.0, 9.0, 2100.0, 0.8
+    lower, upper = 50.0, 2000.0
+    ref = forms.logistic5param_capped(x, a, b, c, d, g, lower, upper)
+    got = (
+        _sdf(spark, pdf)
+        .select(
+            "id",
+            spc.logistic5_capped_expr(
+                "ws", a, b, c, d, g, lower, upper
+            ).alias("p"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    for r, want in zip(got, ref):
+        assert abs(r["p"] - want) <= 1e-9 + 1e-9 * abs(want), (
+            r["id"], r["p"], want
+        )
