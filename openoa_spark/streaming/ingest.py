@@ -491,3 +491,56 @@ def stream_time_rollup(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_chunk_dedup(
+    stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_path: str,
+    state_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    chunk_tokens: int = 10,
+):
+    """Streaming CHUNK-level dedup (the C4/RefinedWeb "line dedup"
+    maintained continuously): each micro-batch runs
+    datapipe.dedup.incremental_chunk_dedup against the persistent
+    128-bit fingerprint table at ``state_path`` — a chunk survives
+    only on its first corpus-lifetime occurrence, documents reassemble
+    from surviving chunks — and the cleaned rows land at ``out_path``
+    partitioned by batch id with dynamic overwrite.
+
+    Crash-safety ordering is inherited from the batch operator: the
+    output write runs as the dedup's ``sink`` BEFORE the fingerprint
+    append, so a crash on either side replays idempotently (same
+    partition overwritten, or zero rows against output that already
+    landed). Like near-dup state, chunk fingerprints cannot be
+    watermark-evicted — a boilerplate paragraph repeated a month later
+    is still a duplicate — so state is the append-only 16-byte-per-
+    chunk parquet table, never the streaming state store.
+    """
+    from openoa_spark.datapipe.dedup import incremental_chunk_dedup
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        def _sink(accepted: DataFrame) -> None:
+            (
+                accepted.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(out_path)
+            )
+
+        incremental_chunk_dedup(
+            batch.sparkSession, batch, text_col, id_col, state_path,
+            chunk_tokens=chunk_tokens, sink=_sink,
+        )
+
+    w = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -563,3 +563,68 @@ def test_stream_time_rollup_maintains_continuous_aggregate(spark, tmp_path):
         for r in spark.read.parquet(roll).collect()
     }
     assert again == got
+
+
+def test_stream_chunk_dedup_across_batches(spark, tmp_path):
+    """Chunk-fingerprint state persists across micro-batches: a chunk
+    re-ingested in a later batch is dropped against corpus history,
+    the containing document reassembles from only its novel chunks,
+    and the final streamed output equals the serial batch replay of
+    incremental_chunk_dedup over the same batch sequence."""
+    import pyspark.sql.types as T
+
+    from openoa_spark.datapipe.dedup import incremental_chunk_dedup
+    from openoa_spark.streaming import ingest
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    c1 = "alpha beta gamma delta"
+    c2 = "epsilon zeta eta theta"
+    c3 = "iota kappa lambda mu"
+    batch1 = [(1, f"{c1} {c2}"), (2, f"{c2} {c3}")]
+    batch2 = [(10, f"{c3} {c1}"),            # all chunks old -> vanishes
+              (11, f"{c1} nu xi omicron pi")]  # c1 old, tail novel
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    q = ingest.stream_chunk_dedup(
+        ingest.file_stream(spark, src, schema), "text", "doc_id",
+        out, state, str(tmp_path / "ckpt"), chunk_tokens=4,
+    )
+    q.awaitTermination(120)
+    got1 = {
+        r["doc_id"]: r["clean_text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == {1: f"{c1} {c2}", 2: c3}
+
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    q2 = ingest.stream_chunk_dedup(
+        ingest.file_stream(spark, src, schema), "text", "doc_id",
+        out, state, str(tmp_path / "ckpt"), chunk_tokens=4,
+    )
+    q2.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert 10 not in got  # no novel content anywhere in doc 10
+    assert got[11] == "nu xi omicron pi"
+
+    # serial replay twin: same batches through the batch operator
+    state2 = str(tmp_path / "state2")
+    serial = {}
+    for rows in (batch1, batch2):
+        acc = incremental_chunk_dedup(
+            spark, spark.createDataFrame(rows, schema), "text",
+            "doc_id", state2, chunk_tokens=4,
+        )
+        serial.update(
+            {r["doc_id"]: r["clean_text"] for r in acc.collect()}
+        )
+    assert got == serial
