@@ -5929,8 +5929,12 @@ _PRIORITY = [
     "tokenized_user_activity", "redact_docs", "doc_chunks",
     "stratified_sample_lang", "doc_shards", "pack_blocks_docs",
     "lang_sampling_weights",
-    # set-op / distribution shapes never checked
-    "intersect_both_halves_users", "common_ngram_docs",
+    # round-4d structural additions — brand-new code belongs in the
+    # hard window (displacing the two never-checked set-op queries
+    # intersect_both_halves_users / common_ngram_docs to round 5:
+    # both are sweep-green compositions of machinery pinned by
+    # in-window cousins)
+    "gopher_quality_docs", "top_ngram_repetition_docs",
 ]
 
 def _reorder() -> None:
