@@ -5881,7 +5881,9 @@ def top_ngram_repetition_docs(spark, sf_dir):
 #     lm_score_docs, token_budget_selection) took the slots of the
 #     three single-agg histogram queries (dow_hour_heatmap,
 #     interarrival_histogram, price_histogram).
-# The 12 never-checked names deferred to round 5 are single-expression
+# The never-checked names deferred to round 5 (the 12 below plus the
+# two set-op queries intersect_both_halves_users / common_ngram_docs,
+# displaced by the round-4d Gopher rotation) are single-expression
 # or single-agg queries whose machinery is hash-pinned by in-window
 # cousins and pytest: uv_components / veer_values (met exprs, u-v
 # round-trip property), feet_to_meter_part (unit multiply),
