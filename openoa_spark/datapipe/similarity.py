@@ -593,3 +593,115 @@ def centroid_pairwise_distances(
         .groupBy("label_a", "label_b")
         .agg(F.round(F.sqrt(F.sum(term).cast("double")), 6).alias("l2_dist"))
     )
+
+
+def incremental_embedding_dedup(
+    spark,
+    batch: DataFrame,
+    vec_col: str,
+    id_col: str,
+    state_path: str,
+    planes: list[list[float]],
+    threshold: float,
+    round_digits: int | None = 6,
+    sink=None,
+) -> DataFrame:
+    """Cross-batch embedding near-duplicate removal — the cosine
+    analogue of dedup.incremental_near_dedup for a continuously-
+    embedded corpus: drop batch vectors whose cosine against ANY
+    previously accepted vector in the same sign-LSH bucket reaches
+    ``threshold`` (history wins), run the ordinary within-batch
+    embedding_near_dedup on what remains (min-id representative per
+    connected component), and append the survivors to state.
+
+    Persistent state under ``state_path`` is ONE append-only table
+    (id, bucket, vec): the cross-batch check is a bucket equi-join
+    shipping only same-bucket candidates — never all-pairs — and the
+    exact cosine verifies inside the bucket, exactly the batch
+    operator's scale shape. Unlike the MinHash path there is no
+    separate verification table, so there is no multi-table crash
+    window: output lands via ``sink`` BEFORE the single state append.
+    A crash between sink and append replays against unchanged state
+    and overwrites the same output; a crash after the append replays
+    to zero rows (each vector meets its own state row at cosine 1.0 ≥
+    threshold) against an output that already landed.
+
+    Recall matches the batch operator's single-table sign-LSH: raise
+    plane-set count and union for recall-critical thresholds (each
+    extra table stays a bucket equi-join).
+    """
+    bucketed = batch.select(
+        F.col(id_col).alias("_id"),
+        _vec(vec_col).alias("_v"),
+        lsh_bucket(vec_col, planes, round_digits=round_digits).alias("_bucket"),
+    )
+    jvm = spark._jvm
+    vecs_path = f"{state_path}/vecs"
+    p = jvm.org.apache.hadoop.fs.Path(vecs_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        hist = spark.read.parquet(vecs_path)
+        cand = bucketed.join(
+            hist, bucketed["_bucket"] == hist["bucket"]
+        ).select(
+            "_id",
+            (
+                dot(F.col("_v"), F.col("vec"))
+                / (norm(F.col("_v")) * norm(F.col("vec")))
+            ).alias("_cos"),
+        )
+        dup_of_history = (
+            cand.where(F.round("_cos", 6) >= threshold)
+            .select(F.col("_id").alias(id_col))
+            .distinct()
+        )
+        survivors = batch.join(dup_of_history, id_col, "left_anti")
+        bucketed_surv = bucketed.join(
+            dup_of_history.withColumnRenamed(id_col, "_id"), "_id",
+            "left_anti",
+        )
+    else:
+        survivors = batch
+        bucketed_surv = bucketed
+
+    # within-batch dedup reusing this batch's buckets (the plane dot
+    # products are the dominant CPU; they must run once, not twice)
+    from openoa_spark.datapipe.dedup import connected_components
+
+    a, b = bucketed_surv.alias("a"), bucketed_surv.alias("b")
+    pairs = (
+        a.join(b, F.col("a._bucket") == F.col("b._bucket"))
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(
+                dot(F.col("a._v"), F.col("b._v"))
+                / (norm(F.col("a._v")) * norm(F.col("b._v"))),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    accepted = survivors.join(losers, id_col, "left_anti")
+    accepted = accepted.localCheckpoint(eager=True)
+    if sink is not None:
+        sink(accepted)
+    (
+        bucketed_surv.join(
+            accepted.select(F.col(id_col).alias("_aid")),
+            bucketed_surv["_id"] == F.col("_aid"),
+        )
+        .select(
+            F.col("_id").alias("id"),
+            F.col("_bucket").alias("bucket"),
+            F.col("_v").alias("vec"),
+        )
+        .write.mode("append")
+        .parquet(vecs_path)
+    )
+    return accepted

@@ -544,3 +544,52 @@ def stream_chunk_dedup(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_embedding_dedup(
+    stream: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_path: str,
+    state_path: str,
+    checkpoint: str,
+    planes: list,
+    threshold: float,
+    available_now: bool = True,
+    round_digits: int | None = 6,
+):
+    """Streaming embedding (semantic) near-duplicate removal: each
+    micro-batch runs datapipe.similarity.incremental_embedding_dedup
+    against the persistent (id, bucket, vec) state — history wins,
+    within-batch components collapse to their min-id representative —
+    and accepted rows land at ``out_path`` partitioned by batch id
+    with dynamic overwrite. Output-before-state-append crash ordering
+    and the bucket-equi-join scale shape are the batch operator's;
+    like every near-dup state, vectors cannot be watermark-evicted (a
+    paraphrase embedded a month later is still a duplicate), so state
+    is the append-only parquet table, not the streaming state store.
+    """
+    from openoa_spark.datapipe.similarity import incremental_embedding_dedup
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        def _sink(accepted: DataFrame) -> None:
+            (
+                accepted.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(out_path)
+            )
+
+        incremental_embedding_dedup(
+            batch.sparkSession, batch, vec_col, id_col, state_path,
+            planes, threshold, round_digits=round_digits, sink=_sink,
+        )
+
+    w = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -887,3 +887,79 @@ def test_top_ngram_char_frac(spark):
     assert abs(out[1]["rep_frac"] - round(9 / 11, 6)) < 1e-12
     assert 2 not in out  # single word: no bigram -> omitted
     assert out[3]["top_gram_chars"] == 3 and out[3]["rep_frac"] == 1.0
+
+
+def test_incremental_embedding_dedup(spark, tmp_path):
+    """History-wins cross-batch suppression, within-batch min-id
+    representative, pass-through of unpaired vectors, and replay
+    idempotence (re-running a committed batch yields zero rows)."""
+    from openoa_spark.datapipe.similarity import (
+        incremental_embedding_dedup,
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(2, 6, seed=7)
+    state = str(tmp_path / "emb_state")
+    b1 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.0447]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    acc1 = incremental_embedding_dedup(
+        spark, b1, "embedding", "vec_id", state, planes, 0.95
+    )
+    assert sorted(r["vec_id"] for r in acc1.collect()) == [1, 3]
+
+    # batch 2: near-dup of history (1), a fresh direction, and a
+    # within-batch duplicate pair (20, 21)
+    b2 = spark.createDataFrame(
+        [(10, [0.998, 0.0632]), (20, [0.7071, -0.7071]),
+         (21, [0.7193, -0.6947]), (30, [-1.0, 0.05])],
+        ["vec_id", "embedding"],
+    )
+    acc2 = incremental_embedding_dedup(
+        spark, b2, "embedding", "vec_id", state, planes, 0.95
+    )
+    assert sorted(r["vec_id"] for r in acc2.collect()) == [20, 30]
+
+    # replay of batch 2 against committed state: zero rows
+    acc2r = incremental_embedding_dedup(
+        spark, b2, "embedding", "vec_id", state, planes, 0.95
+    )
+    assert acc2r.count() == 0
+
+
+def test_stream_embedding_dedup_matches_serial(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from openoa_spark.datapipe.similarity import random_hyperplanes
+    from openoa_spark.streaming import ingest
+
+    planes = random_hyperplanes(2, 6, seed=7)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.0447]), (3, [0.0, 1.0])], schema
+    ).write.mode("append").parquet(src)
+    q = ingest.stream_embedding_dedup(
+        ingest.file_stream(spark, src, schema), "embedding", "vec_id",
+        out, state, str(tmp_path / "ckpt"), planes, 0.95,
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(
+        [(10, [0.998, 0.0632]), (11, [-0.6, -0.8])], schema
+    ).write.mode("append").parquet(src)
+    q2 = ingest.stream_embedding_dedup(
+        ingest.file_stream(spark, src, schema), "embedding", "vec_id",
+        out, state, str(tmp_path / "ckpt"), planes, 0.95,
+    )
+    q2.awaitTermination(120)
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 3, 11]
