@@ -950,3 +950,92 @@ def incremental_chunk_dedup(
         F.col("_h1").alias("h1"), F.col("_h2").alias("h2")
     ).write.mode("append").parquet(state_path)
     return accepted
+
+
+def duplicated_span_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 10,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span excision at token grain (the
+    "deduplicating training data" operator, approximated with
+    OVERLAPPING stride-1 windows instead of a suffix array): every
+    ``window_tokens``-token window that occurred earlier in the corpus
+    — smallest (id, pos) owns it — marks its token range as
+    duplicated; a document keeps exactly its tokens covered by NO
+    non-first window occurrence, reassembled in order. Unlike
+    chunk_dedup (non-overlapping chunks), this catches duplicated
+    spans at ANY alignment, the way boilerplate actually repeats.
+
+    Defined approximation for self-overlapping repetition: a run of a
+    repeated token collapses toward its first window (tokens covered
+    by a non-first occurrence are excised even where that occurrence
+    overlaps the first) — deterministic and engine-agnostic.
+
+    Scale shape: windows are one stride-1 posexplode — one row per
+    token — hashed to 128 bits (two xxhash64 passes) in the SAME
+    projection, so window TEXT never crosses the network; ownership is
+    one map-side-combined hash aggregate on the fingerprint; coverage
+    fans each duplicate window to its ``window_tokens`` positions
+    (bounded k×dups) into a distinct + anti-join at token grain; the
+    final id-grain aggregate reassembles survivors. Every stage is an
+    equi-join or hash agg on scalars.
+    """
+    from openoa_spark.datapipe.text import tokens
+    from openoa_spark.session import spread_small_input
+
+    k = int(window_tokens)
+    if k < 2:
+        raise ValueError("window_tokens must be >= 2")
+    base = (
+        spread_small_input(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            tokens(F.col(text_col)).alias("_toks"),
+        )
+        .localCheckpoint(eager=False)  # two consumers: windows + tokens
+    )
+    nt = F.size("_toks")
+    wins = F.when(
+        nt >= k,
+        F.transform(
+            F.sequence(F.lit(0), nt - k),
+            lambda i: F.array_join(F.slice("_toks", i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    w = base.select(
+        "_id", F.posexplode(wins).alias("pos", "_win")
+    ).select(
+        "_id",
+        "pos",
+        F.xxhash64("_win").alias("_h1"),
+        F.xxhash64(F.lit(1), "_win").alias("_h2"),
+    )
+    owner = w.groupBy("_h1", "_h2").agg(F.min(F.struct("_id", "pos")).alias("_o"))
+    dup = (
+        w.join(owner, ["_h1", "_h2"])
+        .where(
+            (F.col("_id") != F.col("_o._id")) | (F.col("pos") != F.col("_o.pos"))
+        )
+        .select("_id", "pos")
+    )
+    covered = dup.select(
+        "_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("pos")
+    ).distinct()
+    tok_tbl = base.select("_id", F.posexplode("_toks").alias("pos", "_tok"))
+    kept = tok_tbl.join(covered, ["_id", "pos"], "left_anti")
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(F.col("_id").alias(id_col), "n_kept", "clean_text")
+    )

@@ -5739,6 +5739,54 @@ def token_budget_selection(spark, sf_dir):
 
 
 @register(
+    "dup_span_removal_docs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(toks[i : i + 9], ' ') AS win
+      FROM t, unnest(generate_series(1, len(toks) - 9)) AS u(i)
+      WHERE len(toks) >= 10
+    ),
+    own AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY win
+                                ORDER BY doc_id, pos) AS rn
+      FROM w
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + d AS pos
+      FROM own, unnest(generate_series(0, 9)) AS g(d)
+      WHERE rn > 1
+    ),
+    tok AS (
+      SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+      FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+    )
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(tok.tok, ' ' ORDER BY tok.pos) AS clean_text
+    FROM tok LEFT JOIN cov
+      ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+    WHERE cov.doc_id IS NULL
+    GROUP BY 1
+    """,
+)
+def dup_span_removal_docs(spark, sf_dir):
+    """ExactSubstr-style duplicated-span excision: overlapping
+    stride-1 10-token windows, first corpus-wide occurrence owns each
+    window, tokens covered by any non-first occurrence are removed and
+    documents reassemble from the survivors — catches duplicated spans
+    at ANY alignment, unlike the chunk-grain operator
+    (datapipe/dedup.duplicated_span_removal)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicated_span_removal(docs, "text", "doc_id", 10)
+
+
+@register(
     "gopher_quality_docs",
     r"""
     WITH t AS (
@@ -5930,13 +5978,14 @@ _PRIORITY = [
     "near_dup_edit_verified", "rabin_karp_fingerprints",
     "tokenized_user_activity", "redact_docs", "doc_chunks",
     "stratified_sample_lang", "doc_shards", "pack_blocks_docs",
-    "lang_sampling_weights",
     # round-4d structural additions — brand-new code belongs in the
-    # hard window (displacing the two never-checked set-op queries
-    # intersect_both_halves_users / common_ngram_docs to round 5:
-    # both are sweep-green compositions of machinery pinned by
-    # in-window cousins)
+    # hard window (displacing to round 5: the two never-checked
+    # set-op queries intersect_both_halves_users / common_ngram_docs
+    # and the single-bounded-agg lang_sampling_weights, all
+    # sweep-green compositions of machinery pinned by in-window
+    # cousins and the temperature-weights property test)
     "gopher_quality_docs", "top_ngram_repetition_docs",
+    "dup_span_removal_docs",
 ]
 
 def _reorder() -> None:

@@ -963,3 +963,77 @@ def test_stream_embedding_dedup_matches_serial(spark, tmp_path):
     assert sorted(
         r["vec_id"] for r in spark.read.parquet(out).collect()
     ) == [1, 3, 11]
+
+
+def test_duplicated_span_removal_cross_alignment(spark):
+    """A 10-token span repeated at a DIFFERENT alignment in a later
+    doc is excised there (chunk-grain dedup would miss it), the first
+    occurrence survives untouched, and a doc that is entirely repeated
+    content vanishes."""
+    span = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    d1 = f"intro words here {span} closing words"
+    d2 = f"x1 x2 x3 x4 {span} y1"        # span at offset 4 (offset 3 in d1)
+    d3 = span                             # fully duplicated -> vanishes
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["n_kept"], r["clean_text"])
+        for r in dedup.duplicated_span_removal(df, "text", "doc_id", 10)
+        .collect()
+    }
+    assert out[1] == (15, d1)  # first occurrence keeps everything
+    assert out[2] == (5, "x1 x2 x3 x4 y1")
+    assert 3 not in out
+
+
+def test_duplicated_span_removal_self_repetition(spark):
+    """Within-doc repetition at stride 1: a run of one repeated token
+    collapses toward its first window (documented approximation)."""
+    df = spark.createDataFrame([(1, " ".join(["r"] * 14))], ["doc_id", "text"])
+    out = dedup.duplicated_span_removal(df, "text", "doc_id", 10).first()
+    # windows at pos 0..4 all identical; pos 0 owns; covered = 1..13
+    assert out["n_kept"] == 1 and out["clean_text"] == "r"
+
+
+def test_duplicated_span_removal_matches_python_replay(spark):
+    import random
+
+    rnd = random.Random(99)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    shared = [rnd.choice(vocab) for _ in range(10)]
+    for i in range(12):
+        words = [rnd.choice(vocab) for _ in range(rnd.randint(3, 30))]
+        if i % 3 == 0:  # plant the shared span at a random offset
+            at = rnd.randint(0, len(words))
+            words = words[:at] + shared + words[at:]
+        docs.append((i, " ".join(words)))
+
+    k = 5
+    # python replay
+    toks = {i: t.split() for i, t in docs}
+    first = {}
+    dup = []
+    for i, ws in sorted(toks.items()):
+        for p in range(len(ws) - k + 1):
+            win = tuple(ws[p:p + k])
+            if win in first:
+                dup.append((i, p))
+            else:
+                first[win] = (i, p)
+    covered = {(i, p + d) for (i, p) in dup for d in range(k)}
+    want = {}
+    for i, ws in toks.items():
+        keep = [w for p, w in enumerate(ws) if (i, p) not in covered]
+        if keep:
+            want[i] = (len(keep), " ".join(keep))
+
+    got = {
+        r["doc_id"]: (r["n_kept"], r["clean_text"])
+        for r in dedup.duplicated_span_removal(
+            spark.createDataFrame(docs, ["doc_id", "text"]),
+            "text", "doc_id", k,
+        ).collect()
+    }
+    assert got == want

@@ -75,6 +75,8 @@ PROBE_QUERIES = [
     # two map-side-combined aggs (gram rows ×N)
     "gopher_quality_docs",
     "top_ngram_repetition_docs",
+    # stride-1 window ownership + token-grain anti-join (rows×N)
+    "dup_span_removal_docs",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
