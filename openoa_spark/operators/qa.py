@@ -289,3 +289,51 @@ def ks_statistic(
         [(round(d, round_digits), r["_n"], c["_n"])],
         "ks double, n_reference bigint, n_current bigint",
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff between two versions of a keyed table: one row
+    per key present in either version, tagged ``added`` / ``removed``
+    / ``changed`` / ``unchanged`` — the audit primitive behind corpus
+    version reviews ("what moved between crawl N and N+1") and
+    safe-deploy checks on dimension reloads.
+
+    Rows compare by an md5 fingerprint over ``compare_cols`` (default:
+    all non-key columns, in name order), concatenated with a unit
+    separator and a NULL sentinel so (NULL, 'a') never collides with
+    ('a', NULL). Scale shape: fingerprints are map-side projections —
+    the single shuffle is the full-outer equi-join on the key, and
+    only (key, 32-byte hash) rows move, never payload columns.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if compare_cols is None:
+        skip = set(key_cols)
+        compare_cols = sorted(c for c in old.columns if c not in skip)
+
+    def fp(df: DataFrame, alias: str) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in compare_cols
+                ],
+            )
+        )
+        return df.select(*key_cols, h.alias(alias))
+
+    o, n = fp(old, "_h_old"), fp(new, "_h_new")
+    j = o.join(n, key_cols, "full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*key_cols, status.alias("status"))

@@ -5739,6 +5739,64 @@ def token_budget_selection(spark, sf_dir):
 
 
 @register(
+    "corpus_version_diff",
+    r"""
+    WITH old AS (
+      SELECT doc_id,
+             md5(concat_ws(chr(31),
+                           coalesce(CAST(lang AS VARCHAR), chr(0)),
+                           coalesce(CAST(source AS VARCHAR), chr(0)),
+                           coalesce(CAST(text AS VARCHAR), chr(0)))) AS h
+      FROM documents WHERE doc_id % 5 <> 4
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(concat_ws(chr(31),
+                           coalesce(CAST(lang AS VARCHAR), chr(0)),
+                           coalesce(CAST(source AS VARCHAR), chr(0)),
+                           coalesce(CAST(CASE WHEN doc_id % 7 = 0
+                                              THEN upper(text)
+                                              ELSE text END AS VARCHAR),
+                                    chr(0)))) AS h
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    d AS (
+      SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+             CASE WHEN old.h IS NULL THEN 'added'
+                  WHEN new.h IS NULL THEN 'removed'
+                  WHEN old.h = new.h THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM d GROUP BY 1
+    """,
+)
+def corpus_version_diff(spark, sf_dir):
+    """Corpus snapshot diff ("what moved between crawl N and N+1"):
+    two deterministic synthetic versions of the documents table (one
+    residue class dropped from each side, one class uppercased) run
+    through the generic keyed table_diff — md5 row fingerprints as
+    map-side projections, ONE full-outer equi-join on the key shipping
+    (key, hash) only, then a bounded status rollup
+    (operators/qa.table_diff)."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 5 != 4)
+    new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.upper("text")).otherwise(
+            F.col("text")
+        ),
+    )
+    d = qa_ops.table_diff(
+        old, new, ["doc_id"], compare_cols=["lang", "source", "text"]
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+@register(
     "dup_span_removal_docs",
     r"""
     WITH t AS (

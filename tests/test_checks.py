@@ -101,3 +101,37 @@ def test_hostile_rule_names(dirty):
     ).collect()
     assert sorted(r["rule"] for r in rows) == sorted(names)
     assert len({r["violations"] for r in rows}) == 1
+
+
+def test_table_diff_statuses(spark):
+    from openoa_spark.operators import qa as qa_ops
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x"), (3, "c", "y"), (4, None, "z")],
+        ["id", "v", "w"],
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "x"), (3, "CHANGED", "y"), (4, None, "z"), (5, "e", "q")],
+        ["id", "v", "w"],
+    )
+    out = {
+        r["id"]: r["status"]
+        for r in qa_ops.table_diff(old, new, ["id"]).collect()
+    }
+    assert out == {
+        1: "removed", 2: "unchanged", 3: "changed", 4: "unchanged",
+        5: "added",
+    }
+
+
+def test_table_diff_null_vs_empty_not_confused(spark):
+    # (NULL, 'a') must differ from ('', 'a') and from ('a', NULL)
+    from openoa_spark.operators import qa as qa_ops
+
+    old = spark.createDataFrame([(1, None, "a"), (2, "a", None)], ["id", "v", "w"])
+    new = spark.createDataFrame([(1, "", "a"), (2, None, "a")], ["id", "v", "w"])
+    out = {
+        r["id"]: r["status"]
+        for r in qa_ops.table_diff(old, new, ["id"]).collect()
+    }
+    assert out == {1: "changed", 2: "changed"}
