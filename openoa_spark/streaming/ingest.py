@@ -593,3 +593,96 @@ def stream_embedding_dedup(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_drift_monitor(
+    stream: DataFrame,
+    value_col: str,
+    reference: DataFrame,
+    metrics_path: str,
+    checkpoint: str,
+    n_buckets: int = 10,
+    available_now: bool = True,
+    round_digits: int = 6,
+):
+    """Continuous distribution-drift monitoring: the REFERENCE
+    snapshot's exact decile edges and bucket proportions are computed
+    ONCE before the stream starts (the reference is a fixed training
+    snapshot — recompute by restarting the monitor), then every
+    micro-batch reduces to ONE conditional-count aggregate over the
+    frozen edges and a driver-side PSI fold (same regularization as
+    operators/qa.population_stability_index). One (batch_id, psi,
+    n_current, n_reference) row lands per batch at ``metrics_path``,
+    partitioned by batch id with dynamic overwrite — a replayed batch
+    overwrites its own report, never appends a duplicate.
+
+    This is the PSI gate of qa.population_stability_index made
+    incremental: per-batch cost is a single map-side-combined
+    aggregate (no join, no sort, no state store — the only state is
+    the broadcast-sized edge list captured in the closure).
+    """
+    import math
+
+    from openoa_spark.operators.qa import population_stability_index  # noqa: F401  (semantics twin)
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    ref_nn = reference.where(F.col(value_col).isNotNull())
+    edges = ref_nn.agg(
+        F.percentile(F.col(value_col), qs).alias("e")
+    ).first()["e"]
+    if edges is None:
+        raise ValueError("reference has no non-null values")
+
+    def bucket_expr():
+        v = F.col(value_col)
+        b = F.lit(0)
+        for e in edges:
+            b = b + (v > F.lit(float(e))).cast("int")
+        return b
+
+    r = ref_nn.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum((bucket_expr() == i).cast("long")).alias(f"_b{i}")
+            for i in range(n_buckets)
+        ],
+    ).first()
+    n_ref = r["_n"]
+    floor = 1e-6
+    p_ref = [
+        max((r[f"_b{i}"] / n_ref) if n_ref else 0.0, floor)
+        for i in range(n_buckets)
+    ]
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        c = batch.where(F.col(value_col).isNotNull()).agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum((bucket_expr() == i).cast("long")).alias(f"_b{i}")
+                for i in range(n_buckets)
+            ],
+        ).first()
+        n_cur = c["_n"]
+        psi = 0.0
+        for i in range(n_buckets):
+            p_cur = max((c[f"_b{i}"] / n_cur) if n_cur else 0.0, floor)
+            psi += (p_cur - p_ref[i]) * math.log(p_cur / p_ref[i])
+        spark = batch.sparkSession
+        (
+            spark.createDataFrame(
+                [(batch_id, round(psi, round_digits), n_cur, n_ref)],
+                "batch_id long, psi double, n_current bigint, n_reference bigint",
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(metrics_path)
+        )
+
+    w = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -628,3 +628,50 @@ def test_stream_chunk_dedup_across_batches(spark, tmp_path):
             {r["doc_id"]: r["clean_text"] for r in acc.collect()}
         )
     assert got == serial
+
+
+def test_stream_drift_monitor_matches_batch_psi(spark, tmp_path):
+    """Per-batch PSI against the frozen reference edges equals the
+    batch operator run on the same (reference, batch) pair, and a
+    replayed batch overwrites its own metrics row (no duplicates)."""
+    import pyspark.sql.types as T
+
+    from openoa_spark.operators.qa import population_stability_index
+
+    src = str(tmp_path / "src")
+    metrics = str(tmp_path / "metrics")
+    schema = T.StructType([T.StructField("v", T.DoubleType())])
+
+    ref = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], schema
+    )
+    shifted = [(float(i % 100) + 40.0,) for i in range(500)]
+    spark.createDataFrame(shifted, schema).write.mode("append").parquet(src)
+
+    q = ingest.stream_drift_monitor(
+        ingest.file_stream(spark, src, schema), "v", ref, metrics,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(metrics).collect()
+    assert len(rows) == 1
+    got = rows[0]
+    want = population_stability_index(
+        ref, spark.createDataFrame(shifted, schema), "v"
+    ).first()
+    assert got["psi"] == want["psi"]
+    assert got["psi"] > 0.25  # a 40-unit shift is a drift alarm
+    assert got["n_current"] == 500 and got["n_reference"] == 1000
+
+    # stable second batch: near-zero PSI, new metrics row appears
+    spark.createDataFrame(
+        [(float((i * 7) % 100),) for i in range(800)], schema
+    ).write.mode("append").parquet(src)
+    q2 = ingest.stream_drift_monitor(
+        ingest.file_stream(spark, src, schema), "v", ref, metrics,
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    out = {r["batch_id"]: r for r in spark.read.parquet(metrics).collect()}
+    assert set(out) == {0, 1}
+    assert out[1]["psi"] < 0.1
