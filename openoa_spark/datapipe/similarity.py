@@ -705,3 +705,101 @@ def incremental_embedding_dedup(
         .parquet(vecs_path)
     )
     return accepted
+
+
+def embedding_pca(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    id_col: str | None = None,
+):
+    """Distributed PCA over an embedding column — the dimensionality
+    reduction stage before ANN indexing / clustering at corpus scale.
+
+    Shape: each partition reduces to ONE (count, sum-vector, Gram
+    matrix) row via an Arrow-batched NumPy fold (``mapInPandas`` —
+    d×d floats per partition, independent of row count), the driver
+    sums those partials and eigendecomposes the d×d covariance
+    (d = embedding width, trivially driver-sized), and the projection
+    itself is a map-only expression — no shuffle anywhere except the
+    single-row partial collection.
+
+    Determinism: eigenvector SIGN is canonicalized (largest-|.|
+    component made positive) so repeated runs and different partition
+    counts produce identical projections; eigenvalues are returned
+    descending.
+
+    Returns ``(projected_df, explained_variance)`` where
+    ``projected_df`` carries ``pca`` (array<double>, length k) plus
+    ``id_col`` (or all original columns when ``id_col`` is None), and
+    ``explained_variance`` is the per-component variance list.
+    """
+    import numpy as np
+    import pandas as pd
+
+    first = df.select(F.size(_vec(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("embedding_pca needs a non-empty input")
+    d = first["d"]
+
+    def partial(batches):
+        n = 0
+        s = np.zeros(d)
+        g = np.zeros((d, d))
+        for pdf in batches:
+            m = np.stack(pdf["_v"].to_numpy())
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            g += m.T @ m
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
+        )
+
+    parts = (
+        df.select(_vec(vec_col).cast("array<double>").alias("_v"))
+        .mapInPandas(partial, "n long, s array<double>, g array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in parts)
+    if n < 2:
+        raise ValueError("embedding_pca needs at least 2 vectors")
+    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
+    g = np.sum([np.array(r["g"]).reshape(d, d) for r in parts], axis=0)
+    mu = s / n
+    cov = (g - np.outer(mu, s) - np.outer(s, mu) + n * np.outer(mu, mu)) / (
+        n - 1
+    )
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T  # (k, d)
+    # canonical sign: make each component's largest-|.| entry positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    evr = [float(w[o]) for o in order]
+
+    centered = F.zip_with(
+        _vec(vec_col).cast("array<double>"),
+        F.array(*[F.lit(float(x)) for x in mu]),
+        lambda a, b: a - b,
+    )
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    centered,
+                    F.array(*[F.lit(float(x)) for x in comps[i]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for i in range(comps.shape[0])
+        ]
+    )
+    if id_col is not None:
+        out = df.select(F.col(id_col), proj.alias("pca"))
+    else:
+        out = df.withColumn("pca", proj)
+    return out, evr

@@ -1037,3 +1037,56 @@ def test_duplicated_span_removal_matches_python_replay(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_embedding_pca_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: variance concentrated along two directions
+    base = rng.normal(0, 1, (200, 2)) @ np.array(
+        [[5.0, 0, 0, 0, 0, 0], [0, 2.0, 0, 0, 0, 0]]
+    )
+    x = base + rng.normal(0, 0.1, (200, 6))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        ["vec_id", "embedding"],
+    )
+    out, evr = similarity.embedding_pca(df, "embedding", 2, id_col="vec_id")
+    got = {r["vec_id"]: np.array(r["pca"]) for r in out.collect()}
+
+    # NumPy reference PCA with the same sign canonicalization
+    mu = x.mean(axis=0)
+    c = np.cov(x, rowvar=False, ddof=1)
+    w, v = np.linalg.eigh(c)
+    order = np.argsort(w)[::-1][:2]
+    comps = v[:, order].T
+    for i in range(2):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    want = (x - mu) @ comps.T
+    for i in range(len(x)):
+        assert np.allclose(got[i], want[i], atol=1e-8), i
+    assert np.allclose(sorted(evr, reverse=True), sorted(w, reverse=True)[:2])
+    assert evr[0] > 20 and evr[1] > 3  # the planted 5²/2² directions
+
+
+def test_embedding_pca_partitioning_invariant(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, (60, 4))
+    rows = [(i, [float(v) for v in r]) for i, r in enumerate(x)]
+    a, _ = similarity.embedding_pca(
+        spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(1),
+        "embedding", 2, id_col="vec_id",
+    )
+    b, _ = similarity.embedding_pca(
+        spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(13),
+        "embedding", 2, id_col="vec_id",
+    )
+    ga = {r["vec_id"]: r["pca"] for r in a.collect()}
+    gb = {r["vec_id"]: r["pca"] for r in b.collect()}
+    for i in ga:
+        assert np.allclose(ga[i], gb[i], atol=1e-9)
