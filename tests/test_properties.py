@@ -267,3 +267,40 @@ def test_top_ngram_char_frac_matches_python_replay(spark, words):
     got = dtext.top_ngram_char_frac(df, "text", "doc_id").first()
     assert got["top_gram_chars"] == want_top
     assert abs(got["rep_frac"] - want_frac) < 1e-12
+
+
+# ------------------------------------------------------- table diff
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 20),
+                    st.one_of(st.none(), st.text("abc", max_size=2)),
+                    max_size=12),
+    st.dictionaries(st.integers(0, 20),
+                    st.one_of(st.none(), st.text("abc", max_size=2)),
+                    max_size=12),
+)
+def test_table_diff_matches_dict_diff(spark, old, new):
+    from openoa_spark.operators import qa as qa_ops
+
+    odf = spark.createDataFrame(
+        [(k, v) for k, v in old.items()], "id int, v string"
+    ) if old else spark.createDataFrame([], "id int, v string")
+    ndf = spark.createDataFrame(
+        [(k, v) for k, v in new.items()], "id int, v string"
+    ) if new else spark.createDataFrame([], "id int, v string")
+    got = {
+        r["id"]: r["status"]
+        for r in qa_ops.table_diff(odf, ndf, ["id"]).collect()
+    }
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = "added"
+        elif k not in new:
+            want[k] = "removed"
+        elif old[k] == new[k]:
+            want[k] = "unchanged"
+        else:
+            want[k] = "changed"
+    assert got == want
