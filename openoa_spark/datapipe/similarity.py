@@ -803,3 +803,104 @@ def embedding_pca(
     else:
         out = df.withColumn("pca", proj)
     return out, evr
+
+
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    index_path: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Persist an IVF index for serving: distributed KMeans coarse
+    quantization, then TWO parquet tables under ``index_path`` —
+    ``centroids/`` (cluster_id, centroid) and ``postings/``
+    (cluster_id, id, vec) PARTITIONED BY cluster id, so a query
+    touching ``n_probe`` lists reads exactly those partitions
+    (partition pruning does the inverted-file part; no full-index
+    scan). Returns the centroid list.
+
+    Rebuild by re-calling (overwrite). The assignment expression is
+    the same broadcast-centroid argmin as ivf_neighbors, so offline
+    search and the persisted index can never disagree on routing.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        _vec(vec_col).alias("vec"),
+        array_to_vector(_vec(vec_col)).alias("_features"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="_features").fit(feats)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    def dist2(center):
+        ca = F.array(*[F.lit(x) for x in center])
+        diff = F.zip_with(F.col("vec"), ca, lambda x, y: x - y)
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(dist2(c).alias("d"), F.lit(i).alias("cid"))
+                for i, c in enumerate(centers)
+            ]
+        )
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "cluster_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    (
+        feats.select(
+            F.element_at(ranked, 1)["cid"].alias("cluster_id"), "id", "vec"
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(f"{index_path}/postings")
+    )
+    return centers
+
+
+def query_ivf_index(
+    spark,
+    index_path: str,
+    query: list[float],
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Serve a top-k query from a persisted IVF index: rank centroids
+    driver-side (tiny table), push a ``cluster_id IN (...)`` filter
+    into the postings scan — partition pruning reads only the
+    ``n_probe`` probed lists — and score exact cosine inside them.
+    Returns (id, cosine) ordered desc with id tiebreak.
+    """
+    centers = {
+        r["cluster_id"]: r["centroid"]
+        for r in spark.read.parquet(f"{index_path}/centroids").collect()
+    }
+    order = sorted(
+        centers,
+        key=lambda cid: sum(
+            (q - c) ** 2 for q, c in zip(query, centers[cid])
+        ),
+    )
+    probes = order[:n_probe]
+    postings = spark.read.parquet(f"{index_path}/postings").where(
+        F.col("cluster_id").isin(probes)
+    )
+    qa = F.array(*[F.lit(float(x)) for x in query])
+    scored = postings.select(
+        "id",
+        (dot(F.col("vec"), qa) / (norm(F.col("vec")) * norm(qa))).alias(
+            "cosine"
+        ),
+    )
+    return (
+        scored.select("id", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )

@@ -1090,3 +1090,29 @@ def test_embedding_pca_partitioning_invariant(spark):
     gb = {r["vec_id"]: r["pca"] for r in b.collect()}
     for i in ga:
         assert np.allclose(ga[i], gb[i], atol=1e-9)
+
+
+def test_ivf_index_build_query_roundtrip(spark, tmp_path):
+    """Persisted IVF index: partition-pruned probe reads, query
+    results match brute force when the right list is probed, and the
+    postings scan's plan shows the cluster filter pushed down."""
+    df = _cluster_vectors(spark)  # 4 well-separated clusters of 10
+    path = str(tmp_path / "ivf")
+    centers = similarity.build_ivf_index(
+        df, "embedding", "vec_id", path, n_clusters=4, seed=42
+    )
+    assert len(centers) == 4
+
+    query = [1.0, 0.02, 0.0, 0.01, 0.0, 0.0, 0.0, 0.0]
+    got = similarity.query_ivf_index(spark, path, query, k=3, n_probe=1)
+    want = similarity.brute_force_top_k(df, "embedding", "vec_id", query, k=3)
+    assert [r["id"] for r in got.collect()] == [
+        r["vec_id"] for r in want.collect()
+    ]
+
+    # probe filter reaches the postings scan (partition pruning)
+    postings = spark.read.parquet(f"{path}/postings").where(
+        F.col("cluster_id").isin([0, 1])
+    )
+    plan = postings._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "cluster_id" in plan
