@@ -129,6 +129,35 @@ def load_reference_imputing():
     return importlib.import_module("openoa.utils.imputing")
 
 
+def load_reference_qa():
+    """Return the reference ``qa`` module. Its QA functions are pure
+    pandas/pytz/dateutil (both installed); matplotlib / pyproj /
+    h5pyd / openoa.utils.plot are imported at module top only for the
+    plotting and WTK helpers, so inert stubs suffice (the parity
+    tests never call those)."""
+    load_reference_utils()
+    stubs = {}
+    if "matplotlib" not in sys.modules:
+        mpl = _mod("matplotlib")
+        plt = _mod("matplotlib.pyplot")
+        mpl.pyplot = plt
+        stubs.update({"matplotlib": mpl, "matplotlib.pyplot": plt})
+    if "pyproj" not in sys.modules:
+        pyproj = _mod("pyproj")
+        pyproj.Proj = object
+        stubs["pyproj"] = pyproj
+    if "h5pyd" not in sys.modules:
+        h5 = _mod("h5pyd")
+        h5.File = object
+        stubs["h5pyd"] = h5
+    if "openoa.utils.plot" not in sys.modules:
+        plot = _mod("openoa.utils.plot")
+        plot.set_styling = lambda *a, **kw: None
+        stubs["openoa.utils.plot"] = plot
+    sys.modules.update(stubs)
+    return importlib.import_module("openoa.utils.qa")
+
+
 def load_reference_parametric_forms():
     """Return the reference ``power_curve.parametric_forms`` module
     (pure NumPy/pandas). A shell package for

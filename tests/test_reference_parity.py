@@ -753,3 +753,126 @@ def test_logistic5param_capped_parity(spark):
         assert abs(r["p"] - want) <= 1e-9 + 1e-9 * abs(want), (
             r["id"], r["p"], want
         )
+
+
+# ----------------------------------------------------------------- #
+# qa.py                                                              #
+# ----------------------------------------------------------------- #
+
+
+def test_determine_offset_dst_parity(spark):
+    """qa.py:84-112 — utc_offset and is_dst across both 2021 DST
+    transitions (America/Denver), DST defined against the January
+    baseline offset."""
+    from tests.refimport import load_reference_qa
+    from openoa_spark.operators import qa as sqa
+
+    ref_qa = load_reference_qa()
+    idx = pd.date_range(
+        "2021-03-13", periods=96, freq="h", tz="UTC"
+    ).append(pd.date_range("2021-11-06", periods=96, freq="h", tz="UTC"))
+    pdf = pd.DataFrame({"v": np.arange(len(idx), dtype=float)}, index=idx)
+    ref = ref_qa.determine_offset_dst(pdf.copy(), "America/Denver")
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"t": idx.tz_localize(None), "v": pdf["v"].to_numpy()})
+    )
+    got = {
+        r["t"]: (r["utc_offset"], r["is_dst"])
+        for r in sqa.determine_offset_dst(sdf, "t", "America/Denver")
+        .collect()
+    }
+    for ts_utc, row in ref.iterrows():
+        want_h = row["utc_offset"].total_seconds() / 3600.0
+        g = got[ts_utc.tz_localize(None).to_pydatetime()]
+        assert g[0] == want_h, ts_utc
+        assert g[1] == bool(row["is_dst"]), ts_utc
+
+
+def test_convert_datetime_column_parity(spark):
+    """qa.py:115-175 (naive-string path) — wall-clock strings
+    localized to the plant timezone, UTC conversion, DST flag. Times
+    chosen away from transition edges (reference localizes with
+    ambiguous=True)."""
+    from tests.refimport import load_reference_qa
+    from openoa_spark.operators import qa as sqa
+
+    ref_qa = load_reference_qa()
+    stamps = (
+        [f"2021-01-10 {h:02d}:00:00" for h in range(12)]
+        + [f"2021-06-15 {h:02d}:00:00" for h in range(12)]
+    )
+    pdf = pd.DataFrame({"time": stamps, "v": np.arange(len(stamps))})
+    ref = ref_qa.convert_datetime_column(
+        pdf.copy(), "time", "America/Denver", tz_aware=False
+    )
+
+    sdf = spark.createDataFrame(pdf)
+    out = sqa.convert_datetime_column(
+        sdf, "time", "America/Denver", tz_aware=False
+    )
+    got = {
+        r["time"]: (r["time_utc"], r["is_dst"]) for r in out.collect()
+    }
+    for _, row in ref.reset_index(drop=True).iterrows():
+        want_utc = row["time_utc"].tz_localize(None).to_pydatetime()
+        g = got[str(row["time"])[:19].replace("T", " ")]
+        assert g[0] == want_utc, row["time"]
+        assert g[1] == bool(row["is_dst"]), row["time"]
+
+
+def test_duplicate_time_identification_parity(spark):
+    """qa.py:178-213 — per-asset duplicated timestamps: the engine's
+    (time, count) table names exactly the distinct stamps the
+    reference's duplicated() mask flags."""
+    from tests.refimport import load_reference_qa
+    from openoa_spark.operators import qa as sqa
+
+    ref_qa = load_reference_qa()
+    t0 = pd.Timestamp("2022-01-01")
+    rows = []
+    for a in ("T1", "T2"):
+        for i in range(20):
+            rows.append((a, t0 + pd.Timedelta(minutes=10 * i)))
+    rows.append(("T1", t0 + pd.Timedelta(minutes=30)))   # dup for T1
+    rows.append(("T2", t0 + pd.Timedelta(minutes=50)))   # dup for T2
+    rows.append(("T2", t0 + pd.Timedelta(minutes=50)))   # triple
+    pdf = pd.DataFrame(rows, columns=["asset_id", "time"])
+    ref_dups, _, _ = ref_qa.duplicate_time_identification(
+        pdf, "time", "asset_id"
+    )
+
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        (r["asset_id"], r["time"])
+        for r in sqa.duplicate_time_identification(
+            sdf, "time", "asset_id"
+        ).collect()
+    }
+    want = {
+        (pdf.loc[i, "asset_id"], pdf.loc[i, "time"].to_pydatetime())
+        for i in ref_dups.index
+    }
+    assert got == want
+
+
+def test_describe_exact_parity(spark):
+    """qa.py:252-264 — pandas describe().T vs the exact-percentile
+    grouped describe (both linear-interpolation quantiles)."""
+    from tests.refimport import load_reference_qa
+    from openoa_spark.operators import qa as sqa
+
+    ref_qa = load_reference_qa()
+    vals = np.round(RNG.normal(50, 12, 501), 6)
+    pdf = pd.DataFrame({"v": vals})
+    ref = ref_qa.describe(pdf).loc["v"]
+
+    got = sqa.describe_exact(
+        spark.createDataFrame(pdf), "v"
+    ).first()
+    assert got["n"] == int(ref["count"])
+    for ours, theirs in (
+        ("mean", "mean"), ("std", "std"), ("min", "min"),
+        ("q25", "25%"), ("q50", "50%"), ("q75", "75%"), ("max", "max"),
+    ):
+        assert abs(got[ours] - ref[theirs]) < 1e-9, ours
