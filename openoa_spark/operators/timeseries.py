@@ -333,6 +333,7 @@ def asof_join(
     keys: list[str] | None = None,
     right_time_col: str | None = None,
     allow_unkeyed: bool = False,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of (backward) join: for each left row, latest right values at
     or before its timestamp, matched per key group.
@@ -341,6 +342,11 @@ def asof_join(
     shuffle on (keys), no range-join explosion; the standard scalable
     formulation (left rows tagged, right values forward-filled onto
     them).
+
+    ``tolerance_seconds`` (pandas merge_asof semantics): a match
+    further back than the tolerance yields NULL values instead. The
+    matched right timestamp forward-fills alongside the values in the
+    SAME window pass, so the tolerance adds zero shuffles.
     """
     rt = right_time_col or time_col
     keys = keys or []
@@ -354,6 +360,9 @@ def asof_join(
     for c in value_cols:
         if c not in left.columns:
             l = l.withColumn(c, F.lit(None).cast(r.schema[c].dataType))
+    if tolerance_seconds is not None:
+        r = r.withColumn("_rt", F.col(time_col))
+        l = l.withColumn("_rt", F.lit(None).cast("timestamp"))
     unioned = l.unionByName(r, allowMissingColumns=True)
     w = (
         _ordered_window(keys, allow_unkeyed, "asof_join")
@@ -361,9 +370,22 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = unioned
-    for c in value_cols:
+    fill_cols = list(value_cols) + (
+        ["_rt"] if tolerance_seconds is not None else []
+    )
+    for c in fill_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out.where(F.col("_src") == 1).drop("_src")
+    out = out.where(F.col("_src") == 1).drop("_src")
+    if tolerance_seconds is not None:
+        stale = (
+            F.unix_micros(F.col(time_col)) - F.unix_micros(F.col("_rt"))
+        ) > int(tolerance_seconds * 1_000_000)
+        for c in value_cols:
+            out = out.withColumn(
+                c, F.when(stale, F.lit(None)).otherwise(F.col(c))
+            )
+        out = out.drop("_rt")
+    return out
 
 
 def sessionize(

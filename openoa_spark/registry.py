@@ -505,6 +505,49 @@ def asof_hourly_value(spark, sf_dir):
 
 
 @register(
+    "asof_tolerance_hourly_value",
+    """
+    WITH b AS (
+      SELECT user_id,
+             CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+      FROM events GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+    ),
+    dedup AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS value
+      FROM events GROUP BY user_id, ts
+    )
+    SELECT s.user_id, s.hour,
+           (SELECT d.value FROM dedup d
+            WHERE d.user_id = s.user_id AND d.ts <= s.hour
+              AND d.ts >= s.hour - INTERVAL 30 MINUTE
+            ORDER BY d.ts DESC LIMIT 1) AS value
+    FROM spine s
+    """,
+)
+def asof_tolerance_hourly_value(spark, sf_dir):
+    """Tolerance-bounded as-of join (pandas merge_asof semantics): the
+    hourly spine matches only readings within the trailing 30 minutes;
+    staler matches become NULL. Same union + keyed-window ffill as
+    asof_join — the matched right timestamp forward-fills in the SAME
+    window pass, so the tolerance adds zero shuffles
+    (operators/timeseries.asof_join(tolerance_seconds=...))."""
+    ev = _t(spark, sf_dir, "events")
+    dedup_ev = ev.groupBy("user_id", "ts").agg(
+        F.max_by("value", "event_id").alias("value")
+    )
+    hours = ev.select("user_id", F.date_trunc("hour", "ts").alias("hour"))
+    spine = timeseries.calendar_spine(hours, "hour", "h", keys=["user_id"])
+    return timeseries.asof_join(
+        spine, dedup_ev, "hour", ["value"], keys=["user_id"],
+        right_time_col="ts", tolerance_seconds=1800.0,
+    )
+
+
+@register(
     "span_days_hours",
     """
     SELECT (date_diff('day', CAST(date_trunc('day', min(ts)) AS TIMESTAMP),

@@ -216,3 +216,50 @@ def test_refresh_time_rollup_recomputes_only_touched_buckets(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert again == got
+
+
+def test_asof_join_tolerance(spark):
+    import datetime as dt
+
+    from openoa_spark.operators import timeseries as ts
+
+    t0 = dt.datetime(2022, 1, 1)
+    left = spark.createDataFrame(
+        [("A", t0 + dt.timedelta(minutes=m)) for m in (0, 10, 60)],
+        ["k", "t"],
+    )
+    right = spark.createDataFrame(
+        [("A", t0 + dt.timedelta(minutes=-1), 1.0),
+         ("A", t0 + dt.timedelta(minutes=9), 2.0)],
+        ["k", "t", "v"],
+    )
+    # no tolerance: every left row matches its backward neighbor
+    base = {
+        r["t"]: r["v"]
+        for r in ts.asof_join(left, right, "t", ["v"], keys=["k"]).collect()
+    }
+    assert base == {
+        t0: 1.0,
+        t0 + dt.timedelta(minutes=10): 2.0,
+        t0 + dt.timedelta(minutes=60): 2.0,
+    }
+    # 5-minute tolerance: the 60-minute row's match is 51 min stale
+    tol = {
+        r["t"]: r["v"]
+        for r in ts.asof_join(
+            left, right, "t", ["v"], keys=["k"], tolerance_seconds=300.0
+        ).collect()
+    }
+    assert tol == {
+        t0: 1.0,
+        t0 + dt.timedelta(minutes=10): 2.0,
+        t0 + dt.timedelta(minutes=60): None,
+    }
+    # boundary is inclusive (pandas merge_asof): exactly 300 s matches
+    edge = spark.createDataFrame(
+        [("A", t0 + dt.timedelta(minutes=4))], ["k", "t"]
+    )
+    got = ts.asof_join(
+        edge, right, "t", ["v"], keys=["k"], tolerance_seconds=300.0
+    ).first()
+    assert got["v"] == 1.0
