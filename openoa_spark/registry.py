@@ -5782,6 +5782,57 @@ def token_budget_selection(spark, sf_dir):
 
 
 @register(
+    "vocab_coverage_90",
+    r"""
+    WITH tf AS (
+      SELECT tok, COUNT(*) AS c FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+      ) GROUP BY 1
+    ),
+    tot AS (SELECT SUM(c) AS t FROM tf),
+    w AS (
+      SELECT tok, c,
+             SUM(c) OVER (ORDER BY c DESC, tok
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM tf
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(MAX(cum) AS BIGINT) AS covered_tokens,
+           CAST((SELECT t FROM tot) AS BIGINT) AS total_tokens
+    FROM w
+    WHERE cum - c < CAST(ceil(0.9 * (SELECT t FROM tot)) AS BIGINT)
+    """,
+)
+def vocab_coverage_90(spark, sf_dir):
+    """Tokenizer-budgeting statistic: the smallest vocabulary (tokens
+    in count-desc, token-asc priority order) covering >= 90% of all
+    token occurrences. Reuses the distributed priority-cumsum
+    machinery (datapipe/sampling.token_budget_select — per-count-group
+    offsets + keyed within-group rank, no corpus-wide single-task
+    window) on the VOCABULARY table instead of the document table —
+    the same decomposition serving a second shape."""
+    import math as m
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tf = tf.localCheckpoint(eager=False)  # feeds total AND selection
+    total = tf.agg(F.sum("c")).first()[0] or 0
+    budget = m.ceil(0.9 * total)
+    sel = sampling.token_budget_select(tf, "tok", "c", budget)
+    return sel.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.max("cum_tokens").alias("covered_tokens"),
+        F.lit(int(total)).alias("total_tokens"),
+    )
+
+
+@register(
     "corpus_version_diff",
     r"""
     WITH old AS (
