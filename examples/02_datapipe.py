@@ -128,6 +128,47 @@ def main():
         F.round(F.avg("quality_prob"), 3).alias("avg_prob"),
     ).orderBy("quality_pred").show()
 
+    print("== Gopher rules / dominant-ngram repetition / span dedup ==")
+    g = docs.select("source", text.gopher_flags("text").alias("g"))
+    g.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum(
+            (
+                F.col("g.pass_word_count")
+                & F.col("g.pass_mean_word_len")
+                & F.col("g.pass_alpha_ratio")
+                & F.col("g.pass_stopwords")
+            ).cast("int")
+        ).alias("pass_all"),
+    ).orderBy("source").show(5)
+    rep = text.top_ngram_char_frac(docs, "text", "doc_id", n=2)
+    rep.agg(
+        F.round(F.avg("rep_frac"), 3).alias("avg_top_bigram_frac"),
+        F.sum((F.col("rep_frac") > 0.2).cast("int")).alias("over_gopher_0.2"),
+    ).show()
+    spans = dedup.duplicated_span_removal(docs, "text", "doc_id", 10)
+    print("docs surviving span-level dedup:", spans.count())
+
+    print("== embedding PCA -> persisted IVF index ==")
+    reduced, evr = similarity.embedding_pca(emb, "embedding", 8, id_col="vec_id")
+    print("top-8 explained variance:", [round(v, 3) for v in evr])
+    idx_path = os.path.join(_ROOT, "spark-warehouse", "example_ivf")
+    similarity.build_ivf_index(emb, "embedding", "vec_id", idx_path, n_clusters=8)
+    print("IVF top-5 from the persisted index (2 probed lists):")
+    similarity.query_ivf_index(spark, idx_path, q, k=5, n_probe=2).show()
+
+    print("== corpus snapshot diff ==")
+    from openoa_spark.operators import qa as qa_ops
+
+    old_v = docs.where(F.col("doc_id") % 5 != 4)
+    new_v = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.upper("text")).otherwise(F.col("text")),
+    )
+    qa_ops.table_diff(old_v, new_v, ["doc_id"]).groupBy("status").count().orderBy(
+        "status"
+    ).show()
+
     print("== measured ANN recall (LSH vs exact, query panel) ==")
     planes = similarity.random_hyperplanes(64, 8, seed=42)
     for probe in (0, 2):
