@@ -6139,6 +6139,12 @@ _PRIORITY = [
     "gopher_quality_docs", "top_ngram_repetition_docs",
     "dup_span_removal_docs",
 ]
+# Round-4d queries left OUTSIDE the window on purpose (round-5
+# rotation candidates): corpus_version_diff (full-outer join shape
+# pinned by in-window full_outer_daily_activity), vocab_coverage_90
+# (reuses in-window token_budget_selection's cumsum decomposition),
+# asof_tolerance_hourly_value (reuses the asof window machinery,
+# asof_forward_hourly_value in window). All sweep-green at three SFs.
 
 def _reorder() -> None:
     assert not (set(_PRIORITY) - set(_REGISTRY)), sorted(
