@@ -77,6 +77,11 @@ PROBE_QUERIES = [
     "top_ngram_repetition_docs",
     # stride-1 window ownership + token-grain anti-join (rows×N)
     "dup_span_removal_docs",
+    # full-outer fingerprint join (rows×N), vocab-grain cumsum
+    # (vocab×~N under copy tags), tolerance asof (per-key window rows×N)
+    "corpus_version_diff",
+    "vocab_coverage_90",
+    "asof_tolerance_hourly_value",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
