@@ -686,3 +686,58 @@ def stream_drift_monitor(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_distinct_rollup(
+    stream: DataFrame,
+    value_col: str,
+    grain_cols: list,
+    state_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    lg_config_k: int = 12,
+):
+    """Streaming distinct-count maintenance via MERGEABLE sketches:
+    each micro-batch reduces to one Datasketches-HLL row per grain
+    group (datapipe.sketches.hll_rollup) and lands under a
+    ``_batch_id`` partition with dynamic overwrite — the idempotent
+    per-batch-sink pattern — so the persisted state is (batch, grain,
+    sketch), bounded by batches × groups, never raw values. The
+    current estimate at ANY grain is a sketch union over the state
+    (read_distinct_rollup), so answering "distinct users this month"
+    never rescans the stream's history; a replayed batch overwrites
+    its own partition and the union is unchanged.
+    """
+    from openoa_spark.datapipe.sketches import hll_rollup
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        (
+            hll_rollup(batch, value_col, grain_cols, lg_config_k)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(state_path)
+        )
+
+    w = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_distinct_rollup(
+    spark,
+    state_path: str,
+    group_cols: list | None = None,
+):
+    """Merge the per-batch sketch state up to the requested grain
+    (empty → one global row) — datapipe.sketches.hll_merge over the
+    state table; the fact stream is never rescanned."""
+    from openoa_spark.datapipe.sketches import hll_merge
+
+    state = spark.read.parquet(state_path).drop("_batch_id")
+    return hll_merge(state, group_cols or [])

@@ -675,3 +675,38 @@ def test_stream_drift_monitor_matches_batch_psi(spark, tmp_path):
     out = {r["batch_id"]: r for r in spark.read.parquet(metrics).collect()}
     assert set(out) == {0, 1}
     assert out[1]["psi"] < 0.1
+
+
+def test_stream_distinct_rollup_merges_across_batches(spark, tmp_path):
+    """Per-batch HLL sketches land idempotently; the merged estimate
+    over the state equals the exact distinct count (HLL is exact at
+    these cardinalities), at the global grain and per asset, and a
+    replayed batch leaves the union unchanged."""
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    _rows(spark, 30).write.mode("append").parquet(src)
+    q = ingest.stream_distinct_rollup(
+        ingest.file_stream(spark, src, SCHEMA), "seq", ["asset_id"],
+        state, ck,
+    )
+    q.awaitTermination(120)
+    _rows(spark, 25, start_min=30).write.mode("append").parquet(src)  # seq 0..24 overlap
+    q2 = ingest.stream_distinct_rollup(
+        ingest.file_stream(spark, src, SCHEMA), "seq", ["asset_id"],
+        state, ck,
+    )
+    q2.awaitTermination(120)
+
+    total = ingest.read_distinct_rollup(spark, state).first()
+    assert total["distinct_estimate"] == 30  # union of 0..29 and 0..24
+    assert total["n_rows"] == 55
+
+    per_asset = {
+        r["asset_id"]: r["distinct_estimate"]
+        for r in ingest.read_distinct_rollup(
+            spark, state, ["asset_id"]
+        ).collect()
+    }
+    assert per_asset == {"T0": 15, "T1": 15}  # evens / odds of 0..29
