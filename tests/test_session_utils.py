@@ -28,3 +28,28 @@ def test_spread_small_input_explicit_min(spark):
     df = spark.range(0, 100).coalesce(1)
     assert spread_small_input(df, min_partitions=7).rdd.getNumPartitions() == 7
     assert spread_small_input(df, min_partitions=1) is df
+
+
+def test_fast_sums_matches_exact_mode(spark):
+    """Deploy (plain-double) aggregation must agree with the
+    oracle-pinned decimal-exact mode to float precision on the
+    flagship aggregate query — the guarantee that lets bench measure
+    fast mode while every correctness surface runs exact."""
+    from openoa_spark import registry
+    from openoa_spark.functions import stats
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r[0], r[1]): r
+        for r in registry.q1_pricing_summary(spark, sf).collect()
+    }
+    with stats.fast_sums():
+        fast_df = registry.q1_pricing_summary(spark, sf)
+    fast = {(r[0], r[1]): r for r in fast_df.collect()}
+    assert set(exact) == set(fast)
+    for k in exact:
+        for ours, theirs in zip(fast[k], exact[k]):
+            if isinstance(theirs, float):
+                assert abs(float(ours) - theirs) <= 1e-9 + 1e-9 * abs(theirs), k
+            else:
+                assert ours == theirs, k
