@@ -741,3 +741,98 @@ def read_distinct_rollup(
 
     state = spark.read.parquet(state_path).drop("_batch_id")
     return hll_merge(state, group_cols or [])
+
+
+def stream_ewma_anomaly(
+    stream: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.1,
+    z_threshold: float = 3.0,
+    warmup: int = 10,
+):
+    """Custom stateful operator: per-key EWMA mean/variance maintained
+    across micro-batches via ``applyInPandasWithState``, emitting each
+    row with its z-score against the state BEFORE it was absorbed and
+    an anomaly flag once ``warmup`` observations have been seen — the
+    streaming sensor-stuck/spike detector built-in windowed aggs can't
+    express (the statistic is recursive, not windowed).
+
+    State per key is THREE floats + a count — O(keys) total, no
+    timeout needed. Rows within a batch are processed in ``time_col``
+    order so replaying a batch from the same prior state is
+    deterministic. EW variance uses the standard recursion
+    var ← (1-α)·(var + α·diff²).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    key_field = stream.schema[key_col]
+    time_field = stream.schema[time_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField(time_col, time_field.dataType),
+            StructField(value_col, DoubleType()),
+            StructField("zscore", DoubleType()),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("mean", DoubleType()),
+            StructField("var", DoubleType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import math
+
+        mean, var, n = state.get if state.exists else (0.0, 0.0, 0)
+        rows = pd.concat(list(pdfs)).sort_values(time_col)
+        out_t, out_v, out_z, out_a = [], [], [], []
+        for _, row in rows.iterrows():
+            v = row[value_col]
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            v = float(v)
+            if n == 0:
+                z = 0.0
+                mean, var = v, 0.0
+            else:
+                sd = math.sqrt(var)
+                z = (v - mean) / sd if sd > 0 else 0.0
+                diff = v - mean
+                mean = mean + alpha * diff
+                var = (1.0 - alpha) * (var + alpha * diff * diff)
+            n += 1
+            out_t.append(row[time_col])
+            out_v.append(v)
+            out_z.append(z)
+            out_a.append(n > warmup and abs(z) >= z_threshold)
+        state.update((mean, var, n))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(out_v),
+                time_col: out_t,
+                value_col: out_v,
+                "zscore": out_z,
+                "is_anomaly": out_a,
+            }
+        )
+
+    # emitted rows are final (never revised), so "append" op mode is
+    # correct AND composes with append-only file sinks — "update" mode
+    # would reject a parquet sink outright
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

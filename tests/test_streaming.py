@@ -710,3 +710,65 @@ def test_stream_distinct_rollup_merges_across_batches(spark, tmp_path):
         ).collect()
     }
     assert per_asset == {"T0": 15, "T1": 15}  # evens / odds of 0..29
+
+
+def test_stream_ewma_anomaly_matches_serial_replay(spark, tmp_path):
+    """Cross-batch EWMA state: z-scores over two micro-batches equal a
+    serial Python replay of the same recursion, and a planted spike
+    after warmup flags while the warmup region never does."""
+    import datetime as dt
+    import math
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 1, 1)
+    vals1 = [10.0 + 0.1 * (i % 5) for i in range(15)]
+    vals2 = [10.2, 10.1, 55.0, 10.3, 10.0]  # spike at index 2
+    rows1 = [(t0 + dt.timedelta(minutes=i), "A", v, i)
+             for i, v in enumerate(vals1)]
+    rows2 = [(t0 + dt.timedelta(minutes=15 + i), "A", v, 15 + i)
+             for i, v in enumerate(vals2)]
+
+    def run_stream():
+        stream = ingest.file_stream(spark, src, SCHEMA)
+        q = (
+            ingest.stream_ewma_anomaly(stream, "asset_id", "time", "value")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows1, SCHEMA).write.mode("append").parquet(src)
+    run_stream()
+    spark.createDataFrame(rows2, SCHEMA).write.mode("append").parquet(src)
+    run_stream()
+
+    got = {
+        r["time"]: (r["zscore"], r["is_anomaly"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+
+    # serial replay of the same recursion
+    mean, var, n = 0.0, 0.0, 0
+    want = {}
+    for i, v in enumerate(vals1 + vals2):
+        if n == 0:
+            z, mean, var = 0.0, v, 0.0
+        else:
+            sd = math.sqrt(var)
+            z = (v - mean) / sd if sd > 0 else 0.0
+            d = v - mean
+            mean += 0.1 * d
+            var = 0.9 * (var + 0.1 * d * d)
+        n += 1
+        want[t0 + dt.timedelta(minutes=i)] = (z, n > 10 and abs(z) >= 3.0)
+
+    assert set(got) == set(want)
+    for t in want:
+        assert abs(got[t][0] - want[t][0]) < 1e-9, t
+        assert got[t][1] == want[t][1], t
+    # the spike is the only flagged row
+    flagged = [t for t, (_, a) in got.items() if a]
+    assert flagged == [t0 + dt.timedelta(minutes=17)]
