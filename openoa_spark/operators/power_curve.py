@@ -116,7 +116,9 @@ def logistic5_expr(ws: Column | str, a: float, b: float, c: float, d: float, g: 
     d + (a - d) / (1 + (x/c)^b)^g — applied as a pure expression.
     Semantics: power_curve/parametric_forms.py:22-68, including the
     b<0, x==0 singularity (0^b diverges there; the curve's limit — and
-    the reference's explicit branch — is the max asymptote ``d``).
+    the reference's explicit branch — is the ``d`` asymptote, which
+    for the reference's fitted b<0 curves is the near-zero low-wind
+    value, its fit bounds placing a at rated power).
     """
     x = F.col(ws) if isinstance(ws, str) else ws
     curve = F.lit(d) + (F.lit(a) - F.lit(d)) / F.pow(

@@ -1573,6 +1573,32 @@ def logistic5_power_values(spark, sf_dir):
 
 
 @register(
+    "logistic5_capped_power_values",
+    """
+    SELECT event_id,
+           ROUND(LEAST(GREATEST(
+               CASE WHEN value = 0.0 THEN 20.0
+                    ELSE 20.0 + (1500.0 - 20.0)
+                         / pow(1.0 + pow(value / 8.0, -4.0), 1.2) END,
+               50.0), 1400.0), 6) AS power
+    FROM events
+    """,
+)
+def logistic5_capped_power_values(spark, sf_dir):
+    """Capped logistic curve application over a b<0 parameterization —
+    exercises BOTH round-4d parametric-form branches at once: the
+    x==0 singularity (reference value = the d asymptote) and the
+    [lower, upper] clipping (operators/power_curve.
+    logistic5_capped_expr). Map-only projection."""
+    ev = _t(spark, sf_dir, "events")
+    p = power_curve.logistic5_capped_expr(
+        "value", a=1500.0, b=-4.0, c=8.0, d=20.0, g=1.2,
+        lower=50.0, upper=1400.0,
+    )
+    return ev.select("event_id", rounded(p).alias("power"))
+
+
+@register(
     "freestream_membership",
     _GEO_SQL_BASE
     + """
