@@ -265,3 +265,53 @@ def cluster_mahalanobis_2d(
         j.withColumn(flag_col, F.coalesce(F.sqrt(d2) > distance_threshold, F.lit(False)))
         .drop("_features", "_cluster", "_mx", "_my", "_sxx", "_sxy", "_syy")
     )
+
+
+def hampel_flag(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    keys: list[str] | None = None,
+    order_cols: list[str] | None = None,
+    window: int = 5,
+    k: float = 3.0,
+) -> DataFrame:
+    """Hampel despiking filter — the standard SCADA spike detector the
+    rolling-MEAN z-score cannot replicate (a spike inflates the mean
+    and its own std, masking itself; the rolling MEDIAN ± scaled
+    rolling MAD is robust to it): flag rows where
+    |x − med| > k · 1.4826 · MAD over a trailing ``window``-row frame.
+
+    Two chained keyed windows with EXACT interpolated percentiles
+    (Spark's windowed ``percentile``): pass one computes each row's
+    trailing median, pass two the trailing median of the absolute
+    deviations — one shuffle on ``keys`` total, both windows reuse the
+    same sort. Per-row frame cost is O(window), bounded by the
+    parameter, not the data.
+
+    Adds columns ``_roll_med``, ``_roll_mad``, ``<value_col>_flag``.
+    """
+    from pyspark.sql import Window as W
+
+    keys = keys or []
+    order = order_cols or [time_col]
+    if not keys:
+        raise ValueError(
+            "hampel_flag needs partition keys (a keyless ordered window "
+            "funnels the table through one task)"
+        )
+    frame = (
+        W.partitionBy(*keys).orderBy(*order).rowsBetween(-(window - 1), 0)
+    )
+    v = F.col(value_col)
+    out = df.withColumn(
+        "_roll_med", F.expr(f"percentile({value_col}, 0.5)").over(frame)
+    )
+    out = out.withColumn("_dev", F.abs(v - F.col("_roll_med")))
+    out = out.withColumn(
+        "_roll_mad", F.expr("percentile(_dev, 0.5)").over(frame)
+    )
+    return out.withColumn(
+        f"{value_col}_flag",
+        F.col("_dev") > F.lit(k) * F.lit(1.4826) * F.col("_roll_mad"),
+    ).drop("_dev")

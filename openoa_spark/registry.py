@@ -5808,6 +5808,49 @@ def token_budget_selection(spark, sf_dir):
 
 
 @register(
+    "hampel_outliers",
+    """
+    WITH a AS (
+      SELECT event_id, user_id, ts, value,
+             median(value) OVER w AS roll_med
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ),
+    b AS (SELECT *, abs(value - roll_med) AS dev FROM a),
+    c AS (
+      SELECT *, median(dev) OVER w2 AS roll_mad
+      FROM b
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, value,
+           ROUND(roll_med, 6) AS roll_med
+    FROM c WHERE dev > 3.0 * 1.4826 * roll_mad
+    """,
+)
+def hampel_outliers(spark, sf_dir):
+    """Hampel despiking (rolling median ± scaled rolling MAD over a
+    trailing 5-row frame): the robust spike detector a rolling-mean
+    z-score can't replicate (a spike masks itself in the mean/std).
+    Two chained keyed windows with exact interpolated percentiles,
+    ONE shuffle on user_id — both windows reuse the same sort
+    (operators/filters.hampel_flag). Cross-engine determinism: both
+    engines interpolate the even-count median from identical doubles
+    in the identical frame, and the flag comparison multiplies the
+    same constants in the same order."""
+    ev = _t(spark, sf_dir, "events")
+    f = filters.hampel_flag(
+        ev, "value", "ts", keys=["user_id"],
+        order_cols=["ts", "event_id"], window=5, k=3.0,
+    )
+    return f.where(F.col("value_flag")).select(
+        "event_id", "user_id", "value",
+        F.round("_roll_med", 6).alias("roll_med"),
+    )
+
+
+@register(
     "vocab_coverage_90",
     r"""
     WITH tf AS (

@@ -110,3 +110,28 @@ def test_psi_detects_shift(spark):
     psi_shift = qa_ops.population_stability_index(ref, shifted, "v").first()["psi"]
     assert psi_same < 0.05          # identical distributions: stable
     assert psi_shift > 0.25         # one-sigma mean shift: drifted
+
+
+def test_hampel_flag_spike_detection(spark):
+    """A lone spike flags; its neighbors don't; a rolling-mean z-score
+    with the same window would have masked it (std inflated by the
+    spike itself). Also: keyless call refuses."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from openoa_spark.operators import filters as flt
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [10.0, 10.2, 9.9, 10.1, 10.0, 80.0, 10.05, 9.95, 10.1, 10.0]
+    df = spark.createDataFrame(
+        [("A", t0 + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)],
+        ["k", "t", "v"],
+    )
+    out = flt.hampel_flag(df, "v", "t", keys=["k"], window=5, k=3.0)
+    flags = {r["t"].minute: r["v_flag"] for r in out.collect()}
+    assert flags[5] is True            # the spike
+    assert sum(flags.values()) == 1    # and nothing else
+
+    with _pytest.raises(ValueError):
+        flt.hampel_flag(df, "v", "t", keys=[])
