@@ -82,6 +82,8 @@ PROBE_QUERIES = [
     "corpus_version_diff",
     "vocab_coverage_90",
     "asof_tolerance_hourly_value",
+    # two chained keyed percentile windows, one sort (rows×N)
+    "hampel_outliers",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
