@@ -158,6 +158,15 @@ def compute_shear(ws_by_height: dict[str, float]) -> Column:
     )
 
 
+def extrapolate_windspeed(
+    v1: Column | str, z1: float, z2: float, shear: Column | str
+) -> Column:
+    """Power-law vertical wind-speed extrapolation to hub height:
+    v2 = v1 · (z2/z1)^alpha. Semantics:
+    met_data_processing.py:331-349. Pure expression."""
+    return _c(v1) * F.pow(F.lit(float(z2) / float(z1)), _c(shear))
+
+
 def compute_veer(
     wd_lower: Column | str, h_lower: float, wd_upper: Column | str, h_upper: float
 ) -> Column:

@@ -711,6 +711,34 @@ def shear_alpha(spark, sf_dir):
 
 
 @register(
+    "extrapolated_windspeed",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND((l_quantity * 1.3 + 1)
+                 * pow(120.0 / 80.0,
+                       (ln(l_quantity * 1.3 + 1) - ln(l_quantity + 1))
+                       / (ln(80) - ln(40))), 6) AS ws_hub
+    FROM lineitem
+    """,
+)
+def extrapolated_windspeed(spark, sf_dir):
+    """Power-law hub-height extrapolation composed with the row-wise
+    shear fit (v_hub = v80 · (120/80)^alpha): the §2.3 chain an AEP
+    prep pass runs per row — both pure expressions, one map-only
+    projection (functions/met.extrapolate_windspeed, compute_shear)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ws40", F.col("l_quantity") + 1
+    ).withColumn("ws80", F.col("l_quantity") * 1.3 + 1)
+    alpha = met.compute_shear({"ws40": 40.0, "ws80": 80.0})
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        rounded(
+            met.extrapolate_windspeed("ws80", 80.0, 120.0, alpha)
+        ).alias("ws_hub"),
+    )
+
+
+@register(
     "power_to_energy",
     """
     SELECT event_id, value * (600.0 / 3600.0) AS energy_kwh FROM events

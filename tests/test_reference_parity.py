@@ -876,3 +876,20 @@ def test_describe_exact_parity(spark):
         ("q25", "25%"), ("q50", "50%"), ("q75", "75%"), ("max", "max"),
     ):
         assert abs(got[ours] - ref[theirs]) < 1e-9, ours
+
+
+def test_extrapolate_windspeed_parity(spark):
+    """met_data_processing.py:331-349 — power-law vertical
+    extrapolation v1 · (z2/z1)^alpha."""
+    n = 150
+    v1 = np.round(RNG.uniform(2.0, 15.0, n), 6)
+    shear = np.round(RNG.uniform(0.05, 0.4, n), 6)
+    ref = ref_met.extrapolate_windspeed(
+        pd.Series(v1), z1=60.0, z2=100.0, shear=pd.Series(shear)
+    )
+    pdf = pd.DataFrame({"id": np.arange(n), "v1": v1, "sh": shear})
+    _met_parity(
+        spark, pdf,
+        met.extrapolate_windspeed("v1", 60.0, 100.0, "sh"),
+        ref, tol=1e-9,
+    )
