@@ -5836,6 +5836,51 @@ def token_budget_selection(spark, sf_dir):
 
 
 @register(
+    "benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(abs(value) AS DOUBLE) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM events WHERE abs(value) >= 1.0
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / (SELECT total FROM t), 6) AS observed,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_expected
+    FROM c
+    """,
+)
+def benford_first_digit(spark, sf_dir):
+    """Benford first-significant-digit audit — the classic
+    fabricated-data / unit-mixup detector for measurement columns:
+    observed first-digit shares vs Benford's log10(1 + 1/d). One
+    map-only digit projection + one 9-row hash aggregate; the total
+    joins back as a scalar broadcast. Values below 1 are excluded so
+    the leading character of the decimal rendering IS the first
+    significant digit in both engines."""
+    ev = _t(spark, sf_dir, "events").where(F.abs("value") >= 1.0)
+    d = ev.select(
+        F.substring(F.abs("value").cast("double").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+            "observed"
+        ),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias(
+            "benford_expected"
+        ),
+    )
+
+
+@register(
     "hampel_outliers",
     """
     WITH a AS (
