@@ -1,0 +1,128 @@
+"""End-to-end corpus curation: the datapipe stages composed into ONE
+deployable operator with a per-stage accounting report — the shape a
+100-TB training-data build actually runs (each stage is the
+already-verified operator; this module adds only composition,
+counting, and configuration).
+
+Stage order follows the standard curation recipe (RefinedWeb/Dolma
+style): lexical gates first (cheapest, biggest cut), then exact dedup,
+then near-dup clustering, then decontamination, then deterministic
+sampling — so the expensive similarity stages see the smallest
+possible corpus.
+
+Counting note: each stage boundary is counted once (`count()` actions
+on the lineage-cut intermediate); at production scale prefer
+``report=False`` to skip the counting jobs entirely — composition is
+lazy end-to-end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from openoa_spark.datapipe import dedup as _dedup
+from openoa_spark.datapipe import sampling as _sampling
+from openoa_spark.datapipe import text as _text
+
+
+@dataclass
+class CurationConfig:
+    """Knobs for :func:`curate_corpus`; defaults are the published
+    rule values / the registry queries' settings."""
+
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    # stage toggles
+    gopher_rules: bool = True
+    max_top_bigram_frac: float | None = 0.20  # Gopher repetition rule
+    exact_dedup: bool = True
+    near_dedup: bool = True
+    benchmark_texts: list[str] = field(default_factory=list)
+    sample_fraction: float | None = None
+    # near-dup settings (minhash_near_dup defaults)
+    num_hashes: int = 64
+    bands: int = 16
+    shingle_n: int = 3
+    jaccard_threshold: float = 0.5
+    decontam_ngram: int = 8
+
+
+def curate_corpus(
+    df: DataFrame,
+    config: CurationConfig | None = None,
+    report: bool = True,
+) -> tuple[DataFrame, list[tuple[str, int]]]:
+    """Run the standard curation chain over a document table and
+    return ``(clean_df, stage_counts)`` where ``stage_counts`` is the
+    per-stage accounting ledger [(stage, rows_surviving), ...] —
+    empty when ``report=False`` (fully lazy, no counting jobs).
+    """
+    cfg = config or CurationConfig()
+    t, i = cfg.text_col, cfg.id_col
+    ledger: list[tuple[str, int]] = []
+
+    def note(stage: str, frame: DataFrame) -> DataFrame:
+        if report:
+            frame = frame.localCheckpoint(eager=True)
+            ledger.append((stage, frame.count()))
+        return frame
+
+    out = note("input", df)
+
+    if cfg.gopher_rules:
+        g = F.col("_g")
+        out = (
+            out.withColumn("_g", _text.gopher_flags(t))
+            .where(
+                g["pass_word_count"]
+                & g["pass_mean_word_len"]
+                & g["pass_alpha_ratio"]
+                & g["pass_stopwords"]
+            )
+            .drop("_g")
+        )
+        out = note("gopher_rules", out)
+
+    if cfg.max_top_bigram_frac is not None:
+        rep = _text.top_ngram_char_frac(out, t, i, n=2)
+        noisy = rep.where(
+            F.col("rep_frac") > cfg.max_top_bigram_frac
+        ).select(i)
+        out = out.join(noisy, i, "left_anti")
+        out = note("top_bigram_repetition", out)
+
+    if cfg.exact_dedup:
+        out = _dedup.exact_dedup(out, t, i).drop("dup_count")
+        out = note("exact_dedup", out)
+
+    if cfg.near_dedup:
+        out = _dedup.near_dedup(
+            out, t, i,
+            num_hashes=cfg.num_hashes, bands=cfg.bands,
+            shingle_n=cfg.shingle_n,
+            jaccard_threshold=cfg.jaccard_threshold,
+        )
+        out = note("near_dedup", out)
+
+    if cfg.benchmark_texts:
+        spark = df.sparkSession
+        bench = spark.createDataFrame(
+            [(j, s) for j, s in enumerate(cfg.benchmark_texts)],
+            ["bench_id", t],
+        )
+        overlap = _text.benchmark_overlap(
+            out, bench, t, i, n=cfg.decontam_ngram
+        )
+        contaminated = overlap.where(
+            F.col("contamination") > 0.0
+        ).select(i)
+        out = out.join(contaminated, i, "left_anti")
+        out = note("decontamination", out)
+
+    if cfg.sample_fraction is not None:
+        out = _sampling.hash_sample(out, i, cfg.sample_fraction)
+        out = note("hash_sample", out)
+
+    return out, ledger

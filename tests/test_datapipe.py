@@ -1116,3 +1116,59 @@ def test_ivf_index_build_query_roundtrip(spark, tmp_path):
     )
     plan = postings._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "cluster_id" in plan
+
+
+def test_curate_corpus_pipeline(spark):
+    """The composed curation chain: each stage's ledger count is
+    consistent with running the stage operators individually, and the
+    planted junk (word-salad without stopwords, an exact duplicate, a
+    near duplicate, a benchmark-contaminated doc) is removed while the
+    clean documents survive."""
+    from openoa_spark.datapipe.pipeline import CurationConfig, curate_corpus
+
+    good1 = ("the band went to the show and that was a fine evening "
+             "with plenty of room to spare for all of them " * 3)
+    good2 = ("we have seen that the results align with the plan and "
+             "that the numbers hold up under review " * 3)
+    near_good1 = good1.replace("fine", "great")
+    no_stop = " ".join(["word"] * 60)
+    bench_text = ("which of the following statements about the moon "
+                  "is true according to the passage provided here")
+    contaminated = ("padding words around the probe " + bench_text +
+                    " and that is the end of it with more to say "
+                    "about the rest of the show tonight for everyone "
+                    "because the closing act ran long and the crowd "
+                    "stayed to hear the encore before heading home")
+    rows = [
+        (1, good1), (2, good2), (3, good1),          # 3 = exact dup of 1
+        (4, near_good1),                              # near-dup of 1
+        (5, no_stop),                                 # gopher kill
+        (6, contaminated),                            # decontam kill
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out, ledger = curate_corpus(
+        df,
+        CurationConfig(
+            benchmark_texts=[bench_text], jaccard_threshold=0.4,
+            max_top_bigram_frac=None,
+        ),
+    )
+    stages = dict(ledger)
+    assert stages["input"] == 6
+    assert stages["gopher_rules"] == 5          # doc 5 out
+    assert stages["exact_dedup"] == 4           # doc 3 out
+    assert stages["near_dedup"] == 3            # doc 4 out
+    assert stages["decontamination"] == 2       # doc 6 out
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+    # report=False stays lazy and agrees
+    out2, ledger2 = curate_corpus(
+        df,
+        CurationConfig(
+            benchmark_texts=[bench_text], jaccard_threshold=0.4,
+            max_top_bigram_frac=None,
+        ),
+        report=False,
+    )
+    assert ledger2 == []
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 2]
