@@ -169,6 +169,21 @@ def main():
         "status"
     ).show()
 
+    print("== one-call curation pipeline (per-stage ledger) ==")
+    from openoa_spark.datapipe.pipeline import CurationConfig, curate_corpus
+
+    cleaned, ledger = curate_corpus(
+        docs,
+        CurationConfig(
+            gopher_rules=False,   # synthetic word-salad has no stopwords
+            max_top_bigram_frac=0.5,
+            jaccard_threshold=0.5,
+            sample_fraction=0.5,
+        ),
+    )
+    for stage, n in ledger:
+        print(f"  {stage:>24}: {n}")
+
     print("== measured ANN recall (LSH vs exact, query panel) ==")
     planes = similarity.random_hyperplanes(64, 8, seed=42)
     for probe in (0, 2):
