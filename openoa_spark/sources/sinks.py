@@ -258,3 +258,100 @@ def overwrite_partitions(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def apply_cdc(
+    spark,
+    table_path: str,
+    changes: DataFrame,
+    keys: list[str],
+    partition_col: str,
+    op_col: str = "_op",
+    order_col: str | None = None,
+) -> None:
+    """Partition-scoped CDC merge for plain parquet (the MERGE INTO a
+    Delta/Iceberg table would give you, without a table format):
+    apply a change batch of upserts and DELETES, rewriting ONLY the
+    partitions the batch touches.
+
+    ``changes`` carries the full row schema plus ``op_col``
+    ('upsert' | 'delete'); when a key has several change rows the one
+    with the greatest ``order_col`` (default: arrival order within the
+    batch is undefined — pass an ordering column for multi-change
+    batches) wins. Rows in untouched partitions are never read or
+    rewritten — merge cost tracks the delta's partition footprint,
+    not table size. Re-applying the same batch is idempotent: the
+    touched partitions re-merge to the identical state.
+
+    Scale shape: ONE semi-join-pruned read of the touched partitions
+    (partition filter pushed down via an IN list when small, else a
+    broadcast semi-join), one keep-latest hash aggregate, one dynamic
+    partition overwrite.
+    """
+    from pyspark.sql import functions as F
+
+    ops = [r[0] for r in changes.select(op_col).distinct().collect()]
+    bad = set(ops) - {"upsert", "delete"}
+    if bad:
+        raise ValueError(f"unknown {op_col} values: {sorted(bad)}")
+
+    touched = [
+        r[0] for r in changes.select(partition_col).distinct().collect()
+    ]
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    if fs.exists(path):
+        existing = (
+            spark.read.parquet(table_path)
+            .where(F.col(partition_col).isin(touched))
+            .withColumn(op_col, F.lit("upsert"))
+            .withColumn("_is_change", F.lit(0))
+        )
+        merged = existing.unionByName(
+            changes.withColumn("_is_change", F.lit(1)), allowMissingColumns=False
+        )
+    else:
+        merged = changes.withColumn("_is_change", F.lit(1))
+
+    cols = [c for c in merged.columns if c != "_is_change"]
+    # precedence: greatest order_col first (when given), then change
+    # rows beat existing rows — NEVER the op string itself (lexical
+    # 'upsert' > 'delete' would let a stale row survive its delete)
+    ord_cols = ([F.col(order_col)] if order_col else []) + [
+        F.col("_is_change")
+    ]
+    latest = (
+        merged.groupBy(*keys)
+        .agg(
+            F.max_by(
+                F.struct(*cols),
+                F.struct(*ord_cols),
+            ).alias("_row")
+        )
+        .select("_row.*")
+        .where(F.col(op_col) != "delete")
+        .drop(op_col)
+    )
+    latest = latest.localCheckpoint(eager=True)  # fix before the overwrite
+    (
+        latest.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(table_path)
+    )
+    # dynamic overwrite only replaces partitions PRESENT in the output:
+    # a partition whose every row was deleted would silently survive —
+    # drop those directories explicitly
+    if fs.exists(path):
+        present = {
+            r[0] for r in latest.select(partition_col).distinct().collect()
+        }
+        for v in set(touched) - present:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{table_path.rstrip('/')}/{partition_col}={v}"
+                ),
+                True,
+            )

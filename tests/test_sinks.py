@@ -249,3 +249,65 @@ def test_read_table_orc_and_json_round_trip(spark, tmp_path):
         back = readers.read_table(spark, p, fmt=fmt, schema=schema)
         assert back.schema == schema
         assert {tuple(r) for r in back.collect()} == want
+
+
+def test_apply_cdc_partition_scoped_merge(spark, tmp_path):
+    """CDC merge: upsert + delete rewrite ONLY touched partitions
+    (untouched partition files keep their mtime), a fully-deleted
+    partition's directory disappears, and re-applying the batch is
+    idempotent."""
+    import os
+    import time
+
+    path = str(tmp_path / "cdc")
+    base = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 30.0),
+         (4, "d3", 40.0)],
+        ["id", "day", "v"],
+    )
+    base.write.partitionBy("day").parquet(path)
+
+    def mtimes(day):
+        d = os.path.join(path, f"day={day}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        }
+
+    before_d3 = mtimes("d3")
+    time.sleep(1.1)
+
+    changes = spark.createDataFrame(
+        [(2, "d1", 21.0, "upsert"),     # update in d1
+         (5, "d1", 50.0, "upsert"),     # insert in d1
+         (3, "d2", 0.0, "delete")],     # empties d2 entirely
+        ["id", "day", "v", "_op"],
+    )
+    sinks.apply_cdc(spark, path, changes, ["id"], "day")
+
+    got = {
+        r["id"]: (r["day"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        1: ("d1", 10.0), 2: ("d1", 21.0), 4: ("d3", 40.0),
+        5: ("d1", 50.0),
+    }
+    assert not os.path.exists(os.path.join(path, "day=d2"))
+    assert mtimes("d3") == before_d3  # untouched partition not rewritten
+
+    # idempotent re-apply
+    sinks.apply_cdc(spark, path, changes, ["id"], "day")
+    again = {
+        r["id"]: (r["day"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert again == got
+
+    # unknown op refuses
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(9, "d1", 1.0, "merge")],
+                                ["id", "day", "v", "_op"])
+    with _pytest.raises(ValueError):
+        sinks.apply_cdc(spark, path, bad, ["id"], "day")
