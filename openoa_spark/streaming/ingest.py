@@ -836,3 +836,39 @@ def stream_ewma_anomaly(
     return stream.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_cdc_apply(
+    stream: DataFrame,
+    table_path: str,
+    keys: list,
+    partition_col: str,
+    checkpoint: str,
+    op_col: str = "_op",
+    order_col: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming CDC maintenance: each micro-batch of change rows
+    (upserts + deletes) applies to the parquet table via the
+    partition-scoped merge (sources.sinks.apply_cdc) — only the
+    partitions the batch touches are read and rewritten, and a batch
+    replayed after a crash re-merges those partitions to the identical
+    state (the merge is idempotent given the same prior table, and the
+    stream checkpoint guarantees batches re-deliver in order)."""
+    from openoa_spark.sources.sinks import apply_cdc
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        apply_cdc(
+            batch.sparkSession, table_path, batch, keys, partition_col,
+            op_col=op_col, order_col=order_col,
+        )
+
+    w = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

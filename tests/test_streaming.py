@@ -772,3 +772,55 @@ def test_stream_ewma_anomaly_matches_serial_replay(spark, tmp_path):
     # the spike is the only flagged row
     flagged = [t for t, (_, a) in got.items() if a]
     assert flagged == [t0 + dt.timedelta(minutes=17)]
+
+
+def test_stream_cdc_apply_maintains_table(spark, tmp_path):
+    """Streamed change batches maintain the parquet table: upserts
+    land, a delete removes its row, and the final table equals a
+    serial batch replay through apply_cdc."""
+    import pyspark.sql.types as T
+
+    from openoa_spark.sources import sinks
+
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "table")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("day", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("_op", T.StringType()),
+        ]
+    )
+    b1 = [(1, "d1", 10.0, "upsert"), (2, "d1", 20.0, "upsert"),
+          (3, "d2", 30.0, "upsert")]
+    b2 = [(2, "d1", 21.0, "upsert"), (3, "d2", 0.0, "delete"),
+          (4, "d3", 40.0, "upsert")]
+
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    q = ingest.stream_cdc_apply(
+        ingest.file_stream(spark, src, schema), table, ["id"], "day",
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    q2 = ingest.stream_cdc_apply(
+        ingest.file_stream(spark, src, schema), table, ["id"], "day",
+        str(tmp_path / "ck"),
+    )
+    q2.awaitTermination(120)
+
+    got = {r["id"]: (r["day"], r["v"])
+           for r in spark.read.parquet(table).collect()}
+    assert got == {1: ("d1", 10.0), 2: ("d1", 21.0), 4: ("d3", 40.0)}
+
+    # serial replay twin
+    table2 = str(tmp_path / "table2")
+    for rows in (b1, b2):
+        sinks.apply_cdc(
+            spark, table2, spark.createDataFrame(rows, schema),
+            ["id"], "day",
+        )
+    want = {r["id"]: (r["day"], r["v"])
+            for r in spark.read.parquet(table2).collect()}
+    assert got == want
