@@ -304,3 +304,62 @@ def test_table_diff_matches_dict_diff(spark, old, new):
         else:
             want[k] = "changed"
     assert got == want
+
+
+# ------------------------------------------------------- cdc merge
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 8), st.sampled_from(["d1", "d2", "d3"]),
+                  st.floats(0, 100, allow_nan=False)),
+        min_size=0, max_size=10, unique_by=lambda r: r[0],
+    ),
+    st.lists(
+        st.tuples(st.integers(1, 8), st.sampled_from(["d1", "d2", "d3"]),
+                  st.floats(0, 100, allow_nan=False),
+                  st.sampled_from(["upsert", "delete"])),
+        min_size=1, max_size=8, unique_by=lambda r: r[0],
+    ),
+)
+def test_apply_cdc_matches_dict_replay(spark, tmp_path_factory, base, changes):
+    import pyspark.sql.types as T
+
+    from openoa_spark.sources import sinks
+
+    # keep a key's partition stable between base and changes (the
+    # operator's documented partition-immutability contract)
+    part_of = {}
+    base = [(k, part_of.setdefault(k, d), v) for k, d, v in base]
+    changes = [
+        (k, part_of.setdefault(k, d), v, op) for k, d, v, op in changes
+    ]
+
+    path = str(tmp_path_factory.mktemp("cdc") / "t")
+    fields = [
+        T.StructField("id", T.LongType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+    schema = T.StructType(list(fields))
+    cschema = T.StructType(list(fields) + [T.StructField("_op", T.StringType())])
+    if base:
+        spark.createDataFrame(base, schema).write.partitionBy(
+            "day"
+        ).parquet(path)
+    sinks.apply_cdc(
+        spark, path, spark.createDataFrame(changes, cschema),
+        ["id"], "day",
+    )
+
+    want = {k: (d, v) for k, d, v in base}
+    for k, d, v, op in changes:
+        if op == "delete":
+            want.pop(k, None)
+        else:
+            want[k] = (d, v)
+    got = {
+        r["id"]: (r["day"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    } if want or base else {}
+    assert got == want
