@@ -42,6 +42,7 @@ ALLOWED_CARTESIAN = {
     "infer_frequency",
     "iec_power_curve",
     "logistic5_power_values",   # driver-fit curve applied as expr
+    "benford_first_digit",      # one-row grand-total broadcast over 9 digits
     "turbulence_intensity_by_user",
     "percent_null_synthetic",
     "q6_forecast_revenue",      # single-row aggregate output
