@@ -84,6 +84,9 @@ PROBE_QUERIES = [
     "asof_tolerance_hourly_value",
     # two chained keyed percentile windows, one sort (rows×N)
     "hampel_outliers",
+    # map-only projections + bounded aggs (rows×N scan cost)
+    "benford_first_digit",
+    "extrapolated_windspeed",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
