@@ -348,7 +348,13 @@ def impute_all_assets_by_correlation(
     neighbor's series, then per-asset closed-form fits (computed in a
     single grouped aggregate) fill the holes.
     """
-    corr = asset_correlation_pairs(df, time_col, asset_col, value_col)
+    # the pair computation is the expensive stage and feeds BOTH union
+    # branches (and, at plan level, everything downstream) — cut the
+    # lineage once so it executes once (surfaced by tools/plan_audit.py:
+    # 23 exchanges in the uncut plan)
+    corr = asset_correlation_pairs(
+        df, time_col, asset_col, value_col
+    ).localCheckpoint(eager=False)
     sym = corr.select("asset_a", "asset_b", "corr").unionByName(
         corr.select(
             F.col("asset_b").alias("asset_a"),
@@ -381,7 +387,7 @@ def impute_all_assets_by_correlation(
     j = (
         df.join(F.broadcast(best), asset_col, "left")
         .join(nbr_vals, [time_col, "_nbr"], "left")
-    )
+    ).localCheckpoint(eager=False)  # feeds the fits AND the output join
     y, x = F.col(value_col), F.col("_nbr_val")
     fits = (
         j.where(y.isNotNull() & x.isNotNull())
