@@ -295,7 +295,13 @@ def temperature_sampling_weights(
     arithmetic on a dimension-sized frame. Fractions are rounded to 6
     digits (libm pow may differ in the last ulp across engines).
     """
-    c = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    # the counts table is dimension-sized but its lineage contains the
+    # full corpus scan; cut it once so the scan executes once (the
+    # lazy plan otherwise rescans for the total, the normalizer, and
+    # the final projection — 4 corpus scans, tools/plan_audit.py)
+    c = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).localCheckpoint(eager=False)
     t = c.agg(F.sum("n_docs").alias("_total"))
     p = (
         c.join(F.broadcast(t))
