@@ -3798,16 +3798,22 @@ def bigram_pmi_top(spark, sf_dir):
     (round-6 PMI, gram tiebreak)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(text.tokens("text")).alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # the two count tables are vocab-sized but their lineage contains
+    # the corpus scan + explode — cut each once so the corpus is read
+    # exactly twice (once per gram arity), not once per consumer; the
+    # totals then roll up from the materialized counts
+    uni = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
     a = uni.agg(F.sum("c").cast("double").alias("_a"))
     bg = docs.select(
         F.explode(text.word_ngrams("text", 2)).alias("gram")
     )
-    bgc = (
-        bg.groupBy("gram").agg(F.count(F.lit(1)).alias("cb"))
-        .where(F.col("cb") >= 20)
-    )
-    b = bg.groupBy().agg(F.count(F.lit(1)).cast("double").alias("_b"))
+    bgc_all = bg.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("cb")
+    ).localCheckpoint(eager=False)
+    bgc = bgc_all.where(F.col("cb") >= 20)
+    b = bgc_all.agg(F.sum("cb").cast("double").alias("_b"))
     w = F.split(F.col("gram"), " ")
     u1 = uni.select(F.col("tok").alias("_t1"), F.col("c").alias("_c1"))
     u2 = uni.select(F.col("tok").alias("_t2"), F.col("c").alias("_c2"))
