@@ -172,7 +172,12 @@ def tfidf_top_terms(
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the document-frequency rollup and the scoring join
+    # — cut the lineage once so the explode+shuffle executes once (the
+    # lazy plan otherwise re-runs it per consumer; plan_audit)
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
     n_docs = df.select(F.countDistinct(id_col).alias("_n"))
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
