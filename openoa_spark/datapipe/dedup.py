@@ -396,10 +396,17 @@ def ngram_jaccard_pairs(
     """
     from openoa_spark.session import spread_small_input
 
+    # the 16-byte (id, hash) shingle table feeds the size rollup, the
+    # doc-frequency cap, and BOTH self-join sides — cut the lineage
+    # once so the explode+hash pipeline (the dominant CPU) executes
+    # once, the same materialize-the-small-derivative trade as the
+    # minhash signature checkpoint
     sh = spread_small_input(df).select(
         F.col(id_col).alias("_id"),
         F.explode(shingles(text_col, shingle_n)).alias("_sh"),
-    ).withColumn("_shh", F.xxhash64("_sh")).drop("_sh")
+    ).withColumn("_shh", F.xxhash64("_sh")).drop("_sh").localCheckpoint(
+        eager=False
+    )
     if max_doc_frequency is not None:
         dfreq = sh.groupBy("_shh").agg(F.count(F.lit(1)).alias("_df"))
         sh = sh.join(

@@ -329,6 +329,9 @@ def group_shingle_overlap(
             F.explode(word_ngrams(text_col, n)).alias("gram"),
         )
         .distinct()
+        # feeds the sizes rollup and BOTH self-join sides — cut the
+        # lineage once so the explode+distinct shuffle executes once
+        .localCheckpoint(eager=False)
     )
     sizes = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_n"))
     a = grams.select(F.col("g").alias("src_a"), "gram")
