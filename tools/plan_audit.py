@@ -58,7 +58,11 @@ def main():
         "# Plan audit — every registry query",
         "",
         f"`{sf_dir}`, pre-execution formatted plans (AQE may coalesce",
-        "further at runtime). shuffles = non-broadcast Exchanges;",
+        "further at runtime). NOTE: a lazy localCheckpoint truncates",
+        "the visible plan at the checkpoint boundary (Scan ExistingRDD),",
+        "so queries using the materialize-once pattern under-report",
+        "their upstream stages here — the checkpoint is the point.",
+        "shuffles = non-broadcast Exchanges;",
         "py = row-at-a-time Python (must be none); arrow = vectorized",
         "Pandas nodes; cart = cartesian/NLJ (scalar broadcasts",
         "allowlisted in tests/test_plans.py); push = filtered scan",
