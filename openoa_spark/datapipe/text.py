@@ -220,7 +220,11 @@ def common_ngram_fraction(
     grams = df.select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
     )
-    per_doc = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("occ"))
+    # per_doc feeds the document-frequency rollup AND the join — cut
+    # the lineage once so the explode+shuffle executes once
+    per_doc = grams.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("occ")
+    ).localCheckpoint(eager=False)
     gram_df = per_doc.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_docs"))
     joined = per_doc.join(gram_df, "gram")
     return joined.groupBy(id_col).agg(
