@@ -87,6 +87,12 @@ PROBE_QUERIES = [
     # map-only projections + bounded aggs (rows×N scan cost)
     "benford_first_digit",
     "extrapolated_windspeed",
+    # checkpoint-once corpus-stat family (post plan-audit sweep)
+    "tfidf_top_terms",
+    "bigram_pmi_top",
+    "source_overlap_matrix",
+    "ngram_jaccard_pairs",
+    "lang_sampling_weights",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
