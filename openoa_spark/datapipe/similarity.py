@@ -691,7 +691,13 @@ def incremental_embedding_dedup(
     accepted = accepted.localCheckpoint(eager=True)
     if sink is not None:
         sink(accepted)
-    (
+    # Materialize the state-append frame BEFORE appending: its lineage
+    # reaches back through the left-anti join to the
+    # spark.read.parquet(vecs_path) history scan, i.e. it would read
+    # the very table it is growing mid-append — the same
+    # read-your-own-append hazard the minhash (new_sig) and chunk
+    # (fresh_owner) incremental paths cut with an eager checkpoint.
+    state_append = (
         bucketed_surv.join(
             accepted.select(F.col(id_col).alias("_aid")),
             bucketed_surv["_id"] == F.col("_aid"),
@@ -701,9 +707,9 @@ def incremental_embedding_dedup(
             F.col("_bucket").alias("bucket"),
             F.col("_v").alias("vec"),
         )
-        .write.mode("append")
-        .parquet(vecs_path)
+        .localCheckpoint(eager=True)
     )
+    state_append.write.mode("append").parquet(vecs_path)
     return accepted
 
 

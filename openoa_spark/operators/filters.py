@@ -300,18 +300,28 @@ def hampel_flag(
             "hampel_flag needs partition keys (a keyless ordered window "
             "funnels the table through one task)"
         )
+    clobber = {"_roll_med", "_roll_mad", f"{value_col}_flag"} & set(
+        df.columns
+    )
+    if clobber:
+        raise ValueError(
+            f"hampel_flag output columns already exist: {sorted(clobber)}"
+        )
+    dev = "_dev"
+    while dev in df.columns:
+        dev += "_"
     frame = (
         W.partitionBy(*keys).orderBy(*order).rowsBetween(-(window - 1), 0)
     )
     v = F.col(value_col)
     out = df.withColumn(
-        "_roll_med", F.expr(f"percentile({value_col}, 0.5)").over(frame)
+        "_roll_med", F.percentile(v, F.lit(0.5)).over(frame)
     )
-    out = out.withColumn("_dev", F.abs(v - F.col("_roll_med")))
+    out = out.withColumn(dev, F.abs(v - F.col("_roll_med")))
     out = out.withColumn(
-        "_roll_mad", F.expr("percentile(_dev, 0.5)").over(frame)
+        "_roll_mad", F.percentile(F.col(dev), F.lit(0.5)).over(frame)
     )
     return out.withColumn(
         f"{value_col}_flag",
-        F.col("_dev") > F.lit(k) * F.lit(1.4826) * F.col("_roll_mad"),
-    ).drop("_dev")
+        F.col(dev) > F.lit(k) * F.lit(1.4826) * F.col("_roll_mad"),
+    ).drop(dev)

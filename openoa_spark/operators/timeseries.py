@@ -553,21 +553,31 @@ def refresh_time_rollup(
     The rollup parquet is partitioned by ``_bucket_day`` (one
     directory per day) so a late-arriving hour re-lands one day.
     Returns the recomputed slice that was written.
+
+    Invalidation is tracked at DAY grain, not bucket grain: dynamic
+    partition overwrite replaces whole ``_bucket_day`` directories,
+    so every bucket of a touched day must be recomputed — semi-joining
+    raw on sub-day buckets alone would silently drop the day's
+    untouched buckets from the rollup (e.g. an hour-06 delta deleting
+    hours 00-05). Day-grain invalidation costs one extra bucket-worth
+    of recompute per touched day and keeps the refresh aligned with
+    the partition layout.
     """
     from openoa_spark.sources.sinks import overwrite_partitions
 
     keys = keys or []
     bucket = F.date_trunc(freq, F.col(time_col))
-    invalid = (
-        changed.select(bucket.alias("_bucket")).distinct()
+    invalid_days = (
+        changed.select(F.to_date(bucket).alias("_bucket_day")).distinct()
         .localCheckpoint(eager=False)
     )
     slice_df = (
         raw.withColumn("_bucket", bucket)
-        .join(F.broadcast(invalid), "_bucket", "left_semi")
-        .groupBy("_bucket", *keys)
-        .agg(*[c.alias(n) for n, c in aggs.items()])
         .withColumn("_bucket_day", F.to_date("_bucket"))
+        .join(F.broadcast(invalid_days), "_bucket_day", "left_semi")
+        .groupBy("_bucket", "_bucket_day", *keys)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select("_bucket", *keys, *aggs.keys(), "_bucket_day")
     )
     overwrite_partitions(slice_df, rollup_path, ["_bucket_day"])
     return slice_df

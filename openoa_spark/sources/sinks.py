@@ -343,7 +343,10 @@ def apply_cdc(
     )
     # dynamic overwrite only replaces partitions PRESENT in the output:
     # a partition whose every row was deleted would silently survive —
-    # drop those directories explicitly
+    # drop those directories explicitly. Directory names carry Spark's
+    # percent-escaped partition values (timestamps' ':', spaces, '%',
+    # …), so build them with the same escaping — a raw str(v) path
+    # would miss exactly the partitions this cleanup exists to remove.
     if fs.exists(path):
         present = {
             r[0] for r in latest.select(partition_col).distinct().collect()
@@ -351,7 +354,34 @@ def apply_cdc(
         for v in set(touched) - present:
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(
-                    f"{table_path.rstrip('/')}/{partition_col}={v}"
+                    f"{table_path.rstrip('/')}/"
+                    f"{partition_col}={_escape_partition_value(v)}"
                 ),
                 True,
             )
+
+
+# The characters Spark's ExternalCatalogUtils.escapePathName percent-
+# encodes when writing a partition value into a directory name
+# (control chars, path separators, glob/URI metacharacters).
+_PATH_ESCAPE = (
+    {chr(c) for c in range(0x01, 0x20)}
+    | set('"#%\'*/:=?\\\x7f{[]^')
+)
+
+
+def _escape_partition_value(v) -> str:
+    """Render a partition VALUE exactly as Spark encodes it in the
+    partition directory name: ``None`` (and empty string) become the
+    Hive default-partition token; every unsafe character becomes
+    ``%XX``. Mirrors ExternalCatalogUtils.escapePathName — simple
+    scalar types only (str/int/float/date/datetime), matching the
+    partition-column types this sink supports."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    s = str(v)
+    if s == "":
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _PATH_ESCAPE else ch for ch in s
+    )

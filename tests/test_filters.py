@@ -135,3 +135,21 @@ def test_hampel_flag_spike_detection(spark):
 
     with _pytest.raises(ValueError):
         flt.hampel_flag(df, "v", "t", keys=[])
+
+    # awkward value-column names work (no raw-SQL identifier splicing)
+    odd = df.withColumnRenamed("v", "the value")
+    out2 = flt.hampel_flag(odd, "the value", "t", keys=["k"], window=5, k=3.0)
+    flags2 = {r["t"].minute: r["the value_flag"] for r in out2.collect()}
+    assert flags2 == flags
+
+    # refuses instead of silently clobbering same-named input columns
+    with _pytest.raises(ValueError, match="_roll_med"):
+        flt.hampel_flag(
+            df.withColumn("_roll_med", df["v"]), "v", "t", keys=["k"]
+        )
+    # a pre-existing _dev column is NOT clobbered (internal name shifts)
+    out3 = flt.hampel_flag(
+        df.withColumn("_dev", df["v"]), "v", "t", keys=["k"], window=5
+    )
+    assert "_dev" in out3.columns
+    assert {r["t"].minute: r["v_flag"] for r in out3.collect()} == flags

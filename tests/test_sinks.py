@@ -311,3 +311,47 @@ def test_apply_cdc_partition_scoped_merge(spark, tmp_path):
                                 ["id", "day", "v", "_op"])
     with _pytest.raises(ValueError):
         sinks.apply_cdc(spark, path, bad, ["id"], "day")
+
+
+def test_apply_cdc_deletes_escaped_partition_dirs(spark, tmp_path):
+    """Fully-deleted partitions must disappear even when the partition
+    value needs Spark's percent-escaping in the directory name
+    (timestamps carry ':' and ' '; strings may carry '%')."""
+    import datetime as dt
+    import os
+
+    path = str(tmp_path / "cdc_ts")
+    t1 = dt.datetime(2024, 3, 1, 6, 0)
+    t2 = dt.datetime(2024, 3, 1, 7, 0)
+    base = spark.createDataFrame(
+        [(1, t1, 10.0), (2, t2, 20.0)], ["id", "hour", "v"]
+    )
+    base.write.partitionBy("hour").parquet(path)
+    escaped = [d for d in os.listdir(path) if d.startswith("hour=")]
+    assert all("%3A" in d for d in escaped)  # Spark escapes the colons
+
+    changes = spark.createDataFrame(
+        [(1, t1, 0.0, "delete")], ["id", "hour", "v", "_op"]
+    )
+    sinks.apply_cdc(spark, path, changes, ["id"], "hour")
+
+    left = [d for d in os.listdir(path) if d.startswith("hour=")]
+    assert len(left) == 1  # the emptied t1 directory is really gone
+    rows = spark.read.parquet(path).collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(2, 20.0)]
+
+
+def test_escape_partition_value_matches_spark(spark, tmp_path):
+    """_escape_partition_value reproduces the directory names Spark
+    itself writes for awkward string partition values."""
+    import os
+
+    vals = ["a b", "p%q", "x:y", "plain", "c#d", "e=f"]
+    path = str(tmp_path / "esc")
+    df = spark.createDataFrame([(v, 1) for v in vals], ["k", "v"])
+    df.write.partitionBy("k").parquet(path)
+    written = {d for d in os.listdir(path) if d.startswith("k=")}
+    assert written == {
+        f"k={sinks._escape_partition_value(v)}" for v in vals
+    }
+    assert sinks._escape_partition_value(None) == "__HIVE_DEFAULT_PARTITION__"

@@ -218,6 +218,50 @@ def test_refresh_time_rollup_recomputes_only_touched_buckets(spark, tmp_path):
     assert again == got
 
 
+def test_refresh_time_rollup_subday_freq_keeps_whole_day(spark, tmp_path):
+    """Hour-grain rollup refreshed by a delta touching ONE hour of a
+    day must keep the day's other hours: dynamic overwrite replaces
+    the whole _bucket_day directory, so the recompute slice has to
+    cover every bucket of each touched day (regression: an hour-06
+    delta used to delete hours 00-05)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from openoa_spark.operators.timeseries import refresh_time_rollup
+
+    path = str(tmp_path / "rollup_h")
+    aggs = {"sum_v": F.sum("v"), "n": F.count(F.lit(1))}
+
+    base = [
+        (dt.datetime(2024, 3, 1, h, m), 1.0)
+        for h in range(6)
+        for m in (0, 30)
+    ]
+    raw1 = spark.createDataFrame(base, "ts timestamp, v double")
+    refresh_time_rollup(raw1, raw1, "ts", path, "hour", aggs)
+    assert spark.read.parquet(path).count() == 6
+
+    # second micro-batch: a later hour of the SAME day
+    late_rows = [(dt.datetime(2024, 3, 1, 6, 15), 5.0)]
+    late = spark.createDataFrame(late_rows, "ts timestamp, v double")
+    raw2 = raw1.unionByName(late)
+    refresh_time_rollup(raw2, late, "ts", path, "hour", aggs)
+
+    got = {
+        r["_bucket"]: (r["sum_v"], r["n"])
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        r["b"]: (r["sum_v"], r["n"])
+        for r in raw2.groupBy(F.date_trunc("hour", "ts").alias("b"))
+        .agg(F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want  # hours 00-05 survive, hour 06 appears
+    assert len(got) == 7
+
+
 def test_asof_join_tolerance(spark):
     import datetime as dt
 
