@@ -6248,51 +6248,26 @@ def top_ngram_repetition_docs(spark, sf_dir):
 # pytest. Flagship q1_pricing_summary stays exercised every round via
 # entry().
 _PRIORITY = [
-    # round-3 red rows — oracle HUGEINT casts fixed, prove it here
-    "q12_priority_counts", "event_sessions",
-    # latent HUGEINT fixes — rotate in to hard-verify the casts
-    "profile_events", "dq_checks_events", "first_touch_attribution",
-    # round-3c §17 analytics batch — never checked
-    "event_funnel", "cohort_retention", "ohlc_daily_user",
-    "event_type_transitions", "state_islands", "top_session_paths",
-    "customer_rfm_segments", "latest_event_per_user",
-    "modal_event_type_per_user", "behavior_cohorts",
-    "hourly_active_users", "monthly_revenue_growth",
-    "seasonal_residual_outliers", "event_gini_by_type",
-    "event_type_cooccurrence", "bigram_pmi_top",
-    "winsorized_quantity_stats",
-    "nation_share_of_region", "quantity_weighted_avg_price",
-    # round-4c structural additions — brand-new, most in need of a
-    # driver row (displacing three single-agg histogram queries —
-    # dow_hour_heatmap / interarrival_histogram / price_histogram —
-    # to round 5: each is one date_trunc/width_bucket projection +
-    # hash agg, machinery pinned by in-window cousins)
-    "chunk_dedup_docs", "lm_score_docs", "token_budget_selection",
-    "active_users_grouping_sets", "mad_by_type", "value_drift_psi",
-    "lineitem_corr_matrix",
-    # displaced round-3b set — never checked
-    "percent_rank_daily_user_value", "grouping_sets_revenue",
-    "value_moments_by_type", "full_outer_daily_activity",
-    "char_entropy_docs", "asof_forward_hourly_value",
-    "interpolate_user_values", "user_value_trend",
-    "near_dup_edit_verified", "rabin_karp_fingerprints",
-    "tokenized_user_activity", "redact_docs", "doc_chunks",
-    "stratified_sample_lang", "doc_shards", "pack_blocks_docs",
-    # round-4d structural additions — brand-new code belongs in the
-    # hard window (displacing to round 5: the two never-checked
-    # set-op queries intersect_both_halves_users / common_ngram_docs
-    # and the single-bounded-agg lang_sampling_weights, all
-    # sweep-green compositions of machinery pinned by in-window
-    # cousins and the temperature-weights property test)
-    "gopher_quality_docs", "top_ngram_repetition_docs",
-    "dup_span_removal_docs",
+    # Round 5: the complete never-driver-checked set (29 queries) —
+    # after rounds 1-4, these are the ONLY registry entries without an
+    # all-green CORRECTNESS_r*.json row. With all 29 in the 50-name
+    # gate window, every one of the 176 registry queries will have
+    # been driver-verified at least once.
+    "asof_tolerance_hourly_value", "extrapolated_windspeed",
+    "uv_components", "veer_values", "feet_to_meter_part",
+    "logistic5_capped_power_values", "describe_quantity_by_flag",
+    "quality_score_docs", "bpe_token_counts", "repetition_ratio_docs",
+    "common_ngram_docs", "lsh_knn_topk", "intersect_both_halves_users",
+    "hash_sample_docs", "lang_sampling_weights", "dow_hour_heatmap",
+    "interarrival_histogram", "price_histogram", "weighted_sample_docs",
+    "train_val_test_split_docs", "ks_value_drift",
+    "near_dup_cluster_sizes", "simhash_near_dups",
+    "embedding_near_dedup_vecs", "ann_recall_lsh",
+    "benford_first_digit", "hampel_outliers", "vocab_coverage_90",
+    "corpus_version_diff",
+    # Round-5 structural additions / re-checks fill the remaining
+    # window slots (appended below as the round progresses).
 ]
-# Round-4d queries left OUTSIDE the window on purpose (round-5
-# rotation candidates): corpus_version_diff (full-outer join shape
-# pinned by in-window full_outer_daily_activity), vocab_coverage_90
-# (reuses in-window token_budget_selection's cumsum decomposition),
-# asof_tolerance_hourly_value (reuses the asof window machinery,
-# asof_forward_hourly_value in window). All sweep-green at three SFs.
 
 def _reorder() -> None:
     assert not (set(_PRIORITY) - set(_REGISTRY)), sorted(
