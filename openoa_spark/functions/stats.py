@@ -138,3 +138,86 @@ def sql_davg(expr: str, scale: int = 6, precision: int = 20) -> str:
         f"(CAST(SUM(CAST(({expr}) AS DECIMAL({precision},{scale}))) AS DOUBLE)"
         f" / COUNT({expr}))"
     )
+
+
+def grouped_exact_median(
+    df,
+    keys: list[str],
+    value_col: str,
+    out_col: str = "_median",
+    accuracy: int = 10000,
+):
+    """EXACT per-group median with bounded executor memory — the
+    scalable replacement for ``F.median``/``F.percentile`` aggregates,
+    whose implementation buffers EVERY group value on one executor
+    (a 10^10-row bin at 100 TB would buffer ~80 GB and OOM).
+
+    Two passes over the rows, both streaming:
+
+    1. Per group, an approx-percentile sketch (rank error <= n/accuracy)
+       brackets the median: lo = approx(0.5 - 3/accuracy),
+       hi = approx(0.5 + 3/accuracy). The true middle ranks are
+       guaranteed inside [lo, hi] for any group with
+       n > accuracy/2 (the bracket quantiles carry +-n/accuracy rank
+       slack each, and the even-n upper-middle rank sits 1/n above
+       0.5, bounded by 2/accuracy exactly at that group size).
+    2. Per group, counting aggregates resolve exact ranks: rows below
+       lo and equal to lo are COUNTED (not buffered); only the strict
+       interior (lo, hi) — at most ~8n/accuracy values, duplicates
+       included, because strict-between cardinality is bounded by the
+       rank gap — is collected and sorted. Groups at or below
+       accuracy/2 rows skip the bracket and collect everything
+       (bounded by the same cap). The k-th order statistic is then
+       lo, an interior element, or hi by pure rank arithmetic.
+
+    Interpolation for even n matches ``F.median``'s mean-of-middles
+    (``(lower + higher) / 2``) so results are bit-identical to
+    ``F.median`` — both exactness modes and the DuckDB oracle agree
+    by construction.
+
+    Rows with a null key or null value are dropped (they can never
+    join back to a real group / never enter ``F.median`` anyway).
+    The bracket table is group-grain (broadcast join back); memory per
+    group is O(accuracy) — raise ``accuracy`` for tighter brackets on
+    very large groups (sketch and interior both stay executor-sized).
+    """
+    v = F.col(value_col)
+    rows = df.na.drop(subset=[*keys, value_col]).select(*keys, value_col)
+    eps = 3.0 / accuracy
+    cap = max(accuracy // 2, 1000)
+    br = rows.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.percentile_approx(v, F.lit(0.5 - eps), F.lit(accuracy)).alias("_lo"),
+        F.percentile_approx(v, F.lit(0.5 + eps), F.lit(accuracy)).alias("_hi"),
+    )
+    j = rows.join(F.broadcast(br), keys, "inner")
+    small = F.col("_n") <= F.lit(cap)
+    lo, hi = F.col("_lo"), F.col("_hi")
+    keep = small | ((v > lo) & (v < hi))
+    one = F.lit(1)
+    agg = j.groupBy(*keys).agg(
+        F.first("_n").alias("_n"),
+        F.first("_lo").alias("_lo"),
+        F.first("_hi").alias("_hi"),
+        F.sum(F.when(~small & (v < lo), one).otherwise(0)).alias("_clt"),
+        F.sum(F.when(~small & (v == lo), one).otherwise(0)).alias("_ceq"),
+        F.sort_array(F.collect_list(F.when(keep, v))).alias("_arr"),
+    )
+    n = F.col("_n")
+    k1 = F.floor((n + 1) / 2).cast("long")  # lower middle rank, 1-based
+    k2 = (F.floor(n / 2) + 1).cast("long")  # upper middle rank
+    base = (F.col("_clt") + F.col("_ceq")).cast("long")
+
+    def val_at(k):
+        return (
+            F.when(k <= base, F.col("_lo"))
+            .when(
+                k <= base + F.size("_arr"),
+                F.element_at("_arr", (k - base).cast("int")),
+            )
+            .otherwise(F.col("_hi"))
+        )
+
+    v1, v2 = val_at(k1), val_at(k2)
+    med = (v1 + v2) / F.lit(2.0)  # matches F.median's even-n formula
+    return agg.select(*keys, med.alias(out_col))

@@ -149,16 +149,6 @@ def bin_filter(
     """
     from openoa_spark.functions import stats as _stats
 
-    def _median(c):
-        # exactness mode (functions/stats.py): exact sort-based median
-        # for the oracle-pinned default; deploy fast mode uses
-        # approx_percentile (KLL-style, rank error <= n/accuracy) —
-        # flags for rows sitting within the tiny center error of the
-        # threshold boundary may differ between modes.
-        if _stats.exact_sums_enabled():
-            return F.median(c)
-        return F.percentile_approx(c, 0.5, 10000)
-
     keys = keys or []
     x = F.col(bin_col)
     if bin_min_col is not None:
@@ -176,19 +166,26 @@ def bin_filter(
     )
 
     gb = keys + ["_bin"]
-    center_agg = (
-        F.avg(value_col) if center_type == "mean" else _median(value_col)
-    ).alias("_center")
-    stats = binned.groupBy(*gb).agg(center_agg)
+    # Median centers/deviations go through grouped_exact_median — the
+    # SAME exact, bounded-memory plan in both exactness modes (the
+    # old split — F.median exact / approx_percentile in fast mode —
+    # let bench time a plan whose boundary flags could differ from
+    # what the correctness gate checks; and F.median's per-group
+    # value buffer is itself the 100-TB OOM hazard).
+    if center_type == "mean":
+        stats = binned.groupBy(*gb).agg(F.avg(value_col).alias("_center"))
+    else:
+        stats = _stats.grouped_exact_median(binned, gb, value_col, "_center")
     if threshold_type == "std":
-        stats = binned.groupBy(*gb).agg(
-            center_agg, F.stddev_samp(value_col).alias("_dev")
+        devs = binned.groupBy(*gb).agg(
+            F.stddev_samp(value_col).alias("_dev")
         )
+        stats = stats.join(devs, gb, "inner")
     elif threshold_type == "mad":
-        centered = binned.join(F.broadcast(stats), gb, "left")
-        mads = centered.groupBy(*gb).agg(
-            _median(F.abs(F.col(value_col) - F.col("_center"))).alias("_dev")
+        centered = binned.join(F.broadcast(stats), gb, "left").withColumn(
+            "_absdev", F.abs(F.col(value_col) - F.col("_center"))
         )
+        mads = _stats.grouped_exact_median(centered, gb, "_absdev", "_dev")
         stats = stats.join(mads, gb, "inner")
     elif threshold_type == "scalar":
         stats = stats.withColumn("_dev", F.lit(1.0))
