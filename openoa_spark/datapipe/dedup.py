@@ -203,6 +203,7 @@ def minhash_near_dup_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs with estimated
     Jaccard similarity.
@@ -213,21 +214,46 @@ def minhash_near_dup_pairs(
     fraction → threshold. The join key is the band hash, so candidate
     generation is linear-ish in data size (LSH guarantee), not O(n²).
 
+    ``max_band_bucket`` bounds the adversarial-skew failure mode (a
+    templated corpus where a large fraction of documents share one
+    band key, turning the self-join clique quadratic) — see
+    :func:`_pairs_from_banded`. None (default) keeps exact clique
+    semantics.
+
     Output: (id_a, id_b, est_jaccard), id_a < id_b.
     """
     sig = _minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_n, hash_fn
     )
     banded = _band_hashes(sig, num_hashes, bands, hash_fn)
-    return _pairs_from_banded(banded, num_hashes, jaccard_threshold)
+    return _pairs_from_banded(
+        banded, num_hashes, jaccard_threshold, max_band_bucket
+    )
 
 
 def _pairs_from_banded(
-    banded: DataFrame, num_hashes: int, jaccard_threshold: float
+    banded: DataFrame,
+    num_hashes: int,
+    jaccard_threshold: float,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, est_jaccard) pairs from a (_id, _sig, band, bhash)
     band table — shared by the batch and incremental paths so the
-    signature pipeline is computed exactly once per input."""
+    signature pipeline is computed exactly once per input.
+
+    ``max_band_bucket``: band buckets LARGER than this cap degrade
+    from clique (every pair — m² rows for an m-doc bucket) to STAR
+    topology: every member pairs with the bucket's min-id
+    representative only (m-1 rows). A hot band key — the production
+    failure mode when ~10% of a corpus shares one template — then
+    costs O(m) instead of O(m²), and the star keeps exactly the
+    connectivity the downstream connected-components dedup needs (all
+    bucket members still land in one component). The tradeoff is
+    per-pair: a member whose signature agrees with a sibling but not
+    with the representative can fall below the threshold — acceptable
+    for candidate generation (LSH is already probabilistic), which is
+    why the default (None) keeps exact clique semantics.
+    """
     a = banded.alias("a")
     b = banded.alias("b")
     # Estimate Jaccard BEFORE the pair-dedup so dropDuplicates runs
@@ -244,14 +270,52 @@ def _pairs_from_banded(
         )
     )
     est = agree / F.lit(float(num_hashes))
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bhash") == F.col("b.bhash")))
-        .where(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            est.alias("est_jaccard"),
+    on = (F.col("a.band") == F.col("b.band")) & (
+        F.col("a.bhash") == F.col("b.bhash")
+    )
+    pair_cols = [
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        est.alias("est_jaccard"),
+    ]
+    if max_band_bucket is None:
+        pairs = (
+            a.join(b, on).where(F.col("a._id") < F.col("b._id"))
+            .select(*pair_cols)
         )
+    else:
+        # One hash-agg pass sizes every bucket and picks its min-id
+        # representative; the banded table is then split by size.
+        # Small buckets keep the exact clique join. Oversized buckets
+        # join members against the ONE representative row per bucket
+        # (m-1 output rows; the skewed probe side is splittable by
+        # AQE because the build side is bucket-unique).
+        sizes = banded.groupBy("band", "bhash").agg(
+            F.count(F.lit(1)).alias("_bsz"),
+            F.min("_id").alias("_rep_id"),
+        ).localCheckpoint(eager=False)
+        # NOT broadcast: the size table is bucket-grain (O(docs×bands)
+        # rows at corpus scale) — let the join shuffle on the same
+        # (band, bhash) key the pair joins use; AQE broadcasts it when
+        # it is actually small.
+        sized = banded.join(sizes, ["band", "bhash"])
+        small_a = sized.where(F.col("_bsz") <= max_band_bucket).alias("a")
+        small_b = sized.where(F.col("_bsz") <= max_band_bucket).alias("b")
+        clique = (
+            small_a.join(small_b, on)
+            .where(F.col("a._id") < F.col("b._id"))
+            .select(*pair_cols)
+        )
+        over = sized.where(F.col("_bsz") > max_band_bucket).select(
+            "band", "bhash", "_id", "_sig", "_rep_id"
+        )
+        # min-id representative ⇒ id_a = rep < member = id_b always
+        reps = over.where(F.col("_id") == F.col("_rep_id")).alias("a")
+        members = over.where(F.col("_id") != F.col("_rep_id")).alias("b")
+        star = reps.join(members, on).select(*pair_cols)
+        pairs = clique.unionByName(star)
+    return (
+        pairs
         .where(F.col("est_jaccard") >= jaccard_threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -536,6 +600,7 @@ def near_dedup(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate removal: MinHash-LSH candidate pairs →
     connected components → keep the lowest-id document per cluster
@@ -544,7 +609,7 @@ def near_dedup(
     """
     pairs = minhash_near_dup_pairs(
         df, text_col, id_col, num_hashes, bands, shingle_n,
-        jaccard_threshold, hash_fn,
+        jaccard_threshold, hash_fn, max_band_bucket,
     )
     comp = connected_components(pairs)
     losers = comp.where(F.col("doc_id") != F.col("component")).select(
@@ -563,6 +628,7 @@ def near_dedup_keep_best(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate removal keeping the BEST-scoring document per
     cluster (ties broken by lowest id) instead of near_dedup's lowest
@@ -578,7 +644,7 @@ def near_dedup_keep_best(
     """
     pairs = minhash_near_dup_pairs(
         df, text_col, id_col, num_hashes, bands, shingle_n,
-        jaccard_threshold, hash_fn,
+        jaccard_threshold, hash_fn, max_band_bucket,
     )
     comp = connected_components(pairs).select(
         F.col("doc_id").alias("_cid"), "component"

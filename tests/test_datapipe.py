@@ -1172,3 +1172,61 @@ def test_curate_corpus_pipeline(spark):
     )
     assert ledger2 == []
     assert sorted(r["doc_id"] for r in out2.collect()) == [1, 2]
+
+
+def test_minhash_band_bucket_cap_bounds_hot_template(spark):
+    """Adversarial LSH skew: when a large slice of the corpus shares
+    one template, every copy lands in the same band bucket and the
+    clique self-join goes quadratic. max_band_bucket degrades those
+    buckets to star topology (min-id representative): pair count
+    drops from O(m²) to O(m·bands) while the kept-set after
+    connected-components dedup is unchanged."""
+    from openoa_spark.datapipe import dedup
+
+    m = 60  # hot-template copies
+    rows = [(i, "the quick brown template fox shared by every copy "
+                "of this scraped page body") for i in range(m)]
+    rows += [
+        (1000 + i, f"unique document {i} with its own words "
+                   f"entropy{i * 37} tail{i * 91}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact_pairs = dedup.minhash_near_dup_pairs(
+        df, "text", "doc_id", num_hashes=32, bands=8
+    )
+    capped_pairs = dedup.minhash_near_dup_pairs(
+        df, "text", "doc_id", num_hashes=32, bands=8, max_band_bucket=10
+    )
+    n_exact = exact_pairs.count()
+    n_capped = capped_pairs.count()
+    assert n_exact >= m * (m - 1) // 2          # clique blowup
+    assert n_capped <= 4 * m                    # star stays linear
+    # star keeps the connectivity: identical kept-set after dedup
+    kept_exact = sorted(
+        r["doc_id"]
+        for r in dedup.near_dedup(
+            df, "text", "doc_id", num_hashes=32, bands=8
+        ).collect()
+    )
+    kept_capped = sorted(
+        r["doc_id"]
+        for r in dedup.near_dedup(
+            df, "text", "doc_id", num_hashes=32, bands=8,
+            max_band_bucket=10,
+        ).collect()
+    )
+    assert kept_capped == kept_exact
+    assert 0 in kept_capped and 1 not in kept_capped
+
+    # small-bucket (≤ cap) behavior is byte-identical to exact mode
+    tiny = spark.createDataFrame(rows[:5] + rows[-5:], ["doc_id", "text"])
+    a = sorted(map(tuple, dedup.minhash_near_dup_pairs(
+        tiny, "text", "doc_id", num_hashes=32, bands=8
+    ).collect()))
+    b = sorted(map(tuple, dedup.minhash_near_dup_pairs(
+        tiny, "text", "doc_id", num_hashes=32, bands=8,
+        max_band_bucket=10,
+    ).collect()))
+    assert a == b
