@@ -171,3 +171,183 @@ def load_reference_parametric_forms():
     return importlib.import_module(
         "openoa.utils.power_curve.parametric_forms"
     )
+
+
+class _StubLinearRegression:
+    """Exact stand-in for sklearn LinearRegression (OLS via lstsq —
+    numerically the same normal-equation solution sklearn computes)."""
+
+    def fit(self, X, y):
+        X = np.asarray(X, dtype=float)
+        if X.ndim == 1:
+            X = X[:, None]
+        y = np.asarray(y, dtype=float)
+        A = np.hstack([np.ones((len(X), 1)), X])
+        coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+        self.intercept_ = float(coef[0])
+        self.coef_ = coef[1:]
+        return self
+
+    def predict(self, X):
+        X = np.asarray(X, dtype=float)
+        if X.ndim == 1:
+            X = X[:, None]
+        return self.intercept_ + X @ self.coef_
+
+
+def _r2_score(y_true, y_pred):
+    y_true = np.asarray(y_true, dtype=float)
+    y_pred = np.asarray(y_pred, dtype=float)
+    ss_res = float(np.sum((y_true - y_pred) ** 2))
+    ss_tot = float(np.sum((y_true - y_true.mean()) ** 2))
+    return 1.0 - ss_res / ss_tot
+
+
+def _mean_squared_error(y_true, y_pred):
+    y_true = np.asarray(y_true, dtype=float)
+    y_pred = np.asarray(y_pred, dtype=float)
+    return float(np.mean((y_true - y_pred) ** 2))
+
+
+class _RaisingStub:
+    """Placeholder for sklearn/pygam estimators the lin-path parity
+    tests never reach — loud failure if they ever are."""
+
+    def __init__(self, *a, **kw):
+        raise NotImplementedError(
+            "reference-parity stubs cover the 'lin' path only"
+        )
+
+
+def load_reference_analysis():
+    """Return the reference ``analysis.electrical_losses`` and
+    ``analysis.aep`` modules, with the full PlantData import graph
+    satisfied by exact-or-inert stubs: matplotlib/plot/tabulate/
+    IPython/shapely/pyproj/eia are display- or geo-only (never touched
+    by the lin-path pipelines), statsmodels.RLM is only reached with
+    outlier_detection=True, and the sklearn pieces the lin path DOES
+    touch (LinearRegression, r2_score, mean_squared_error) are exact
+    NumPy implementations."""
+    load_reference_qa()  # utils + matplotlib/pyproj/h5pyd/plot stubs
+
+    stubs = {}
+    mpl = sys.modules["matplotlib"]
+    if not hasattr(mpl, "markers"):
+        markers = _mod("matplotlib.markers")
+        markers.MarkerStyle = object
+        mpl.markers = markers
+        stubs["matplotlib.markers"] = markers
+    if not hasattr(sys.modules["matplotlib.pyplot"], "subplots"):
+        sys.modules["matplotlib.pyplot"].subplots = _RaisingStub
+
+    pyproj = sys.modules["pyproj"]
+    if not hasattr(pyproj, "Transformer"):
+        class _EquirectTransformer:
+            """Planar-meter stand-in for pyproj's WGS84→UTM transform.
+            The EL/AEP parity pipelines never read the projected
+            geometry (only wake/TIE distance logic would) — it just
+            has to produce finite coordinates for PlantData's
+            post-init bookkeeping."""
+
+            @classmethod
+            def from_crs(cls, *_a, **_kw):
+                return cls()
+
+            def transform(self, lats, lons):
+                lat = np.asarray(lats, dtype=float)
+                lon = np.asarray(lons, dtype=float)
+                r = 6371000.0
+                x = np.radians(lon) * r * np.cos(np.radians(lat.mean()))
+                y = np.radians(lat) * r
+                return x, y
+
+        pyproj.Transformer = _EquirectTransformer
+
+    if "tabulate" not in sys.modules:
+        tab = _mod("tabulate")
+        tab.tabulate = lambda *a, **kw: ""
+        stubs["tabulate"] = tab
+    if "IPython" not in sys.modules:
+        ipy = _mod("IPython")
+        disp = _mod("IPython.display")
+        disp.Markdown = lambda *a, **kw: None
+        disp.display = lambda *a, **kw: None
+        ipy.display = disp
+        stubs.update({"IPython": ipy, "IPython.display": disp})
+    if "shapely" not in sys.modules:
+        shp = _mod("shapely")
+        geom = _mod("shapely.geometry")
+
+        class _Point:
+            def __init__(self, x, y):
+                self.x, self.y = float(x), float(y)
+
+            def distance(self, other):  # shapely planar euclidean
+                return float(np.hypot(self.x - other.x, self.y - other.y))
+
+        geom.Point = _Point
+        shp.geometry = geom
+        stubs.update({"shapely": shp, "shapely.geometry": geom})
+    if "eia" not in sys.modules:
+        stubs["eia"] = _mod("eia")  # metadata_fetch import-only
+    if "statsmodels" not in sys.modules:
+        smod = _mod("statsmodels")
+        api = _mod("statsmodels.api")
+        api.add_constant = _RaisingStub  # outlier_detection=False only
+        api.RLM = _RaisingStub
+        robust = _mod("statsmodels.api.robust")
+        norms = _mod("statsmodels.api.robust.norms")
+        norms.HuberT = _RaisingStub
+        robust.norms = norms
+        api.robust = robust
+        smod.api = api
+        stubs.update({"statsmodels": smod, "statsmodels.api": api})
+    if "pygam" not in sys.modules:
+        pg = _mod("pygam")
+        pg.GAM = _RaisingStub
+        stubs["pygam"] = pg
+
+    sk = sys.modules["sklearn"]
+    if not hasattr(sk, "metrics"):
+        metrics = _mod("sklearn.metrics")
+        metrics.r2_score = _r2_score
+        metrics.mean_squared_error = _mean_squared_error
+        metrics.make_scorer = lambda *a, **kw: None
+        lm = _mod("sklearn.linear_model")
+        lm.LinearRegression = _StubLinearRegression
+
+        class _KFold:  # constructed as a class-default kwarg; lin path
+            def __init__(self, *a, **kw):  # never calls split()
+                pass
+
+            def split(self, *a, **kw):
+                raise NotImplementedError("parity stubs: lin path only")
+
+        ms = _mod("sklearn.model_selection")
+        ms.KFold = _KFold
+        ms.RandomizedSearchCV = _RaisingStub
+        ens = _mod("sklearn.ensemble")
+        ens.ExtraTreesRegressor = _RaisingStub
+        ens.GradientBoostingRegressor = _RaisingStub
+        sk.metrics, sk.linear_model = metrics, lm
+        sk.model_selection, sk.ensemble = ms, ens
+        stubs.update({
+            "sklearn.metrics": metrics,
+            "sklearn.linear_model": lm,
+            "sklearn.model_selection": ms,
+            "sklearn.ensemble": ens,
+        })
+    sys.modules.update(stubs)
+    sys.modules["openoa"].__version__ = "parity-shell"
+
+    # shell package: openoa.analysis.__init__ imports ALL six pipelines
+    # (yaw pulls scipy.optimize etc.) — bypass it and import only the
+    # two under test
+    if "openoa.analysis" not in sys.modules:
+        apkg = _mod("openoa.analysis")
+        apkg.__path__ = [f"{_REF_ROOT}/analysis"]
+        sys.modules["openoa.analysis"] = apkg
+
+    el = importlib.import_module("openoa.analysis.electrical_losses")
+    aep = importlib.import_module("openoa.analysis.aep")
+    return el, aep
