@@ -824,3 +824,164 @@ def test_stream_cdc_apply_maintains_table(spark, tmp_path):
     want = {r["id"]: (r["day"], r["v"])
             for r in spark.read.parquet(table2).collect()}
     assert got == want
+
+
+def _land_files(spark, tmp_path, batches, schema):
+    """Write each batch as ONE parquet file into a common source dir
+    (file order = micro-batch order with maxFilesPerTrigger=1)."""
+    import shutil
+
+    import os
+    import time as _time
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        staging = tmp_path / f"late_stage_{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(staging)
+        )
+        part = next(staging.glob("part-*.parquet"))
+        dst = src / f"b{i:03d}.parquet"
+        shutil.copy(part, dst)
+        # the file source orders micro-batches by modification time —
+        # make the intended order unambiguous
+        os.utime(dst, (now + i * 10, now + i * 10))
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+
+def _drain(df, mode):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_late_arrival_matrix_sessionize(spark, tmp_path):
+    """Watermark semantics pinned per stateful operator (1/3):
+    session_window + 10-min watermark, as OBSERVED on Spark 4 (the
+    subtle bit this test exists to pin): the effective watermark lags
+    one micro-batch behind the event-time maximum, and a late row is
+    still MERGED into its session while that session's state is live —
+    only after the session is finalized (evicted one batch after the
+    watermark passes its close) is an older-than-watermark event
+    dropped, and the emitted session never reopens or re-emits."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minute):
+        return t0 + dt.timedelta(minutes=minute)
+
+    schema = StructType([
+        StructField("time", TimestampType()),
+        StructField("asset_id", StringType()),
+        StructField("value", DoubleType()),
+        StructField("seq", LongType()),
+    ])
+    batches = [
+        [(ts(0), "A", 1.0, 1), (ts(5), "A", 1.0, 2)],   # session A
+        [(ts(60), "B", 1.0, 3)],          # wm(effective next) -> 00:50
+        [(ts(65), "Y", 1.0, 4)],          # A evicted+emitted this batch
+        # late INSIDE watermark (00:56 >= 00:55): absorbed as its own
+        # session; late OUTSIDE + session finalized (00:02): dropped
+        [(ts(56), "C", 1.0, 5), (ts(2), "A", 1.0, 6)],
+        [(ts(300), "Z", 1.0, 7)],         # close everything
+    ]
+    stream = _land_files(spark, tmp_path, batches, schema)
+    sess = ingest.stream_sessionize(
+        stream, "time", ["asset_id"], gap_seconds=600.0,
+        late_threshold="10 minutes",
+    )
+    name = _drain(sess, "append")
+    rows = [r for r in spark.table(name).collect()
+            if r["asset_id"] in ("A", "B", "C")]
+    got = {}
+    for r in rows:
+        got.setdefault(r["asset_id"], []).append(
+            (r["session_start"], r["n_events"])
+        )
+    assert got["A"] == [(ts(0), 2)]   # exactly once; seq=6 dropped
+    assert got["B"] == [(ts(60), 1)]
+    assert got["C"] == [(ts(56), 1)]  # inside-watermark late: absorbed
+
+
+def test_late_arrival_matrix_dedup(spark, tmp_path):
+    """Watermark semantics pinned (2/3): dropDuplicatesWithinWatermark.
+    A duplicate INSIDE the watermark horizon is suppressed; once the
+    watermark passes first-seen + threshold the key's state expires,
+    so a duplicate arriving beyond it is EMITTED AGAIN (the dedup
+    guarantee is explicitly watermark-bounded); an event below the
+    watermark is dropped as late."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minute):
+        return t0 + dt.timedelta(minutes=minute)
+
+    schema = StructType([
+        StructField("time", TimestampType()),
+        StructField("asset_id", StringType()),
+        StructField("text", StringType()),
+        StructField("seq", LongType()),
+    ])
+    batches = [
+        [(ts(0), "A", "the payload X", 1)],           # first X: emitted
+        [(ts(5), "B", "watermark mover", 2),
+         (ts(4), "C", "the payload X", 3)],           # in-horizon dup: dropped
+        [(ts(60), "D", "watermark mover 2", 4)],      # max event -> 01:00
+        # effective watermark lags one batch: X's state (expires once
+        # wm > 00:10) is evicted at the END of this batch (wm 00:50)
+        [(ts(70), "D2", "watermark mover 3", 5)],
+        [(ts(48), "E", "the payload X", 6),           # below wm: dropped late
+         (ts(75), "F", "the payload X", 7)],          # state gone: re-emitted
+    ]
+    stream = _land_files(spark, tmp_path, batches, schema)
+    deduped = ingest.stream_dedup(
+        stream, "time", "text", late_threshold="10 minutes"
+    )
+    name = _drain(deduped, "append")
+    out = sorted(r["seq"] for r in spark.table(name).collect())
+    assert out == [1, 2, 4, 5, 7]
+
+
+def test_late_arrival_matrix_ewma(spark, tmp_path):
+    """Watermark semantics pinned (3/3): the EWMA detector keeps NO
+    watermark (state is O(keys), recursion absorbs everything), so an
+    out-of-order event arriving in a later micro-batch is still
+    absorbed into state and emitted — absorb-always, by design."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minute):
+        return t0 + dt.timedelta(minutes=minute)
+
+    schema = StructType([
+        StructField("time", TimestampType()),
+        StructField("asset_id", StringType()),
+        StructField("value", DoubleType()),
+        StructField("seq", LongType()),
+    ])
+    batches = [
+        [(ts(i), "A", 10.0 + 0.1 * (i % 3), i) for i in range(12)],
+        [(ts(3) + dt.timedelta(seconds=30), "A", 10.05, 99)],  # out-of-order
+    ]
+    stream = _land_files(spark, tmp_path, batches, schema)
+    flagged = ingest.stream_ewma_anomaly(
+        stream, "asset_id", "time", "value", warmup=5
+    )
+    name = _drain(flagged, "append")
+    rows = spark.table(name).collect()
+    assert len(rows) == 13                      # late row absorbed, emitted
+    late = [r for r in rows if r["value"] == 10.05]
+    assert len(late) == 1
+    assert late[0]["zscore"] is not None        # scored against live state
+    assert late[0]["is_anomaly"] is not None
