@@ -18,6 +18,13 @@ Spark-first inversions:
   polynomial basis OLS — ws/ws²/ws³ + sin(wd)/cos(wd) + rho —
   fitted per turbine (reference: functions.gam_3param at
   power_curve/functions.py:153-200).
+- Stated model tolerance of the spline substitute (pinned by
+  tests/test_regression_gam.py::test_gam_power_curve_deviation_envelope
+  on the reference's own power-curve shapes): ≤2.5% of rated
+  pointwise on smooth curve regions, ≤5% within ±1.5 m/s of a hard
+  rated-power knee (any smooth basis — pygam included — rounds the
+  corner), ≤0.8% RMS. Gross-energy numbers from this pipeline carry
+  that envelope on top of statistical recovery.
 """
 
 from __future__ import annotations

@@ -70,3 +70,56 @@ def test_gam_extrapolation_is_linear_not_cubic():
     second_diff = pred[2] - 2 * pred[1] + pred[0]
     assert abs(second_diff) < 1e-6 * max(1.0, abs(pred[2]))
     assert np.all(np.abs(pred) < 50.0)
+
+
+def test_gam_power_curve_deviation_envelope():
+    """THE stated model tolerance for the PolyGAM substitute (round-4
+    VERDICT #7): on the reference's own power-curve fitting shapes —
+    the 5-parameter logistic whose published La-Haute-Borne-scale
+    parameters drive logistic_5_parametric (power_curve/functions.py:
+    81-123) and the IEC-style saturated curve — a TIE-configured
+    PolyGAM (n_splines=20, the reference's default spline count) must
+    stay inside:
+
+      * worst-case |fit − truth| ≤ 2.5% of rated power on the
+        operating domain [cut-in, 25 m/s] AWAY from slope
+        discontinuities, and
+      * RMS deviation ≤ 0.8% of rated, and
+      * ≤ 5% of rated pointwise within ±1.5 m/s of the rated-power
+        KNEE of a saturated curve — a smooth spline basis necessarily
+        rounds the corner; pygam's LinearGAM (same cubic basis,
+        penalized) exhibits the same knee rounding,
+
+    at a realistic SCADA noise level (σ = 1.5% of rated). TIE gross
+    energy estimates built on the GAM therefore carry a ≤~2.5%
+    pointwise (≤~5% at a hard knee) / ≤~1% aggregate model tolerance
+    ON TOP of statistical recovery — the numbers to quote when
+    comparing against a pygam-backed reference run."""
+    rng = np.random.default_rng(42)
+    rated = 2000.0
+
+    def l5(v, a=rated, b=-5.0, c=9.0, d=0.05, g=1.2):
+        # reference logistic5param form (power_curve/parametric_forms)
+        return d + (a - d) / (1.0 + (v / c) ** b) ** g
+
+    def iec_sat(v):
+        # saturated IEC-style curve: cubic ramp then flat at rated
+        p = rated * np.clip((v - 3.0) / (12.0 - 3.0), 0.0, 1.0) ** 3
+        return np.where(v < 3.0, 0.0, np.minimum(p, rated))
+
+    for name, truth, knee in (
+        ("logistic5", l5, None), ("iec_saturated", iec_sat, 12.0)
+    ):
+        ws = rng.uniform(0.5, 25.0, 8000)
+        y = truth(ws) + rng.normal(0.0, 0.015 * rated, len(ws))
+        m = PolyGAM(n_splines=20).fit(ws[:, None], y)
+        grid = np.linspace(3.0, 25.0, 400)
+        dev = np.abs(m.predict(grid[:, None]) - truth(grid))
+        rms = float(np.sqrt(np.mean(dev**2))) / rated
+        assert rms <= 0.008, (name, rms)
+        smooth = (
+            np.ones_like(grid, dtype=bool) if knee is None
+            else np.abs(grid - knee) > 1.5
+        )
+        assert float(dev[smooth].max()) / rated <= 0.025, name
+        assert float(dev.max()) / rated <= 0.05, name
