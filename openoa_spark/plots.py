@@ -1,0 +1,289 @@
+"""Plot-data builders: the data-producing half of every reference
+plot surface (``openoa/utils/plot.py:1-1628`` plus the analysis-class
+plot methods), engine-side.
+
+Design: a chart renders at most a few thousand marks, so every
+function here reduces the (possibly 100-TB) input to a DRIVER-SIZED
+pandas frame with Spark doing the heavy lifting — deterministic hash
+downsampling for scatters, hash-aggregate binning for histograms and
+curves, bucket-grain aggregates for timeseries. The matplotlib
+rendering itself (axes, colors, styling — reference plot.py's other
+half) is intentionally thin and optional: ``render_*`` helpers work
+when matplotlib is importable and raise a clear error here (the
+container has no matplotlib), so the TESTED surface is the data
+contract. PLOTTING.md maps each reference plot function to its
+builder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from openoa_spark.operators.power_curve import iec_binned_curve
+
+
+def _mpl():
+    try:
+        import matplotlib.pyplot as plt  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover - env without matplotlib
+        raise ImportError(
+            "matplotlib is not installed in this environment; use the "
+            "*_plot_data builders and render with your own plotting stack"
+        ) from e
+    return plt
+
+
+# ------------------------------------------------------------------ windfarm
+
+
+def windfarm_plot_data(asset: DataFrame) -> pd.DataFrame:
+    """plot_windfarm (ref plot.py:161-290): asset map marks. Returns
+    one row per asset: id, lat/lon, true-UTM planar x/y (engine
+    Krüger projection — same map math the reference gets from pyproj),
+    and type. Asset tables are dimension-sized; the collect is the
+    chart's own cardinality."""
+    from openoa_spark.operators.geometry import utm_from_latlon
+
+    cols = [c for c in ("asset_id", "latitude", "longitude", "type")
+            if c in asset.columns]
+    return (
+        utm_from_latlon(asset.select(*cols), "latitude", "longitude")
+        .toPandas()
+    )
+
+
+# --------------------------------------------------------------- power curve
+
+
+def power_curve_plot_data(
+    df: DataFrame,
+    ws_col: str,
+    power_col: str,
+    keys: list[str] | None = None,
+    bin_width: float = 0.5,
+    max_points: int = 5000,
+    flag_col: str | None = None,
+) -> dict[str, pd.DataFrame]:
+    """plot_power_curve / plot_power_curves (ref plot.py:433,984) and
+    TIE's plot_filtered_power_curves (turbine_long_term_gross_energy
+    .py:567): scatter + fitted-curve layers.
+
+    - ``scatter``: a DETERMINISTIC hash downsample capped at
+      ``max_points`` rows total (xxhash64 of ws⊕power — stable across
+      runs and partitionings, no full-table sort). When ``flag_col``
+      is given the sample stratifies over it so filtered/kept marks
+      both appear.
+    - ``curve``: the exact IEC binned mean curve per key (bin-grain
+      aggregate, driver-sized by construction).
+    """
+    keys = keys or []
+    sel = [*keys, ws_col, power_col] + ([flag_col] if flag_col else [])
+    base = df.select(*sel).where(
+        F.col(ws_col).isNotNull() & F.col(power_col).isNotNull()
+    )
+    n = base.count()
+    strata = [flag_col] if flag_col else []
+    if n > max_points:
+        # per-stratum hash threshold: keep ~max_points rows overall
+        frac = max_points / n
+        h = F.abs(
+            F.xxhash64(F.col(ws_col), F.col(power_col), *map(F.col, keys))
+        )
+        base = base.where(h % 1_000_000 < int(frac * 1_000_000) + 1)
+    scatter = base.toPandas()
+    curve = iec_binned_curve(
+        df, ws_col, power_col, bin_width=bin_width, keys=keys + strata
+    ).toPandas().sort_values([*keys, *strata, "ws_bin"]).reset_index(drop=True)
+    return {"scatter": scatter, "curve": curve}
+
+
+# ---------------------------------------------------------------- histograms
+
+
+def column_histograms_data(
+    df: DataFrame, columns: list[str], bins: int = 30
+) -> pd.DataFrame:
+    """column_histograms (ref plot.py:394-430): per-column equal-width
+    histograms as ONE long frame (column, bin_left, bin_right, count).
+    One min/max aggregate + one unpivoted hash aggregate — never
+    collects raw values."""
+    bounds = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in columns],
+        *[F.max(c).alias(f"hi_{c}") for c in columns],
+    ).first()
+    frames = []
+    for c in columns:
+        lo, hi = float(bounds[f"lo_{c}"]), float(bounds[f"hi_{c}"])
+        width = (hi - lo) / bins or 1.0
+        b = F.least(
+            F.floor((F.col(c) - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
+        )
+        h = (
+            df.where(F.col(c).isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .toPandas()
+        )
+        h["column"] = c
+        h["bin_left"] = lo + h["bin"] * width
+        h["bin_right"] = h["bin_left"] + width
+        frames.append(h[["column", "bin_left", "bin_right", "count"]])
+    return pd.concat(frames, ignore_index=True)
+
+
+# ------------------------------------------------------------- distributions
+
+
+def distribution_plot_data(
+    samples: np.ndarray | pd.Series | list, n_bins: int = 30
+) -> pd.DataFrame:
+    """plot_distributions / plot_result_aep_distributions (ref
+    plot.py:668, aep.py:1413): histogram of a Monte-Carlo sample
+    vector (already driver-sized — per-sim scalars)."""
+    x = np.asarray(samples, dtype=float)
+    x = x[~np.isnan(x)]
+    counts, edges = np.histogram(x, bins=n_bins)
+    return pd.DataFrame({
+        "bin_left": edges[:-1], "bin_right": edges[1:], "count": counts,
+    })
+
+
+def boxplot_stats(
+    samples: np.ndarray | pd.Series | list,
+) -> dict[str, float]:
+    """plot_boxplot / plot_aep_boxplot (ref plot.py:812, aep.py:1468):
+    the five-number summary + whiskers (1.5 IQR, matplotlib's
+    convention) the box renders from."""
+    x = np.asarray(samples, dtype=float)
+    x = x[~np.isnan(x)]
+    q1, med, q3 = (float(np.percentile(x, p)) for p in (25, 50, 75))
+    iqr = q3 - q1
+    lo_w = float(x[x >= q1 - 1.5 * iqr].min())
+    hi_w = float(x[x <= q3 + 1.5 * iqr].max())
+    return {
+        "q1": q1, "median": med, "q3": q3,
+        "whisker_low": lo_w, "whisker_high": hi_w,
+        "mean": float(x.mean()), "n": int(len(x)),
+    }
+
+
+# ----------------------------------------------------------------- waterfall
+
+
+def waterfall_plot_data(
+    values: list[float], labels: list[str]
+) -> pd.DataFrame:
+    """plot_waterfall (ref plot.py:896-981, eya_gap_analysis.py:180):
+    cumulative bar geometry for a waterfall — first and last bars are
+    levels, the middle bars float at the running total. Input is
+    EYAGapAnalysis.compile_data()'s list."""
+    if len(values) != len(labels):
+        raise ValueError("values and labels must align")
+    bottoms, heights = [], []
+    running = 0.0
+    for i, v in enumerate(values):
+        if i == 0 or i == len(values) - 1:
+            bottoms.append(0.0)
+            heights.append(v if i == 0 else running)
+            running = v if i == 0 else running
+        else:
+            new = running + v
+            bottoms.append(min(running, new))
+            heights.append(abs(v))
+            running = new
+    return pd.DataFrame({
+        "label": labels, "value": values,
+        "bottom": bottoms, "height": heights,
+    })
+
+
+# --------------------------------------------------------------- timeseries
+
+
+def monthly_windspeed_plot_data(
+    reanalysis: DataFrame, time_col: str, ws_col: str
+) -> pd.DataFrame:
+    """plot_monthly_reanalysis_windspeed (ref plot.py:509) and AEP's
+    plot_normalized_monthly_reanalysis_windspeed (aep.py:1197): one
+    row per (year, month) with the monthly mean wind speed and its
+    value normalized by that calendar month's all-years mean — a
+    bucket-grain aggregate, collected at chart size."""
+    monthly = (
+        reanalysis.groupBy(
+            F.year(time_col).alias("year"), F.month(time_col).alias("month")
+        )
+        .agg(F.avg(ws_col).alias("ws"))
+        .toPandas()
+        .sort_values(["year", "month"])
+        .reset_index(drop=True)
+    )
+    clim = monthly.groupby("month")["ws"].transform("mean")
+    monthly["ws_norm"] = monthly["ws"] / clim
+    return monthly
+
+
+def energy_losses_timeseries_plot_data(aggregate: pd.DataFrame) -> pd.DataFrame:
+    """plot_plant_energy_losses_timeseries (ref plot.py:594) and AEP's
+    plot_aggregate_plant_data_timeseries (aep.py:1360): tidy (period,
+    series, value) long frame from the MonteCarloAEP aggregate (one
+    row per month/day — already driver-sized)."""
+    cols = [c for c in ("energy_gwh", "gross_energy_gwh",
+                        "availability_pct", "curtailment_pct")
+            if c in aggregate.columns]
+    out = aggregate.reset_index()[[aggregate.index.name or "index", *cols]]
+    out = out.rename(columns={aggregate.index.name or "index": "period"})
+    return out.melt(id_vars="period", var_name="series", value_name="value")
+
+
+def monthly_losses_plot_data(
+    scada_monthly: pd.Series, meter_monthly: pd.Series
+) -> pd.DataFrame:
+    """ElectricalLosses.plot_monthly_losses (electrical_losses.py:332):
+    per-month loss fraction from the two monthly energy series."""
+    df = pd.DataFrame({"scada": scada_monthly, "meter": meter_monthly})
+    df["loss"] = 1.0 - df["meter"] / df["scada"]
+    return df.reset_index()
+
+
+# -------------------------------------------------------------- wake losses
+
+
+def wake_losses_plot_data(result, kind: str = "wd") -> pd.DataFrame:
+    """WakeLosses.plot_wake_losses_by_wind_direction / _by_wind_speed
+    (wake_losses.py:1319,1411; utils plot.py:1081): per-bin mean and
+    MC std of the POR and long-term wake-loss arrays from a
+    WakeLossesResult (num_sim × n_bins — per-sim scalars, driver-
+    sized)."""
+    if kind == "wd":
+        por, lt = result.wake_losses_por_wd, result.wake_losses_lt_wd
+    elif kind == "ws":
+        por, lt = result.wake_losses_por_ws, result.wake_losses_lt_ws
+    else:
+        raise ValueError("kind must be 'wd' or 'ws'")
+    por = np.atleast_2d(np.asarray(por, dtype=float))
+    lt = np.atleast_2d(np.asarray(lt, dtype=float))
+    return pd.DataFrame({
+        "bin": np.arange(por.shape[1]),
+        "por_mean": np.nanmean(por, axis=0),
+        "por_std": np.nanstd(por, axis=0),
+        "lt_mean": np.nanmean(lt, axis=0),
+        "lt_std": np.nanstd(lt, axis=0),
+    })
+
+
+# ------------------------------------------------------------------- render
+
+
+def render_power_curve(data: dict[str, pd.DataFrame], ax=None):
+    """Minimal matplotlib rendering of power_curve_plot_data output
+    (requires matplotlib — absent here; kept thin on purpose)."""
+    plt = _mpl()  # pragma: no cover - no matplotlib in this container
+    ax = ax or plt.gca()
+    ax.scatter(data["scatter"].iloc[:, -2], data["scatter"].iloc[:, -1],
+               s=4, alpha=0.3)
+    ax.plot(data["curve"]["ws_bin"], data["curve"]["mean_power"])
+    ax.set_xlabel("wind speed (m/s)")
+    ax.set_ylabel("power (kW)")
+    return ax
