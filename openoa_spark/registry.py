@@ -6247,6 +6247,121 @@ def top_ngram_repetition_docs(spark, sf_dir):
 # HUGEINT output-type lint, tests/test_oracle_types.py) and pinned by
 # pytest. Flagship q1_pricing_summary stays exercised every round via
 # entry().
+
+# ================================================================
+# 19. Round-5 structural additions
+# ================================================================
+
+@register(
+    "median_price_by_flag",
+    """
+    SELECT l_returnflag, median(l_extendedprice) AS med_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def median_price_by_flag(spark, sf_dir):
+    """Exact grouped median via the bounded-memory bracket algorithm
+    (functions/stats.py:grouped_exact_median) — LARGE-group path: each
+    l_returnflag group exceeds the accuracy/2 cap, so the median is
+    resolved by rank arithmetic inside an approx-percentile bracket,
+    never buffering the group (the F.median per-group buffer is the
+    100-TB OOM hazard this replaces). Reference center stat:
+    filters.py:189-286 (bin_filter median centers)."""
+    from openoa_spark.functions import stats as _stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return _stats.grouped_exact_median(
+        li, ["l_returnflag"], "l_extendedprice", "med_price"
+    )
+
+
+@register(
+    "median_value_by_user",
+    """
+    SELECT user_id, median(value) AS med_value
+    FROM events WHERE value IS NOT NULL GROUP BY user_id
+    """,
+)
+def median_value_by_user(spark, sf_dir):
+    """grouped_exact_median SMALL-group path: per-user event groups sit
+    under the collect cap, so the algorithm degenerates to
+    sort-within-group — pinning both regimes of the bracket median
+    against DuckDB's exact median."""
+    from openoa_spark.functions import stats as _stats
+
+    ev = _t(spark, sf_dir, "events")
+    return _stats.grouped_exact_median(ev, ["user_id"], "value", "med_value")
+
+
+def _minhash_star_sql(
+    num_hashes: int, bands: int, threshold: float, cap: int, n: int = 3
+) -> str:
+    rpb = num_hashes // bands
+    b52 = "CAST('0x' || substring(md5({s}), 1, 13) AS BIGINT)"
+    sig_items = ",\n             ".join(
+        f"list_min(list_transform(hp, p -> (p.h1 + {i} * p.h2) % 2147483647))"
+        for i in range(num_hashes)
+    )
+    bhash = dedup.sql_hash64(
+        f"array_to_string(sig[band*{rpb}+1 : band*{rpb}+{rpb}], ',')"
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa[{i}] = sb[{i}] THEN 1 ELSE 0 END)"
+        for i in range(1, num_hashes + 1)
+    )
+    return f"""
+    WITH {_shingle_cte(n)},
+    hps AS (
+      SELECT doc_id,
+             list_transform(shs, s -> {{'h1': {b52.format(s='s')},
+                                        'h2': {b52.format(s="s || '#'")}}}) AS hp
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, [{sig_items}] AS sig FROM (SELECT doc_id, hp FROM hps)),
+    banded AS (
+      SELECT doc_id, sig, band, {bhash} AS bhash
+      FROM sig, (SELECT unnest(range(0, {bands})) AS band)
+    ),
+    sized AS (
+      SELECT doc_id, sig, band, bhash,
+             COUNT(*) OVER (PARTITION BY band, bhash) AS bsz,
+             MIN(doc_id) OVER (PARTITION BY band, bhash) AS rep
+      FROM banded
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sig AS sa, b.sig AS sb
+      FROM sized a JOIN sized b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+       AND a.bsz <= {cap}
+      UNION
+      SELECT DISTINCT a.doc_id, b.doc_id, a.sig, b.sig
+      FROM sized a JOIN sized b
+        ON a.band = b.band AND a.bhash = b.bhash
+       AND a.bsz > {cap} AND a.doc_id = a.rep AND b.doc_id <> b.rep
+    )
+    SELECT id_a, id_b, est_jaccard FROM (
+      SELECT id_a, id_b, ({agree}) / {float(num_hashes)} AS est_jaccard FROM cand
+    ) WHERE est_jaccard >= {threshold}
+    """
+
+
+@register("minhash_star_near_dups", _minhash_star_sql(32, 8, 0.4, 1))
+def minhash_star_near_dups(spark, sf_dir):
+    """The hot-bucket-capped LSH path (datapipe/dedup.py
+    _pairs_from_banded max_band_bucket): with cap=1 EVERY multi-doc
+    band bucket degrades to star topology (members pair with the
+    min-id representative only), so the query drives the skew-bounding
+    code end-to-end; the DuckDB twin replays the identical size/rep
+    window + union. See tools/skew_probe.py for the blowup this
+    bounds."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_near_dup_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=8,
+        jaccard_threshold=0.4, hash_fn="md5", max_band_bucket=1,
+    )
+
+
 _PRIORITY = [
     # Round 5: the complete never-driver-checked set (29 queries) —
     # after rounds 1-4, these are the ONLY registry entries without an
@@ -6265,8 +6380,11 @@ _PRIORITY = [
     "embedding_near_dedup_vecs", "ann_recall_lsh",
     "benford_first_digit", "hampel_outliers", "vocab_coverage_90",
     "corpus_version_diff",
-    # Round-5 structural additions / re-checks fill the remaining
-    # window slots (appended below as the round progresses).
+    # Round-5 structural additions: the bounded-memory exact grouped
+    # median (both group-size regimes), the star-capped LSH path, and
+    # bin_filter_lineitem (its median plan changed this round).
+    "median_price_by_flag", "median_value_by_user",
+    "minhash_star_near_dups", "bin_filter_lineitem",
 ]
 
 def _reorder() -> None:

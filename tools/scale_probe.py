@@ -93,6 +93,11 @@ PROBE_QUERIES = [
     "source_overlap_matrix",
     "ngram_jaccard_pairs",
     "lang_sampling_weights",
+    # round-5: bounded-memory exact grouped median (both regimes) and
+    # the star-capped LSH band join (skew-bounded by construction)
+    "median_price_by_flag",
+    "median_value_by_user",
+    "minhash_star_near_dups",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
