@@ -731,6 +731,7 @@ def incremental_near_dedup(
     jaccard_threshold: float = 0.5,
     hash_fn: str = "xxhash64",
     sink=None,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Cross-batch NEAR-duplicate removal for a continuously-ingesting
     corpus — the MinHash analogue of :func:`incremental_exact_dedup`:
@@ -826,8 +827,14 @@ def incremental_near_dedup(
 
     # within-batch near-dedup of what history didn't already cover —
     # REUSING the batch's banded signatures (the signature pipeline is
-    # the dominant CPU; it must run once per batch, not twice)
-    pairs = _pairs_from_banded(banded_surv, num_hashes, jaccard_threshold)
+    # the dominant CPU; it must run once per batch, not twice).
+    # max_band_bucket bounds a templated batch's clique blowup the
+    # same way as the batch operator; the CROSS-batch join above needs
+    # no cap because history buckets hold only accepted (already
+    # deduped) representatives — the dedup itself keeps them small.
+    pairs = _pairs_from_banded(
+        banded_surv, num_hashes, jaccard_threshold, max_band_bucket
+    )
     comp = connected_components(pairs)
     losers = comp.where(F.col("doc_id") != F.col("component")).select(
         F.col("doc_id").alias(id_col)

@@ -392,6 +392,7 @@ def stream_near_dedup(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    max_band_bucket: int | None = None,
 ):
     """Streaming NEAR-duplicate removal: each micro-batch runs
     datapipe.dedup.incremental_near_dedup against the persistent LSH
@@ -428,7 +429,7 @@ def stream_near_dedup(
         incremental_near_dedup(
             batch.sparkSession, batch, text_col, id_col, state_path,
             num_hashes, bands, shingle_n, jaccard_threshold, hash_fn,
-            sink=_sink,
+            sink=_sink, max_band_bucket=max_band_bucket,
         )
 
     w = (
