@@ -221,3 +221,77 @@ def grouped_exact_median(
     v1, v2 = val_at(k1), val_at(k2)
     med = (v1 + v2) / F.lit(2.0)  # matches F.median's even-n formula
     return agg.select(*keys, med.alias(out_col))
+
+
+def grouped_exact_percentile(
+    df,
+    keys: list[str],
+    value_col: str,
+    q: float,
+    out_col: str = "_percentile",
+    accuracy: int = 10000,
+):
+    """EXACT per-group interpolated percentile with bounded executor
+    memory — :func:`grouped_exact_median` generalized to any q in
+    (0, 1), replacing ``F.percentile``'s buffer-the-whole-group
+    aggregate at scale.
+
+    Rank math (matching Spark's Percentile aggregate and DuckDB's
+    ``quantile_cont``): pos = q·(n−1); the result interpolates the
+    1-based order statistics at floor(pos)+1 and floor(pos)+2 by the
+    fractional part — ``lower + (upper − lower)·frac``. The bracket
+    pass bounds those ranks inside [approx(q−3/a), approx(q+3/a)] for
+    n > accuracy/2 (same argument as the median; the adjacent-rank
+    offset 1/n is within the 2/a slack there), and small groups are
+    collected whole. NOTE: for q=0.5 this is NOT bit-identical to
+    ``F.median`` (interpolation vs mean-of-middles differ in the last
+    ulp); use grouped_exact_median to twin ``median``.
+    """
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    v = F.col(value_col)
+    rows = df.na.drop(subset=[*keys, value_col]).select(*keys, value_col)
+    eps = 3.0 / accuracy
+    cap = max(accuracy // 2, 1000)
+    lo_q, hi_q = max(0.0, q - eps), min(1.0, q + eps)
+    br = rows.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.percentile_approx(v, F.lit(lo_q), F.lit(accuracy)).alias("_lo"),
+        F.percentile_approx(v, F.lit(hi_q), F.lit(accuracy)).alias("_hi"),
+    )
+    j = rows.join(br, keys, "inner")
+    small = F.col("_n") <= F.lit(cap)
+    lo, hi = F.col("_lo"), F.col("_hi")
+    keep = small | ((v > lo) & (v < hi))
+    one = F.lit(1)
+    agg = j.groupBy(*keys).agg(
+        F.first("_n").alias("_n"),
+        F.first("_lo").alias("_lo"),
+        F.first("_hi").alias("_hi"),
+        F.sum(F.when(~small & (v < lo), one).otherwise(0)).alias("_clt"),
+        F.sum(F.when(~small & (v == lo), one).otherwise(0)).alias("_ceq"),
+        F.sort_array(F.collect_list(F.when(keep, v))).alias("_arr"),
+    )
+    n = F.col("_n")
+    pos = F.lit(float(q)) * (n - 1).cast("double")
+    k1 = (F.floor(pos) + 1).cast("long")
+    k2 = F.least(k1 + 1, n.cast("long"))
+    frac = pos - F.floor(pos)
+    base = (F.col("_clt") + F.col("_ceq")).cast("long")
+
+    def val_at(k):
+        return (
+            F.when(k <= base, F.col("_lo"))
+            .when(
+                k <= base + F.size("_arr"),
+                F.element_at("_arr", (k - base).cast("int")),
+            )
+            .otherwise(F.col("_hi"))
+        )
+
+    v1, v2 = val_at(k1), val_at(k2)
+    # Spark's Percentile interpolates as (1−frac)·lower + frac·upper
+    # (NOT lower + (upper−lower)·frac — the two differ in the last
+    # ulp); replicate it bitwise
+    res = (F.lit(1.0) - frac) * v1 + frac * v2
+    return agg.select(*keys, res.alias(out_col))

@@ -6362,6 +6362,32 @@ def minhash_star_near_dups(spark, sf_dir):
     )
 
 
+@register(
+    "p90_price_by_flag",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) + 0.0 AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def p90_price_by_flag(spark, sf_dir):
+    """Exact grouped PERCENTILE via the bracket algorithm
+    (functions/stats.py:grouped_exact_percentile) — the arbitrary-q
+    generalization of the bounded-memory median, interpolation
+    replicating F.percentile/quantile_cont ((1-frac)*lo + frac*hi).
+    round(6) bridges the engines' last-ulp interpolation arithmetic
+    (same libm discipline as the trig queries)."""
+    from openoa_spark.functions import stats as _stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = _stats.grouped_exact_percentile(
+        li, ["l_returnflag"], "l_extendedprice", 0.9, "p90_price"
+    )
+    return out.select(
+        "l_returnflag", (rounded("p90_price") + F.lit(0.0)).alias("p90_price")
+    )
+
+
 _PRIORITY = [
     # Round 5: the complete never-driver-checked set (29 queries) —
     # after rounds 1-4, these are the ONLY registry entries without an
@@ -6385,6 +6411,7 @@ _PRIORITY = [
     # bin_filter_lineitem (its median plan changed this round).
     "median_price_by_flag", "median_value_by_user",
     "minhash_star_near_dups", "bin_filter_lineitem",
+    "p90_price_by_flag",
 ]
 
 def _reorder() -> None:

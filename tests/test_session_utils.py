@@ -70,3 +70,74 @@ def test_fast_sums_matches_exact_mode_all_bench_queries(spark):
             fast_df = qs[name](spark, sf)
         fast = sorted(_canon_row(r) for r in fast_df.collect())
         assert fast == exact, name
+
+
+def test_grouped_exact_median_matches_f_median(spark):
+    """The bounded-memory bracket median (stats.grouped_exact_median)
+    is bit-identical to F.median across group-size regimes: tiny
+    (collect-all path), boundary, and bracket-path groups, with heavy
+    duplicates, nulls, and null keys."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from openoa_spark.functions import stats
+
+    random.seed(7)
+    rows = []
+    for g, n in enumerate([1, 2, 3, 5, 101, 4999, 5001, 12000]):
+        for _ in range(n):
+            rows.append((
+                f"g{g}",
+                random.choice(
+                    [round(random.uniform(0, 100), 2),
+                     float(random.randint(0, 5))]
+                ),
+            ))
+    rows += [("g0", None), (None, 9.0)]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(8)
+    ref = {
+        r["k"]: r["m"]
+        for r in df.where("k is not null")
+        .groupBy("k").agg(F.median("v").alias("m")).collect()
+    }
+    got = {
+        r["k"]: r["med"]
+        for r in stats.grouped_exact_median(df, ["k"], "v", "med").collect()
+    }
+    assert got == ref
+
+
+def test_grouped_exact_percentile_matches_f_percentile(spark):
+    """grouped_exact_percentile replicates F.percentile bitwise —
+    including the (1−frac)·lo + frac·hi interpolation — at low,
+    median, and high quantiles in both group-size regimes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from openoa_spark.functions import stats
+
+    random.seed(5)
+    rows = []
+    for g, n in enumerate([4, 800, 7000, 15000]):
+        for _ in range(n):
+            rows.append((f"g{g}", round(random.uniform(-10, 10), 3)))
+    df = spark.createDataFrame(rows, "k string, v double").repartition(16)
+    for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+        ref = {
+            r["k"]: r["p"]
+            for r in df.groupBy("k")
+            .agg(F.percentile("v", F.lit(q)).alias("p")).collect()
+        }
+        got = {
+            r["k"]: r["p"]
+            for r in stats.grouped_exact_percentile(
+                df, ["k"], "v", q, "p"
+            ).collect()
+        }
+        assert got == ref, q
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stats.grouped_exact_percentile(df, ["k"], "v", 1.5)

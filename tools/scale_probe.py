@@ -98,6 +98,7 @@ PROBE_QUERIES = [
     "median_price_by_flag",
     "median_value_by_user",
     "minhash_star_near_dups",
+    "p90_price_by_flag",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
