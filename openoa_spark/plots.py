@@ -287,3 +287,76 @@ def render_power_curve(data: dict[str, pd.DataFrame], ax=None):
     ax.set_xlabel("wind speed (m/s)")
     ax.set_ylabel("power (kW)")
     return ax
+
+
+# ------------------------------------------------------------------ qa plots
+
+
+def daylight_savings_plot_data(
+    df: DataFrame,
+    time_col: str,
+    power_col: str,
+    id_col: str,
+    local_tz: str,
+    hour_window: int = 3,
+) -> pd.DataFrame:
+    """daylight_savings_plot (ref qa.py:266-466), data half: for ONE
+    representative turbine, the rows inside ±``hour_window`` hours of
+    every DST offset transition, labeled (year, 'spring'|'fall'), with
+    raw / UTC / localized timestamps and power — exactly the marks the
+    reference's per-year two-panel figure draws to expose duplicated
+    or missing stamps around the shifts.
+
+    Scale shape: annotate offsets (map-only via convert_datetime
+    _column), find transition instants with one keyed lag window on
+    the single turbine's rows, collect the (tiny, ~2/year) transition
+    list, then ONE pushed-down time-range filter gathers the window
+    rows — the collect is bounded by transitions × window × frequency.
+    """
+    from pyspark.sql import Window
+
+    from openoa_spark.operators import qa
+
+    first_id = df.select(F.min(id_col).alias("i")).first()["i"]
+    sub = df.where(F.col(id_col) == first_id)
+    ann = qa.convert_datetime_column(sub, time_col, local_tz)
+    utc_col = f"{time_col}_utc"
+
+    w = Window.orderBy(utc_col)  # single turbine; bounded by plant POR
+    trans = (
+        ann.select(utc_col, "utc_offset")
+        .withColumn("_prev", F.lag("utc_offset").over(w))
+        .where(F.col("_prev").isNotNull() & (F.col("utc_offset") != F.col("_prev")))
+        .select(
+            F.col(utc_col).alias("t"),
+            F.when(F.col("utc_offset") > F.col("_prev"), "spring")
+            .otherwise("fall").alias("transition"),
+        )
+        .collect()
+    )
+    if not trans:
+        return pd.DataFrame(
+            columns=["year", "transition", time_col, utc_col,
+                     f"{time_col}_localized", power_col]
+        )
+    wsec = hour_window * 3600
+    cond = None
+    for r in trans:
+        c = F.col(utc_col).between(
+            F.timestamp_seconds(F.unix_timestamp(F.lit(r["t"])) - wsec),
+            F.timestamp_seconds(F.unix_timestamp(F.lit(r["t"])) + wsec),
+        )
+        cond = c if cond is None else (cond | c)
+    out = ann.where(cond).select(
+        time_col, utc_col, f"{time_col}_localized", power_col, "is_dst"
+    ).toPandas()
+    # label each row with its nearest transition
+    t_arr = np.array([r["t"] for r in trans], dtype="datetime64[us]")
+    labels = np.array([r["transition"] for r in trans])
+    idx = np.argmin(
+        np.abs(out[utc_col].to_numpy(dtype="datetime64[us]")[:, None] - t_arr),
+        axis=1,
+    )
+    out.insert(0, "transition", labels[idx])
+    out.insert(0, "year", pd.DatetimeIndex(out[utc_col]).year)
+    return out.sort_values(utc_col).reset_index(drop=True)

@@ -150,3 +150,32 @@ def test_render_raises_without_matplotlib(spark):
     if importlib.util.find_spec("matplotlib") is None:
         with pytest.raises(ImportError, match="matplotlib"):
             plots.render_power_curve(data)
+
+
+def test_daylight_savings_plot_data(spark):
+    """Rows within the window of both 2024 America/Denver transitions
+    (spring 2024-03-10 09:00Z, fall 2024-11-03 08:00Z), labeled."""
+    import datetime as dt
+
+    rows = []
+    t = dt.datetime(2024, 3, 9)
+    while t < dt.datetime(2024, 11, 5):
+        for a in ("T1", "T2"):
+            rows.append((t, a, 100.0))
+        t += dt.timedelta(hours=1)
+    df = spark.createDataFrame(rows, ["time", "asset_id", "power"])
+    out = plots.daylight_savings_plot_data(
+        df, "time", "power", "asset_id", "America/Denver", hour_window=3
+    )
+    assert set(out["transition"]) == {"spring", "fall"}
+    assert set(out["year"]) == {2024}
+    # one turbine only, bounded by 2 transitions x (2x3h+1) stamps
+    assert 0 < len(out) <= 2 * 7
+    spring = out[out["transition"] == "spring"]
+    assert (spring["time_utc"].dt.date == dt.date(2024, 3, 10)).all()
+    # no transitions -> empty frame with the contract columns
+    flat = spark.createDataFrame(rows[:48], ["time", "asset_id", "power"])
+    empty = plots.daylight_savings_plot_data(
+        flat, "time", "power", "asset_id", "America/Denver"
+    )
+    assert empty.empty and "transition" in empty.columns
