@@ -295,3 +295,153 @@ def grouped_exact_percentile(
     # ulp); replicate it bitwise
     res = (F.lit(1.0) - frac) * v1 + frac * v2
     return agg.select(*keys, res.alias(out_col))
+
+
+def grouped_top_k(
+    df,
+    keys: list[str],
+    order_col: str,
+    tie_col: str,
+    k: int,
+    accuracy: int = 10000,
+):
+    """EXACT top-``k`` rows per group (greatest ``order_col`` first,
+    ties broken by smallest ``tie_col``) WITHOUT a per-group window —
+    the scalable replacement for the row_number()-over-partition idiom
+    whose sort funnels each group through one task (a megadomain in a
+    domain-capping job is exactly the partition AQE cannot split: it
+    is one window partition, not one shuffle partition).
+
+    Same bracket discipline as :func:`grouped_exact_median`, from the
+    top: pass 1 sketches each group at a fixed LOG-SPACED quantile
+    grid (q_j = 1 − 2^−j — percentile_approx needs literal
+    percentages, and k/n differs per group, so the grid lets each
+    group PICK its own bracket with j = floor(−log2(k/n + 1/a)),
+    guaranteeing value-at-q_j ranks at or below n−k); pass 2 collects
+    only the (order, tie) pairs at or above that group's bracket value
+    — at most ~2·(k + n/accuracy) rows per group, 16 bytes each —
+    sorts them inside the aggregate buffer, slices k winners, and
+    semi-joins the full rows back. Groups of ≤ accuracy/2 rows skip
+    the bracket and collect whole (same cap).
+
+    A degenerate group whose order values are heavily DUPLICATED at
+    the bracket (the all-equal-scores megadomain) cannot be bounded by
+    an order-value bracket at all — there the strict-above set is
+    collected (bounded by the rank gap even under duplicates) and the
+    remaining seats are filled from the tie run by a THIRD bounded
+    pass: the same log-grid bracket applied to ``tie_col`` (unique per
+    group by contract, so ITS interior is always rank-bounded),
+    selecting the m smallest tie ids. The tie pass only runs when some
+    group actually needs it (one group-grain isEmpty check).
+
+    Returns ``df``'s rows filtered to each group's winners (column set
+    unchanged). Null keys/order values are dropped. ``tie_col`` must
+    be numeric and group-unique (the usual id column).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    v = F.col(order_col)
+    t = F.col(tie_col)
+    rows = df.na.drop(subset=[*keys, order_col]).select(
+        *keys, order_col, tie_col
+    )
+    cap = max(accuracy // 2, 1000)
+    J = 30  # grid covers target fractions down to 2^-30
+    hi_grid = [0.0] + [1.0 - 2.0 ** (-j) for j in range(1, J + 1)]
+    br = rows.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.percentile_approx(
+            v, F.array(*[F.lit(q) for q in hi_grid]), F.lit(accuracy)
+        ).alias("_qs"),
+    )
+    n = F.col("_n")
+    # largest grid j with q_j <= 1 - k/n - 1/a  <=>  2^-j >= k/n + 1/a
+    frac = F.lit(float(k)) / n.cast("double") + F.lit(1.0 / accuracy)
+    j = F.greatest(
+        F.lit(0), F.least(F.lit(J), F.floor(-F.log2(frac)).cast("int"))
+    )
+    br = br.select(
+        *keys, "_n", F.element_at("_qs", j + 1).alias("_lo")
+    ).localCheckpoint(eager=False)
+    jn = rows.join(br, keys, "inner")
+    small = F.col("_n") <= F.lit(cap)
+    lo = F.col("_lo")
+    # strict-above pairs: |{v > lo}| <= n·(1−q_j) + n/a even under
+    # duplicates (rank-gap bound); small groups collect whole
+    pair = F.when(
+        small | (v > lo), F.struct((-v).alias("o"), t.alias("t"))
+    )
+    sel = (
+        jn.groupBy(*keys)
+        .agg(
+            F.first("_n").alias("_n"),
+            F.first("_lo").alias("_lo"),
+            F.slice(F.sort_array(F.collect_list(pair)), 1, k).alias("_top"),
+            F.sum(
+                F.when(~small & (v == lo), F.lit(1)).otherwise(0)
+            ).alias("_nties"),
+        )
+        .withColumn(
+            "_need",
+            F.greatest(F.lit(0), F.lit(k) - F.size("_top")).cast("long"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    winners = sel.select(
+        *keys, F.explode("_top").alias("_w")
+    ).select(*keys, F.col("_w.t").alias("_win_tie"))
+
+    needy = sel.where((F.col("_need") > 0) & (F.col("_nties") > 0)).select(
+        *keys, "_lo", "_need", "_nties"
+    )
+    if not needy.isEmpty():
+        # bounded tie resolution: m smallest tie ids among {v == lo},
+        # bracketed on tie_col (group-unique => rank-bounded interior).
+        # grid index i holds the tie value at quantile 2^-(i-1)
+        lo_grid = [2.0 ** (-jj) for jj in range(0, J + 1)]
+        tie_rows = rows.join(needy, keys, "inner").where(v == F.col("_lo"))
+        tbr = tie_rows.groupBy(*keys).agg(
+            F.first("_need").alias("_need"),
+            F.first("_nties").alias("_nt"),
+            F.percentile_approx(
+                t, F.array(*[F.lit(q) for q in lo_grid]), F.lit(accuracy)
+            ).alias("_tqs"),
+        )
+        # smallest grid q' = 2^-j' with q' >= need/n_tie + 1/a ensures
+        # rank(tie-value-at-q') >= need; interior {t <= thr} stays
+        # <= 2·(need + n_tie/accuracy)
+        tfrac = (
+            F.col("_need").cast("double") / F.col("_nt").cast("double")
+            + F.lit(1.0 / accuracy)
+        )
+        jj = F.greatest(
+            F.lit(0),
+            F.least(F.lit(J), F.floor(-F.log2(tfrac)).cast("int")),
+        )
+        thr = F.element_at("_tqs", jj + 1)
+        tsel = tie_rows.join(
+            tbr.select(*keys, F.col("_need").alias("_m"), thr.alias("_thr")),
+            keys,
+            "inner",
+        )
+        tie_winners = (
+            tsel.groupBy(*keys)
+            .agg(
+                F.first("_m").alias("_m"),
+                F.sort_array(
+                    F.collect_list(F.when(t <= F.col("_thr"), t))
+                ).alias("_cand"),
+            )
+            .select(
+                *keys,
+                F.explode(
+                    F.slice("_cand", F.lit(1), F.col("_m").cast("int"))
+                ).alias("_win_tie"),
+            )
+        )
+        winners = winners.unionByName(tie_winners)
+    return df.join(
+        winners.withColumnRenamed("_win_tie", tie_col),
+        [*keys, tie_col],
+        "left_semi",
+    ).select(*df.columns)

@@ -6388,6 +6388,33 @@ def p90_price_by_flag(spark, sf_dir):
     )
 
 
+@register(
+    "top3_docs_per_source",
+    """
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    """,
+)
+def top3_docs_per_source(spark, sf_dir):
+    """Domain capping (keep the K best documents per source/domain —
+    the Common-Crawl curation staple) via grouped_top_k: exact top-K
+    per group WITHOUT a per-group window sort, so a megadomain cannot
+    funnel the job through one task (functions/stats.py bracket
+    selection; a window would be the partition AQE cannot split).
+    The oracle is the row_number idiom the operator replaces."""
+    from openoa_spark.functions import stats as _stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return _stats.grouped_top_k(docs, ["source"], "n_chars", "doc_id", 3)
+
+
 _PRIORITY = [
     # Round 5: the complete never-driver-checked set (29 queries) —
     # after rounds 1-4, these are the ONLY registry entries without an
@@ -6411,7 +6438,7 @@ _PRIORITY = [
     # bin_filter_lineitem (its median plan changed this round).
     "median_price_by_flag", "median_value_by_user",
     "minhash_star_near_dups", "bin_filter_lineitem",
-    "p90_price_by_flag",
+    "p90_price_by_flag", "top3_docs_per_source",
 ]
 
 def _reorder() -> None:

@@ -141,3 +141,45 @@ def test_grouped_exact_percentile_matches_f_percentile(spark):
 
     with _pytest.raises(ValueError):
         stats.grouped_exact_percentile(df, ["k"], "v", 1.5)
+
+
+def test_grouped_top_k_matches_row_number(spark):
+    """grouped_top_k (bounded-memory, window-free) equals the
+    row_number()-over-partition idiom exactly — including on the two
+    adversarial shapes that break value-bracketing alone: an all-equal
+    megagroup (winners resolved purely by the tie pass) and a huge tie
+    run straddling the k-th seat."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from openoa_spark.functions import stats
+
+    random.seed(9)
+    rows = []
+    for g, n in enumerate([1, 3, 900, 6000, 12000]):
+        for i in range(n):
+            rows.append((
+                f"g{g}",
+                random.choice([float(random.randint(0, 50)),
+                               round(random.uniform(0, 100), 1)]),
+                g * 1_000_000 + i,
+            ))
+    rows += [("gconst", 7.5, 9_000_000 + i) for i in range(8000)]
+    rows += [("gtie", 99.0, 8_000_000)] + [
+        ("gtie", 50.0, 8_000_001 + i) for i in range(7000)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, id long").repartition(16)
+    for k in (1, 4, 200):
+        w = Window.partitionBy("k").orderBy(F.desc("v"), F.asc("id"))
+        ref = sorted(map(tuple, (
+            df.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k).drop("_r").collect()
+        )))
+        got = sorted(map(tuple, stats.grouped_top_k(df, ["k"], "v", "id", k).collect()))
+        assert got == ref, k
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stats.grouped_top_k(df, ["k"], "v", "id", 0)

@@ -99,6 +99,7 @@ PROBE_QUERIES = [
     "median_value_by_user",
     "minhash_star_near_dups",
     "p90_price_by_flag",
+    "top3_docs_per_source",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
