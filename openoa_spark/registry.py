@@ -5956,11 +5956,18 @@ def hampel_outliers(spark, sf_dir):
 def vocab_coverage_90(spark, sf_dir):
     """Tokenizer-budgeting statistic: the smallest vocabulary (tokens
     in count-desc, token-asc priority order) covering >= 90% of all
-    token occurrences. Reuses the distributed priority-cumsum
-    machinery (datapipe/sampling.token_budget_select — per-count-group
-    offsets + keyed within-group rank, no corpus-wide single-task
-    window) on the VOCABULARY table instead of the document table —
-    the same decomposition serving a second shape."""
+    token occurrences. The statistic needs NO per-token ranks at all
+    (round-5 rewrite): group the vocabulary by frequency value c —
+    within a group every token contributes the same c, so the number
+    kept from a group is closed-form, m = clamp(ceil((budget−off)/c),
+    0, group size), with off = the cumulative tokens of all
+    higher-frequency groups. One hash aggregate to frequency grain,
+    one keyless cumsum over the DISTINCT-COUNT table (bounded ~√total
+    under Zipf — the documented tiny-table keyless window), and a
+    closed-form projection. The previous version ranked tokens
+    within each frequency group — the hapax group (c=1) holds most of
+    a web-scale vocabulary, an unsplittable mega-partition for the
+    rank window; this shape has no such group."""
     import math as m
 
     docs = _t(spark, sf_dir, "documents")
@@ -5969,13 +5976,32 @@ def vocab_coverage_90(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    tf = tf.localCheckpoint(eager=False)  # feeds total AND selection
-    total = tf.agg(F.sum("c")).first()[0] or 0
+    grp = tf.groupBy("c").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sum("c").alias("gtot"),
+    )
+    grp = grp.localCheckpoint(eager=False)  # feeds total AND selection
+    total = grp.agg(F.sum("gtot")).first()[0] or 0
     budget = m.ceil(0.9 * total)
-    sel = sampling.token_budget_select(tf, "tok", "c", budget)
+    from pyspark.sql import Window as W
+
+    w_off = W.orderBy(F.desc("c")).rowsBetween(W.unboundedPreceding, -1)
+    sel = grp.select(
+        "c", "sz", "gtot",
+        F.coalesce(F.sum("gtot").over(w_off), F.lit(0)).alias("off"),
+    ).select(
+        "c", "sz",
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.col("sz").cast("long"),
+                F.ceil((F.lit(budget) - F.col("off")) / F.col("c")),
+            ),
+        ).alias("m"),
+    )
     return sel.agg(
-        F.count(F.lit(1)).alias("vocab_size"),
-        F.max("cum_tokens").alias("covered_tokens"),
+        F.sum("m").cast("bigint").alias("vocab_size"),
+        F.sum(F.col("m") * F.col("c")).cast("bigint").alias("covered_tokens"),
         F.lit(int(total)).alias("total_tokens"),
     )
 
