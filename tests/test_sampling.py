@@ -210,3 +210,36 @@ def test_hash_split_rejects_non_monotonic():
         sampling.hash_split("id", splits=(("a", 0.9), ("b", 0.8), ("c", 1.0)))
     with pytest.raises(ValueError, match="strictly increasing"):
         sampling.sql_hash_split("id", splits=(("a", 0.0), ("b", 1.0)))
+
+
+def test_token_budget_select_mega_group(spark):
+    """Truncation-cap shape: 80% of documents share ONE token count
+    (every max-length doc), the within-group rank mega-group the
+    round-5 id-range sub-bucket decomposition exists for. Selection
+    and cumulative sums must still match the serial oracle exactly,
+    and the plan's rank window must be keyed by (group, bucket)."""
+    from openoa_spark.datapipe import sampling
+
+    rows = [(i, 512) for i in range(4000)] + [
+        (10_000 + i, 100 + (i % 37)) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    budget = 900_000
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["cum_tokens"])
+        for r in sampling.token_budget_select(
+            df, "doc_id", "n_tokens", budget
+        ).collect()
+    }
+    # serial oracle: priority order (tokens desc, id asc), keep while
+    # the running total BEFORE the doc is under budget
+    cum, want = 0, {}
+    for i, n in sorted(rows, key=lambda r: (-r[1], r[0])):
+        if cum < budget:
+            want[i] = (n, cum + n)
+        cum += n
+    assert out == want
+    plan = sampling.token_budget_select(
+        df, "doc_id", "n_tokens", budget
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "_b" in plan  # the sub-bucketed rank window is in the plan
