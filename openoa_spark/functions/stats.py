@@ -177,9 +177,11 @@ def grouped_exact_median(
 
     Rows with a null key or null value are dropped (they can never
     join back to a real group / never enter ``F.median`` anyway).
-    The bracket table is group-grain (broadcast join back); memory per
-    group is O(accuracy) — raise ``accuracy`` for tighter brackets on
-    very large groups (sketch and interior both stay executor-sized).
+    The bracket table is GROUP-grain, so the join back is left to AQE
+    (broadcast when small; at 10^8 groups a forced broadcast would be
+    the OOM it exists to avoid); memory per group is O(accuracy) —
+    raise ``accuracy`` for tighter brackets on very large groups
+    (sketch and interior both stay executor-sized).
     """
     v = F.col(value_col)
     rows = df.na.drop(subset=[*keys, value_col]).select(*keys, value_col)
@@ -190,7 +192,7 @@ def grouped_exact_median(
         F.percentile_approx(v, F.lit(0.5 - eps), F.lit(accuracy)).alias("_lo"),
         F.percentile_approx(v, F.lit(0.5 + eps), F.lit(accuracy)).alias("_hi"),
     )
-    j = rows.join(F.broadcast(br), keys, "inner")
+    j = rows.join(br, keys, "inner")
     small = F.col("_n") <= F.lit(cap)
     lo, hi = F.col("_lo"), F.col("_hi")
     keep = small | ((v > lo) & (v < hi))
