@@ -6465,6 +6465,9 @@ _PRIORITY = [
     "median_price_by_flag", "median_value_by_user",
     "minhash_star_near_dups", "bin_filter_lineitem",
     "p90_price_by_flag", "top3_docs_per_source",
+    # plan changed round 5 (sub-bucketed rank window) — back in the
+    # hard window; vocab_coverage_90 (also re-planned) is already in
+    "token_budget_selection",
 ]
 
 def _reorder() -> None:
