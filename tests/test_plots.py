@@ -179,3 +179,36 @@ def test_daylight_savings_plot_data(spark):
         flat, "time", "power", "asset_id", "America/Denver"
     )
     assert empty.empty and "transition" in empty.columns
+
+
+def test_energy_losses_timeseries_plot_data():
+    import pandas as pd
+
+    idx = pd.date_range("2020-01-01", periods=3, freq="MS")
+    agg = pd.DataFrame(
+        {
+            "energy_gwh": [1.0, 1.1, 1.2],
+            "gross_energy_gwh": [1.1, 1.2, 1.3],
+            "availability_pct": [0.01, 0.02, 0.03],
+            "curtailment_pct": [0.005, 0.006, 0.007],
+            "unrelated": [9, 9, 9],
+        },
+        index=idx,
+    )
+    out = plots.energy_losses_timeseries_plot_data(agg)
+    assert set(out.columns) == {"period", "series", "value"}
+    assert len(out) == 3 * 4  # unrelated column excluded
+    g = out[(out["series"] == "gross_energy_gwh")].sort_values("period")
+    assert g["value"].tolist() == [1.1, 1.2, 1.3]
+
+
+def test_monthly_losses_plot_data():
+    import pandas as pd
+
+    idx = pd.date_range("2020-01-01", periods=2, freq="MS")
+    scada = pd.Series([100.0, 200.0], index=idx)
+    meter = pd.Series([98.0, 194.0], index=idx)
+    out = plots.monthly_losses_plot_data(scada, meter)
+    assert out["loss"].tolist() == [
+        pytest.approx(0.02), pytest.approx(0.03)
+    ]
