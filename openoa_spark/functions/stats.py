@@ -447,3 +447,65 @@ def grouped_top_k(
         [*keys, tie_col],
         "left_semi",
     ).select(*df.columns)
+
+
+def grouped_exact_median_histogram(
+    df,
+    keys: list[str],
+    value_col: str,
+    out_col: str = "_median",
+):
+    """EXACT per-group median for LOW-CARDINALITY value domains
+    (money with fixed decimals, quantized sensor codes, integer
+    counts): one hash aggregate to (keys, value, count) histogram
+    grain, a keyed cumulative count over the DISTINCT-VALUE table,
+    and rank arithmetic on the histogram rows — ONE scan of the data
+    versus the bracket algorithm's two, and the only shuffled state
+    is the histogram.
+
+    Memory/shuffle is O(distinct values per group), NOT O(rows) — the
+    opt-in contract: use this when the value domain is known-bounded
+    (a DECIMAL(12,2) price column has at most 10^6-ish distinct
+    values however many rows carry them); use
+    :func:`grouped_exact_median` when values are arbitrary doubles.
+    Results are bit-identical to ``F.median`` (same mean-of-middles).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    hist = (
+        df.na.drop(subset=[*keys, value_col])
+        .groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w_cum = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*[F.col(k) for k in keys])
+    h = hist.select(
+        *keys,
+        v.alias("_v"),
+        F.sum("_c").over(w_cum).alias("_cum"),
+        (F.sum("_c").over(w_cum) - F.col("_c")).alias("_prev"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    n = F.col("_n")
+    k1 = F.floor((n + 1) / 2)
+    k2 = F.floor(n / 2) + 1
+    at_k1 = (F.col("_prev") < k1) & (k1 <= F.col("_cum"))
+    at_k2 = (F.col("_prev") < k2) & (k2 <= F.col("_cum"))
+    out = (
+        h.where(at_k1 | at_k2)
+        .groupBy(*keys)
+        .agg(
+            F.max(F.when(at_k1, F.col("_v"))).alias("_v1"),
+            F.max(F.when(at_k2, F.col("_v"))).alias("_v2"),
+        )
+        .select(
+            *keys,
+            ((F.col("_v1") + F.col("_v2")) / F.lit(2.0)).alias(out_col),
+        )
+    )
+    return out

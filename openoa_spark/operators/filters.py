@@ -129,6 +129,7 @@ def bin_filter(
     keys: list[str] | None = None,
     bin_min_col: Column | None = None,
     bin_max_col: Column | None = None,
+    median_strategy: str = "bracket",
 ) -> DataFrame:
     """Bin ``bin_col`` into fixed-width bins; per bin compute a center
     (mean|median) and deviation (std|mad|scalar); flag values beyond
@@ -166,16 +167,27 @@ def bin_filter(
     )
 
     gb = keys + ["_bin"]
-    # Median centers/deviations go through grouped_exact_median — the
-    # SAME exact, bounded-memory plan in both exactness modes (the
-    # old split — F.median exact / approx_percentile in fast mode —
-    # let bench time a plan whose boundary flags could differ from
-    # what the correctness gate checks; and F.median's per-group
-    # value buffer is itself the 100-TB OOM hazard).
+    # Median centers/deviations go through an EXACT bounded-memory
+    # grouped median — the SAME plan in both exactness modes (the old
+    # split — F.median exact / approx_percentile in fast mode — let
+    # bench time a plan whose boundary flags could differ from what
+    # the correctness gate checks; and F.median's per-group value
+    # buffer is itself the 100-TB OOM hazard). Two strategies, both
+    # bit-identical to F.median: "bracket" (default — arbitrary
+    # doubles, O(n/accuracy) state) and "histogram" (opt-in for
+    # decimal-intent/low-cardinality value columns — ONE scan,
+    # O(distinct values per bin) state; a 2-decimal money column
+    # qualifies however many rows carry it).
+    if median_strategy == "bracket":
+        _median_tbl = _stats.grouped_exact_median
+    elif median_strategy == "histogram":
+        _median_tbl = _stats.grouped_exact_median_histogram
+    else:
+        raise ValueError(f"unknown median_strategy {median_strategy!r}")
     if center_type == "mean":
         stats = binned.groupBy(*gb).agg(F.avg(value_col).alias("_center"))
     else:
-        stats = _stats.grouped_exact_median(binned, gb, value_col, "_center")
+        stats = _median_tbl(binned, gb, value_col, "_center")
     if threshold_type == "std":
         devs = binned.groupBy(*gb).agg(
             F.stddev_samp(value_col).alias("_dev")
@@ -185,7 +197,7 @@ def bin_filter(
         centered = binned.join(F.broadcast(stats), gb, "left").withColumn(
             "_absdev", F.abs(F.col(value_col) - F.col("_center"))
         )
-        mads = _stats.grouped_exact_median(centered, gb, "_absdev", "_dev")
+        mads = _median_tbl(centered, gb, "_absdev", "_dev")
         stats = stats.join(mads, gb, "inner")
     elif threshold_type == "scalar":
         stats = stats.withColumn("_dev", F.lit(1.0))

@@ -893,6 +893,10 @@ def bin_filter_lineitem(spark, sf_dir):
         threshold_type="scalar",
         bin_min=1.0,
         flag_col="flag",
+        # l_extendedprice is DECIMAL(12,2)-intent: the histogram
+        # strategy computes the same exact median in ONE scan with
+        # O(distinct prices per bin) state
+        median_strategy="histogram",
     )
     return out.select("l_orderkey", "l_linenumber", "flag")
 

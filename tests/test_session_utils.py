@@ -183,3 +183,32 @@ def test_grouped_top_k_matches_row_number(spark):
 
     with _pytest.raises(ValueError):
         stats.grouped_top_k(df, ["k"], "v", "id", 0)
+
+
+def test_grouped_exact_median_histogram_matches_f_median(spark):
+    """The one-scan histogram strategy (low-cardinality value domains)
+    is bit-identical to F.median too — heavy duplicates, even/odd
+    group sizes, and a group with a single distinct value."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from openoa_spark.functions import stats
+
+    random.seed(13)
+    rows = [("gone", 5.25)] * 40
+    for g, n in enumerate([1, 2, 5, 1000, 20000]):
+        for _ in range(n):
+            rows.append((f"g{g}", round(random.uniform(0, 500), 2)))
+    df = spark.createDataFrame(rows, "k string, v double").repartition(8)
+    ref = {
+        r["k"]: r["m"]
+        for r in df.groupBy("k").agg(F.median("v").alias("m")).collect()
+    }
+    got = {
+        r["k"]: r["m"]
+        for r in stats.grouped_exact_median_histogram(
+            df, ["k"], "v", "m"
+        ).collect()
+    }
+    assert got == ref
