@@ -342,18 +342,18 @@ def token_budget_select(
     by |distinct token counts| — orders of magnitude below the corpus
     (the only keyless window runs over it).
 
-    The within-group rank is itself decomposed (round 5): a single
+    The within-group rank is itself skew-safe (round 5): a single
     token-count value can be a MEGA-group (every max-length-truncated
     document shares the cap), and a window partition cannot be split
-    by AQE. Each group is therefore sub-bucketed by a fixed global
-    id-range grid (driver-collected approx quantiles of ``id_col`` —
-    ids are corpus-uniform, so every group splits ~evenly; the edges
-    are literals, so the plan stays deterministic): rank = per-bucket
-    keyed row_number + a per-(group, bucket) count-prefix offset
-    (tiny, |groups|×|buckets| rows). Output: (id, n_tokens,
-    cum_tokens) for the selected set.
+    by AQE — so ranking goes through
+    :func:`openoa_spark.functions.stats.keyed_row_number` (fixed
+    global id-range sub-buckets + per-(group, bucket) count-prefix
+    offsets; ids are corpus-uniform, so every group splits ~evenly).
+    Output: (id, n_tokens, cum_tokens) for the selected set.
     """
     from pyspark.sql import Window
+
+    from openoa_spark.functions.stats import keyed_row_number
 
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -368,41 +368,14 @@ def token_budget_select(
         "n_tokens",
         F.coalesce(F.sum("_gtot").over(w_off), F.lit(0)).alias("_off"),
     )
-    # id-range sub-buckets: ~even, ORDERED (ids in bucket b all sort
-    # before bucket b+1), edges fixed as literals
-    n_buckets = 64
-    qs = base.agg(
-        F.percentile_approx(
-            "_id",
-            F.array(*[F.lit((i + 1) / n_buckets) for i in range(n_buckets - 1)]),
-            F.lit(10000),
-        ).alias("q")
-    ).first()["q"] or []
-    edges = sorted(set(qs))
-    bucket = F.lit(0)
-    for e in edges:
-        bucket = bucket + F.when(F.col("_id") > F.lit(e), 1).otherwise(0)
-    bb = base.withColumn("_b", bucket)
-    cnt = bb.groupBy("n_tokens", "_b").agg(F.count(F.lit(1)).alias("_c"))
-    w_b = (
-        Window.partitionBy("n_tokens").orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    boff = cnt.select(
-        "n_tokens", "_b",
-        F.coalesce(F.sum("_c").over(w_b), F.lit(0)).alias("_boff"),
-    )
-    w_in = Window.partitionBy("n_tokens", "_b").orderBy("_id")
+    ranked = keyed_row_number(base, ["n_tokens"], "_id", "_rank")
     out = (
-        bb.join(F.broadcast(off), "n_tokens")
-        .join(F.broadcast(boff), ["n_tokens", "_b"])
+        ranked.join(F.broadcast(off), "n_tokens")
         .select(
             F.col("_id"),
             "n_tokens",
             (
-                F.col("_off")
-                + F.col("n_tokens")
-                * (F.col("_boff") + F.row_number().over(w_in))
+                F.col("_off") + F.col("n_tokens") * F.col("_rank")
             ).alias("cum_tokens"),
         )
         .where(F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget))

@@ -509,3 +509,65 @@ def grouped_exact_median_histogram(
         )
     )
     return out
+
+
+def keyed_row_number(
+    df,
+    keys: list[str],
+    order_col: str,
+    out_col: str = "row_number",
+    n_buckets: int = 64,
+    accuracy: int = 10000,
+):
+    """``row_number() OVER (PARTITION BY keys ORDER BY order_col)``
+    without a skew-vulnerable window: a window partition is the unit
+    AQE cannot split, so one mega-group serializes the whole rank onto
+    a single task. Here each group is sub-divided by a fixed global
+    value grid over ``order_col`` (driver-collected approx quantiles,
+    literal edges — deterministic plan): rank = per-(group, bucket)
+    keyed row_number + a per-group count-prefix over its ≤
+    ``n_buckets`` bucket rows (tiny). Buckets are value RANGES, so
+    within-group order is preserved across them.
+
+    Contract: ``order_col`` is numeric and unique within each group
+    (id-like). The grid comes from the GLOBAL value distribution — an
+    id-like column is globally well-mixed, so every group splits
+    ~evenly; a group whose order values all fall in one global bucket
+    degrades to the plain window for that group (document your
+    distribution). Appends ``out_col`` to ``df``'s columns.
+    """
+    from pyspark.sql import Window
+
+    o = F.col(order_col)
+    qs = df.agg(
+        F.percentile_approx(
+            o,
+            F.array(*[
+                F.lit((i + 1) / n_buckets) for i in range(n_buckets - 1)
+            ]),
+            F.lit(accuracy),
+        ).alias("q")
+    ).first()["q"] or []
+    edges = sorted(set(qs))
+    bucket = F.lit(0)
+    for e in edges:
+        bucket = bucket + F.when(o > F.lit(e), 1).otherwise(0)
+    bb = df.withColumn("_rnb", bucket)
+    cnt = bb.groupBy(*keys, "_rnb").agg(F.count(F.lit(1)).alias("_c"))
+    w_b = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy("_rnb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = cnt.select(
+        *keys, "_rnb",
+        F.coalesce(F.sum("_c").over(w_b), F.lit(0)).alias("_boff"),
+    )
+    w_in = Window.partitionBy(*[F.col(k) for k in keys], F.col("_rnb")).orderBy(
+        order_col
+    )
+    return (
+        bb.join(F.broadcast(boff), [*keys, "_rnb"])
+        .withColumn(out_col, F.col("_boff") + F.row_number().over(w_in))
+        .drop("_rnb", "_boff")
+    )

@@ -242,4 +242,4 @@ def test_token_budget_select_mega_group(spark):
     plan = sampling.token_budget_select(
         df, "doc_id", "n_tokens", budget
     )._jdf.queryExecution().executedPlan().toString()
-    assert "_b" in plan  # the sub-bucketed rank window is in the plan
+    assert "_rnb" in plan  # the sub-bucketed rank window is in the plan

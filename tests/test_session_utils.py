@@ -212,3 +212,28 @@ def test_grouped_exact_median_histogram_matches_f_median(spark):
         ).collect()
     }
     assert got == ref
+
+
+def test_keyed_row_number_matches_window(spark):
+    """keyed_row_number (global-grid sub-buckets, no skewable window)
+    equals row_number() over (partition by key order by o) exactly —
+    including a 30k-row mega-group."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from openoa_spark.functions import stats
+
+    random.seed(3)
+    rows = [("mega", i * 7 + 1) for i in range(30000)]
+    for g in range(5):
+        vals = random.sample(range(1, 10**9), random.randint(1, 2000))
+        rows += [(f"g{g}", v) for v in vals]
+    df = spark.createDataFrame(rows, "k string, o long").repartition(16)
+    w = Window.partitionBy("k").orderBy("o")
+    ref = sorted(map(tuple,
+        df.withColumn("rn", F.row_number().over(w)).collect()))
+    got = sorted(map(tuple,
+        stats.keyed_row_number(df, ["k"], "o", "rn").collect()))
+    assert got == ref
