@@ -6473,6 +6473,12 @@ _PRIORITY = [
     # hard window; vocab_coverage_90 (also re-planned) is already in
     "token_budget_selection",
 ]
+# Round-6 rotation note: after round 5 EVERY registry query has at
+# least one all-green driver CORRECTNESS row (the 29 never-checked
+# were cleared in r5). From r6 on the window policy is: (1) any query
+# whose PLAN changed this round, (2) any brand-new query, (3) fill
+# remaining slots with the longest-unchecked queries (check the
+# CORRECTNESS_r*.json history for staleness).
 
 def _reorder() -> None:
     assert not (set(_PRIORITY) - set(_REGISTRY)), sorted(
