@@ -363,3 +363,71 @@ def test_apply_cdc_matches_dict_replay(spark, tmp_path_factory, base, changes):
         for r in spark.read.parquet(path).collect()
     } if want or base else {}
     assert got == want
+
+
+@st.composite
+def _grouped_values(draw):
+    """Random (key, value) corpus with adversarial shapes: heavy
+    duplicate mass, a dominant group, negative/fractional values."""
+    n_groups = draw(st.integers(1, 5))
+    rows = []
+    for g in range(n_groups):
+        n = draw(st.integers(1, 400))
+        dup_pool = draw(
+            st.lists(
+                st.floats(-1e6, 1e6, allow_nan=False, width=32),
+                min_size=1, max_size=5,
+            )
+        )
+        for i in range(n):
+            if draw(st.booleans()):
+                v = draw(st.sampled_from(dup_pool))
+            else:
+                v = draw(st.floats(-1e6, 1e6, allow_nan=False, width=32))
+            rows.append((f"g{g}", float(v), g * 100_000 + i))
+    return rows
+
+
+@given(_grouped_values(), st.sampled_from([0.1, 0.5, 0.9]))
+@settings(max_examples=6, deadline=None)
+def test_bracket_order_stats_differential(spark, rows, q):
+    """Randomized differential check: the bracket median / percentile
+    / top-k all equal their Spark-native window/aggregate twins on
+    arbitrary duplicate-heavy group shapes. Groups here sit under the
+    collect-whole cap (the bracket's small-group path); the large-n
+    bracket/tie regimes are pinned by the seeded mega-group tests."""
+    from pyspark.sql import Window
+
+    from openoa_spark.functions import stats
+
+    df = spark.createDataFrame(rows, "k string, v double, id long")
+    ref_med = {
+        r["k"]: r["m"]
+        for r in df.groupBy("k").agg(F.median("v").alias("m")).collect()
+    }
+    got_med = {
+        r["k"]: r["m"]
+        for r in stats.grouped_exact_median(df, ["k"], "v", "m").collect()
+    }
+    assert got_med == ref_med
+
+    ref_p = {
+        r["k"]: r["p"]
+        for r in df.groupBy("k")
+        .agg(F.percentile("v", F.lit(q)).alias("p")).collect()
+    }
+    got_p = {
+        r["k"]: r["p"]
+        for r in stats.grouped_exact_percentile(df, ["k"], "v", q, "p").collect()
+    }
+    assert got_p == ref_p
+
+    k = 3
+    w = Window.partitionBy("k").orderBy(F.desc("v"), F.asc("id"))
+    ref_top = sorted(map(tuple, (
+        df.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k).drop("_r").collect()
+    )))
+    got_top = sorted(map(tuple,
+        stats.grouped_top_k(df, ["k"], "v", "id", k).collect()))
+    assert got_top == ref_top
