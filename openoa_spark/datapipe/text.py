@@ -569,3 +569,69 @@ def top_ngram_char_frac(
             6,
         ).alias("rep_frac"),
     )
+
+
+def ngram_novelty_by_slice(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    n_slices: int = 10,
+) -> DataFrame:
+    """Corpus saturation curve: split the corpus into ``n_slices``
+    id-ordered slices (crawl batches arrive in id order) and measure,
+    per slice, how many of its distinct word n-grams appear for the
+    FIRST time in that slice — the diminishing-novelty signal that
+    tells a data team when another crawl slice stops adding content.
+
+    Scale shape: one explode to (gram, slice) pairs deduped per slice
+    (hash aggregate, map-side combined), one min-aggregate per gram
+    for first occurrence, two bounded per-slice counts joined on the
+    n_slices-row output. Gram text shuffles once; output is
+    slice-grain. Output: (slice, present_grams, novel_grams,
+    novelty) with novelty = round(novel/present, 6).
+    """
+    from openoa_spark.datapipe.dedup import shingles
+
+    bounds = df.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        span = 1
+        lo = 0
+    else:
+        span = int(hi) - int(lo) + 1
+    slice_expr = F.least(
+        F.lit(n_slices - 1),
+        F.floor(
+            (F.col(id_col) - F.lit(int(lo))) * n_slices / F.lit(span)
+        ),
+    ).cast("int")
+    pairs = (
+        df.select(slice_expr.alias("slice"), shingles(text_col, n).alias("_g"))
+        .select("slice", F.explode("_g").alias("gram"))
+        .dropDuplicates(["slice", "gram"])
+    )
+    pairs = pairs.localCheckpoint(eager=False)  # feeds both counts
+    present = pairs.groupBy("slice").agg(
+        F.count(F.lit(1)).alias("present_grams")
+    )
+    novel = (
+        pairs.groupBy("gram").agg(F.min("slice").alias("slice"))
+        .groupBy("slice")
+        .agg(F.count(F.lit(1)).alias("novel_grams"))
+    )
+    return (
+        present.join(novel, "slice", "left")
+        .select(
+            "slice",
+            "present_grams",
+            F.coalesce("novel_grams", F.lit(0)).alias("novel_grams"),
+            F.round(
+                F.coalesce("novel_grams", F.lit(0))
+                / F.col("present_grams"),
+                6,
+            ).alias("novelty"),
+        )
+    )

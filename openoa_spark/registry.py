@@ -6445,6 +6445,42 @@ def top3_docs_per_source(spark, sf_dir):
     return _stats.grouped_top_k(docs, ["source"], "n_chars", "doc_id", 3)
 
 
+@register(
+    "ngram_novelty_by_slice",
+    f"""
+    WITH {_shingle_cte(3)},
+    bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+    pairs AS (
+      SELECT DISTINCT
+        CAST(least(9, ((sh.doc_id - b.lo) * 10)
+                      // (b.hi - b.lo + 1)) AS INT) AS slice,
+        g.gram AS gram
+      FROM sh, bounds b, unnest(sh.shs) AS g(gram)
+    ),
+    present AS (SELECT slice, COUNT(*) AS present_grams FROM pairs GROUP BY slice),
+    novel AS (
+      SELECT slice, COUNT(*) AS novel_grams FROM (
+        SELECT gram, MIN(slice) AS slice FROM pairs GROUP BY gram
+      ) GROUP BY slice
+    )
+    SELECT p.slice,
+           CAST(p.present_grams AS BIGINT) AS present_grams,
+           CAST(COALESCE(n.novel_grams, 0) AS BIGINT) AS novel_grams,
+           ROUND(COALESCE(n.novel_grams, 0) / p.present_grams, 6) AS novelty
+    FROM present p LEFT JOIN novel n USING (slice)
+    """,
+)
+def ngram_novelty_by_slice(spark, sf_dir):
+    """Corpus saturation curve (datapipe/text.py:ngram_novelty_by_slice):
+    per id-ordered corpus slice, the fraction of its distinct word
+    3-grams appearing for the first time — the diminishing-returns
+    signal for crawl scheduling. Gram-grain hash aggregates only;
+    slice-grain output."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.ngram_novelty_by_slice(docs, "text", "doc_id", n=3, n_slices=10)
+    return out
+
+
 _PRIORITY = [
     # Round 5: the complete never-driver-checked set (29 queries) —
     # after rounds 1-4, these are the ONLY registry entries without an
@@ -6472,6 +6508,7 @@ _PRIORITY = [
     # plan changed round 5 (sub-bucketed rank window) — back in the
     # hard window; vocab_coverage_90 (also re-planned) is already in
     "token_budget_selection",
+    "ngram_novelty_by_slice",
 ]
 # Round-6 rotation note: after round 5 EVERY registry query has at
 # least one all-green driver CORRECTNESS row (the 29 never-checked

@@ -100,6 +100,8 @@ PROBE_QUERIES = [
     "minhash_star_near_dups",
     "p90_price_by_flag",
     "top3_docs_per_source",
+    # gram-grain novelty aggregates (gram rows ×N under copy tags)
+    "ngram_novelty_by_slice",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
