@@ -184,6 +184,11 @@ def grouped_exact_median(
     (sketch and interior both stay executor-sized).
     """
     v = F.col(value_col)
+    drop_const = False
+    if not keys:  # global median: one constant group
+        df = df.withColumn("_g_all", F.lit(1))
+        keys = ["_g_all"]
+        drop_const = True
     rows = df.na.drop(subset=[*keys, value_col]).select(*keys, value_col)
     eps = 3.0 / accuracy
     cap = max(accuracy // 2, 1000)
@@ -222,7 +227,8 @@ def grouped_exact_median(
 
     v1, v2 = val_at(k1), val_at(k2)
     med = (v1 + v2) / F.lit(2.0)  # matches F.median's even-n formula
-    return agg.select(*keys, med.alias(out_col))
+    out = agg.select(*keys, med.alias(out_col))
+    return out.drop("_g_all") if drop_const else out
 
 
 def grouped_exact_percentile(

@@ -6481,6 +6481,49 @@ def ngram_novelty_by_slice(spark, sf_dir):
     return out
 
 
+@register(
+    "embedding_norm_outliers",
+    """
+    WITH norms AS (
+      SELECT vec_id,
+             ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))), 6)
+               AS norm
+      FROM embeddings
+    ),
+    med AS (SELECT median(norm) AS m FROM norms)
+    SELECT vec_id, norm,
+           (norm < 0.25 * m OR norm > 4.0 * m) AS is_outlier
+    FROM norms, med
+    """,
+)
+def embedding_norm_outliers(spark, sf_dir):
+    """Corrupt-embedding detector: vectors whose L2 norm sits outside
+    [med/4, 4·med] of the corpus norm distribution — zeroed/truncated
+    vectors collapse toward 0, blown-up ones explode, and both poison
+    cosine pipelines silently. Norm is a JVM array fold (no UDF);
+    the global median comes from the bounded-memory bracket median
+    (one keys=[] group — no F.median value buffer) and broadcasts
+    back as a one-row scalar (allowlisted NLJ)."""
+    from openoa_spark.functions import stats as _stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = similarity._vec("embedding")
+    norms = emb.select(
+        "vec_id",
+        rounded(F.sqrt(similarity.dot(v, v))).alias("norm"),
+    )
+    norms = norms.localCheckpoint(eager=False)  # feeds median AND flags
+    med = _stats.grouped_exact_median(norms, [], "norm", "m")
+    return norms.join(F.broadcast(med)).select(
+        "vec_id", "norm",
+        (
+            (F.col("norm") < 0.25 * F.col("m"))
+            | (F.col("norm") > 4.0 * F.col("m"))
+        ).alias("is_outlier"),
+    )
+
+
 _PRIORITY = [
     # Round 5: the complete never-driver-checked set (29 queries) —
     # after rounds 1-4, these are the ONLY registry entries without an
@@ -6508,7 +6551,7 @@ _PRIORITY = [
     # plan changed round 5 (sub-bucketed rank window) — back in the
     # hard window; vocab_coverage_90 (also re-planned) is already in
     "token_budget_selection",
-    "ngram_novelty_by_slice",
+    "ngram_novelty_by_slice", "embedding_norm_outliers",
 ]
 # Round-6 rotation note: after round 5 EVERY registry query has at
 # least one all-green driver CORRECTNESS row (the 29 never-checked

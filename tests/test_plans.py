@@ -37,6 +37,7 @@ ALLOWED_CARTESIAN = {
     "electrical_losses_proxy",  # scalar ratio of two aggregates
     "user_daily_correlation_pairs",  # broadcast pair expansion (vector corr)
     "std_range_flag_events",    # global mean/std scalar broadcast
+    "embedding_norm_outliers",  # one-row global-median broadcast
     "describe_quantity_by_flag",
     "span_days_hours",
     "infer_frequency",

@@ -102,6 +102,7 @@ PROBE_QUERIES = [
     "top3_docs_per_source",
     # gram-grain novelty aggregates (gram rows ×N under copy tags)
     "ngram_novelty_by_slice",
+    "embedding_norm_outliers",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
