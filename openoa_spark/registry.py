@@ -6524,6 +6524,45 @@ def embedding_norm_outliers(spark, sf_dir):
     )
 
 
+def _lang_mismatch_sql() -> str:
+    inner = _langid_sql().strip()
+    return f"""
+    WITH pred AS ({inner})
+    SELECT d.lang AS meta_lang, p.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    WHERE p.pred_lang <> 'und' AND p.pred_lang <> d.lang
+    GROUP BY 1, 2
+    """
+
+
+@register("lang_metadata_mismatch", _lang_mismatch_sql())
+def lang_metadata_mismatch(spark, sf_dir):
+    """Metadata-vs-content language audit: documents whose declared
+    ``lang`` field disagrees with the stopword language-ID of the text
+    — the standard crawl-metadata defect that silently poisons
+    per-language sampling weights and decontamination. Confusion
+    grain: (meta_lang, predicted) counts for the confident-mismatch
+    cells. Same map-only scorer as ``language_id``; one bounded hash
+    aggregate (|langs|² rows)."""
+    from openoa_spark.session import spread_small_input
+
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
+    pred = docs.select(
+        "doc_id",
+        F.col("lang").alias("meta_lang"),
+        text.language_id("text").alias("pred_lang"),
+    )
+    return (
+        pred.where(
+            (F.col("pred_lang") != "und")
+            & (F.col("pred_lang") != F.col("meta_lang"))
+        )
+        .groupBy("meta_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 _PRIORITY = [
     # Round 5: the complete never-driver-checked set (29 queries) —
     # after rounds 1-4, these are the ONLY registry entries without an
@@ -6552,6 +6591,7 @@ _PRIORITY = [
     # hard window; vocab_coverage_90 (also re-planned) is already in
     "token_budget_selection",
     "ngram_novelty_by_slice", "embedding_norm_outliers",
+    "lang_metadata_mismatch",
 ]
 # Round-6 rotation note: after round 5 EVERY registry query has at
 # least one all-green driver CORRECTNESS row (the 29 never-checked

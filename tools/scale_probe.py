@@ -103,6 +103,7 @@ PROBE_QUERIES = [
     # gram-grain novelty aggregates (gram rows ×N under copy tags)
     "ngram_novelty_by_slice",
     "embedding_norm_outliers",
+    "lang_metadata_mismatch",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
