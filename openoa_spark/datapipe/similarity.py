@@ -910,3 +910,230 @@ def query_ivf_index(
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )
+
+
+def _micros_vec(col: Column | str) -> Column:
+    """Embedding components snapped to the 1e-6 integer grid
+    (``bigint`` micros) — the exactness substrate for deterministic
+    clustering: every subsequent distance/mean is integer arithmetic,
+    bit-identical on any engine and any partitioning. Rounding is
+    half-away-from-zero in both Spark (HALF_UP on doubles) and DuckDB
+    (round()), so the grids agree."""
+    return F.transform(
+        _vec(col), lambda x: F.round(x * 1_000_000.0, 0).cast("bigint")
+    )
+
+
+def _argmin_cluster(mic: Column, centroids: list[list[int]]) -> Column:
+    """Index of the nearest centroid (squared L2 over micro-grid ints,
+    ties -> lowest cluster id) as one JVM column expression over the
+    broadcast centroid literals: array_min of (d2, cid) structs,
+    lexicographic struct order = (min distance, min id)."""
+    cands = []
+    for cid, c in enumerate(centroids):
+        ca = F.array(*[F.lit(int(v)).cast("bigint") for v in c])
+        d2 = F.aggregate(
+            F.zip_with(mic, ca, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        cands.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
+    return F.array_min(F.array(*cands))["cid"]
+
+
+def _argmin_cluster_gemm(
+    base: DataFrame, centroids: list[list[int]], with_mic: bool = False
+) -> DataFrame:
+    """Large-k assignment strategy: one Arrow-batched int64 GEMM per
+    batch against the broadcast centroid matrix — d2 = |x|^2 - 2xC^T +
+    |c|^2, all int64 (exact: |comp| <= ~30 => every term < 6e16), and
+    np.argmin's first-minimum IS the lowest-cid tie rule, so the
+    result is bit-identical to the expression path (pinned by test).
+    The expression argmin is O(k) codegen branches per row — fine at
+    k<=32, pathological at SemDeDup-scale k (hundreds+); the GEMM is
+    one BLAS-shaped pass."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.int64)
+    cn = (C * C).sum(axis=1)
+    id_field = base.schema["_id"].dataType.simpleString()
+    out_schema = (
+        "_mic array<bigint>, cluster int"
+        if with_mic
+        else f"_id {id_field}, cluster int"
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["_mic"].tolist(), dtype=np.int64)
+            d2 = (M * M).sum(axis=1)[:, None] - 2 * (M @ C.T) + cn[None, :]
+            cid = d2.argmin(axis=1).astype("int32")
+            if with_mic:
+                yield pd.DataFrame({"_mic": pdf["_mic"], "cluster": cid})
+            else:
+                yield pd.DataFrame({"_id": pdf["_id"], "cluster": cid})
+
+    return base.mapInPandas(batches, out_schema)
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Deterministic distributed Lloyd k-means over an embedding
+    column -> ``(id_col, cluster)``. Unlike the MLlib fit backing
+    ivf_neighbors (seeded sampling, float accumulation order), every
+    step here is exact integer arithmetic on the 1e-6 micro-grid, so
+    an independent engine replays the assignments bit-for-bit — the
+    clustering twin of the md5-pinned dedup family:
+
+    - init: the ``k`` lowest-id vectors (cid = ascending id order);
+    - assign (x ``iters``): argmin of squared L2 between micro-grid
+      ints — a map-only pass over broadcast centroid literals, ties
+      to the lowest cid;
+    - update (x ``iters - 1``): per-(cluster, pos) SUM of micros via
+      posexplode + ONE hash aggregate (map-side combine collapses
+      each partition to <= k*dim rows before the shuffle — explode
+      rows never hit the wire), mean snapped back to the grid with
+      the half-away integer division from label_centroids; empty
+      clusters carry their previous centroid. The k*dim result is
+      driver-collected (tiny, bounded by config not data) and
+      re-broadcast as literals — no per-row state ever reaches the
+      driver.
+
+    Scale notes: ``iters`` passes over the table; persist/checkpoint
+    the (id, vec) projection upstream if the scan is expensive. The
+    bigint micro-sum bounds cluster mass at ~3e11 rows x |comp|<=30
+    per (cluster, pos) — beyond that, widen to decimal. Cluster count
+    is the candidate-bound knob for semantic_dedup: pick k so the
+    expected cluster size keeps the within-cluster pair join bounded
+    (SemDeDup-style corpora run k in the tens of thousands).
+
+    Reference scope: OpenOA has no clustering op; this extends the
+    datapipe layer (SemDeDup/IVF coarse quantization, Abbas et al.
+    2023) with an oracle-replayable fit.
+
+    ``strategy`` picks the assignment kernel: ``"expr"`` is the pure
+    JVM argmin over k struct branches (zero Python, best for small k);
+    ``"gemm"`` is one Arrow int64 GEMM per batch against the broadcast
+    centroid matrix (same integer math, np.argmin first-min = lowest
+    cid — bit-identical, pinned by test) and is the k>~32 path: the
+    expression kernel's codegen grows O(k) per row and measured 7.5x
+    slower at k=128; ``"auto"`` switches at k=32.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+    if strategy not in ("auto", "expr", "gemm"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    use_gemm = strategy == "gemm" or (strategy == "auto" and k > 32)
+    base = df.select(
+        F.col(id_col).alias("_id"), _micros_vec(vec_col).alias("_mic")
+    )
+    seed_rows = base.orderBy("_id").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"k={k} exceeds row count {len(seed_rows)}")
+    centroids = [list(r["_mic"]) for r in seed_rows]
+    dim = len(centroids[0])
+
+    half_away = F.expr(
+        "CASE WHEN _sm >= 0 THEN (2*_sm + _n) DIV (2*_n) "
+        "ELSE -((2*(-_sm) + _n) DIV (2*_n)) END"
+    )
+    for _ in range(iters - 1):
+        if use_gemm:
+            assigned = _argmin_cluster_gemm(
+                base, centroids, with_mic=True
+            ).withColumnRenamed("cluster", "_cid")
+        else:
+            assigned = base.select(
+                "_mic", _argmin_cluster(F.col("_mic"), centroids).alias("_cid")
+            )
+        stats = (
+            assigned.select("_cid", F.posexplode("_mic").alias("_pos", "_m"))
+            .groupBy("_cid", "_pos")
+            .agg(
+                F.sum(F.col("_m").cast("decimal(38,0)"))
+                .cast("bigint")
+                .alias("_sm"),
+                F.count("_m").alias("_n"),
+            )
+            .select("_cid", "_pos", half_away.alias("_mean"))
+            .collect()
+        )
+        new = {}
+        for r in stats:
+            new.setdefault(r["_cid"], [0] * dim)[r["_pos"]] = r["_mean"]
+        # empty clusters keep their previous centroid (deterministic)
+        centroids = [new.get(cid, centroids[cid]) for cid in range(k)]
+
+    if use_gemm:
+        return _argmin_cluster_gemm(base, centroids).withColumnRenamed(
+            "_id", id_col
+        )
+    return base.select(
+        F.col("_id").alias(id_col),
+        _argmin_cluster(F.col("_mic"), centroids).alias("cluster"),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
+    then treat each CLUSTER as the candidate bucket — exact cosine is
+    only evaluated within a cluster (equi-join on cluster id, never
+    all-pairs), pairs at round-6 cosine >= threshold become edges,
+    connected components keep the lowest id per duplicate group.
+    Returns the kept rows of ``df``.
+
+    The same survivor rule as embedding_near_dedup, with the LSH
+    bucket replaced by a learned cluster: semantically-close pairs an
+    unlucky hyperplane cut would separate still meet. ``k`` bounds
+    the join (expected cluster size = n/k) — size it like an LSH band
+    cap; the clustering itself is the deterministic integer-grid
+    Lloyd of kmeans_assignments, so an oracle can replay the whole
+    pass."""
+    from openoa_spark.datapipe.dedup import connected_components
+
+    asg = kmeans_assignments(df, vec_col, id_col, k=k, iters=iters)
+    sides = df.select(
+        F.col(id_col).alias("_id"), _vec(vec_col).alias("_v")
+    ).join(asg.withColumnRenamed(id_col, "_id"), "_id")
+    a = sides.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "cluster"
+    )
+    b = sides.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "cluster"
+    )
+    pairs = (
+        a.join(b, ["cluster"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("_va"), F.col("_vb"))
+                / (norm(F.col("_va")) * norm(F.col("_vb"))),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

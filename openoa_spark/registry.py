@@ -5708,6 +5708,118 @@ def embedding_near_dedup_vecs(spark, sf_dir):
     ).select("vec_id", "label")
 
 
+def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled DuckDB twin of similarity.kmeans_assignments: micros
+    grid -> ``iters`` assignment passes with ``iters - 1`` integer-mean
+    updates, ties to lowest cid, empty clusters carry forward. All
+    distance/mean arithmetic is integer-exact, so the replay is
+    bit-identical to the Spark fit."""
+    mic = (
+        "[CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT) "
+        f"for i in range(1, {dim + 1})]"
+    )
+    parts = [
+        f"e AS (SELECT vec_id, {mic} AS mic FROM embeddings)",
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, mic AS cv
+      FROM (SELECT vec_id, mic FROM e ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for t in range(iters):
+        d2 = (f"list_sum([(e.mic[i]-cc.cv[i])*(e.mic[i]-cc.cv[i]) "
+              f"for i in range(1, {dim + 1})])")
+        parts.append(f"""a{t} AS (
+      SELECT vec_id, mic, cid FROM (
+        SELECT e.vec_id, e.mic, cc.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id ORDER BY {d2}, cc.cid) AS rn
+        FROM e CROSS JOIN c{t} cc) WHERE rn = 1)""")
+        if t < iters - 1:
+            parts.append(f"""s{t} AS (
+      SELECT cid, i, CAST(SUM(mic[i]) AS BIGINT) AS sm, COUNT(*) AS n
+      FROM a{t} CROSS JOIN range(1, {dim + 1}) t(i) GROUP BY cid, i)""")
+            parts.append(f"""c{t + 1} AS (
+      SELECT cc.cid,
+             list(CASE WHEN s.sm IS NULL THEN cc.cv[t.i]
+                  WHEN s.sm >= 0 THEN (2*s.sm + s.n) // (2*s.n)
+                  ELSE -((2*(-s.sm) + s.n) // (2*s.n)) END
+                  ORDER BY t.i) AS cv
+      FROM c{t} cc CROSS JOIN range(1, {dim + 1}) t(i)
+      LEFT JOIN s{t} s ON s.cid = cc.cid AND s.i = t.i
+      GROUP BY cc.cid)""")
+    body = ",\n    ".join(parts)
+    return (f"WITH {body}\n    SELECT vec_id, CAST(cid AS INT) AS cluster "
+            f"FROM a{iters - 1}")
+
+
+@register("kmeans_embedding_clusters", _kmeans_sql(8, 3))
+def kmeans_embedding_clusters(spark, sf_dir):
+    """Deterministic integer-grid Lloyd k-means assignments (k=8,
+    3 passes) — the clustering fit the MLlib-backed IVF cannot oracle
+    (seeded sampling, float order): init = k lowest ids, squared-L2
+    argmin over 1e-6-micros ints, integer half-away centroid means,
+    all replayed bit-exactly by the unrolled SQL twin. Map-only assign
+    passes over broadcast literals; the update's posexplode collapses
+    map-side to <= k*dim rows per partition before the shuffle."""
+    from openoa_spark.session import spread_small_input
+
+    emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
+    return similarity.kmeans_assignments(emb, "embedding", "vec_id", k=8, iters=3)
+
+
+def _semantic_dedup_sql(
+    threshold: float, k: int = 8, iters: int = 3, dim: int = 64
+) -> str:
+    km = _kmeans_sql(k, iters, dim)
+    body = km[len("WITH "):km.rindex("\n    SELECT")]
+    return f"""
+    WITH RECURSIVE {body},
+    vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM a{iters - 1} x JOIN a{iters - 1} y
+        ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN vv va ON va.vec_id = x.vec_id
+      JOIN vv vb ON vb.vec_id = y.vec_id
+      WHERE ROUND(list_dot_product(va.v, vb.v)
+                  / (sqrt(list_dot_product(va.v, va.v))
+                     * sqrt(list_dot_product(vb.v, vb.v))), 6) >= {threshold}
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM p
+      UNION
+      SELECT id_b AS a, id_a AS b FROM p
+    ),
+    verts AS (SELECT DISTINCT a FROM edges),
+    reach(a, b) AS (
+      SELECT a, a FROM verts
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS vid, MIN(b) AS component FROM reach GROUP BY a)
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT vid FROM comp WHERE vid <> component)
+    """
+
+
+@register("semantic_dedup_vecs", _semantic_dedup_sql(0.25))
+def semantic_dedup_vecs(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): the k-means CLUSTER is the
+    candidate bucket — exact cosine only within a cluster (equi-join
+    on cluster id, never all-pairs), round-6 cosine >= 0.25 pairs ->
+    connected components -> keep lowest vec_id. Same survivor rule as
+    embedding_near_dedup_vecs with the LSH bucket replaced by the
+    learned cluster, so semantically-close pairs an unlucky hyperplane
+    cut separates still meet; k bounds the join like an LSH band cap.
+    Fully oracle-replayable because the fit itself is the
+    integer-grid Lloyd."""
+    from openoa_spark.session import spread_small_input
+
+    emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
+    return similarity.semantic_dedup(
+        emb, "embedding", "vec_id", k=8, iters=3, threshold=0.25
+    ).select("vec_id", "label")
+
+
 @register("ann_recall_lsh", _ann_recall_sql(_LSH_PLANES, 3))
 def ann_recall_lsh(spark, sf_dir):
     """Measured recall@3 of the sign-LSH kNN against exact kNN on a
@@ -6592,6 +6704,9 @@ _PRIORITY = [
     "token_budget_selection",
     "ngram_novelty_by_slice", "embedding_norm_outliers",
     "lang_metadata_mismatch",
+    # Brand-new this round: deterministic integer-grid Lloyd k-means
+    # and the SemDeDup pass riding it.
+    "kmeans_embedding_clusters", "semantic_dedup_vecs",
 ]
 # Round-6 rotation note: after round 5 EVERY registry query has at
 # least one all-green driver CORRECTNESS row (the 29 never-checked

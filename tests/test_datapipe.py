@@ -1230,3 +1230,149 @@ def test_minhash_band_bucket_cap_bounds_hot_template(spark):
         max_band_bucket=10,
     ).collect()))
     assert a == b
+
+
+def _np_lloyd_micros(vecs, k, iters):
+    """Python replay of kmeans_assignments' exact semantics: 1e-6
+    micro-grid (half away from zero), integer squared-L2, ties to
+    lowest cid, integer half-away means, empty-cluster carry."""
+    import numpy as np
+
+    arr = np.asarray(vecs, dtype=np.float64) * 1e6
+    mic = (np.sign(arr) * np.floor(np.abs(arr) + 0.5)).astype(np.int64)
+    order = np.argsort(np.arange(len(vecs)))  # ids are 0..n-1 here
+    cents = [mic[i].tolist() for i in order[:k]]
+
+    def assign(cs):
+        d2 = ((mic[:, None, :] - np.asarray(cs, dtype=np.int64)[None, :, :]) ** 2).sum(
+            axis=-1
+        )
+        return d2.argmin(axis=1)  # first occurrence = lowest cid
+
+    for _ in range(iters - 1):
+        cid = assign(cents)
+        new = []
+        for c in range(k):
+            m = mic[cid == c]
+            if len(m) == 0:
+                new.append(cents[c])
+                continue
+            row = []
+            for s in (int(x) for x in m.sum(axis=0, dtype=np.int64)):
+                n = len(m)
+                row.append(
+                    (2 * s + n) // (2 * n)
+                    if s >= 0
+                    else -((2 * (-s) + n) // (2 * n))
+                )
+            new.append(row)
+        cents = new
+    return assign(cents)
+
+
+def test_kmeans_matches_python_lloyd_randomized(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 5)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity.kmeans_assignments(
+            df, "embedding", "vec_id", k=3, iters=3
+        ).collect()
+    }
+    want = _np_lloyd_micros(vecs, 3, 3)
+    assert got == {i: int(c) for i, c in enumerate(want)}
+
+
+def test_kmeans_partitioning_invariant(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    a = similarity.kmeans_assignments(df, "embedding", "vec_id", k=4, iters=2)
+    b = similarity.kmeans_assignments(
+        df.repartition(7), "embedding", "vec_id", k=4, iters=2
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmeans_empty_cluster_carries_forward(spark):
+    # two identical seed vectors: the tie goes to cid 0, so cluster 1
+    # is empty from pass one — its centroid must carry forward (and
+    # the run must not crash or NaN)
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0])] + [
+        (i, [5.0, 5.0]) for i in range(2, 12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.kmeans_assignments(df, "embedding", "vec_id", k=2, iters=3)
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    # pass 1: identical centroids -> EVERY point ties to cid 0, so
+    # cluster 1 is empty and carries [0,0]; pass 2: the carried
+    # centroid captures the zero vectors while the far group stays
+    # with the moved cluster-0 centroid — carry-forward is what makes
+    # cluster 1 recoverable at all
+    assert got[0] == 1 and got[1] == 1
+    assert all(got[i] == 0 for i in range(2, 12))
+    assert len(got) == 12
+
+
+def test_kmeans_k_exceeding_rows_raises(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0]), (1, [2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="exceeds row count"):
+        similarity.kmeans_assignments(df, "embedding", "vec_id", k=5, iters=1)
+
+
+def test_semantic_dedup_keeps_lowest_id_per_group(spark):
+    # two tight groups far apart + a lone point; near-identical pairs
+    # inside each group must collapse to the lowest id, the loner and
+    # the group survivors remain
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0]),   # dup of 0
+        (2, [0.998, -0.002, 0.0]),  # dup of 0 (via component chain)
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.001, 0.999, 0.0]),  # dup of 10
+        (20, [0.0, 0.0, -1.0]),     # loner
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            df, "embedding", "vec_id", k=3, iters=2, threshold=0.999
+        ).collect()
+    )
+    assert kept == [0, 10, 20]
+
+
+def test_kmeans_gemm_strategy_bit_identical_to_expr(spark):
+    # the large-k Arrow GEMM kernel must reproduce the JVM expression
+    # kernel exactly — same integer grid, same lowest-cid tie rule —
+    # including through the update iterations
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    vecs = rng.randn(80, 6)
+    # plant exact ties: duplicate vectors at ids 70..79
+    vecs[70:] = vecs[:10]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    a = similarity.kmeans_assignments(
+        df, "embedding", "vec_id", k=5, iters=3, strategy="expr"
+    )
+    b = similarity.kmeans_assignments(
+        df, "embedding", "vec_id", k=5, iters=3, strategy="gemm"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

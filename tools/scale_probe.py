@@ -104,6 +104,12 @@ PROBE_QUERIES = [
     "ngram_novelty_by_slice",
     "embedding_norm_outliers",
     "lang_metadata_mismatch",
+    # deterministic Lloyd: iters map passes over broadcast centroid
+    # literals + bounded (cluster, pos) aggregates -> rows x N
+    "kmeans_embedding_clusters",
+    # SemDeDup probed through its scale contract (see
+    # semantic_dedup_probe): k grows with n, cluster size constant
+    "semantic_dedup_scaled_k",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
@@ -111,7 +117,7 @@ JOB_FLOOR_S = 0.4
 LINEAR_SLACK = 1.8
 
 TABLES = (
-    "region nation customer supplier part embeddings"
+    "region nation customer supplier part"
 ).split()
 
 
@@ -162,6 +168,30 @@ def build_probe_dir(spark, base_dir: str, factor: int, probe_dir: str) -> None:
     stacked.write.mode("overwrite").parquet(
         os.path.join(probe_dir, "documents.parquet")
     )
+    # embeddings x factor: offset vec ids; ROTATE the component list
+    # per copy (norm-preserving, so norm/outlier outputs scale exactly
+    # x factor while copies land in different LSH buckets / clusters —
+    # identical copies would collapse dedup outputs to one copy's
+    # worth). Round 5 fix: this table used to be symlinked FIXED, so
+    # earlier embedding probe rows exercised x1 data.
+    emb = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()["embedding"])
+    rotated = None
+    for i in range(factor):
+        s = i % (dim - 1) + 1 if i else 0
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000_000))
+        if s:
+            c = c.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", s + 1, dim - s),
+                    F.slice("embedding", 1, s),
+                ),
+            )
+        rotated = c if rotated is None else rotated.unionByName(c)
+    rotated.write.mode("overwrite").parquet(
+        os.path.join(probe_dir, "embeddings.parquet")
+    )
     # lineitem + orders x factor: offset the ORDER KEY on both sides by
     # the same per-copy constant, so each copy's lineitems join its own
     # orders — the join graph replicates x factor while dimension
@@ -184,6 +214,24 @@ def build_probe_dir(spark, base_dir: str, factor: int, probe_dir: str) -> None:
         )
 
 
+def semantic_dedup_probe(factor: int, probe_dir: str):
+    """SemDeDup under its own scale contract: the registry query pins
+    k=8 for the oracle replay, but the production knob is k ~ n /
+    target-cluster-size — the within-cluster pair join is quadratic in
+    cluster size, linear in n when k scales. The probe therefore runs
+    k=8 on the base and k=8*factor on the inflated dir."""
+    from openoa_spark.datapipe.similarity import semantic_dedup
+
+    def run(spark, d):
+        k = 8 * factor if os.path.abspath(d) == probe_dir else 8
+        emb = registry._t(spark, d, "embeddings")
+        return semantic_dedup(
+            emb, "embedding", "vec_id", k=k, iters=3, threshold=0.25
+        ).select("vec_id", "label")
+
+    return run
+
+
 def timed(fn, spark, d) -> float:
     t0 = time.perf_counter()
     fn(spark, d).write.format("noop").mode("overwrite").save()
@@ -198,7 +246,8 @@ def main():
     spark = get_session("scale-probe")
     build_probe_dir(spark, base, factor, probe)
 
-    qs = registry.queries()
+    qs = dict(registry.queries())
+    qs["semantic_dedup_scaled_k"] = semantic_dedup_probe(factor, probe)
     failures = []
     for name in subset:
         fn = qs[name]
