@@ -924,10 +924,10 @@ def _micros_vec(col: Column | str) -> Column:
     )
 
 
-def _argmin_cluster(mic: Column, centroids: list[list[int]]) -> Column:
-    """Index of the nearest centroid (squared L2 over micro-grid ints,
-    ties -> lowest cluster id) as one JVM column expression over the
-    broadcast centroid literals: array_min of (d2, cid) structs,
+def _argmin_struct(mic: Column, centroids: list[list[int]]) -> Column:
+    """Nearest-centroid (d2, cid) struct (squared L2 over micro-grid
+    ints, ties -> lowest cluster id) as one JVM column expression over
+    the broadcast centroid literals: array_min of (d2, cid) structs,
     lexicographic struct order = (min distance, min id)."""
     cands = []
     for cid, c in enumerate(centroids):
@@ -938,11 +938,18 @@ def _argmin_cluster(mic: Column, centroids: list[list[int]]) -> Column:
             lambda acc, x: acc + x,
         )
         cands.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
-    return F.array_min(F.array(*cands))["cid"]
+    return F.array_min(F.array(*cands))
+
+
+def _argmin_cluster(mic: Column, centroids: list[list[int]]) -> Column:
+    return _argmin_struct(mic, centroids)["cid"]
 
 
 def _argmin_cluster_gemm(
-    base: DataFrame, centroids: list[list[int]], with_mic: bool = False
+    base: DataFrame,
+    centroids: list[list[int]],
+    with_mic: bool = False,
+    with_d2: bool = False,
 ) -> DataFrame:
     """Large-k assignment strategy: one Arrow-batched int64 GEMM per
     batch against the broadcast centroid matrix — d2 = |x|^2 - 2xC^T +
@@ -962,6 +969,8 @@ def _argmin_cluster_gemm(
         if with_mic
         else f"_id {id_field}, cluster int"
     )
+    if with_d2:
+        out_schema += ", d2 bigint"
 
     def batches(it):
         import pandas as pd
@@ -971,11 +980,14 @@ def _argmin_cluster_gemm(
                 continue
             M = np.array(pdf["_mic"].tolist(), dtype=np.int64)
             d2 = (M * M).sum(axis=1)[:, None] - 2 * (M @ C.T) + cn[None, :]
-            cid = d2.argmin(axis=1).astype("int32")
-            if with_mic:
-                yield pd.DataFrame({"_mic": pdf["_mic"], "cluster": cid})
-            else:
-                yield pd.DataFrame({"_id": pdf["_id"], "cluster": cid})
+            cid = d2.argmin(axis=1)
+            out = (
+                {"_mic": pdf["_mic"]} if with_mic else {"_id": pdf["_id"]}
+            )
+            out["cluster"] = cid.astype("int32")
+            if with_d2:
+                out["d2"] = d2[np.arange(len(cid)), cid]
+            yield pd.DataFrame(out)
 
     return base.mapInPandas(batches, out_schema)
 
@@ -987,9 +999,11 @@ def kmeans_assignments(
     k: int = 8,
     iters: int = 3,
     strategy: str = "auto",
+    with_distance: bool = False,
 ) -> DataFrame:
     """Deterministic distributed Lloyd k-means over an embedding
-    column -> ``(id_col, cluster)``. Unlike the MLlib fit backing
+    column -> ``(id_col, cluster)`` (+ ``d2``, the exact squared L2 to
+    the assigned centroid in micros^2, when ``with_distance``). Unlike the MLlib fit backing
     ivf_neighbors (seeded sampling, float accumulation order), every
     step here is exact integer arithmetic on the 1e-6 micro-grid, so
     an independent engine replays the assignments bit-for-bit — the
@@ -1075,13 +1089,22 @@ def kmeans_assignments(
         centroids = [new.get(cid, centroids[cid]) for cid in range(k)]
 
     if use_gemm:
-        return _argmin_cluster_gemm(base, centroids).withColumnRenamed(
-            "_id", id_col
-        )
-    return base.select(
-        F.col("_id").alias(id_col),
-        _argmin_cluster(F.col("_mic"), centroids).alias("cluster"),
+        return _argmin_cluster_gemm(
+            base, centroids, with_d2=with_distance
+        ).withColumnRenamed("_id", id_col)
+    # two-step select: _best is referenced twice when with_distance,
+    # and CollapseProject keeps multiply-used non-trivial expressions
+    # in their own projection — the k-branch argmin evaluates once
+    scored = base.select(
+        "_id", _argmin_struct(F.col("_mic"), centroids).alias("_best")
     )
+    cols = [
+        F.col("_id").alias(id_col),
+        F.col("_best")["cid"].alias("cluster"),
+    ]
+    if with_distance:
+        cols.append(F.col("_best")["d2"].alias("d2"))
+    return scored.select(*cols)
 
 
 def semantic_dedup(
@@ -1137,3 +1160,247 @@ def semantic_dedup(
         F.col("doc_id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def kmeans_cluster_profile(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Per-cluster fit diagnostics ``(cluster, n_vecs, inertia)`` —
+    size and within-cluster sum of squared distances, the number that
+    tells you whether ``k``/``iters`` actually converged to tight
+    buckets before you hang a SemDeDup pass or an IVF index off them.
+
+    d2 is carried exactly (bigint micros^2) from the assignment pass;
+    the aggregate sums it in decimal (exact, no overflow) and converts
+    once to double at the end (same nearest-double on any engine).
+    One map-only pass + one k-row hash aggregate.
+    """
+    asg = kmeans_assignments(
+        df, vec_col, id_col, k=k, iters=iters, with_distance=True
+    )
+    return asg.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("d2").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("inertia"),
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+    m: int = 10,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cluster-balanced coreset selection: exactly ``m`` rows from
+    each k-means cluster, chosen by keyed hash (greatest hash wins,
+    ties -> lowest id) — the diversity-preserving subsample for
+    curriculum/eval-set construction, where a plain uniform sample
+    over-represents the corpus's dominant modes and starves its tails
+    (cluster-balanced sampling is the standard fix, cf. DoReMi-style
+    domain balancing / SemDeDup cluster pruning).
+
+    Selection is a pure function of (id, seed) within the
+    deterministic integer-grid clustering, so the subsample is
+    reproducible and incrementally stable. The per-cluster cap uses
+    grouped_top_k — the window-free domain-capping primitive — so one
+    mega-cluster cannot serialize the rank onto a single task.
+    Returns ``(id_col, cluster)`` for the selected rows.
+    """
+    from openoa_spark.datapipe.dedup import hash64
+    from openoa_spark.functions.stats import grouped_top_k
+
+    asg = kmeans_assignments(df, vec_col, id_col, k=k, iters=iters)
+    scored = asg.withColumn(
+        "_h",
+        hash64(F.col(id_col).cast("string"), seed=seed, hash_fn=hash_fn),
+    )
+    return grouped_top_k(scored, ["cluster"], "_h", id_col, m).select(
+        id_col, "cluster"
+    )
+
+
+def kmeans_state_centroids(
+    spark, state_path: str, exclude_batch: int | None = None
+) -> list[list[int]]:
+    """Current centroids (micro-grid ints, cid-ordered) from an
+    incremental_kmeans sufficient-statistics table: fold the per-batch
+    (cluster, n, sum_mic) rows with ONE posexplode aggregate (k*dim
+    result rows — bounded by config), then the half-away integer mean.
+    Clusters whose total count is 0 fall back to their seed centroid
+    (the ``seeds`` table). ``exclude_batch`` drops that batch's rows
+    from the fold — the replay path: a re-run whose append already
+    landed must assign against the state as it was BEFORE its own
+    append."""
+    st = spark.read.parquet(f"{state_path}/suffstats")
+    if exclude_batch is not None:
+        st = st.where(F.col("batch_id") != exclude_batch)
+    agg = (
+        st.select(
+            "cluster", "n", F.posexplode("sum_mic").alias("pos", "s")
+        )
+        .groupBy("cluster", "pos")
+        .agg(
+            F.sum(F.col("s").cast("decimal(38,0)")).cast("bigint").alias("_sm"),
+            F.sum("n").alias("_n"),
+        )
+        .collect()
+    )
+    seeds = {
+        r["cluster"]: list(r["seed_mic"])
+        for r in spark.read.parquet(f"{state_path}/seeds").collect()
+    }
+    k = len(seeds)
+    dim = len(next(iter(seeds.values())))
+    sums = {}
+    counts = {}
+    for r in agg:
+        sums.setdefault(r["cluster"], [0] * dim)[r["pos"]] = r["_sm"]
+        counts[r["cluster"]] = r["_n"]
+    out = []
+    for cid in range(k):
+        n = counts.get(cid, 0)
+        if n == 0:
+            out.append(seeds[cid])
+            continue
+        s = sums[cid]
+        out.append(
+            [
+                (2 * v + n) // (2 * n) if v >= 0 else -((2 * (-v) + n) // (2 * n))
+                for v in s
+            ]
+        )
+    return out
+
+
+def incremental_kmeans(
+    spark,
+    batch: DataFrame,
+    vec_col: str,
+    id_col: str,
+    state_path: str,
+    k: int = 8,
+    iters_first: int = 3,
+    batch_id: int | None = None,
+    strategy: str = "auto",
+    sink=None,
+) -> DataFrame:
+    """Continuous-corpus clustering — the clustering member of the
+    incremental family (exact/minhash/chunk/embedding dedup all have
+    one): the FIRST batch runs the full deterministic Lloyd fit and
+    seeds the state; every later batch is assigned map-only against
+    the CURRENT centroids, then folds its per-cluster component sums
+    into the state (MacQueen-style batch update: centroid = exact
+    grid-mean of every vector ever assigned). All arithmetic is the
+    integer micro-grid, so replaying the same batch sequence
+    reproduces assignments and state bit-for-bit.
+
+    State under ``state_path``: ``seeds`` (cluster, seed_mic — written
+    once) and ``suffstats``, an APPEND-ONLY (batch_id, cluster, n,
+    sum_mic) table — k rows per batch, mergeable and tiny; history is
+    never rescanned at vector grain. Idempotent re-runs: pass
+    ``batch_id`` (the streaming twin wires the foreachBatch epoch) —
+    if that batch_id already has suffstats rows, the centroid fold
+    EXCLUDES them (the state as it was before this batch's append), so
+    the replay re-lands bit-identical assignments, and the state
+    append is SKIPPED — a crash on either side of the append
+    double-counts nothing. Output-before-state ordering matches the
+    dedup family.
+
+    Returns the batch assignments ``(id_col, cluster)``.
+    """
+    jvm = spark._jvm
+    ss_path = f"{state_path}/suffstats"
+    p = jvm.org.apache.hadoop.fs.Path(ss_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    exists = fs.exists(p)
+
+    base = batch.select(
+        F.col(id_col).alias("_id"), _micros_vec(vec_col).alias("_mic")
+    )
+    if not exists:
+        # first batch: full deterministic fit, then suffstats of the
+        # final assignment + the seed table for empty-cluster fallback
+        asg = kmeans_assignments(
+            batch, vec_col, id_col, k=k, iters=iters_first, strategy=strategy
+        )
+        seed_rows = base.orderBy("_id").limit(k).collect()
+        seeds = [
+            (cid, list(r["_mic"])) for cid, r in enumerate(seed_rows)
+        ]
+        spark.createDataFrame(
+            seeds, "cluster int, seed_mic array<bigint>"
+        ).write.mode("overwrite").parquet(f"{state_path}/seeds")
+        this_batch = -1 if batch_id is None else batch_id
+        already = False
+    else:
+        this_batch = -1 if batch_id is None else batch_id
+        centroids = kmeans_state_centroids(
+            spark,
+            state_path,
+            exclude_batch=this_batch if batch_id is not None else None,
+        )
+        use_gemm = strategy == "gemm" or (strategy == "auto" and k > 32)
+        if use_gemm:
+            asg = _argmin_cluster_gemm(base, centroids).withColumnRenamed(
+                "_id", id_col
+            )
+        else:
+            asg = base.select(
+                F.col("_id").alias(id_col),
+                _argmin_cluster(F.col("_mic"), centroids).alias("cluster"),
+            )
+        already = (
+            spark.read.parquet(ss_path)
+            .where(F.col("batch_id") == this_batch)
+            .limit(1)
+            .count()
+            > 0
+            if batch_id is not None
+            else False
+        )
+
+    asg = asg.localCheckpoint(eager=True)
+    if sink is not None:
+        sink(asg)
+
+    if not already:
+        stats = (
+            base.join(asg.withColumnRenamed(id_col, "_id"), "_id")
+            .select("cluster", F.posexplode("_mic").alias("pos", "m"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.col("m").cast("decimal(38,0)"))
+                .cast("bigint")
+                .alias("s"),
+                # one row per (vector, pos): the (cluster, pos) group
+                # count IS the cluster's vector count
+                F.count("m").alias("_nc"),
+            )
+        )
+        append = (
+            stats.groupBy("cluster")
+            .agg(
+                F.first("_nc").alias("n"),
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "s"))
+                ).alias("_ps"),
+            )
+            .select(
+                F.lit(this_batch).alias("batch_id"),
+                "cluster",
+                "n",
+                F.transform("_ps", lambda x: x["s"]).alias("sum_mic"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        append.write.mode("append").parquet(ss_path)
+    return asg

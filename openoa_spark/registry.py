@@ -5728,8 +5728,8 @@ def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
         d2 = (f"list_sum([(e.mic[i]-cc.cv[i])*(e.mic[i]-cc.cv[i]) "
               f"for i in range(1, {dim + 1})])")
         parts.append(f"""a{t} AS (
-      SELECT vec_id, mic, cid FROM (
-        SELECT e.vec_id, e.mic, cc.cid,
+      SELECT vec_id, mic, cid, d2 FROM (
+        SELECT e.vec_id, e.mic, cc.cid, CAST({d2} AS BIGINT) AS d2,
                row_number() OVER (
                  PARTITION BY e.vec_id ORDER BY {d2}, cc.cid) AS rn
         FROM e CROSS JOIN c{t} cc) WHERE rn = 1)""")
@@ -5764,6 +5764,66 @@ def kmeans_embedding_clusters(spark, sf_dir):
 
     emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
     return similarity.kmeans_assignments(emb, "embedding", "vec_id", k=8, iters=3)
+
+
+def _kmeans_body(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """The WITH-clause body of _kmeans_sql (CTE chain without the
+    final SELECT), for composition by the rider queries."""
+    km = _kmeans_sql(k, iters, dim)
+    return km[len("WITH "):km.rindex("\n    SELECT")]
+
+
+@register(
+    "kmeans_cluster_profile",
+    f"""
+    WITH {_kmeans_body(8, 3)}
+    SELECT CAST(cid AS INT) AS cluster, COUNT(*) AS n_vecs,
+           CAST(SUM(d2) AS DOUBLE) AS inertia
+    FROM a2 GROUP BY cid
+    """,
+)
+def kmeans_cluster_profile(spark, sf_dir):
+    """Per-cluster size + exact within-cluster sum of squares (the
+    convergence diagnostic you read before hanging SemDeDup or an IVF
+    index off the clustering): d2 carried exactly in micros^2 from the
+    assignment pass, decimal-summed (exact), one nearest-double
+    conversion at the end — one map pass + one k-row aggregate."""
+    from openoa_spark.session import spread_small_input
+
+    emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
+    return similarity.kmeans_cluster_profile(
+        emb, "embedding", "vec_id", k=8, iters=3
+    )
+
+
+@register(
+    "cluster_balanced_sample_vecs",
+    f"""
+    WITH {_kmeans_body(8, 3)},
+    h AS (SELECT vec_id, cid,
+                 {dedup.sql_hash64("CAST(vec_id AS VARCHAR)", seed=0)} AS hh
+          FROM a2),
+    r AS (SELECT vec_id, cid,
+                 row_number() OVER (
+                   PARTITION BY cid ORDER BY hh DESC, vec_id) AS rn
+          FROM h)
+    SELECT vec_id, CAST(cid AS INT) AS cluster FROM r WHERE rn <= 5
+    """,
+)
+def cluster_balanced_sample_vecs(spark, sf_dir):
+    """Cluster-balanced coreset selection: exactly 5 rows per k-means
+    cluster by keyed md5 hash (greatest wins, ties -> lowest id) — the
+    diversity-preserving subsample that keeps corpus tails a uniform
+    sample starves. Per-cluster capping rides grouped_top_k (the
+    window-free domain-capping primitive), so a mega-cluster cannot
+    serialize the rank; selection is a pure function of (id, seed)
+    within the deterministic clustering."""
+    from openoa_spark.session import spread_small_input
+
+    emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
+    return similarity.cluster_balanced_sample(
+        emb, "embedding", "vec_id", k=8, iters=3, m=5, seed=0, hash_fn="md5"
+    )
 
 
 def _semantic_dedup_sql(
@@ -6705,8 +6765,10 @@ _PRIORITY = [
     "ngram_novelty_by_slice", "embedding_norm_outliers",
     "lang_metadata_mismatch",
     # Brand-new this round: deterministic integer-grid Lloyd k-means
-    # and the SemDeDup pass riding it.
+    # and the SemDeDup pass riding it, plus the cluster-profile and
+    # cluster-balanced-sample riders.
     "kmeans_embedding_clusters", "semantic_dedup_vecs",
+    "kmeans_cluster_profile", "cluster_balanced_sample_vecs",
 ]
 # Round-6 rotation note: after round 5 EVERY registry query has at
 # least one all-green driver CORRECTNESS row (the 29 never-checked

@@ -873,3 +873,53 @@ def stream_cdc_apply(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_cluster_assign(
+    stream: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_path: str,
+    state_path: str,
+    checkpoint: str,
+    k: int = 8,
+    iters_first: int = 3,
+    available_now: bool = True,
+):
+    """Streaming corpus clustering: each micro-batch runs
+    datapipe.similarity.incremental_kmeans — the first batch fits the
+    deterministic integer-grid Lloyd and seeds the sufficient-stats
+    state, every later batch assigns map-only against the current
+    centroids and folds its per-cluster component sums in. The
+    foreachBatch epoch id is the suffstats batch key, so a replayed
+    epoch assigns against the pre-append state (bit-identical output)
+    and skips the duplicate append — the same crash discipline as the
+    streaming dedup twins. Assignments land at ``out_path``
+    partitioned by batch id with dynamic overwrite. State is k rows
+    per epoch (never vector-grain), so it cannot be the bottleneck at
+    any corpus size.
+    """
+    from openoa_spark.datapipe.similarity import incremental_kmeans
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        def _sink(asg: DataFrame) -> None:
+            (
+                asg.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(out_path)
+            )
+
+        incremental_kmeans(
+            batch.sparkSession, batch, vec_col, id_col, state_path,
+            k=k, iters_first=iters_first, batch_id=batch_id, sink=_sink,
+        )
+
+    w = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1376,3 +1376,211 @@ def test_kmeans_gemm_strategy_bit_identical_to_expr(spark):
         df, "embedding", "vec_id", k=5, iters=3, strategy="gemm"
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmeans_cluster_profile_exact_inertia(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    vecs = rng.randn(50, 4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    prof = {
+        r["cluster"]: (r["n_vecs"], r["inertia"])
+        for r in similarity.kmeans_cluster_profile(
+            df, "embedding", "vec_id", k=3, iters=2
+        ).collect()
+    }
+    # replay iters=2 exactly: pass-1 assignment against the SEED
+    # centroids, one integer-mean update from THAT assignment, final
+    # assignment + exact micros^2 inertia against the updated centroids
+    arr = vecs * 1e6
+    mic = (np.sign(arr) * np.floor(np.abs(arr) + 0.5)).astype(np.int64)
+    seeds = np.asarray([mic[i] for i in range(3)], dtype=np.int64)
+    first = (
+        ((mic[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=-1).argmin(axis=1)
+    )
+    cents = []
+    for c in range(3):
+        m = mic[first == c]
+        assert len(m) > 0
+        row = []
+        for s in (int(x) for x in m.sum(axis=0, dtype=np.int64)):
+            n = len(m)
+            row.append(
+                (2 * s + n) // (2 * n) if s >= 0 else -((2 * (-s) + n) // (2 * n))
+            )
+        cents.append(row)
+    C = np.asarray(cents, dtype=np.int64)
+    d2 = ((mic[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+    final = d2.argmin(axis=1)
+    for c in range(3):
+        n = int((final == c).sum())
+        inertia = float(d2[final == c, c].sum())
+        assert prof[c][0] == n
+        assert prof[c][1] == inertia
+
+
+def test_cluster_balanced_sample_exact_m_per_cluster(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(37)
+    vecs = rng.randn(90, 3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.cluster_balanced_sample(
+        df, "embedding", "vec_id", k=3, iters=2, m=7, seed=1
+    ).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r["vec_id"])
+    asg = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity.kmeans_assignments(
+            df, "embedding", "vec_id", k=3, iters=2
+        ).collect()
+    }
+    sizes = {}
+    for _, c in asg.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    for c, ids in by_cluster.items():
+        assert len(ids) == min(7, sizes[c])
+        assert all(asg[i] == c for i in ids)
+    # determinism: same seed -> same selection; different seed differs
+    again = similarity.cluster_balanced_sample(
+        df, "embedding", "vec_id", k=3, iters=2, m=7, seed=1
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    other = similarity.cluster_balanced_sample(
+        df, "embedding", "vec_id", k=3, iters=2, m=7, seed=2
+    ).collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, out))
+
+
+def test_incremental_kmeans_across_batches(spark, tmp_path):
+    """First batch = full deterministic fit; later batches assign
+    against exact suffstat centroids; keyed replay is bit-identical
+    and appends nothing."""
+    import numpy as np
+
+    from openoa_spark.datapipe.similarity import (
+        incremental_kmeans,
+        kmeans_state_centroids,
+    )
+
+    state = str(tmp_path / "km_state")
+    rng = np.random.RandomState(41)
+    v1 = rng.randn(30, 4)
+    b1 = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(v1)],
+        "vec_id long, embedding array<double>",
+    )
+    a1 = incremental_kmeans(
+        spark, b1, "embedding", "vec_id", state, k=3, iters_first=2,
+        batch_id=0,
+    )
+    want = similarity.kmeans_assignments(b1, "embedding", "vec_id", k=3, iters=2)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, want.collect()))
+
+    # state centroids must equal the exact integer grid-mean of batch-1
+    # members under the final assignment
+    cents = kmeans_state_centroids(spark, state)
+    arr = v1 * 1e6
+    mic = (np.sign(arr) * np.floor(np.abs(arr) + 0.5)).astype(np.int64)
+    asg = {r["vec_id"]: r["cluster"] for r in a1.collect()}
+    for cid in range(3):
+        members = mic[[asg[i] == cid for i in range(30)]]
+        n = len(members)
+        assert n > 0
+        for pos, s in enumerate(int(x) for x in members.sum(axis=0)):
+            m = (2 * s + n) // (2 * n) if s >= 0 else -((2 * (-s) + n) // (2 * n))
+            assert cents[cid][pos] == m
+
+    # batch 2 assigns against those centroids (replay in numpy)
+    v2 = rng.randn(12, 4)
+    b2 = spark.createDataFrame(
+        [(100 + i, [float(x) for x in v]) for i, v in enumerate(v2)],
+        "vec_id long, embedding array<double>",
+    )
+    a2 = incremental_kmeans(
+        spark, b2, "embedding", "vec_id", state, k=3, batch_id=1
+    )
+    got2 = {r["vec_id"]: r["cluster"] for r in a2.collect()}
+    arr2 = v2 * 1e6
+    mic2 = (np.sign(arr2) * np.floor(np.abs(arr2) + 0.5)).astype(np.int64)
+    C = np.asarray(cents, dtype=np.int64)
+    want2 = ((mic2[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1).argmin(axis=1)
+    assert got2 == {100 + i: int(c) for i, c in enumerate(want2)}
+
+    # keyed replay of batch 2: same assignments, no duplicate append
+    n_rows = spark.read.parquet(f"{state}/suffstats").count()
+    a2r = incremental_kmeans(
+        spark, b2, "embedding", "vec_id", state, k=3, batch_id=1
+    )
+    assert sorted(map(tuple, a2r.collect())) == sorted(map(tuple, a2.collect()))
+    assert spark.read.parquet(f"{state}/suffstats").count() == n_rows
+    # and the batch DID move the centroids for the next batch
+    cents2 = kmeans_state_centroids(spark, state)
+    assert cents2 != cents
+
+
+def test_stream_cluster_assign_matches_serial(spark, tmp_path):
+    import numpy as np
+    import pyspark.sql.types as T
+
+    from openoa_spark.datapipe.similarity import incremental_kmeans
+    from openoa_spark.streaming import ingest
+
+    rng = np.random.RandomState(43)
+    v1, v2 = rng.randn(20, 3), rng.randn(8, 3)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(v1)], schema
+    ).write.mode("append").parquet(src)
+    q = ingest.stream_cluster_assign(
+        ingest.file_stream(spark, src, schema), "embedding", "vec_id",
+        out, state, str(tmp_path / "ckpt"), k=3, iters_first=2,
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(
+        [(100 + i, [float(x) for x in v]) for i, v in enumerate(v2)], schema
+    ).write.mode("append").parquet(src)
+    q2 = ingest.stream_cluster_assign(
+        ingest.file_stream(spark, src, schema), "embedding", "vec_id",
+        out, state, str(tmp_path / "ckpt"), k=3, iters_first=2,
+    )
+    q2.awaitTermination(120)
+
+    # serial twin
+    s_state = str(tmp_path / "s_state")
+    b1 = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(v1)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(100 + i, [float(x) for x in v]) for i, v in enumerate(v2)], schema
+    )
+    s1 = incremental_kmeans(
+        spark, b1, "embedding", "vec_id", s_state, k=3, iters_first=2,
+        batch_id=0,
+    ).collect()
+    s2 = incremental_kmeans(
+        spark, b2, "embedding", "vec_id", s_state, k=3, batch_id=1
+    ).collect()
+    want = sorted([(r["vec_id"], r["cluster"]) for r in (*s1, *s2)])
+    got = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in spark.read.parquet(out).select("vec_id", "cluster").collect()
+    )
+    assert got == want

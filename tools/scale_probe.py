@@ -110,6 +110,10 @@ PROBE_QUERIES = [
     # SemDeDup probed through its scale contract (see
     # semantic_dedup_probe): k grows with n, cluster size constant
     "semantic_dedup_scaled_k",
+    # k-means riders: d2 carried in the same map pass + k-row agg;
+    # per-cluster cap via the window-free grouped_top_k
+    "kmeans_cluster_profile",
+    "cluster_balanced_sample_vecs",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
