@@ -114,6 +114,10 @@ PROBE_QUERIES = [
     # per-cluster cap via the window-free grouped_top_k
     "kmeans_cluster_profile",
     "cluster_balanced_sample_vecs",
+    # BPE: corpus collapses once to vocab grain (explode rows x N),
+    # then 6 vocab-grain pair-count passes
+    "bpe_merges_docs",
+    "bpe_token_counts_learned",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
