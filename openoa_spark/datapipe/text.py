@@ -635,3 +635,167 @@ def ngram_novelty_by_slice(
             ).alias("novelty"),
         )
     )
+
+
+def tumbling_word_segments(col: Column | str, width: int = 2) -> Column:
+    """Non-overlapping ``width``-word windows of the normalized word
+    sequence (last segment may be shorter) — the pluggable segmenter
+    behind boilerplate removal. Production corpora segment on
+    newlines/sentences; the tumbling-window form is the deterministic
+    stand-in for text that carries no line structure, and the removal
+    machinery is identical either way."""
+    from openoa_spark.datapipe.dedup import normalize_text
+
+    words = F.filter(F.split(normalize_text(_c(col)), " "), lambda w: w != "")
+    n_seg = F.ceil(F.size(words) / F.lit(width)).cast("int")
+    # guard BEFORE sequence: an empty word list would make
+    # sequence(0, -1) DESCEND (the shingles gotcha)
+    return F.when(F.size(words) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * width + 1, width), " "
+            ),
+        )
+    )
+
+
+def boilerplate_segments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int = 2,
+    min_doc_pct: int = 5,
+) -> DataFrame:
+    """Segments occurring in >= ``min_doc_pct`` percent of documents —
+    the CCNet-style corpus-frequency boilerplate table (nav bars,
+    cookie banners, license headers at web scale). One explode of
+    per-doc DISTINCT segments + one map-side-combined count; the
+    integer threshold ``df_count * 100 >= pct * n_docs`` keeps the
+    cut bit-identical across engines (no float ceil near midpoints).
+
+    Output size is corpus-independent: a segment needs pct% of all
+    docs to qualify, so at most ``segments_per_doc * 100 / pct``
+    rows survive — broadcastable at any corpus scale.
+    """
+    segs = df.select(
+        F.col(id_col).alias("_did"),
+        F.explode(
+            F.array_distinct(tumbling_word_segments(text_col, width))
+        ).alias("segment"),
+    )
+    counts = segs.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("df_count")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        counts.join(F.broadcast(n_docs))
+        .where(F.col("df_count") * 100 >= F.lit(min_doc_pct) * F.col("_n"))
+        .select("segment", "df_count")
+    )
+
+
+def remove_boilerplate_segments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int = 2,
+    min_doc_pct: int = 5,
+    max_literal: int = 10_000,
+) -> DataFrame:
+    """CCNet-style boilerplate removal: drop every segment that occurs
+    in >= ``min_doc_pct``% of documents and reassemble the survivors
+    in order. Output: (id, n_segments, n_removed, clean_text).
+
+    Scale shape: the boilerplate set is corpus-size-INDEPENDENT
+    (see boilerplate_segments), so when it fits ``max_literal`` it is
+    collected — a bounded driver table, same discipline as bin grids —
+    and cleaning becomes a pure map-only projection: the corpus text
+    never shuffles at all. Beyond ``max_literal`` (pathological
+    near-duplicate corpora) it falls back to posexplode + broadcast
+    left join + one doc-grain regroup, which shuffles (id, segment)
+    pairs once but never collects.
+    """
+    boiler = boilerplate_segments(df, text_col, id_col, width, min_doc_pct)
+    segs = tumbling_word_segments(text_col, width)
+    boiler_rows = boiler.select("segment").limit(max_literal + 1).collect()
+    if len(boiler_rows) <= max_literal:
+        blist = [r["segment"] for r in boiler_rows]
+        kept = F.filter(segs, lambda s: ~s.isin(*blist)) if blist else segs
+        return df.select(
+            F.col(id_col),
+            F.size(segs).alias("n_segments"),
+            (F.size(segs) - F.size(kept)).alias("n_removed"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+    pos = df.select(
+        F.col(id_col), F.posexplode_outer(segs).alias("pos", "segment")
+    )
+    marked = pos.join(
+        F.broadcast(boiler.select("segment", F.lit(True).alias("_b"))),
+        "segment",
+        "left",
+    )
+    present = F.col("segment").isNotNull()  # outer-explode null = empty doc
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.sum(F.when(present, 1).otherwise(0))
+            .cast("int")
+            .alias("n_segments"),
+            F.sum(F.when(F.col("_b"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_b").isNull() & present,
+                                F.struct("pos", "segment"),
+                            )
+                        )
+                    ),
+                    lambda x: x["segment"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(id_col, "n_segments", "n_removed", "clean_text")
+    )
+
+
+# PII patterns (Dolma/CCNet-style pre-training redaction stage).
+# Kept to syntax shared by Java regex and RE2 (no backreferences, no
+# lookaround) so the engine and the DuckDB oracle compile the SAME
+# pattern. Order matters for redaction: emails first (their local
+# part can contain digit runs), then IPs, then phone numbers.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+]
+
+
+def pii_counts(col: Column | str) -> Column:
+    """Struct of per-kind PII match counts on the RAW text (each
+    pattern counted independently, before any redaction). Map-only:
+    one ``regexp_count`` per kind inside a single projection — at
+    100 TB this fuses into the corpus scan with zero shuffle."""
+    c = _c(col)
+    return F.struct(
+        *[
+            F.regexp_count(c, F.lit(pat)).alias(f"n_{kind}")
+            for kind, pat, _ in PII_PATTERNS
+        ]
+    )
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its typed placeholder, applying
+    patterns in PII_PATTERNS order. Pure ``regexp_replace`` chain —
+    JVM-side, map-only, no shuffle."""
+    out = _c(col)
+    for _, pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out

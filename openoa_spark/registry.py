@@ -2942,6 +2942,56 @@ def common_ngram_docs(spark, sf_dir):
     return text.common_ngram_fraction(docs, "text", "doc_id", n=3, min_docs=2)
 
 
+@register(
+    "boilerplate_segment_removal_docs",
+    f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM_SQL}, ' '), w -> w <> '')
+               AS words
+      FROM documents
+    ),
+    segd AS (
+      SELECT doc_id,
+             [array_to_string(words[(i - 1) * 2 + 1 : i * 2], ' ')
+              for i in range(1, CAST(ceil(len(words) / 2.0) AS BIGINT) + 1)]
+               AS segs
+      FROM docs
+    ),
+    occ AS (SELECT DISTINCT doc_id, unnest(segs) AS seg FROM segd),
+    dfreq AS (SELECT seg, COUNT(*) AS d FROM occ GROUP BY seg),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    b AS (SELECT coalesce(list(seg), []) AS bl
+          FROM dfreq, n WHERE d * 100 >= 5 * n_docs)
+    SELECT doc_id,
+           CAST(len(segs) AS INT) AS n_segments,
+           CAST(len(list_filter(segs, s -> list_contains(bl, s))) AS INT)
+             AS n_removed,
+           array_to_string(list_filter(segs, s -> NOT list_contains(bl, s)),
+                           ' ') AS clean_text
+    FROM segd, b
+    """,
+)
+def boilerplate_segment_removal_docs(spark, sf_dir):
+    """CCNet-style boilerplate removal — drop every segment occurring
+    in >= 5% of documents (nav bars / cookie banners / license headers
+    at web scale) and reassemble the survivors in order. The
+    boilerplate set is corpus-size-INDEPENDENT (a segment needs 5% of
+    all docs to qualify, so at most segments_per_doc*20 survive), so
+    it collects bounded and cleaning is a pure MAP-ONLY projection —
+    the corpus text never shuffles. Integer threshold
+    (df*100 >= 5*n_docs) keeps the cut bit-identical across engines;
+    tumbling 2-word segments stand in for line/sentence segmentation
+    on this newline-free corpus (the machinery is segmenter-agnostic).
+    """
+    from openoa_spark.session import spread_small_input
+
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
+    return text.remove_boilerplate_segments(
+        docs, "text", "doc_id", width=2, min_doc_pct=5
+    )
+
+
 def _lsh_knn_sql(planes: list[list[float]], k: int) -> str:
     terms = " + ".join(
         f"(CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]), "
@@ -6951,6 +7001,9 @@ _PRIORITY = [
     "bpe_merges_docs", "bpe_token_counts_learned",
     # cluster-composition audit (k-means x document metadata join)
     "cluster_lang_profile",
+    # CCNet-style corpus-frequency boilerplate removal (bounded
+    # boilerplate set -> map-only clean; text never shuffles)
+    "boilerplate_segment_removal_docs",
 ]
 # Round-6 rotation note: after round 5 EVERY registry query has at
 # least one all-green driver CORRECTNESS row (the 29 never-checked

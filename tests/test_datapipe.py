@@ -1584,3 +1584,83 @@ def test_stream_cluster_assign_matches_serial(spark, tmp_path):
         for r in spark.read.parquet(out).select("vec_id", "cluster").collect()
     )
     assert got == want
+
+
+def test_tumbling_word_segments(spark):
+    df = spark.createDataFrame(
+        [("A b  C d e",), ("",), ("solo",)], ["t"]
+    )
+    out = [
+        r["s"]
+        for r in df.select(
+            text.tumbling_word_segments("t", 2).alias("s")
+        ).collect()
+    ]
+    assert out == [["a b", "c d", "e"], [], ["solo"]]
+
+
+def test_boilerplate_removal_literal_path(spark):
+    # 'nav bar' opens 3 of 5 docs (60% >= 50% threshold) -> removed;
+    # 'alpha beta' is only 2/5 = 40% and survives in order.
+    rows = [
+        (1, "nav bar alpha beta gamma delta"),
+        (2, "nav bar epsilon zeta"),
+        (3, "nav bar alpha beta"),
+        (4, "unique content here"),
+        (5, ""),  # empty doc must survive with zero segments
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    boiler = text.boilerplate_segments(
+        df, "text", "doc_id", width=2, min_doc_pct=50
+    ).collect()
+    assert {(r["segment"], r["df_count"]) for r in boiler} == {
+        ("nav bar", 3)
+    }
+    out = {
+        r["doc_id"]: (r["n_segments"], r["n_removed"], r["clean_text"])
+        for r in text.remove_boilerplate_segments(
+            df, "text", "doc_id", width=2, min_doc_pct=50
+        ).collect()
+    }
+    assert out == {
+        1: (3, 1, "alpha beta gamma delta"),
+        2: (2, 1, "epsilon zeta"),
+        3: (2, 1, "alpha beta"),
+        4: (2, 0, "unique content here"),
+        5: (0, 0, ""),
+    }
+
+
+def test_boilerplate_removal_join_fallback_matches_literal(spark):
+    rows = [
+        (1, "nav bar alpha beta gamma delta"),
+        (2, "nav bar epsilon zeta"),
+        (3, "nav bar alpha beta"),
+        (4, "unique content here"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    lit_rows = sorted(
+        text.remove_boilerplate_segments(
+            df, "text", "doc_id", width=2, min_doc_pct=50
+        ).collect()
+    )
+    join_rows = sorted(
+        text.remove_boilerplate_segments(
+            df, "text", "doc_id", width=2, min_doc_pct=50, max_literal=0
+        ).collect()
+    )
+    assert lit_rows == join_rows
+
+
+def test_boilerplate_removal_no_boilerplate(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["n_removed"], r["clean_text"])
+        for r in text.remove_boilerplate_segments(
+            df, "text", "doc_id", width=2, min_doc_pct=90
+        ).collect()
+    }
+    assert out == {1: (0, "a b c"), 2: (0, "d e f")}

@@ -118,6 +118,9 @@ PROBE_QUERIES = [
     # then 6 vocab-grain pair-count passes
     "bpe_merges_docs",
     "bpe_token_counts_learned",
+    # boilerplate set is corpus-size-independent -> collect stays
+    # bounded and the clean pass is map-only
+    "boilerplate_segment_removal_docs",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
