@@ -2992,6 +2992,80 @@ def boilerplate_segment_removal_docs(spark, sf_dir):
     )
 
 
+# PII patterns inlined from datapipe/text.py PII_PATTERNS — syntax is
+# shared by Java regex (Spark) and RE2 (DuckDB); keep the two in sync.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+# Deterministic PII construction: the synthetic corpus carries no real
+# PII, so both engines append the SAME doc_id-derived email/IP/phone
+# (plus two decoys that must NOT match: a 3-part version string and a
+# TLD-less @) — the oracle then genuinely exercises match/boundary
+# semantics instead of diffing identity outputs.
+_PII_AUG_SQL = """
+    text || ' reach u' || CAST(doc_id AS VARCHAR) || '@ex-'
+         || CAST(doc_id % 10 AS VARCHAR) || '.org from '
+         || CAST(10 + doc_id % 200 AS VARCHAR) || '.0.'
+         || CAST((doc_id // 7) % 256 AS VARCHAR) || '.'
+         || CAST(doc_id % 256 AS VARCHAR) || ' or 555-'
+         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || ' build v1.2.3 ping a@b done'
+"""
+
+
+@register(
+    "pii_redaction_docs",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT)
+             AS n_email,
+           CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS INT)
+             AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INT)
+             AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text
+    FROM aug
+    """,
+)
+def pii_redaction_docs(spark, sf_dir):
+    """Dolma/CCNet-style PII redaction: count and replace emails,
+    IPv4 addresses, and phone numbers with typed placeholders.
+    Map-only — one regexp_count per kind plus a regexp_replace chain
+    inside a single projection, so at 100 TB this fuses into the
+    corpus scan with zero shuffle. PII is constructed deterministically
+    from doc_id (the synthetic corpus has none) so the oracle exercises
+    the real match/boundary semantics; two decoys (a v1.2.3 version
+    string, a TLD-less a@b) pin the non-match side.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach u"), d.cast("string"),
+        F.lit("@ex-"), (d % 10).cast("string"),
+        F.lit(".org from "), (d % 200 + 10).cast("string"),
+        F.lit(".0."), F.expr("(doc_id div 7) % 256").cast("string"),
+        F.lit("."), (d % 256).cast("string"),
+        F.lit(" or 555-"), F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" build v1.2.3 ping a@b done"),
+    )
+    cnt = text.pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        cnt["n_email"].alias("n_email"),
+        cnt["n_ipv4"].alias("n_ipv4"),
+        cnt["n_phone"].alias("n_phone"),
+        text.redact_pii(aug).alias("clean_text"),
+    )
+
+
 def _lsh_knn_sql(planes: list[list[float]], k: int) -> str:
     terms = " + ".join(
         f"(CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]), "
@@ -7004,6 +7078,9 @@ _PRIORITY = [
     # CCNet-style corpus-frequency boilerplate removal (bounded
     # boilerplate set -> map-only clean; text never shuffles)
     "boilerplate_segment_removal_docs",
+    # Dolma-style PII count+redact (map-only regex chain; PII built
+    # deterministically from doc_id so the oracle exercises matching)
+    "pii_redaction_docs",
 ]
 # Round-6 rotation note: after round 5 EVERY registry query has at
 # least one all-green driver CORRECTNESS row (the 29 never-checked

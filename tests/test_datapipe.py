@@ -1664,3 +1664,40 @@ def test_boilerplate_removal_no_boilerplate(spark):
         ).collect()
     }
     assert out == {1: (0, "a b c"), 2: (0, "d e f")}
+
+
+def test_pii_counts_and_redaction(spark):
+    rows = [
+        # two emails, one ip, one phone
+        (1, "mail a.b+c@x.co and D@y.org ip 10.0.0.1 call 555-123-4567"),
+        # decoys only: version string (2 dots), TLD-less @, bare digits
+        (2, "v1.2.3 ping a@b nums 12345 1.2 ok"),
+        # ip at string start/end exercises \b at both edges
+        (3, "192.168.0.255"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {
+        r["i"]: (r["c"]["n_email"], r["c"]["n_ipv4"], r["c"]["n_phone"], r["r"])
+        for r in df.select(
+            "i",
+            text.pii_counts("t").alias("c"),
+            text.redact_pii("t").alias("r"),
+        ).collect()
+    }
+    assert got == {
+        1: (2, 1, 1, "mail <EMAIL> and <EMAIL> ip <IP> call <PHONE>"),
+        2: (0, 0, 0, "v1.2.3 ping a@b nums 12345 1.2 ok"),
+        3: (0, 1, 0, "<IP>"),
+        4: (0, 0, 0, ""),
+    }
+
+
+def test_pii_redaction_order_email_wins(spark):
+    # the email local part contains a phone-shaped run; applying the
+    # email pattern FIRST must swallow the whole token
+    df = spark.createDataFrame([("555-123-4567x@mail.org",)], ["t"])
+    assert (
+        df.select(text.redact_pii("t").alias("r")).collect()[0]["r"]
+        == "<EMAIL>"
+    )

@@ -121,6 +121,8 @@ PROBE_QUERIES = [
     # boilerplate set is corpus-size-independent -> collect stays
     # bounded and the clean pass is map-only
     "boilerplate_segment_removal_docs",
+    # pure map-only regex chain: rows x N scan cost, zero shuffle
+    "pii_redaction_docs",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
