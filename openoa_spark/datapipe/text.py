@@ -765,12 +765,14 @@ def remove_boilerplate_segments(
     )
 
 
-# PII patterns (Dolma/CCNet-style pre-training redaction stage).
-# Kept to syntax shared by Java regex and RE2 (no backreferences, no
-# lookaround) so the engine and the DuckDB oracle compile the SAME
-# pattern. Order matters for redaction: emails first (their local
-# part can contain digit runs), then IPs, then phone numbers.
-PII_PATTERNS: list[tuple[str, str, str]] = [
+# Typed PII redaction rules (Dolma/CCNet-style pre-training stage) —
+# the typed-placeholder sibling of the flat PII_PATTERNS/
+# redact_patterns sweep above. Kept to syntax shared by Java regex
+# and RE2 (no backreferences, no lookaround) so the engine and the
+# DuckDB oracle compile the SAME pattern. Order matters for
+# redaction: emails first (their local part can contain digit runs),
+# then IPs, then phone numbers.
+PII_RULES: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
     ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
@@ -786,16 +788,16 @@ def pii_counts(col: Column | str) -> Column:
     return F.struct(
         *[
             F.regexp_count(c, F.lit(pat)).alias(f"n_{kind}")
-            for kind, pat, _ in PII_PATTERNS
+            for kind, pat, _ in PII_RULES
         ]
     )
 
 
 def redact_pii(col: Column | str) -> Column:
     """Replace every PII match with its typed placeholder, applying
-    patterns in PII_PATTERNS order. Pure ``regexp_replace`` chain —
+    patterns in PII_RULES order. Pure ``regexp_replace`` chain —
     JVM-side, map-only, no shuffle."""
     out = _c(col)
-    for _, pat, rep in PII_PATTERNS:
+    for _, pat, rep in PII_RULES:
         out = F.regexp_replace(out, pat, rep)
     return out
