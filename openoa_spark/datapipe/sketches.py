@@ -82,3 +82,138 @@ def frequent_items(
     false positives, never false negatives — filter against exact
     counts downstream if needed). Returns one array row."""
     return df.freqItems([col], support)
+
+
+# ------------------------------------------------------- bloom filter
+# Spark keeps its BloomFilterAggregate/might_contain expressions
+# internal (they back InjectRuntimeFilter, not the SQL registry), so
+# this is a packed-long bitmap bloom built from plain DataFrame ops:
+# k positions per value via seeded xxhash64, bitmap rows (word, bits)
+# with bits OR-merged per 64-bit word. The bitmap relation is at most
+# m_bits/64 rows — kilobytes for typical blocklist/decontamination
+# sizes — so it broadcasts (or collects to a plan literal) while the
+# big probe side streams map-only. No false negatives; false-positive
+# rate ~ (1 - e^{-kn/m})^k.
+
+
+def bloom_positions(col: Column | str, m_bits: int, k: int) -> Column:
+    """Array of the k (deduplicated) bit positions for a value.
+    Seeded xxhash64 per hash function — JVM-side, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(
+        F.array(
+            *[F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits)) for i in range(k)]
+        )
+    )
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 5
+) -> DataFrame:
+    """Build the bitmap relation ``(word: long, bits: long)`` over the
+    distinct values of ``col``. One explode at position grain + one
+    hash agg on word — both map-side combined; output ≤ m_bits/64
+    rows regardless of input size (the whole point: a billion-gram
+    blocklist compresses to a fixed-size bitmap)."""
+    pos = df.select(
+        F.explode(bloom_positions(col, m_bits, k)).alias("_pos")
+    )
+    return (
+        pos.groupBy((F.col("_pos") / 64).cast("long").alias("word"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.col("_pos") % 64).cast("int"),
+                )
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """OR-merge bitmaps built with the same (m_bits, k): the bloom of
+    a union is the bitwise OR of the blooms of the parts — the
+    mergeable-state property that lets shards/batches build
+    independently and combine without rescanning."""
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_collect(bloom: DataFrame, m_bits: int) -> list[int]:
+    """Densify the bitmap relation into a Python list of m_bits/64
+    longs (missing words = 0) for literal map-only probing. Bounded:
+    m_bits/64 entries no matter how many values were inserted."""
+    n_words = (m_bits + 63) // 64
+    dense = [0] * n_words
+    for r in bloom.collect():
+        dense[r["word"]] = r["bits"]
+    return dense
+
+
+def bloom_might_contain(
+    col: Column | str, bitmap: list[int] | Column, m_bits: int, k: int
+) -> Column:
+    """Map-only membership test against a dense bitmap. True =
+    possibly member, False = DEFINITELY not — the prefilter contract.
+
+    ``bitmap`` as a Column should reference a scalar-broadcast array
+    (one-row crossJoin) — rows then share ONE cached array. Passing a
+    Python list inlines it as a plan literal, which PySpark lowers to
+    CreateArray: the array is REBUILT on every evaluation, O(m) per
+    probe — only acceptable for tiny bitmaps/tests."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = bitmap if isinstance(bitmap, Column) else F.lit(bitmap)
+    checks = []
+    for i in range(k):
+        p = F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits))
+        w = F.element_at(words, (p / 64).cast("int") + 1)
+        bit = F.call_function("shiftright", w, (p % 64).cast("int"))
+        checks.append(bit.bitwiseAND(F.lit(1).cast("long")) == 1)
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out & ch
+    return out
+
+
+def bloom_member_values(
+    values: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Distinct values of ``col`` that are POSSIBLY members, via a
+    broadcast join against the bitmap relation — the probe path for
+    blooms too big to inline as a plan literal. Shuffles only the
+    distinct candidate values (position explode is map-side; the
+    bitmap side broadcasts)."""
+    v = values.select(F.col(col).alias("_v")).distinct()
+    pos = v.select(
+        "_v",
+        F.explode(bloom_positions("_v", m_bits, k)).alias("_pos"),
+        F.size(bloom_positions("_v", m_bits, k)).alias("_need"),
+    )
+    joined = pos.join(
+        F.broadcast(bloom),
+        (F.col("_pos") / 64).cast("long") == F.col("word"),
+        "left",
+    ).withColumn(
+        "_set",
+        F.coalesce(
+            F.call_function(
+                "shiftright", F.col("bits"), (F.col("_pos") % 64).cast("int")
+            ).bitwiseAND(F.lit(1).cast("long"))
+            == 1,
+            F.lit(False),
+        ),
+    )
+    return (
+        joined.groupBy("_v", "_need")
+        .agg(F.sum(F.col("_set").cast("int")).alias("_nset"))
+        .where(F.col("_nset") == F.col("_need"))
+        .select(F.col("_v").alias(col))
+    )

@@ -801,3 +801,89 @@ def redact_pii(col: Column | str) -> Column:
     for _, pat, rep in PII_RULES:
         out = F.regexp_replace(out, pat, rep)
     return out
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Exact benchmark-overlap decontamination with a bloom prefilter
+    — same result as :func:`benchmark_overlap` (documents with fewer
+    than ``n`` tokens drop out), different scale shape. Use when the
+    benchmark's distinct-gram set is too large to broadcast as a hash
+    relation: its bloom bitmap is m_bits/64 longs (kilobytes) however
+    many grams it holds.
+
+    Plan: (1) the bitmap collects dense and rides back in as a
+    ONE-ROW scalar broadcast (crossJoin), so the corpus pass — gram
+    arrays, gram counts, candidate filtering — is MAP-ONLY over the
+    text and every row probes the same cached array (a plan literal
+    would lower to CreateArray and rebuild all m/64 words per probe);
+    (2) only bloom-candidate (id, gram) pairs (true hits + the
+    ~(1-e^{-kn/m})^k false-positive sliver) explode and semi-join the
+    true benchmark grams for EXACT verification; a bloom has no false
+    negatives, so verified counts equal the exact join's. The corpus
+    text itself never shuffles; the doc-grain join back carries only
+    (id, n_grams).
+    """
+    from openoa_spark.datapipe.sketches import (
+        bloom_build,
+        bloom_collect,
+        bloom_might_contain,
+    )
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(text_col), n))
+            ).alias("gram")
+        ).distinct()
+    ).localCheckpoint(eager=False)
+    bitmap = bloom_collect(
+        bloom_build(bench_grams, "gram", m_bits, k), m_bits
+    )
+    bitmap_df = df.sparkSession.createDataFrame(
+        [(bitmap,)], "_bloom_words: array<bigint>"
+    )
+
+    grams = F.array_distinct(word_ngrams(F.col(text_col), n))
+    base = (
+        df.crossJoin(F.broadcast(bitmap_df))
+        .select(
+            F.col(id_col),
+            F.size(grams).alias("n_grams"),
+            F.filter(
+                grams,
+                lambda g: bloom_might_contain(
+                    g, F.col("_bloom_words"), m_bits, k
+                ),
+            ).alias("_cand"),
+        )
+        .where(F.col("n_grams") > 0)
+        .localCheckpoint(eager=False)
+    )
+    hits = (
+        base.select(F.col(id_col), F.explode("_cand").alias("gram"))
+        .join(bench_grams, "gram", "semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_hit"))
+    )
+    return (
+        base.drop("_cand")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("_hit", F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                6,
+            ).alias("contamination"),
+        )
+    )

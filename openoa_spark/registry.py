@@ -3519,6 +3519,50 @@ def benchmark_overlap_docs(spark, sf_dir):
     return text.benchmark_overlap(corpus, bench, "text", "doc_id", n=3)
 
 
+def _bloom_decontaminate_sql(n: int) -> str:
+    gram = " || ' ' || ".join(f"{_SQL_TOKS}[i + {j}]" for j in range(n))
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len({_SQL_TOKS}) - {n - 1}),
+               i -> {gram}))) AS gram
+      FROM documents
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    tgt AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+    SELECT t.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(COUNT(b.gram) AS BIGINT) AS n_hit,
+           ROUND(CAST(COUNT(b.gram) AS DOUBLE) / COUNT(*), 6)
+             AS contamination
+    FROM tgt t LEFT JOIN bench b ON t.gram = b.gram
+    GROUP BY t.doc_id
+    """
+
+
+@register("bloom_decontaminate_docs", _bloom_decontaminate_sql(3))
+def bloom_decontaminate_docs(spark, sf_dir):
+    """Bloom-prefiltered EXACT decontamination — same answer as the
+    benchmark-overlap join (the oracle IS the plain exact join), but
+    the benchmark gram set is carried as a fixed-size packed-long
+    bitmap (m_bits/64 longs however many grams it holds) inlined as a
+    plan literal, so the corpus pass is MAP-ONLY: gram arrays filtered
+    by might-contain in the scan projection. Only the candidate sliver
+    (true hits + the ~0.1% bloom false positives) explodes and
+    semi-joins the true gram set for exact verification; blooms have
+    no false negatives, so the verified counts are exact. This is the
+    scale path for benchmark sets too big to broadcast as strings."""
+    from openoa_spark.session import spread_small_input
+
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return text.bloom_decontaminate(
+        corpus, bench, "text", "doc_id", n=3, m_bits=1 << 20, k=5
+    )
+
+
 @register(
     "q11_important_stock",
     """
@@ -7081,6 +7125,9 @@ _PRIORITY = [
     # Dolma-style PII count+redact (map-only regex chain; PII built
     # deterministically from doc_id so the oracle exercises matching)
     "pii_redaction_docs",
+    # bloom-prefiltered exact decontamination (fixed-size bitmap
+    # scalar broadcast; corpus pass map-only, oracle = exact join)
+    "bloom_decontaminate_docs",
 ]
 # Round-6 rotation note: after round 5 EVERY registry query has at
 # least one all-green driver CORRECTNESS row (the 29 never-checked

@@ -1701,3 +1701,30 @@ def test_pii_redaction_order_email_wins(spark):
         df.select(text.redact_pii("t").alias("r")).collect()[0]["r"]
         == "<EMAIL>"
     )
+
+
+def test_bloom_decontaminate_matches_exact_overlap(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = df.where("doc_id % 10 = 0")
+    corpus = df.where("doc_id % 10 <> 0")
+    exact = {
+        tuple(r)
+        for r in text.benchmark_overlap(
+            corpus, bench, "text", "doc_id", n=3
+        ).collect()
+    }
+    bloomed = {
+        tuple(r)
+        for r in text.bloom_decontaminate(
+            corpus, bench, "text", "doc_id", n=3, m_bits=1 << 16, k=5
+        ).collect()
+    }
+    assert bloomed == exact

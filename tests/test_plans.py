@@ -63,6 +63,9 @@ ALLOWED_CARTESIAN = {
     # queries (hundreds), so the NLJ build side is small by contract —
     # the measured (LSH) side stays a bucketed equi-join
     "ann_recall_lsh",
+    # one-row dense bloom-bitmap scalar broadcast (rows share ONE
+    # cached array; a plan literal would rebuild it per probe)
+    "bloom_decontaminate_docs",
 }
 
 

@@ -69,3 +69,69 @@ def test_hll_partial_merge_grain(events):
 def test_frequent_items_finds_heavy_hitters(events):
     items = sketches.frequent_items(events, "event_type", 0.2).first()[0]
     assert "view" in items and "click" in items
+
+
+@pytest.fixture(scope="module")
+def member_values(spark):
+    # 2k member strings; probes will use 2k members + 20k non-members
+    return spark.range(2_000).selectExpr("concat('member-', id) AS v")
+
+
+def test_bloom_no_false_negatives(spark, member_values):
+    m, k = 1 << 16, 5
+    bloom = sketches.bloom_build(member_values, "v", m, k)
+    bitmap = sketches.bloom_collect(bloom, m)
+    n_maybe = (
+        member_values.where(
+            sketches.bloom_might_contain("v", bitmap, m, k)
+        ).count()
+    )
+    assert n_maybe == 2_000  # every member must test positive
+
+
+def test_bloom_fpr_within_bound(spark, member_values):
+    m, k = 1 << 16, 5
+    bloom = sketches.bloom_build(member_values, "v", m, k)
+    bitmap = sketches.bloom_collect(bloom, m)
+    non = spark.range(20_000).selectExpr("concat('other-', id) AS v")
+    fp = non.where(sketches.bloom_might_contain("v", bitmap, m, k)).count()
+    # theoretical FPR (1 - e^{-kn/m})^k ~ 0.3% at n=2k, m=64k, k=5;
+    # allow 3x slack for hash clustering
+    assert fp / 20_000 < 0.01
+
+
+def test_bloom_merge_equals_union_build(spark, member_values):
+    m, k = 1 << 16, 5
+    half_a = member_values.where("id < 1000")
+    half_b = member_values.where("id >= 1000")
+    merged = sketches.bloom_merge(
+        sketches.bloom_build(half_a, "v", m, k),
+        sketches.bloom_build(half_b, "v", m, k),
+    )
+    direct = sketches.bloom_build(member_values, "v", m, k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_bloom_join_probe_matches_literal_probe(spark, member_values):
+    m, k = 1 << 16, 5
+    bloom = sketches.bloom_build(member_values, "v", m, k)
+    bitmap = sketches.bloom_collect(bloom, m)
+    probes = spark.range(4_000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN concat('member-', id) "
+        "ELSE concat('other-', id) END AS v"
+    )
+    lit_set = {
+        r["v"]
+        for r in probes.where(
+            sketches.bloom_might_contain("v", bitmap, m, k)
+        ).collect()
+    }
+    join_set = {
+        r["v"]
+        for r in sketches.bloom_member_values(
+            probes, "v", bloom, m, k
+        ).collect()
+    }
+    assert lit_set == join_set

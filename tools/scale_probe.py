@@ -123,6 +123,9 @@ PROBE_QUERIES = [
     "boilerplate_segment_removal_docs",
     # pure map-only regex chain: rows x N scan cost, zero shuffle
     "pii_redaction_docs",
+    # bloom bitmap is fixed-size however many bench grams; probe pass
+    # is map-only rows x N, candidate semi-join stays a sliver
+    "bloom_decontaminate_docs",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
