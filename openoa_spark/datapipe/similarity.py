@@ -1404,3 +1404,65 @@ def incremental_kmeans(
         )
         append.write.mode("append").parquet(ss_path)
     return asg
+
+
+def scalar_quantize_embeddings(
+    df: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """Symmetric int8 scalar quantization for ANN storage: per
+    DIMENSION, scale = max |value| over the corpus; each component
+    maps to floor(v / scale * 127 + 0.5) in [-127, 127] (floor(x+0.5)
+    instead of round() — half-up everywhere, no engine-specific
+    banker's rounding). All-zero dimensions quantize to 0. Cuts
+    vector storage 4x (and 8x vs double) — the standard first
+    compression rung before product quantization.
+
+    Returns ``(id_col, q: array<int>, max_abs_err: double)`` where
+    max_abs_err is the per-vector worst reconstruction error — by
+    construction <= scale_d / 254 per dimension + float noise.
+
+    Plan: per-dim scales come from ONE posexplode + dim-grain hash agg
+    (partial-combined; output = d rows, driver-fit by the bounded
+    collect discipline), then ride back as a one-row scalar broadcast
+    so quantization is MAP-ONLY and every row shares one cached scales
+    array. The corpus is scanned twice (once for scales, once to
+    quantize) — at 100 TB, persist the input or fold the scale pass
+    into a prior pipeline stage.
+    """
+    v = _vec(vec_col)
+    dim_max = (
+        df.select(F.posexplode(v).alias("_d", "_x"))
+        .groupBy("_d")
+        .agg(F.max(F.abs(F.col("_x"))).alias("_s"))
+        .collect()
+    )
+    scales = [0.0] * len(dim_max)
+    for r in dim_max:
+        scales[r["_d"]] = r["_s"]
+    scales_df = df.sparkSession.createDataFrame(
+        [(scales,)], "_scales: array<double>"
+    )
+    q = F.zip_with(
+        v,
+        F.col("_scales"),
+        lambda x, s: F.when(s > 0, F.floor(x / s * 127 + 0.5))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    deq = F.zip_with(
+        q.cast("array<double>"),
+        F.col("_scales"),
+        lambda qi, s: qi * s / 127,
+    )
+    err = F.round(
+        F.aggregate(
+            F.zip_with(v, deq, lambda x, d: F.abs(x - d)),
+            F.lit(0.0),
+            lambda acc, e: F.greatest(acc, e),
+        ),
+        6,
+    )
+    return (
+        df.crossJoin(F.broadcast(scales_df))
+        .select(F.col(id_col), q.alias("q"), err.alias("max_abs_err"))
+    )

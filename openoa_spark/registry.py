@@ -3541,6 +3541,44 @@ def _bloom_decontaminate_sql(n: int) -> str:
     """
 
 
+@register(
+    "embedding_int8_quantization",
+    """
+    WITH s AS (
+      SELECT i, MAX(ABS(CAST(embedding[i] AS DOUBLE))) AS sc
+      FROM embeddings, generate_series(1, 64) gs(i)
+      GROUP BY i
+    ),
+    sl AS (SELECT list(sc ORDER BY i) AS scs FROM s)
+    SELECT vec_id,
+           list_transform(generate_series(1, len(embedding)),
+             i -> CASE WHEN scs[i] > 0
+                  THEN CAST(floor(CAST(embedding[i] AS DOUBLE) / scs[i]
+                                  * 127 + 0.5) AS INT)
+                  ELSE 0 END) AS q,
+           ROUND(list_max(list_transform(generate_series(1, len(embedding)),
+             i -> ABS(CAST(embedding[i] AS DOUBLE)
+                  - (CASE WHEN scs[i] > 0
+                     THEN floor(CAST(embedding[i] AS DOUBLE) / scs[i]
+                                * 127 + 0.5)
+                     ELSE 0 END) * scs[i] / 127))), 6) AS max_abs_err
+    FROM embeddings, sl
+    """,
+)
+def embedding_int8_quantization(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding table (4x
+    storage cut before ANN indexing). Per-dimension scales from one
+    posexplode + dim-grain agg (d rows — bounded collect), then a
+    MAP-ONLY quantize pass sharing one scalar-broadcast scales array.
+    floor(x+0.5) instead of round() pins half-up semantics in both
+    engines; float->double widening is exact, so q and the rounded
+    per-vector max reconstruction error match bit-for-bit."""
+    from openoa_spark.session import spread_small_input
+
+    vecs = spread_small_input(_t(spark, sf_dir, "embeddings"))
+    return similarity.scalar_quantize_embeddings(vecs, "embedding", "vec_id")
+
+
 @register("bloom_decontaminate_docs", _bloom_decontaminate_sql(3))
 def bloom_decontaminate_docs(spark, sf_dir):
     """Bloom-prefiltered EXACT decontamination — same answer as the
@@ -7128,6 +7166,9 @@ _PRIORITY = [
     # bloom-prefiltered exact decontamination (fixed-size bitmap
     # scalar broadcast; corpus pass map-only, oracle = exact join)
     "bloom_decontaminate_docs",
+    # int8 scalar quantization (dim-grain agg -> bounded collect ->
+    # map-only quantize; fills the 50-slot window exactly)
+    "embedding_int8_quantization",
 ]
 # Round-6 rotation note: after round 5 EVERY registry query has at
 # least one all-green driver CORRECTNESS row (the 29 never-checked

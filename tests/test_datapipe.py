@@ -1728,3 +1728,27 @@ def test_bloom_decontaminate_matches_exact_overlap(spark):
         ).collect()
     }
     assert bloomed == exact
+
+
+def test_scalar_quantize_embeddings(spark):
+    from openoa_spark.datapipe import similarity
+
+    rows = [
+        (1, [1.0, -2.0, 0.0, 0.5]),
+        (2, [-1.0, 4.0, 0.0, -0.25]),
+        (3, [0.5, 1.0, 0.0, 0.125]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>")
+    out = {
+        r["vec_id"]: (r["q"], r["max_abs_err"])
+        for r in similarity.scalar_quantize_embeddings(
+            df, "embedding", "vec_id"
+        ).collect()
+    }
+    # scales: [1.0, 4.0, 0 (all-zero dim -> q=0), 0.5]
+    assert out[1][0] == [127, -63, 0, 127]
+    assert out[2][0] == [-127, 127, 0, -63]
+    assert out[3][0] == [64, 32, 0, 32]
+    # reconstruction error bounded by scale/254 per dim (+ rounding)
+    for vid, (_, err) in out.items():
+        assert err <= 4.0 / 254 + 1e-6, (vid, err)

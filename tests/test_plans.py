@@ -66,6 +66,8 @@ ALLOWED_CARTESIAN = {
     # one-row dense bloom-bitmap scalar broadcast (rows share ONE
     # cached array; a plan literal would rebuild it per probe)
     "bloom_decontaminate_docs",
+    # one-row per-dimension scales array scalar broadcast
+    "embedding_int8_quantization",
 }
 
 

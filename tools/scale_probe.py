@@ -126,6 +126,9 @@ PROBE_QUERIES = [
     # bloom bitmap is fixed-size however many bench grams; probe pass
     # is map-only rows x N, candidate semi-join stays a sliver
     "bloom_decontaminate_docs",
+    # dim-grain scale agg (d groups, rows x N partials) + map-only
+    # quantize pass
+    "embedding_int8_quantization",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
