@@ -887,3 +887,50 @@ def bloom_decontaminate(
             ).alias("contamination"),
         )
     )
+
+
+def sliding_token_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    retrieval/embedding-training chunking stage (stride < chunk_tokens
+    gives chunk_tokens - stride tokens of overlap). Chunk starts are
+    0, stride, 2*stride, ... and generation STOPS with the first chunk
+    that reaches the end of the document (no trailing sub-chunks fully
+    contained in the previous window); empty documents produce no
+    chunks. Pure map-side posexplode — rows fan out ~n_tok/stride with
+    no shuffle, and chunk counts use integer arithmetic only, so the
+    boundary set is engine-exact.
+
+    Returns ``(id_col, chunk_id, n_tokens, chunk_text)``.
+    """
+    toks = tokens(_c(text_col))
+    n_tok = F.size(toks)
+    # 1 + ceil((n_tok - chunk)/stride) chunks when n_tok > chunk,
+    # else 1; ceil via (x + stride - 1) div stride on ints
+    extra = F.floor(
+        (n_tok - F.lit(chunk_tokens) + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("int")
+    n_chunks = F.when(n_tok <= 0, F.lit(0)).otherwise(
+        F.lit(1) + F.greatest(extra, F.lit(0))
+    )
+    starts = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts, lambda i: F.slice(toks, i * stride + 1, chunk_tokens)
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "_ctoks"),
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.size("_ctoks").alias("n_tokens"),
+        F.array_join("_ctoks", " ").alias("chunk_text"),
+    )

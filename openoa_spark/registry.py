@@ -3542,6 +3542,40 @@ def _bloom_decontaminate_sql(n: int) -> str:
 
 
 @register(
+    "sliding_chunks_docs",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    e AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               CAST(GREATEST(floor((len(toks) - 24 + 15) / 16.0), 0)
+                    AS INT))) AS chunk_id
+      FROM d
+      WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(toks[chunk_id * 16 + 1 : chunk_id * 16 + 24]) AS INT)
+             AS n_tokens,
+           array_to_string(toks[chunk_id * 16 + 1 : chunk_id * 16 + 24],
+                           ' ') AS chunk_text
+    FROM e
+    """,
+)
+def sliding_chunks_docs(spark, sf_dir):
+    """Retrieval/embedding-training chunking: overlapping 24-token
+    windows at stride 16 (8 tokens of overlap). Map-side posexplode —
+    rows fan out ~n_tok/stride with NO shuffle; chunk boundaries are
+    integer arithmetic (floor((n-24+15)/16) extra chunks, generation
+    stops at the first window reaching the document end), so the
+    chunk set is engine-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.sliding_token_chunks(
+        docs, "text", "doc_id", chunk_tokens=24, stride=16
+    )
+
+
+@register(
     "embedding_int8_quantization",
     """
     WITH s AS (
@@ -7172,10 +7206,12 @@ _PRIORITY = [
 ]
 # Round-6 rotation note: after round 5 EVERY registry query has at
 # least one all-green driver CORRECTNESS row (the 29 never-checked
-# were cleared in r5). From r6 on the window policy is: (1) any query
-# whose PLAN changed this round, (2) any brand-new query, (3) fill
-# remaining slots with the longest-unchecked queries (check the
-# CORRECTNESS_r*.json history for staleness).
+# were cleared in r5) EXCEPT sliding_chunks_docs, which landed after
+# the 50 slots filled (sweep-verified at 3 SFs + pytest this round) —
+# it goes FIRST into the r6 window. From r6 on the window policy is:
+# (1) any query whose PLAN changed this round, (2) any brand-new
+# query, (3) fill remaining slots with the longest-unchecked queries
+# (check the CORRECTNESS_r*.json history for staleness).
 
 def _reorder() -> None:
     assert not (set(_PRIORITY) - set(_REGISTRY)), sorted(

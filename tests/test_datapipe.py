@@ -1752,3 +1752,31 @@ def test_scalar_quantize_embeddings(spark):
     # reconstruction error bounded by scale/254 per dim (+ rounding)
     for vid, (_, err) in out.items():
         assert err <= 4.0 / 254 + 1e-6, (vid, err)
+
+
+def test_sliding_token_chunks(spark):
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+            (2, "a b c"),  # shorter than one chunk
+            (3, " ".join(f"u{i}" for i in range(8))),  # exactly 2 strides
+        ],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in text.sliding_token_chunks(
+            df, "text", "doc_id", chunk_tokens=4, stride=3
+        ).collect()
+    )
+    # doc 1: starts 0,3,6 -> last chunk t6..t9 reaches the end; then stop
+    assert [(c, n) for d, c, n, _ in out if d == 1] == [
+        (0, 4), (1, 4), (2, 4),
+    ]
+    assert [t for d, c, n, t in out if d == 1][0] == "t0 t1 t2 t3"
+    assert [t for d, c, n, t in out if d == 1][2] == "t6 t7 t8 t9"
+    # doc 2: one short chunk
+    assert [(c, n, t) for d, c, n, t in out if d == 2] == [(0, 3, "a b c")]
+    # doc 3 (8 toks, chunk 4, stride 3): starts 0,3 -> 0..3, 3..6; start 6
+    # is needed to reach tokens 7 -> extra = ceil((8-4)/3) = 2 -> starts 0,3,6
+    assert [(c, n) for d, c, n, _ in out if d == 3] == [(0, 4), (1, 4), (2, 2)]

@@ -129,6 +129,8 @@ PROBE_QUERIES = [
     # dim-grain scale agg (d groups, rows x N partials) + map-only
     # quantize pass
     "embedding_int8_quantization",
+    # map-side posexplode fan-out ~n_tok/stride, no shuffle
+    "sliding_chunks_docs",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
