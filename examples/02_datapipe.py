@@ -175,6 +175,8 @@ def main():
     cleaned, ledger = curate_corpus(
         docs,
         CurationConfig(
+            redact_pii=True,      # map-only typed-placeholder scrub
+            remove_boilerplate=True,  # corpus-frequency segment strip
             gopher_rules=False,   # synthetic word-salad has no stopwords
             max_top_bigram_frac=0.5,
             jaccard_threshold=0.5,
@@ -183,6 +185,28 @@ def main():
     )
     for stage, n in ledger:
         print(f"  {stage:>24}: {n}")
+
+    print("== chunking + int8 quantization (retrieval-index prep) ==")
+    chunks = text.sliding_token_chunks(
+        docs, "text", "doc_id", chunk_tokens=24, stride=16
+    )
+    chunks.agg(
+        F.count("*").alias("chunks"),
+        F.round(F.avg("n_tokens"), 1).alias("avg_tokens"),
+    ).show()
+    quant = similarity.scalar_quantize_embeddings(emb, "embedding", "vec_id")
+    quant.agg(
+        F.round(F.max("max_abs_err"), 4).alias("worst_reconstruction_err")
+    ).show()
+
+    print("== bloom-prefiltered exact decontamination ==")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    overlap = text.bloom_decontaminate(corpus, bench, "text", "doc_id", n=3)
+    overlap.where(F.col("contamination") > 0).agg(
+        F.count("*").alias("contaminated_docs"),
+        F.round(F.avg("contamination"), 4).alias("avg_contamination"),
+    ).show()
 
     print("== measured ANN recall (LSH vs exact, query panel) ==")
     planes = similarity.random_hyperplanes(64, 8, seed=42)

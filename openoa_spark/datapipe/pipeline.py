@@ -35,11 +35,14 @@ class CurationConfig:
     text_col: str = "text"
     id_col: str = "doc_id"
     # stage toggles
+    redact_pii: bool = False
+    remove_boilerplate: bool = False
     gopher_rules: bool = True
     max_top_bigram_frac: float | None = 0.20  # Gopher repetition rule
     exact_dedup: bool = True
     near_dedup: bool = True
     benchmark_texts: list[str] = field(default_factory=list)
+    bloom_decontam: bool = False  # bitmap prefilter for huge gram sets
     sample_fraction: float | None = None
     # near-dup settings (minhash_near_dup defaults)
     num_hashes: int = 64
@@ -47,6 +50,9 @@ class CurationConfig:
     shingle_n: int = 3
     jaccard_threshold: float = 0.5
     decontam_ngram: int = 8
+    # boilerplate-removal settings
+    boilerplate_width: int = 2
+    boilerplate_min_doc_pct: int = 5
 
 
 def curate_corpus(
@@ -70,6 +76,27 @@ def curate_corpus(
         return frame
 
     out = note("input", df)
+
+    if cfg.redact_pii:
+        # map-only regexp chain — first so no later stage ever sees
+        # raw PII; rows are transformed, not dropped
+        out = out.withColumn(t, _text.redact_pii(t))
+        out = note("pii_redaction", out)
+
+    if cfg.remove_boilerplate:
+        # corpus-frequency segments out, survivors reassembled; the
+        # cleaned text replaces the raw column so every downstream
+        # quality/dedup signal sees boilerplate-free text (note:
+        # cleaning normalizes whitespace/case like the dedup shingler)
+        cleaned = _text.remove_boilerplate_segments(
+            out, t, i,
+            width=cfg.boilerplate_width,
+            min_doc_pct=cfg.boilerplate_min_doc_pct,
+        )
+        out = out.drop(t).join(
+            cleaned.select(i, F.col("clean_text").alias(t)), i
+        )
+        out = note("boilerplate_removal", out)
 
     if cfg.gopher_rules:
         g = F.col("_g")
@@ -112,9 +139,12 @@ def curate_corpus(
             [(j, s) for j, s in enumerate(cfg.benchmark_texts)],
             ["bench_id", t],
         )
-        overlap = _text.benchmark_overlap(
-            out, bench, t, i, n=cfg.decontam_ngram
+        decontam = (
+            _text.bloom_decontaminate
+            if cfg.bloom_decontam
+            else _text.benchmark_overlap
         )
+        overlap = decontam(out, bench, t, i, n=cfg.decontam_ngram)
         contaminated = overlap.where(
             F.col("contamination") > 0.0
         ).select(i)

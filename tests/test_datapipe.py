@@ -1780,3 +1780,54 @@ def test_sliding_token_chunks(spark):
     # doc 3 (8 toks, chunk 4, stride 3): starts 0,3 -> 0..3, 3..6; start 6
     # is needed to reach tokens 7 -> extra = ceil((8-4)/3) = 2 -> starts 0,3,6
     assert [(c, n) for d, c, n, _ in out if d == 3] == [(0, 4), (1, 4), (2, 2)]
+
+
+def test_curate_corpus_new_stages(spark):
+    """Round-5 pipeline stages: PII redaction transforms rows in
+    place, boilerplate removal strips corpus-frequency segments before
+    any quality signal sees them, and the bloom decontamination path
+    drops the same docs as the exact join path."""
+    from openoa_spark.datapipe.pipeline import CurationConfig, curate_corpus
+
+    boiler = "cookie banner accept all "
+    bench_text = ("which of the following statements about the moon "
+                  "is true according to the passage provided here")
+    base = ("the band went to the show and that was a fine evening "
+            "with plenty of room to spare for all of them ")
+    rows = [
+        (1, boiler + base * 3 + " mail me at joe@example.com"),
+        (2, boiler + "we have seen that the results align with the "
+            "plan and that the numbers hold up under review " * 3),
+        (3, boiler + "padding words around the probe " + bench_text +
+            " and that is the end of it with more to say about the "
+            "rest of the show tonight for everyone because the "
+            "closing act ran long and the crowd stayed to hear the "
+            "encore before heading home"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cfg = dict(
+        redact_pii=True,
+        remove_boilerplate=True,
+        boilerplate_min_doc_pct=90,
+        benchmark_texts=[bench_text],
+        gopher_rules=False,
+        max_top_bigram_frac=None,
+        near_dedup=False,
+        decontam_ngram=8,
+    )
+    out, ledger = curate_corpus(df, CurationConfig(**cfg))
+    stages = dict(ledger)
+    assert stages["pii_redaction"] == 3
+    assert stages["boilerplate_removal"] == 3
+    assert stages["decontamination"] == 2  # doc 3 out
+    kept = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert sorted(kept) == [1, 2]
+    # boilerplate cleaning lowercases (its normalize step), so the
+    # placeholder survives as <email>
+    assert "<email>" in kept[1] and "joe@example.com" not in kept[1]
+    assert "cookie banner" not in kept[1]  # boilerplate segments gone
+
+    out_bloom, _ = curate_corpus(
+        df, CurationConfig(**cfg, bloom_decontam=True), report=False
+    )
+    assert sorted(r["doc_id"] for r in out_bloom.collect()) == [1, 2]
