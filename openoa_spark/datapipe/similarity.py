@@ -1052,6 +1052,17 @@ def kmeans_assignments(
         F.col(id_col).alias("_id"), _micros_vec(vec_col).alias("_mic")
     )
     seed_rows = base.orderBy("_id").limit(k).collect()
+    if not seed_rows:
+        # empty input -> empty typed result (the every-query-survives-
+        # empty-tables invariant); riders (semantic_dedup, profiles,
+        # balanced sample) then propagate emptiness naturally
+        cols = [
+            F.col("_id").alias(id_col),
+            F.lit(0).cast("int").alias("cluster"),
+        ]
+        if with_distance:
+            cols.append(F.lit(0).cast("bigint").alias("d2"))
+        return base.where(F.lit(False)).select(*cols)
     if len(seed_rows) < k:
         raise ValueError(f"k={k} exceeds row count {len(seed_rows)}")
     centroids = [list(r["_mic"]) for r in seed_rows]
