@@ -1477,3 +1477,175 @@ def scalar_quantize_embeddings(
         df.crossJoin(F.broadcast(scales_df))
         .select(F.col(id_col), q.alias("q"), err.alias("max_abs_err"))
     )
+
+
+def _pq_assign_gemm(
+    base: DataFrame,
+    centroids: list[list[list[int]]],
+    d_sub: int,
+    with_mic: bool = False,
+) -> DataFrame:
+    """All-subspace PQ assignment in ONE Arrow pass: the batch
+    reshapes to (n, m, d_sub) and a single int64 einsum against the
+    (m, k, d_sub) centroid tensor yields every subspace's argmin —
+    exact integer distances (|comp| <= ~30 keeps every term < 2^63),
+    np.argmin first-minimum = lowest-cid tie rule, bit-identical to
+    the expression path (pinned by test)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.int64)  # (m, k, d_sub)
+    cn = (C * C).sum(axis=2)  # (m, k)
+    id_field = base.schema["_id"].dataType.simpleString()
+    out_schema = (
+        "_mic array<bigint>, codes array<int>"
+        if with_mic
+        else f"_id {id_field}, codes array<int>"
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["_mic"].tolist(), dtype=np.int64)
+            X = M.reshape(len(M), C.shape[0], d_sub)  # (n, m, d_sub)
+            xn = (X * X).sum(axis=2)  # (n, m)
+            cross = np.einsum("nmd,mkd->nmk", X, C)
+            d2 = xn[:, :, None] - 2 * cross + cn[None, :, :]
+            codes = d2.argmin(axis=2).astype("int32")  # (n, m)
+            out = (
+                {"_mic": pdf["_mic"]} if with_mic else {"_id": pdf["_id"]}
+            )
+            out["codes"] = [c.tolist() for c in codes]
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(batches, out_schema)
+
+
+def product_quantize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Product quantization (PQ): split each vector into ``m``
+    subvectors of dim/m components, fit the deterministic integer-grid
+    k-means per subspace, and emit each vector's ``m`` codebook
+    assignments — the memory layout ANN indexes store instead of raw
+    floats (m bytes/vector at k<=256 vs 4*dim; 32x for 64-dim float).
+    Returns ``(id_col, codes: array<int>)`` with codes ordered by
+    subspace.
+
+    Every subspace fit is kmeans_assignments' exact micro-grid
+    arithmetic, so the full code table is engine-replayable — PQ
+    training with an oracle, which float k-means can't give you.
+
+    Plan: all m subspace fits share each pass — ONE seed collect (the
+    k lowest-id vectors, sliced driver-side), per update round ONE
+    assignment projection (m argmins over broadcast centroid literals,
+    map-only) + ONE posexplode/hash-agg whose exploded position maps
+    to its subspace's code column (m*k*d_sub = dim*k result rows,
+    bounded by config), and a map-only final projection that emits the
+    code array directly. Codes never shuffle; job count is
+    O(iters), not O(m * iters). Equivalent to m independent
+    kmeans_assignments fits (pinned by test).
+
+    ``strategy``: ``"expr"`` is the pure-JVM argmin (m*k codegen
+    branches per row — fine small, pathological at PQ-typical m*k);
+    ``"gemm"`` does ALL subspaces in one Arrow int64 einsum per batch
+    (bit-identical, pinned by test); ``"auto"`` switches at m*k > 32.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+    if strategy not in ("auto", "expr", "gemm"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    use_gemm = strategy == "gemm" or (strategy == "auto" and m * k > 32)
+    d_sub = dim // m
+    base = df.select(
+        F.col(id_col).alias("_id"), _micros_vec(vec_col).alias("_mic")
+    )
+    seed_rows = base.orderBy("_id").limit(k).collect()
+    if not seed_rows:
+        return base.where(F.lit(False)).select(
+            F.col("_id").alias(id_col),
+            F.array().cast("array<int>").alias("codes"),
+        )
+    if len(seed_rows) < k:
+        raise ValueError(f"k={k} exceeds row count {len(seed_rows)}")
+    # centroids[j] = k x d_sub ints for subspace j (slices of the same
+    # k lowest-id seed vectors every independent fit would pick)
+    centroids = [
+        [list(r["_mic"])[j * d_sub : (j + 1) * d_sub] for r in seed_rows]
+        for j in range(m)
+    ]
+
+    def codes_col() -> Column:
+        return F.array(
+            *[
+                _argmin_cluster(
+                    F.slice(F.col("_mic"), j * d_sub + 1, d_sub),
+                    centroids[j],
+                )
+                for j in range(m)
+            ]
+        )
+
+    half_away = F.expr(
+        "CASE WHEN _sm >= 0 THEN (2*_sm + _n) DIV (2*_n) "
+        "ELSE -((2*(-_sm) + _n) DIV (2*_n)) END"
+    )
+    for _ in range(iters - 1):
+        if use_gemm:
+            assigned = _pq_assign_gemm(base, centroids, d_sub, with_mic=True)
+        else:
+            assigned = base.select("_mic", codes_col().alias("codes"))
+        code_of_pos = F.element_at(
+            F.col("codes"), (F.col("_pos") / d_sub).cast("int") + 1
+        )
+        stats = (
+            assigned.select(
+                "codes", F.posexplode("_mic").alias("_pos", "_m")
+            )
+            .select(
+                (F.col("_pos") / d_sub).cast("int").alias("_sub"),
+                code_of_pos.alias("_cid"),
+                (F.col("_pos") % d_sub).alias("_spos"),
+                F.col("_m"),
+            )
+            .groupBy("_sub", "_cid", "_spos")
+            .agg(
+                F.sum(F.col("_m").cast("decimal(38,0)"))
+                .cast("bigint")
+                .alias("_sm"),
+                F.count("_m").alias("_n"),
+            )
+            .select("_sub", "_cid", "_spos", half_away.alias("_mean"))
+            .collect()
+        )
+        new: dict[tuple[int, int], list[int]] = {}
+        for r in stats:
+            new.setdefault((r["_sub"], r["_cid"]), [0] * d_sub)[
+                r["_spos"]
+            ] = r["_mean"]
+        centroids = [
+            [
+                new.get((j, cid), centroids[j][cid])
+                for cid in range(k)
+            ]
+            for j in range(m)
+        ]
+
+    if use_gemm:
+        return _pq_assign_gemm(base, centroids, d_sub).select(
+            F.col("_id").alias(id_col), "codes"
+        )
+    return base.select(
+        F.col("_id").alias(id_col), codes_col().alias("codes")
+    )

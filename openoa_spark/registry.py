@@ -6136,6 +6136,74 @@ def kmeans_embedding_clusters(spark, sf_dir):
     return similarity.kmeans_assignments(emb, "embedding", "vec_id", k=8, iters=3)
 
 
+def _pq_sql(m: int, k: int, iters: int, dim: int = 64) -> str:
+    """Unrolled DuckDB twin of similarity.product_quantize_embeddings:
+    one _kmeans_sql-style integer-exact CTE chain PER SUBSPACE (the
+    micros grid sliced to that subspace's components), joined at the
+    end into the per-vector code list."""
+    d = dim // m
+    parts = []
+    for j in range(m):
+        lo = j * d + 1
+        mic = (
+            "[CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT) "
+            f"for i in range({lo}, {lo + d})]"
+        )
+        parts.append(f"e{j} AS (SELECT vec_id, {mic} AS mic FROM embeddings)")
+        parts.append(f"""c{j}_0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, mic AS cv
+      FROM (SELECT vec_id, mic FROM e{j} ORDER BY vec_id LIMIT {k}))""")
+        for t in range(iters):
+            d2 = (
+                f"list_sum([(e.mic[i]-cc.cv[i])*(e.mic[i]-cc.cv[i]) "
+                f"for i in range(1, {d + 1})])"
+            )
+            parts.append(f"""a{j}_{t} AS (
+      SELECT vec_id, mic, cid FROM (
+        SELECT e.vec_id, e.mic, cc.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id ORDER BY {d2}, cc.cid) AS rn
+        FROM e{j} e CROSS JOIN c{j}_{t} cc) WHERE rn = 1)""")
+            if t < iters - 1:
+                parts.append(f"""s{j}_{t} AS (
+      SELECT cid, i, CAST(SUM(mic[i]) AS BIGINT) AS sm, COUNT(*) AS n
+      FROM a{j}_{t} CROSS JOIN range(1, {d + 1}) t(i) GROUP BY cid, i)""")
+                parts.append(f"""c{j}_{t + 1} AS (
+      SELECT cc.cid,
+             list(CASE WHEN s.sm IS NULL THEN cc.cv[t.i]
+                  WHEN s.sm >= 0 THEN (2*s.sm + s.n) // (2*s.n)
+                  ELSE -((2*(-s.sm) + s.n) // (2*s.n)) END
+                  ORDER BY t.i) AS cv
+      FROM c{j}_{t} cc CROSS JOIN range(1, {d + 1}) t(i)
+      LEFT JOIN s{j}_{t} s ON s.cid = cc.cid AND s.i = t.i
+      GROUP BY cc.cid)""")
+    body = ",\n    ".join(parts)
+    last = iters - 1
+    codes = ", ".join(f"CAST(a{j}.cid AS INT)" for j in range(m))
+    joins = f"a0_{last} a0" + "".join(
+        f" JOIN a{j}_{last} a{j} USING (vec_id)" for j in range(1, m)
+    )
+    return f"WITH {body}\n    SELECT vec_id, [{codes}] AS codes FROM {joins}"
+
+
+@register("pq_codes_embeddings", _pq_sql(8, 16, 2))
+def pq_codes_embeddings(spark, sf_dir):
+    """Product quantization codes (m=8 subspaces x k=16 codebooks, 2
+    Lloyd passes per subspace): the compressed layout ANN indexes
+    store instead of raw floats (8 small ints/vector vs 64 floats).
+    Each subspace fit is the deterministic integer-grid k-means, so
+    the whole code table replays bit-exactly in the oracle — PQ
+    training you can verify across engines. Subspace assignments are
+    assembled by ONE union + id-grain aggregate (no pairwise joins),
+    so assembly is a single shuffle regardless of m."""
+    from openoa_spark.session import spread_small_input
+
+    emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
+    return similarity.product_quantize_embeddings(
+        emb, "embedding", "vec_id", dim=64, m=8, k=16, iters=2
+    )
+
+
 def _kmeans_body(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     """The WITH-clause body of _kmeans_sql (CTE chain without the
     final SELECT), for composition by the rider queries."""

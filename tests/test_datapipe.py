@@ -1831,3 +1831,64 @@ def test_curate_corpus_new_stages(spark):
         df, CurationConfig(**cfg, bloom_decontam=True), report=False
     )
     assert sorted(r["doc_id"] for r in out_bloom.collect()) == [1, 2]
+
+
+def test_product_quantize_matches_per_subspace_fits(spark):
+    from openoa_spark.datapipe import similarity
+
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 6) for _ in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>")
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in similarity.product_quantize_embeddings(
+            df, "embedding", "vec_id", dim=8, m=2, k=4, iters=2
+        ).collect()
+    }
+    assert all(len(c) == 2 and all(0 <= x < 4 for x in c) for c in got.values())
+    # each code column must equal an independent subspace fit
+    from pyspark.sql import functions as F
+
+    for j in range(2):
+        sub = df.select(
+            "vec_id", F.slice("embedding", j * 4 + 1, 4).alias("_s")
+        )
+        want = {
+            r["vec_id"]: r["cluster"]
+            for r in similarity.kmeans_assignments(
+                sub, "_s", "vec_id", k=4, iters=2
+            ).collect()
+        }
+        assert {v: c[j] for v, c in got.items()} == want
+
+
+def test_product_quantize_gemm_matches_expr(spark):
+    from openoa_spark.datapipe import similarity
+
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 6) for _ in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>")
+    kw = dict(dim=8, m=4, k=3, iters=2)
+    expr = {
+        r["vec_id"]: r["codes"]
+        for r in similarity.product_quantize_embeddings(
+            df, "embedding", "vec_id", strategy="expr", **kw
+        ).collect()
+    }
+    gemm = {
+        r["vec_id"]: r["codes"]
+        for r in similarity.product_quantize_embeddings(
+            df, "embedding", "vec_id", strategy="gemm", **kw
+        ).collect()
+    }
+    assert expr == gemm

@@ -131,6 +131,9 @@ PROBE_QUERIES = [
     "embedding_int8_quantization",
     # map-side posexplode fan-out ~n_tok/stride, no shuffle
     "sliding_chunks_docs",
+    # m sequential integer k-means fits (broadcast centroids, k*dim
+    # update aggs) + one id-grain assembly shuffle: rows x N per pass
+    "pq_codes_embeddings",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
