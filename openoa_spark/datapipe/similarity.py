@@ -1533,6 +1533,21 @@ def product_quantize_embeddings(
     iters: int = 2,
     strategy: str = "auto",
 ) -> DataFrame:
+    """PQ codes only — see :func:`pq_fit` (which also returns the
+    fitted codebooks, needed by :func:`pq_adc_top_k` search)."""
+    return pq_fit(df, vec_col, id_col, dim, m, k, iters, strategy)[0]
+
+
+def pq_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    strategy: str = "auto",
+) -> tuple[DataFrame, list[list[list[int]]]]:
     """Product quantization (PQ): split each vector into ``m``
     subvectors of dim/m components, fit the deterministic integer-grid
     k-means per subspace, and emit each vector's ``m`` codebook
@@ -1643,9 +1658,64 @@ def product_quantize_embeddings(
         ]
 
     if use_gemm:
-        return _pq_assign_gemm(base, centroids, d_sub).select(
+        codes = _pq_assign_gemm(base, centroids, d_sub).select(
             F.col("_id").alias(id_col), "codes"
         )
-    return base.select(
-        F.col("_id").alias(id_col), codes_col().alias("codes")
+    else:
+        codes = base.select(
+            F.col("_id").alias(id_col), codes_col().alias("codes")
+        )
+    return codes, centroids
+
+
+def pq_adc_top_k(
+    codes_df: DataFrame,
+    centroids: list[list[list[int]]],
+    query: list[float],
+    id_col: str,
+    k_results: int = 10,
+) -> DataFrame:
+    """PQ search by asymmetric distance computation (ADC): the query
+    stays exact while database vectors are represented by their codes.
+    The per-subspace lookup table LUT[j][c] = squared L2 (micros^2)
+    between the query's j-th slice and codebook entry c is computed
+    DRIVER-SIDE from the fitted codebooks (m*k ints — config-bounded),
+    flattened, and carried as a one-row scalar broadcast; each row's
+    approximate distance is then m element_at lookups + a sum, a
+    map-only pass over the codes table (never the raw vectors). Top-k
+    executes as TakeOrderedAndProject (per-partition top-k, no global
+    sort), ties to the lowest id. All arithmetic is integer-exact, so
+    the ranking replays across engines.
+
+    Returns ``(id_col, adc_d2)`` with the k_results nearest codes.
+    """
+    m = len(centroids)
+    k = len(centroids[0])
+    d_sub = len(centroids[0][0])
+    if len(query) != m * d_sub:
+        raise ValueError(f"query dim {len(query)} != {m * d_sub}")
+    qm = [int(round(float(q) * 1_000_000)) for q in query]
+    flat_lut = [
+        sum(
+            (qm[j * d_sub + i] - centroids[j][c][i]) ** 2
+            for i in range(d_sub)
+        )
+        for j in range(m)
+        for c in range(k)
+    ]
+    lut_df = codes_df.sparkSession.createDataFrame(
+        [(flat_lut,)], "_lut: array<bigint>"
+    )
+    d2 = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("_lut"),
+            F.lit(j * k) + F.element_at(F.col("codes"), j + 1) + 1,
+        )
+        d2 = term if d2 is None else d2 + term
+    return (
+        codes_df.crossJoin(F.broadcast(lut_df))
+        .select(F.col(id_col), d2.alias("adc_d2"))
+        .orderBy(F.asc("adc_d2"), F.asc(id_col))
+        .limit(k_results)
     )

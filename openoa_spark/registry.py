@@ -6136,11 +6136,9 @@ def kmeans_embedding_clusters(spark, sf_dir):
     return similarity.kmeans_assignments(emb, "embedding", "vec_id", k=8, iters=3)
 
 
-def _pq_sql(m: int, k: int, iters: int, dim: int = 64) -> str:
-    """Unrolled DuckDB twin of similarity.product_quantize_embeddings:
-    one _kmeans_sql-style integer-exact CTE chain PER SUBSPACE (the
-    micros grid sliced to that subspace's components), joined at the
-    end into the per-vector code list."""
+def _pq_parts(m: int, k: int, iters: int, dim: int = 64) -> list[str]:
+    """Per-subspace integer-exact k-means CTE chains (shared by the
+    PQ-codes and PQ-ADC oracles)."""
     d = dim // m
     parts = []
     for j in range(m):
@@ -6177,13 +6175,58 @@ def _pq_sql(m: int, k: int, iters: int, dim: int = 64) -> str:
       FROM c{j}_{t} cc CROSS JOIN range(1, {d + 1}) t(i)
       LEFT JOIN s{j}_{t} s ON s.cid = cc.cid AND s.i = t.i
       GROUP BY cc.cid)""")
-    body = ",\n    ".join(parts)
+    return parts
+
+
+def _pq_join(m: int, iters: int) -> str:
     last = iters - 1
-    codes = ", ".join(f"CAST(a{j}.cid AS INT)" for j in range(m))
-    joins = f"a0_{last} a0" + "".join(
+    return f"a0_{last} a0" + "".join(
         f" JOIN a{j}_{last} a{j} USING (vec_id)" for j in range(1, m)
     )
-    return f"WITH {body}\n    SELECT vec_id, [{codes}] AS codes FROM {joins}"
+
+
+def _pq_sql(m: int, k: int, iters: int, dim: int = 64) -> str:
+    """Unrolled DuckDB twin of similarity.product_quantize_embeddings:
+    one _kmeans_sql-style integer-exact CTE chain PER SUBSPACE (the
+    micros grid sliced to that subspace's components), joined at the
+    end into the per-vector code list."""
+    body = ",\n    ".join(_pq_parts(m, k, iters, dim))
+    codes = ", ".join(f"CAST(a{j}.cid AS INT)" for j in range(m))
+    return (
+        f"WITH {body}\n    SELECT vec_id, [{codes}] AS codes "
+        f"FROM {_pq_join(m, iters)}"
+    )
+
+
+def _pq_adc_sql(
+    m: int, k: int, iters: int, query: list[float], topk: int, dim: int = 64
+) -> str:
+    """PQ-ADC search twin: the fitted chains plus per-subspace lookup
+    CTEs (squared L2 from the query slice's micros to every codebook
+    entry of the POST-update centroids c{j}_{iters-1}), summed via the
+    code joins — integer-exact end to end."""
+    d = dim // m
+    last = iters - 1
+    qm = [int(round(float(q) * 1_000_000)) for q in query]
+    parts = _pq_parts(m, k, iters, dim)
+    for j in range(m):
+        qj = qm[j * d : (j + 1) * d]
+        parts.append(f"""lut{j} AS (
+      SELECT cid, CAST(list_sum([(cv[i] - ([{", ".join(map(str, qj))}])[i])
+                                 * (cv[i] - ([{", ".join(map(str, qj))}])[i])
+                                 for i in range(1, {d + 1})]) AS BIGINT)
+               AS dj
+      FROM c{j}_{last})""")
+    body = ",\n    ".join(parts)
+    dist = " + ".join(f"l{j}.dj" for j in range(m))
+    luts = "".join(
+        f" JOIN lut{j} l{j} ON l{j}.cid = a{j}.cid" for j in range(m)
+    )
+    return (
+        f"WITH {body}\n    SELECT vec_id, CAST({dist} AS BIGINT) AS adc_d2 "
+        f"FROM {_pq_join(m, iters)}{luts} "
+        f"ORDER BY adc_d2, vec_id LIMIT {topk}"
+    )
 
 
 @register("pq_codes_embeddings", _pq_sql(8, 16, 2))
@@ -6201,6 +6244,30 @@ def pq_codes_embeddings(spark, sf_dir):
     emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
     return similarity.product_quantize_embeddings(
         emb, "embedding", "vec_id", dim=64, m=8, k=16, iters=2
+    )
+
+
+_PQ_QUERY_VEC = [round(__import__("math").sin(i + 1.0), 6) for i in range(64)]
+
+
+@register("pq_adc_topk", _pq_adc_sql(8, 16, 2, _PQ_QUERY_VEC, 10))
+def pq_adc_topk(spark, sf_dir):
+    """ANN search over PQ codes by asymmetric distance computation:
+    the per-subspace lookup table (query slice vs every codebook
+    entry, m*k ints) is built driver-side from the fitted codebooks
+    and carried as a one-row scalar broadcast; each row's approximate
+    distance is m element_at lookups over the CODES table — the raw
+    vectors are never read at query time. Top-k runs as
+    TakeOrderedAndProject. Integer-exact end to end, so the oracle
+    replays the fit, the lookup tables, and the final ranking."""
+    from openoa_spark.session import spread_small_input
+
+    emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
+    codes, centroids = similarity.pq_fit(
+        emb, "embedding", "vec_id", dim=64, m=8, k=16, iters=2
+    )
+    return similarity.pq_adc_top_k(
+        codes, centroids, _PQ_QUERY_VEC, "vec_id", k_results=10
     )
 
 
@@ -7274,9 +7341,10 @@ _PRIORITY = [
 ]
 # Round-6 rotation note: after round 5 EVERY registry query has at
 # least one all-green driver CORRECTNESS row (the 29 never-checked
-# were cleared in r5) EXCEPT sliding_chunks_docs, which landed after
-# the 50 slots filled (sweep-verified at 3 SFs + pytest this round) —
-# it goes FIRST into the r6 window. From r6 on the window policy is:
+# were cleared in r5) EXCEPT sliding_chunks_docs, pq_codes_embeddings
+# and pq_adc_topk, which landed after the 50 slots filled
+# (sweep-verified at 3 SFs + pytest this round) — they go FIRST into
+# the r6 window. From r6 on the window policy is:
 # (1) any query whose PLAN changed this round, (2) any brand-new
 # query, (3) fill remaining slots with the longest-unchecked queries
 # (check the CORRECTNESS_r*.json history for staleness).

@@ -1892,3 +1892,42 @@ def test_product_quantize_gemm_matches_expr(spark):
         ).collect()
     }
     assert expr == gemm
+
+
+def test_pq_adc_matches_python_lut(spark):
+    """ADC ranking equals a driver-side replay: distances from the
+    returned codes + codebooks, integer arithmetic, ties to lowest id."""
+    from openoa_spark.datapipe import similarity
+
+    import random
+
+    rng = random.Random(23)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 6) for _ in range(8)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>")
+    codes_df, cents = similarity.pq_fit(
+        df, "embedding", "vec_id", dim=8, m=2, k=4, iters=2
+    )
+    query = [round(rng.uniform(-1, 1), 6) for _ in range(8)]
+    got = [
+        (r["vec_id"], r["adc_d2"])
+        for r in similarity.pq_adc_top_k(
+            codes_df, cents, query, "vec_id", k_results=5
+        ).collect()
+    ]
+    qm = [int(round(q * 1_000_000)) for q in query]
+    codes = {r["vec_id"]: r["codes"] for r in codes_df.collect()}
+    want_all = []
+    for vid, cs in codes.items():
+        d2 = sum(
+            sum(
+                (qm[j * 4 + i] - cents[j][cs[j]][i]) ** 2
+                for i in range(4)
+            )
+            for j in range(2)
+        )
+        want_all.append((d2, vid))
+    want = [(v, d) for d, v in sorted(want_all)[:5]]
+    assert got == want

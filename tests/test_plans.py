@@ -68,6 +68,8 @@ ALLOWED_CARTESIAN = {
     "bloom_decontaminate_docs",
     # one-row per-dimension scales array scalar broadcast
     "embedding_int8_quantization",
+    # one-row flattened ADC lookup-table scalar broadcast
+    "pq_adc_topk",
 }
 
 

@@ -134,6 +134,8 @@ PROBE_QUERIES = [
     # m sequential integer k-means fits (broadcast centroids, k*dim
     # update aggs) + one id-grain assembly shuffle: rows x N per pass
     "pq_codes_embeddings",
+    # fit + map-only LUT scoring + TakeOrdered top-k: rows x N
+    "pq_adc_topk",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
