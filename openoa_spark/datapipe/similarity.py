@@ -1588,10 +1588,21 @@ def pq_fit(
     )
     seed_rows = base.orderBy("_id").limit(k).collect()
     if not seed_rows:
-        return base.where(F.lit(False)).select(
+        # empty input -> empty typed codes + all-zero codebooks (the
+        # config-known shape, so pq_adc_top_k on the result stays
+        # well-defined and returns an empty top-k). The zero-row codes
+        # literal keeps length m: Catalyst constant-folds downstream
+        # element_at(codes, j+1) even when no row exists, so an
+        # empty-array literal would fail at PLAN time.
+        empty = base.where(F.lit(False)).select(
             F.col("_id").alias(id_col),
-            F.array().cast("array<int>").alias("codes"),
+            F.array(*[F.lit(0) for _ in range(m)])
+            .cast("array<int>")
+            .alias("codes"),
         )
+        return empty, [
+            [[0] * d_sub for _ in range(k)] for _ in range(m)
+        ]
     if len(seed_rows) < k:
         raise ValueError(f"k={k} exceeds row count {len(seed_rows)}")
     # centroids[j] = k x d_sub ints for subspace j (slices of the same
