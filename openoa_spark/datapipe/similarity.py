@@ -1001,8 +1001,25 @@ def kmeans_assignments(
     strategy: str = "auto",
     with_distance: bool = False,
 ) -> DataFrame:
+    """Assignments only — see :func:`kmeans_fit` (which also returns
+    the fitted micro-grid centroids, needed by IVF-PQ composition)."""
+    return kmeans_fit(
+        df, vec_col, id_col, k, iters, strategy, with_distance
+    )[0]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+    strategy: str = "auto",
+    with_distance: bool = False,
+) -> tuple[DataFrame, list[list[int]]]:
     """Deterministic distributed Lloyd k-means over an embedding
-    column -> ``(id_col, cluster)`` (+ ``d2``, the exact squared L2 to
+    column -> ``((id_col, cluster) assignments, fitted k x dim
+    micro-grid centroids)`` (+ ``d2``, the exact squared L2 to
     the assigned centroid in micros^2, when ``with_distance``). Unlike the MLlib fit backing
     ivf_neighbors (seeded sampling, float accumulation order), every
     step here is exact integer arithmetic on the 1e-6 micro-grid, so
@@ -1062,7 +1079,7 @@ def kmeans_assignments(
         ]
         if with_distance:
             cols.append(F.lit(0).cast("bigint").alias("d2"))
-        return base.where(F.lit(False)).select(*cols)
+        return base.where(F.lit(False)).select(*cols), []
     if len(seed_rows) < k:
         raise ValueError(f"k={k} exceeds row count {len(seed_rows)}")
     centroids = [list(r["_mic"]) for r in seed_rows]
@@ -1100,9 +1117,12 @@ def kmeans_assignments(
         centroids = [new.get(cid, centroids[cid]) for cid in range(k)]
 
     if use_gemm:
-        return _argmin_cluster_gemm(
-            base, centroids, with_d2=with_distance
-        ).withColumnRenamed("_id", id_col)
+        return (
+            _argmin_cluster_gemm(
+                base, centroids, with_d2=with_distance
+            ).withColumnRenamed("_id", id_col),
+            centroids,
+        )
     # two-step select: _best is referenced twice when with_distance,
     # and CollapseProject keeps multiply-used non-trivial expressions
     # in their own projection — the k-branch argmin evaluates once
@@ -1115,7 +1135,7 @@ def kmeans_assignments(
     ]
     if with_distance:
         cols.append(F.col("_best")["d2"].alias("d2"))
-    return scored.select(*cols)
+    return scored.select(*cols), centroids
 
 
 def semantic_dedup(
@@ -1727,6 +1747,85 @@ def pq_adc_top_k(
     return (
         codes_df.crossJoin(F.broadcast(lut_df))
         .select(F.col(id_col), d2.alias("adc_d2"))
+        .orderBy(F.asc("adc_d2"), F.asc(id_col))
+        .limit(k_results)
+    )
+
+
+def ivf_pq_search(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    dim: int,
+    coarse_k: int = 4,
+    n_probe: int = 2,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    k_results: int = 10,
+) -> DataFrame:
+    """IVF-PQ: the FAISS-style ANN layout composed from the engine's
+    two deterministic quantizers — a coarse integer-grid k-means
+    partitions the corpus into inverted lists, PQ codes stand in for
+    the raw vectors, and a query (a) ranks the coarse centroids
+    driver-side and probes only the ``n_probe`` nearest lists, (b)
+    ADC-scores the codes of those lists alone. Both fits are
+    integer-exact, so the ENTIRE index + search replays in SQL —
+    an oracle-checkable IVF-PQ.
+
+    This variant PQ-encodes raw vectors (classic IVF-PQ encodes
+    residuals vector - coarse_centroid for tighter codes; same
+    plumbing, one extra subtraction before the subspace fits —
+    omitted here to keep code assignments reusable corpus-wide).
+
+    Scale shape: persisted, the codes table is PARTITIONED BY coarse
+    cluster so partition pruning IS the inverted file (the
+    build_ivf_index discipline); inline, the probe filter
+    ``cluster IN (...)`` pushes to the scan. The scoring pass reads
+    codes only — never raw vectors — and top-k is
+    TakeOrderedAndProject with ties to the lowest id.
+
+    Returns ``(id_col, cluster, adc_d2)``.
+    """
+    coarse, coarse_cents = kmeans_fit(
+        df, vec_col, id_col, k=coarse_k, iters=iters
+    )
+    codes, books = pq_fit(
+        df, vec_col, id_col, dim=dim, m=m, k=k, iters=iters
+    )
+    qm = [int(round(float(q) * 1_000_000)) for q in query]
+    ranked = sorted(
+        (
+            sum((qm[i] - cv[i]) ** 2 for i in range(dim)),
+            cid,
+        )
+        for cid, cv in enumerate(coarse_cents)
+    )
+    probed = [cid for _, cid in ranked[:n_probe]]
+
+    d_sub = dim // m
+    flat_lut = [
+        sum((qm[j * d_sub + i] - books[j][c][i]) ** 2 for i in range(d_sub))
+        for j in range(m)
+        for c in range(k)
+    ]
+    lut_df = df.sparkSession.createDataFrame(
+        [(flat_lut,)], "_lut: array<bigint>"
+    )
+    d2 = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("_lut"),
+            F.lit(j * k) + F.element_at(F.col("codes"), j + 1) + 1,
+        )
+        d2 = term if d2 is None else d2 + term
+    cand = coarse.where(F.col("cluster").isin(probed)).join(
+        codes, id_col
+    )
+    return (
+        cand.crossJoin(F.broadcast(lut_df))
+        .select(F.col(id_col), F.col("cluster"), d2.alias("adc_d2"))
         .orderBy(F.asc("adc_d2"), F.asc(id_col))
         .limit(k_results)
     )

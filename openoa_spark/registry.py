@@ -6198,17 +6198,15 @@ def _pq_sql(m: int, k: int, iters: int, dim: int = 64) -> str:
     )
 
 
-def _pq_adc_sql(
-    m: int, k: int, iters: int, query: list[float], topk: int, dim: int = 64
-) -> str:
-    """PQ-ADC search twin: the fitted chains plus per-subspace lookup
-    CTEs (squared L2 from the query slice's micros to every codebook
-    entry of the POST-update centroids c{j}_{iters-1}), summed via the
-    code joins — integer-exact end to end."""
+def _pq_lut_parts(
+    m: int, k: int, iters: int, query: list[float], dim: int = 64
+) -> list[str]:
+    """Per-subspace ADC lookup-table CTEs (squared L2 from the query
+    slice's micros to every codebook entry of c{j}_{iters-1})."""
     d = dim // m
     last = iters - 1
     qm = [int(round(float(q) * 1_000_000)) for q in query]
-    parts = _pq_parts(m, k, iters, dim)
+    parts = []
     for j in range(m):
         qj = qm[j * d : (j + 1) * d]
         parts.append(f"""lut{j} AS (
@@ -6217,6 +6215,19 @@ def _pq_adc_sql(
                                  for i in range(1, {d + 1})]) AS BIGINT)
                AS dj
       FROM c{j}_{last})""")
+    return parts
+
+
+def _pq_adc_sql(
+    m: int, k: int, iters: int, query: list[float], topk: int, dim: int = 64
+) -> str:
+    """PQ-ADC search twin: the fitted chains plus per-subspace lookup
+    CTEs (squared L2 from the query slice's micros to every codebook
+    entry of the POST-update centroids c{j}_{iters-1}), summed via the
+    code joins — integer-exact end to end."""
+    parts = _pq_parts(m, k, iters, dim) + _pq_lut_parts(
+        m, k, iters, query, dim
+    )
     body = ",\n    ".join(parts)
     dist = " + ".join(f"l{j}.dj" for j in range(m))
     luts = "".join(
@@ -6248,6 +6259,76 @@ def pq_codes_embeddings(spark, sf_dir):
 
 
 _PQ_QUERY_VEC = [round(__import__("math").sin(i + 1.0), 6) for i in range(64)]
+
+
+def _ivf_pq_sql(
+    coarse_k: int,
+    n_probe: int,
+    m: int,
+    k: int,
+    iters: int,
+    query: list[float],
+    topk: int,
+    dim: int = 64,
+) -> str:
+    """IVF-PQ twin: the coarse integer-k-means chain (_kmeans_sql
+    names: e/c{t}/a{t}) + the PQ chains and ADC lookup tables
+    (_pq_parts/_pq_lut_parts names: e{j}/c{j}_{t}/a{j}_{t}/lut{j} —
+    disjoint namespaces), a driver-free probed-list CTE ranking the
+    final coarse centroids against the query, and ADC scoring of the
+    probed lists only."""
+    qm = [int(round(float(q) * 1_000_000)) for q in query]
+    last = iters - 1
+    qlit = ", ".join(map(str, qm))
+    # _kmeans_body is defined further down the module (decorator args
+    # evaluate at import, top-to-bottom) — extract the CTE body inline
+    km = _kmeans_sql(coarse_k, iters, dim)
+    coarse = km[len("WITH ") : km.rindex("\n    SELECT")]
+    pq = ",\n    ".join(
+        _pq_parts(m, k, iters, dim) + _pq_lut_parts(m, k, iters, query, dim)
+    )
+    probed = f"""qd AS (
+      SELECT cid, CAST(list_sum([(cv[i] - ([{qlit}])[i])
+                                 * (cv[i] - ([{qlit}])[i])
+                                 for i in range(1, {dim + 1})]) AS BIGINT)
+               AS d
+      FROM c{last}),
+    probed AS (SELECT cid FROM qd ORDER BY d, cid LIMIT {n_probe})"""
+    dist = " + ".join(f"l{j}.dj" for j in range(m))
+    pq_joins = "".join(
+        f" JOIN a{j}_{last} p{j} ON p{j}.vec_id = ca.vec_id"
+        f" JOIN lut{j} l{j} ON l{j}.cid = p{j}.cid"
+        for j in range(m)
+    )
+    return f"""
+    WITH {coarse},
+    {pq},
+    {probed}
+    SELECT ca.vec_id, CAST(ca.cid AS INT) AS cluster,
+           CAST({dist} AS BIGINT) AS adc_d2
+    FROM a{last} ca JOIN probed pr ON pr.cid = ca.cid{pq_joins}
+    ORDER BY adc_d2, ca.vec_id LIMIT {topk}
+    """
+
+
+@register("ivf_pq_topk", _ivf_pq_sql(4, 2, 8, 16, 2, _PQ_QUERY_VEC, 10))
+def ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ ANN search — the FAISS-style layout composed from the
+    engine's two deterministic quantizers: a coarse integer-grid
+    k-means partitions the corpus into inverted lists (persisted form:
+    codes PARTITIONED BY coarse cluster, so partition pruning IS the
+    inverted file); the query ranks coarse centroids driver-side,
+    probes only the n_probe nearest lists, and ADC-scores their PQ
+    codes (raw vectors never read at query time). Both fits are
+    integer-exact, so the ENTIRE index + search — coarse fit, PQ fit,
+    probe selection, lookup tables, final ranking — replays in SQL."""
+    from openoa_spark.session import spread_small_input
+
+    emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
+    return similarity.ivf_pq_search(
+        emb, "embedding", "vec_id", _PQ_QUERY_VEC, dim=64,
+        coarse_k=4, n_probe=2, m=8, k=16, iters=2, k_results=10,
+    )
 
 
 @register("pq_adc_topk", _pq_adc_sql(8, 16, 2, _PQ_QUERY_VEC, 10))
@@ -7341,8 +7422,8 @@ _PRIORITY = [
 ]
 # Round-6 rotation note: after round 5 EVERY registry query has at
 # least one all-green driver CORRECTNESS row (the 29 never-checked
-# were cleared in r5) EXCEPT sliding_chunks_docs, pq_codes_embeddings
-# and pq_adc_topk, which landed after the 50 slots filled
+# were cleared in r5) EXCEPT sliding_chunks_docs, pq_codes_embeddings,
+# pq_adc_topk and ivf_pq_topk, which landed after the 50 slots filled
 # (sweep-verified at 3 SFs + pytest this round) — they go FIRST into
 # the r6 window. From r6 on the window policy is:
 # (1) any query whose PLAN changed this round, (2) any brand-new

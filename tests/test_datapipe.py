@@ -1931,3 +1931,61 @@ def test_pq_adc_matches_python_lut(spark):
         want_all.append((d2, vid))
     want = [(v, d) for d, v in sorted(want_all)[:5]]
     assert got == want
+
+
+def test_ivf_pq_probes_only_nearest_lists(spark):
+    """IVF-PQ results come only from the n_probe nearest coarse lists
+    and rank identically to ADC over those lists' codes."""
+    from openoa_spark.datapipe import similarity
+
+    import random
+
+    rng = random.Random(31)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 6) for _ in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>")
+    query = [round(rng.uniform(-1, 1), 6) for _ in range(8)]
+    kw = dict(dim=8, coarse_k=3, n_probe=2, m=2, k=4, iters=2)
+    got = [
+        (r["vec_id"], r["cluster"], r["adc_d2"])
+        for r in similarity.ivf_pq_search(
+            df, "embedding", "vec_id", query, k_results=8, **kw
+        ).collect()
+    ]
+    # replay: coarse fit + probe selection + ADC over probed lists
+    coarse, cents = similarity.kmeans_fit(
+        df, "embedding", "vec_id", k=3, iters=2
+    )
+    qm = [int(round(q * 1_000_000)) for q in query]
+    ranked = sorted(
+        (sum((qm[i] - cv[i]) ** 2 for i in range(8)), cid)
+        for cid, cv in enumerate(cents)
+    )
+    probed = {cid for _, cid in ranked[:2]}
+    assert {c for _, c, _ in got} <= probed
+    members = {
+        r["vec_id"]: r["cluster"]
+        for r in coarse.collect()
+        if r["cluster"] in probed
+    }
+    codes_df, books = similarity.pq_fit(
+        df, "embedding", "vec_id", dim=8, m=2, k=4, iters=2
+    )
+    codes = {r["vec_id"]: r["codes"] for r in codes_df.collect()}
+    want_all = sorted(
+        (
+            sum(
+                sum(
+                    (qm[j * 4 + i] - books[j][codes[v][j]][i]) ** 2
+                    for i in range(4)
+                )
+                for j in range(2)
+            ),
+            v,
+        )
+        for v in members
+    )
+    want = [(v, members[v], d) for d, v in want_all[:8]]
+    assert got == want

@@ -70,6 +70,7 @@ ALLOWED_CARTESIAN = {
     "embedding_int8_quantization",
     # one-row flattened ADC lookup-table scalar broadcast
     "pq_adc_topk",
+    "ivf_pq_topk",
 }
 
 

@@ -136,6 +136,8 @@ PROBE_QUERIES = [
     "pq_codes_embeddings",
     # fit + map-only LUT scoring + TakeOrdered top-k: rows x N
     "pq_adc_topk",
+    # coarse fit + PQ fit + probed-list ADC: rows x N per pass
+    "ivf_pq_topk",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
