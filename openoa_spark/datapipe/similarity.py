@@ -1829,3 +1829,114 @@ def ivf_pq_search(
         .orderBy(F.asc("adc_d2"), F.asc(id_col))
         .limit(k_results)
     )
+
+
+def pq_recall_at_k(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: list[list[float]],
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    top: int = 10,
+) -> DataFrame:
+    """Measured recall@top of PQ-ADC against exact L2 over a panel of
+    query vectors — the measure-don't-guess harness for the PQ layer
+    (quantify what (m, k) actually retrieves before shipping codes).
+    Returns ``(query_id, n_hit, recall)``, one row per panel query.
+
+    Exact side and ADC side both rank on micro-grid integers (ties to
+    lowest id), so recall itself is engine-replayable — unlike float
+    ANN recall, a cross-engine oracle can pin it bit-for-bit.
+
+    Scale shape: the panel must stay small BY CONTRACT (it is unrolled
+    into |Q| TakeOrderedAndProject passes on the ADC side and |Q|
+    distance columns on the exact side — one corpus scan each); the
+    per-query top lists are (top x |Q|)-bounded frames, joined on
+    (query_id, id) to count hits.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"), _micros_vec(vec_col).alias("_mic")
+    )
+    base = base.localCheckpoint(eager=False)
+    codes, books = pq_fit(
+        df, vec_col, id_col, dim=dim, m=m, k=k, iters=iters
+    )
+    codes = codes.localCheckpoint(eager=False)
+    d_sub = dim // m
+
+    exact_parts = []
+    adc_parts = []
+    for qi, q in enumerate(queries):
+        qm = [int(round(float(v) * 1_000_000)) for v in q]
+        qarr = F.array(*[F.lit(v).cast("bigint") for v in qm])
+        d2 = F.aggregate(
+            F.zip_with(F.col("_mic"), qarr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        exact_parts.append(
+            base.select(
+                F.lit(qi).alias("query_id"),
+                F.col("_id").alias(id_col),
+                d2.alias("_d2"),
+            )
+            .orderBy(F.asc("_d2"), F.asc(id_col))
+            .limit(top)
+            .drop("_d2")
+        )
+        flat_lut = [
+            sum(
+                (qm[j * d_sub + i] - books[j][c][i]) ** 2
+                for i in range(d_sub)
+            )
+            for j in range(m)
+            for c in range(k)
+        ]
+        # scalar-broadcast the LUT (an inline literal would lower to
+        # CreateArray and rebuild all m*k words per element_at)
+        lut_df = df.sparkSession.createDataFrame(
+            [(flat_lut,)], "_lut: array<bigint>"
+        )
+        adc = None
+        for j in range(m):
+            term = F.element_at(
+                F.col("_lut"),
+                F.lit(j * k) + F.element_at(F.col("codes"), j + 1) + 1,
+            )
+            adc = term if adc is None else adc + term
+        adc_parts.append(
+            codes.crossJoin(F.broadcast(lut_df))
+            .select(
+                F.lit(qi).alias("query_id"),
+                F.col(id_col),
+                adc.alias("_d2"),
+            )
+            .orderBy(F.asc("_d2"), F.asc(id_col))
+            .limit(top)
+            .drop("_d2")
+        )
+
+    exact_top = exact_parts[0]
+    for p in exact_parts[1:]:
+        exact_top = exact_top.unionByName(p)
+    adc_top = adc_parts[0]
+    for p in adc_parts[1:]:
+        adc_top = adc_top.unionByName(p)
+    hits = exact_top.join(adc_top, ["query_id", id_col], "semi")
+    per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    panel = df.sparkSession.createDataFrame(
+        [(i,) for i in range(len(queries))], "query_id: int"
+    )
+    return (
+        panel.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double") / top, 6
+            ).alias("recall"),
+        )
+    )

@@ -6199,17 +6199,23 @@ def _pq_sql(m: int, k: int, iters: int, dim: int = 64) -> str:
 
 
 def _pq_lut_parts(
-    m: int, k: int, iters: int, query: list[float], dim: int = 64
+    m: int,
+    k: int,
+    iters: int,
+    query: list[float],
+    dim: int = 64,
+    prefix: str = "lut",
 ) -> list[str]:
     """Per-subspace ADC lookup-table CTEs (squared L2 from the query
-    slice's micros to every codebook entry of c{j}_{iters-1})."""
+    slice's micros to every codebook entry of c{j}_{iters-1});
+    ``prefix`` namespaces the CTEs for multi-query panels."""
     d = dim // m
     last = iters - 1
     qm = [int(round(float(q) * 1_000_000)) for q in query]
     parts = []
     for j in range(m):
         qj = qm[j * d : (j + 1) * d]
-        parts.append(f"""lut{j} AS (
+        parts.append(f"""{prefix}{j} AS (
       SELECT cid, CAST(list_sum([(cv[i] - ([{", ".join(map(str, qj))}])[i])
                                  * (cv[i] - ([{", ".join(map(str, qj))}])[i])
                                  for i in range(1, {d + 1})]) AS BIGINT)
@@ -6309,6 +6315,86 @@ def _ivf_pq_sql(
     FROM a{last} ca JOIN probed pr ON pr.cid = ca.cid{pq_joins}
     ORDER BY adc_d2, ca.vec_id LIMIT {topk}
     """
+
+
+_PQ_PANEL = [
+    [round(__import__("math").sin(i + 1.0), 6) for i in range(64)],
+    [round(__import__("math").cos(i + 1.0), 6) for i in range(64)],
+    [round(__import__("math").sin(0.5 * (i + 1.0)), 6) for i in range(64)],
+]
+
+
+def _pq_recall_sql(
+    m: int,
+    k: int,
+    iters: int,
+    queries: list[list[float]],
+    top: int,
+    dim: int = 64,
+) -> str:
+    """PQ recall-measurement twin: the PQ chains once, per panel query
+    an exact-L2 top list over full-dim micros AND an ADC top list over
+    the codes (both integer-ranked, ties to lowest vec_id), hit counts
+    by membership."""
+    last = iters - 1
+    mic = (
+        "[CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT) "
+        f"for i in range(1, {dim + 1})]"
+    )
+    parts = _pq_parts(m, k, iters, dim)
+    parts.append(f"eq AS (SELECT vec_id, {mic} AS mic FROM embeddings)")
+    selects = []
+    for qi, q in enumerate(queries):
+        parts += _pq_lut_parts(m, k, iters, q, dim, prefix=f"q{qi}lut")
+        qm = [int(round(float(v) * 1_000_000)) for v in q]
+        qlit = ", ".join(map(str, qm))
+        parts.append(f"""ex{qi} AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               CAST(list_sum([(mic[i] - ([{qlit}])[i])
+                              * (mic[i] - ([{qlit}])[i])
+                              for i in range(1, {dim + 1})]) AS BIGINT)
+                 AS d2
+        FROM eq) ORDER BY d2, vec_id LIMIT {top})""")
+        dist = " + ".join(f"l{j}.dj" for j in range(m))
+        luts = "".join(
+            f" JOIN q{qi}lut{j} l{j} ON l{j}.cid = a{j}.cid"
+            for j in range(m)
+        )
+        parts.append(f"""ad{qi} AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, CAST({dist} AS BIGINT) AS d2
+        FROM {_pq_join(m, iters)}{luts})
+      ORDER BY d2, vec_id LIMIT {top})""")
+        selects.append(
+            f"SELECT CAST({qi} AS INT) AS query_id, "
+            f"CAST((SELECT COUNT(*) FROM ex{qi} WHERE vec_id IN "
+            f"(SELECT vec_id FROM ad{qi})) AS BIGINT) AS n_hit, "
+            f"ROUND(CAST((SELECT COUNT(*) FROM ex{qi} WHERE vec_id IN "
+            f"(SELECT vec_id FROM ad{qi})) AS DOUBLE) / {top}, 6) "
+            f"AS recall"
+        )
+    body = ",\n    ".join(parts)
+    union = "\n    UNION ALL ".join(selects)
+    return f"WITH {body}\n    {union}"
+
+
+@register("pq_recall_measured", _pq_recall_sql(8, 16, 2, _PQ_PANEL, 10))
+def pq_recall_measured(spark, sf_dir):
+    """Measured recall@10 of PQ-ADC vs exact L2 over a 3-query panel —
+    the measure-don't-guess harness for the PQ layer (the LSH family
+    has ann_recall_lsh; this is its PQ sibling). Both sides rank on
+    micro-grid INTEGERS with ties to the lowest id, so unlike float
+    ANN recall the measurement itself replays bit-for-bit in the
+    oracle. Panel stays small by contract: |Q| TakeOrdered passes on
+    bounded top lists, one (query_id, id) semi-join for hits."""
+    from openoa_spark.session import spread_small_input
+
+    emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
+    return similarity.pq_recall_at_k(
+        emb, "embedding", "vec_id", _PQ_PANEL, dim=64,
+        m=8, k=16, iters=2, top=10,
+    )
 
 
 @register("ivf_pq_topk", _ivf_pq_sql(4, 2, 8, 16, 2, _PQ_QUERY_VEC, 10))
@@ -7423,9 +7509,9 @@ _PRIORITY = [
 # Round-6 rotation note: after round 5 EVERY registry query has at
 # least one all-green driver CORRECTNESS row (the 29 never-checked
 # were cleared in r5) EXCEPT sliding_chunks_docs, pq_codes_embeddings,
-# pq_adc_topk and ivf_pq_topk, which landed after the 50 slots filled
-# (sweep-verified at 3 SFs + pytest this round) — they go FIRST into
-# the r6 window. From r6 on the window policy is:
+# pq_adc_topk, ivf_pq_topk and pq_recall_measured, which landed after
+# the 50 slots filled (sweep-verified at 3 SFs + pytest this round) —
+# they go FIRST into the r6 window. From r6 on the window policy is:
 # (1) any query whose PLAN changed this round, (2) any brand-new
 # query, (3) fill remaining slots with the longest-unchecked queries
 # (check the CORRECTNESS_r*.json history for staleness).

@@ -1989,3 +1989,34 @@ def test_ivf_pq_probes_only_nearest_lists(spark):
     )
     want = [(v, members[v], d) for d, v in want_all[:8]]
     assert got == want
+
+
+def test_pq_recall_bounds_and_self_recall(spark):
+    from openoa_spark.datapipe import similarity
+
+    import random
+
+    rng = random.Random(41)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 6) for _ in range(8)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>")
+    panel = [
+        [round(rng.uniform(-1, 1), 6) for _ in range(8)] for _ in range(2)
+    ]
+    out = {
+        r["query_id"]: (r["n_hit"], r["recall"])
+        for r in similarity.pq_recall_at_k(
+            df, "embedding", "vec_id", panel, dim=8, m=2, k=4, iters=2,
+            top=5,
+        ).collect()
+    }
+    assert set(out) == {0, 1}
+    assert all(0 <= n <= 5 and 0.0 <= rec <= 1.0 for n, rec in out.values())
+    # top = corpus size -> both sides return everything -> recall 1
+    full = similarity.pq_recall_at_k(
+        df, "embedding", "vec_id", panel[:1], dim=8, m=2, k=4, iters=2,
+        top=30,
+    ).collect()
+    assert full[0]["recall"] == 1.0

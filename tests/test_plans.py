@@ -71,6 +71,7 @@ ALLOWED_CARTESIAN = {
     # one-row flattened ADC lookup-table scalar broadcast
     "pq_adc_topk",
     "ivf_pq_topk",
+    "pq_recall_measured",
 }
 
 

@@ -138,6 +138,8 @@ PROBE_QUERIES = [
     "pq_adc_topk",
     # coarse fit + PQ fit + probed-list ADC: rows x N per pass
     "ivf_pq_topk",
+    # |Q| exact TakeOrdered passes + |Q| code-scoring passes: rows x N
+    "pq_recall_measured",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
