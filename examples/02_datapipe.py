@@ -208,6 +208,17 @@ def main():
         F.round(F.avg("contamination"), 4).alias("avg_contamination"),
     ).show()
 
+    print("== IVF-PQ: compressed-code ANN search + measured recall ==")
+    ivfpq = similarity.ivf_pq_search(
+        emb, "embedding", "vec_id", q, dim=64,
+        coarse_k=4, n_probe=2, m=8, k=16, iters=2, k_results=5,
+    )
+    ivfpq.show()
+    similarity.pq_recall_at_k(
+        emb, "embedding", "vec_id", [q], dim=64, m=8, k=16, iters=2,
+        top=10,
+    ).show()
+
     print("== measured ANN recall (LSH vs exact, query panel) ==")
     planes = similarity.random_hyperplanes(64, 8, seed=42)
     for probe in (0, 2):
