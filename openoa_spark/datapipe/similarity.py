@@ -1940,3 +1940,46 @@ def pq_recall_at_k(
             ).alias("recall"),
         )
     )
+
+
+def pq_reconstruction_error(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Per-vector PQ reconstruction error — the compression-quality
+    diagnostic read before trusting ADC distances (the PQ analogue of
+    int8 quantization's max_abs_err): squared L2 in micros^2 between
+    each vector and its codebook reconstruction, which equals the sum
+    over subspaces of the assignment distances. Computed in ONE extra
+    map-only pass after the fit (per-subspace argmin structs carry
+    their own d2 — no join against the codes table needed); exact
+    integer arithmetic, so the oracle replays it from the fitted
+    chains. Returns ``(id_col, pq_d2)``.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    _, books = pq_fit(df, vec_col, id_col, dim, m, k, iters)
+    d_sub = dim // m
+    base = df.select(
+        F.col(id_col).alias("_id"), _micros_vec(vec_col).alias("_mic")
+    )
+    if not books:
+        return base.where(F.lit(False)).select(
+            F.col("_id").alias(id_col),
+            F.lit(0).cast("bigint").alias("pq_d2"),
+        )
+    total = None
+    for j in range(m):
+        s = _argmin_struct(
+            F.slice(F.col("_mic"), j * d_sub + 1, d_sub), books[j]
+        )
+        term = s["d2"]
+        total = term if total is None else total + term
+    return base.select(
+        F.col("_id").alias(id_col), total.alias("pq_d2")
+    )

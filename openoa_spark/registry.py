@@ -6317,6 +6317,47 @@ def _ivf_pq_sql(
     """
 
 
+def _pq_recon_sql(m: int, k: int, iters: int, dim: int = 64) -> str:
+    """PQ reconstruction-error twin: per subspace, join the final
+    assignments back to their codebook entry and sum the squared L2
+    (er{j} names avoid the e{j} chain CTEs)."""
+    d = dim // m
+    last = iters - 1
+    parts = _pq_parts(m, k, iters, dim)
+    for j in range(m):
+        parts.append(f"""er{j} AS (
+      SELECT a.vec_id,
+             CAST(list_sum([(a.mic[i] - c.cv[i]) * (a.mic[i] - c.cv[i])
+                            for i in range(1, {d + 1})]) AS BIGINT) AS d
+      FROM a{j}_{last} a JOIN c{j}_{last} c ON c.cid = a.cid)""")
+    body = ",\n    ".join(parts)
+    total = " + ".join(f"er{j}.d" for j in range(m))
+    joins = "er0" + "".join(
+        f" JOIN er{j} USING (vec_id)" for j in range(1, m)
+    )
+    return (
+        f"WITH {body}\n    SELECT vec_id, CAST({total} AS BIGINT) AS pq_d2 "
+        f"FROM {joins}"
+    )
+
+
+@register("pq_reconstruction_error", _pq_recon_sql(8, 16, 2))
+def pq_reconstruction_error(spark, sf_dir):
+    """Per-vector PQ reconstruction error (micros^2) — the
+    compression-quality diagnostic read before trusting ADC distances,
+    the PQ analogue of int8 quantization's max_abs_err. One extra
+    map-only pass after the fit: each subspace's argmin struct carries
+    its own d2, summed — no join against the codes table. Exact
+    integer arithmetic; the oracle replays it from the fitted
+    chains."""
+    from openoa_spark.session import spread_small_input
+
+    emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
+    return similarity.pq_reconstruction_error(
+        emb, "embedding", "vec_id", dim=64, m=8, k=16, iters=2
+    )
+
+
 _PQ_PANEL = [
     [round(__import__("math").sin(i + 1.0), 6) for i in range(64)],
     [round(__import__("math").cos(i + 1.0), 6) for i in range(64)],
@@ -7509,9 +7550,10 @@ _PRIORITY = [
 # Round-6 rotation note: after round 5 EVERY registry query has at
 # least one all-green driver CORRECTNESS row (the 29 never-checked
 # were cleared in r5) EXCEPT sliding_chunks_docs, pq_codes_embeddings,
-# pq_adc_topk, ivf_pq_topk and pq_recall_measured, which landed after
-# the 50 slots filled (sweep-verified at 3 SFs + pytest this round) —
-# they go FIRST into the r6 window. From r6 on the window policy is:
+# pq_adc_topk, ivf_pq_topk, pq_recall_measured and
+# pq_reconstruction_error, which landed after the 50 slots filled
+# (sweep-verified at 3 SFs + pytest this round) — they go FIRST into
+# the r6 window. From r6 on the window policy is:
 # (1) any query whose PLAN changed this round, (2) any brand-new
 # query, (3) fill remaining slots with the longest-unchecked queries
 # (check the CORRECTNESS_r*.json history for staleness).

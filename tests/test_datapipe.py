@@ -2020,3 +2020,45 @@ def test_pq_recall_bounds_and_self_recall(spark):
         top=30,
     ).collect()
     assert full[0]["recall"] == 1.0
+
+
+def test_pq_reconstruction_error_replay(spark):
+    """pq_d2 equals the driver-side replay from codes + codebooks, and
+    a perfectly-clusterable corpus (n distinct vectors, k = n per
+    subspace after dedup) reconstructs with zero error."""
+    from openoa_spark.datapipe import similarity
+
+    import random
+
+    rng = random.Random(53)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 6) for _ in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>")
+    got = {
+        r["vec_id"]: r["pq_d2"]
+        for r in similarity.pq_reconstruction_error(
+            df, "embedding", "vec_id", dim=8, m=2, k=4, iters=2
+        ).collect()
+    }
+    codes_df, books = similarity.pq_fit(
+        df, "embedding", "vec_id", dim=8, m=2, k=4, iters=2
+    )
+    codes = {r["vec_id"]: r["codes"] for r in codes_df.collect()}
+    mics = {i: [int(round(v * 1_000_000)) for v in vec] for i, vec in rows}
+    for vid, d2 in got.items():
+        want = sum(
+            sum(
+                (mics[vid][j * 4 + i] - books[j][codes[vid][j]][i]) ** 2
+                for i in range(4)
+            )
+            for j in range(2)
+        )
+        assert d2 == want, vid
+    # k >= distinct subvectors -> every subvector is its own centroid
+    tiny = spark.createDataFrame(rows[:4], "vec_id: bigint, embedding: array<double>")
+    zero = similarity.pq_reconstruction_error(
+        tiny, "embedding", "vec_id", dim=8, m=2, k=4, iters=2
+    ).collect()
+    assert all(r["pq_d2"] == 0 for r in zero)

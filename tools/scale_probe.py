@@ -140,6 +140,8 @@ PROBE_QUERIES = [
     "ivf_pq_topk",
     # |Q| exact TakeOrdered passes + |Q| code-scoring passes: rows x N
     "pq_recall_measured",
+    # fit + one extra map-only argmin-d2 pass: rows x N
+    "pq_reconstruction_error",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
