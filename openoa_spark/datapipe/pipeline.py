@@ -63,7 +63,10 @@ def curate_corpus(
     """Run the standard curation chain over a document table and
     return ``(clean_df, stage_counts)`` where ``stage_counts`` is the
     per-stage accounting ledger [(stage, rows_surviving), ...] —
-    empty when ``report=False`` (fully lazy, no counting jobs).
+    empty when ``report=False`` (no counting jobs; note the
+    remove_boilerplate and bloom_decontam stages still run their
+    bounded statistics jobs at BUILD time — the boilerplate table and
+    bloom bitmap are collected driver-side by design).
     """
     cfg = config or CurationConfig()
     t, i = cfg.text_col, cfg.id_col
@@ -144,7 +147,17 @@ def curate_corpus(
             if cfg.bloom_decontam
             else _text.benchmark_overlap
         )
-        overlap = decontam(out, bench, t, i, n=cfg.decontam_ngram)
+        # normalize BOTH sides before gram matching: decontamination
+        # should be case/whitespace-insensitive, and the boilerplate
+        # stage lowercases the corpus — without folding the benchmark
+        # too, an uppercase eval set would silently never match
+        overlap = decontam(
+            out.withColumn(t, _dedup.normalize_text(t)),
+            bench.withColumn(t, _dedup.normalize_text(t)),
+            t,
+            i,
+            n=cfg.decontam_ngram,
+        )
         contaminated = overlap.where(
             F.col("contamination") > 0.0
         ).select(i)

@@ -1699,6 +1699,36 @@ def pq_fit(
     return codes, centroids
 
 
+def _adc_lut(
+    books: list[list[list[int]]], query: list[float]
+) -> list[int]:
+    """Flattened ADC lookup table: LUT[j*k + c] = squared L2 (micros^2)
+    between the query's j-th slice and codebook entry c. Driver-side,
+    m*k ints — config-bounded. Shared by every ADC scorer so the
+    micros rounding rule and the j*k+c layout cannot drift."""
+    m, k, d_sub = len(books), len(books[0]), len(books[0][0])
+    qm = [int(round(float(q) * 1_000_000)) for q in query]
+    return [
+        sum((qm[j * d_sub + i] - books[j][c][i]) ** 2 for i in range(d_sub))
+        for j in range(m)
+        for c in range(k)
+    ]
+
+
+def _adc_d2_col(m: int, k: int) -> Column:
+    """ADC distance over a ``codes`` column against a scalar-broadcast
+    ``_lut`` column (see _adc_lut for the layout): m element_at
+    lookups + a sum."""
+    d2 = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("_lut"),
+            F.lit(j * k) + F.element_at(F.col("codes"), j + 1) + 1,
+        )
+        d2 = term if d2 is None else d2 + term
+    return d2
+
+
 def pq_adc_top_k(
     codes_df: DataFrame,
     centroids: list[list[list[int]]],
@@ -1725,28 +1755,12 @@ def pq_adc_top_k(
     d_sub = len(centroids[0][0])
     if len(query) != m * d_sub:
         raise ValueError(f"query dim {len(query)} != {m * d_sub}")
-    qm = [int(round(float(q) * 1_000_000)) for q in query]
-    flat_lut = [
-        sum(
-            (qm[j * d_sub + i] - centroids[j][c][i]) ** 2
-            for i in range(d_sub)
-        )
-        for j in range(m)
-        for c in range(k)
-    ]
     lut_df = codes_df.sparkSession.createDataFrame(
-        [(flat_lut,)], "_lut: array<bigint>"
+        [(_adc_lut(centroids, query),)], "_lut: array<bigint>"
     )
-    d2 = None
-    for j in range(m):
-        term = F.element_at(
-            F.col("_lut"),
-            F.lit(j * k) + F.element_at(F.col("codes"), j + 1) + 1,
-        )
-        d2 = term if d2 is None else d2 + term
     return (
         codes_df.crossJoin(F.broadcast(lut_df))
-        .select(F.col(id_col), d2.alias("adc_d2"))
+        .select(F.col(id_col), _adc_d2_col(m, k).alias("adc_d2"))
         .orderBy(F.asc("adc_d2"), F.asc(id_col))
         .limit(k_results)
     )
@@ -1804,28 +1818,19 @@ def ivf_pq_search(
     )
     probed = [cid for _, cid in ranked[:n_probe]]
 
-    d_sub = dim // m
-    flat_lut = [
-        sum((qm[j * d_sub + i] - books[j][c][i]) ** 2 for i in range(d_sub))
-        for j in range(m)
-        for c in range(k)
-    ]
     lut_df = df.sparkSession.createDataFrame(
-        [(flat_lut,)], "_lut: array<bigint>"
+        [(_adc_lut(books, query),)], "_lut: array<bigint>"
     )
-    d2 = None
-    for j in range(m):
-        term = F.element_at(
-            F.col("_lut"),
-            F.lit(j * k) + F.element_at(F.col("codes"), j + 1) + 1,
-        )
-        d2 = term if d2 is None else d2 + term
     cand = coarse.where(F.col("cluster").isin(probed)).join(
         codes, id_col
     )
     return (
         cand.crossJoin(F.broadcast(lut_df))
-        .select(F.col(id_col), F.col("cluster"), d2.alias("adc_d2"))
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            _adc_d2_col(m, k).alias("adc_d2"),
+        )
         .orderBy(F.asc("adc_d2"), F.asc(id_col))
         .limit(k_results)
     )
@@ -1887,32 +1892,17 @@ def pq_recall_at_k(
             .limit(top)
             .drop("_d2")
         )
-        flat_lut = [
-            sum(
-                (qm[j * d_sub + i] - books[j][c][i]) ** 2
-                for i in range(d_sub)
-            )
-            for j in range(m)
-            for c in range(k)
-        ]
         # scalar-broadcast the LUT (an inline literal would lower to
         # CreateArray and rebuild all m*k words per element_at)
         lut_df = df.sparkSession.createDataFrame(
-            [(flat_lut,)], "_lut: array<bigint>"
+            [(_adc_lut(books, q),)], "_lut: array<bigint>"
         )
-        adc = None
-        for j in range(m):
-            term = F.element_at(
-                F.col("_lut"),
-                F.lit(j * k) + F.element_at(F.col("codes"), j + 1) + 1,
-            )
-            adc = term if adc is None else adc + term
         adc_parts.append(
             codes.crossJoin(F.broadcast(lut_df))
             .select(
                 F.lit(qi).alias("query_id"),
                 F.col(id_col),
-                adc.alias("_d2"),
+                _adc_d2_col(m, k).alias("_d2"),
             )
             .orderBy(F.asc("_d2"), F.asc(id_col))
             .limit(top)
@@ -1927,17 +1917,31 @@ def pq_recall_at_k(
         adc_top = adc_top.unionByName(p)
     hits = exact_top.join(adc_top, ["query_id", id_col], "semi")
     per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    # recall denominator = |exact list| = min(top, corpus size), NOT
+    # the fixed top — else a 7-row corpus caps recall@10 at 0.7 even
+    # when retrieval was perfect
+    exact_n = exact_top.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_n_exact")
+    )
     panel = df.sparkSession.createDataFrame(
         [(i,) for i in range(len(queries))], "query_id: int"
     )
     return (
         panel.join(per_q, "query_id", "left")
+        .join(exact_n, "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
-            F.round(
-                F.coalesce("n_hit", F.lit(0)).cast("double") / top, 6
-            ).alias("recall"),
+            F.when(
+                F.coalesce("_n_exact", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_hit", F.lit(0)).cast("double")
+                    / F.col("_n_exact"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall"),
         )
     )
 
@@ -1963,16 +1967,13 @@ def pq_reconstruction_error(
     """
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
+    # pq_fit returns zero-filled length-m codebooks even on empty
+    # input, so the error pass below is well-defined there too
     _, books = pq_fit(df, vec_col, id_col, dim, m, k, iters)
     d_sub = dim // m
     base = df.select(
         F.col(id_col).alias("_id"), _micros_vec(vec_col).alias("_mic")
     )
-    if not books:
-        return base.where(F.lit(False)).select(
-            F.col("_id").alias(id_col),
-            F.lit(0).cast("bigint").alias("pq_d2"),
-        )
     total = None
     for j in range(m):
         s = _argmin_struct(

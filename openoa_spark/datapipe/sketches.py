@@ -192,10 +192,16 @@ def bloom_member_values(
     distinct candidate values (position explode is map-side; the
     bitmap side broadcasts)."""
     v = values.select(F.col(col).alias("_v")).distinct()
-    pos = v.select(
+    # materialize the position array once per value — referencing
+    # bloom_positions twice in one projection would run the k seeded
+    # hashes twice (no codegen subexpression reuse for HOF results)
+    arr = v.select(
+        "_v", bloom_positions("_v", m_bits, k).alias("_arr")
+    )
+    pos = arr.select(
         "_v",
-        F.explode(bloom_positions("_v", m_bits, k)).alias("_pos"),
-        F.size(bloom_positions("_v", m_bits, k)).alias("_need"),
+        F.explode("_arr").alias("_pos"),
+        F.size("_arr").alias("_need"),
     )
     joined = pos.join(
         F.broadcast(bloom),

@@ -908,7 +908,10 @@ def sliding_token_chunks(
 
     Returns ``(id_col, chunk_id, n_tokens, chunk_text)``.
     """
-    toks = tokens(_c(text_col))
+    # drop empty tokens: split('') yields [''] (size 1, never 0), so
+    # an unfiltered sequence would emit a bogus 1-token chunk of empty
+    # text for empty/whitespace-only documents
+    toks = F.filter(tokens(_c(text_col)), lambda w: w != "")
     n_tok = F.size(toks)
     # 1 + ceil((n_tok - chunk)/stride) chunks when n_tok > chunk,
     # else 1; ceil via (x + stride - 1) div stride on ints

@@ -2992,11 +2992,11 @@ def boilerplate_segment_removal_docs(spark, sf_dir):
     )
 
 
-# PII patterns inlined from datapipe/text.py PII_PATTERNS — syntax is
-# shared by Java regex (Spark) and RE2 (DuckDB); keep the two in sync.
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
-_PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+# The single source of truth for the typed PII patterns is
+# text.PII_RULES (syntax shared by Java regex and RE2, so Spark and
+# the DuckDB oracle compile the SAME expressions) — referenced here
+# so an edit there cannot leave the oracle on a stale pattern.
+_PII_EMAIL, _PII_IPV4, _PII_PHONE = (p for _, p, _ in text.PII_RULES)
 
 # Deterministic PII construction: the synthetic corpus carries no real
 # PII, so both engines append the SAME doc_id-derived email/IP/phone
@@ -3544,7 +3544,9 @@ def _bloom_decontaminate_sql(n: int) -> str:
 @register(
     "sliding_chunks_docs",
     f"""
-    WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    WITH d AS (SELECT doc_id,
+                      list_filter({_SQL_TOKS}, w -> w <> '') AS toks
+               FROM documents),
     e AS (
       SELECT doc_id, toks,
              unnest(generate_series(0,
@@ -6253,9 +6255,10 @@ def pq_codes_embeddings(spark, sf_dir):
     store instead of raw floats (8 small ints/vector vs 64 floats).
     Each subspace fit is the deterministic integer-grid k-means, so
     the whole code table replays bit-exactly in the oracle — PQ
-    training you can verify across engines. Subspace assignments are
-    assembled by ONE union + id-grain aggregate (no pairwise joins),
-    so assembly is a single shuffle regardless of m."""
+    training you can verify across engines. All m subspace fits share
+    each job and the final code array is emitted by one map-only
+    projection (one Arrow einsum pass on the gemm kernel) — codes
+    never shuffle."""
     from openoa_spark.session import spread_small_input
 
     emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
@@ -6407,12 +6410,15 @@ def _pq_recall_sql(
         SELECT vec_id, CAST({dist} AS BIGINT) AS d2
         FROM {_pq_join(m, iters)}{luts})
       ORDER BY d2, vec_id LIMIT {top})""")
+        # denominator = |exact list| = min(top, corpus), not fixed top
         selects.append(
             f"SELECT CAST({qi} AS INT) AS query_id, "
             f"CAST((SELECT COUNT(*) FROM ex{qi} WHERE vec_id IN "
             f"(SELECT vec_id FROM ad{qi})) AS BIGINT) AS n_hit, "
+            f"CASE WHEN (SELECT COUNT(*) FROM ex{qi}) > 0 THEN "
             f"ROUND(CAST((SELECT COUNT(*) FROM ex{qi} WHERE vec_id IN "
-            f"(SELECT vec_id FROM ad{qi})) AS DOUBLE) / {top}, 6) "
+            f"(SELECT vec_id FROM ad{qi})) AS DOUBLE) "
+            f"/ (SELECT COUNT(*) FROM ex{qi}), 6) ELSE 0.0 END "
             f"AS recall"
         )
     body = ",\n    ".join(parts)

@@ -1760,6 +1760,8 @@ def test_sliding_token_chunks(spark):
             (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks
             (2, "a b c"),  # shorter than one chunk
             (3, " ".join(f"u{i}" for i in range(8))),  # exactly 2 strides
+            (4, ""),  # empty doc -> NO chunks (split('') gotcha)
+            (5, "   "),  # whitespace-only -> NO chunks
         ],
         ["doc_id", "text"],
     )
@@ -1780,6 +1782,7 @@ def test_sliding_token_chunks(spark):
     # doc 3 (8 toks, chunk 4, stride 3): starts 0,3 -> 0..3, 3..6; start 6
     # is needed to reach tokens 7 -> extra = ceil((8-4)/3) = 2 -> starts 0,3,6
     assert [(c, n) for d, c, n, _ in out if d == 3] == [(0, 4), (1, 4), (2, 2)]
+    assert not [r for r in out if r[0] in (4, 5)]
 
 
 def test_curate_corpus_new_stages(spark):
@@ -2062,3 +2065,35 @@ def test_pq_reconstruction_error_replay(spark):
         tiny, "embedding", "vec_id", dim=8, m=2, k=4, iters=2
     ).collect()
     assert all(r["pq_d2"] == 0 for r in zero)
+
+
+def test_curate_corpus_decontam_case_folds_with_boilerplate(spark):
+    """Regression: the boilerplate stage lowercases corpus text; the
+    decontamination stage must fold BOTH sides, or an uppercase
+    benchmark silently never matches and contaminated docs ship."""
+    from openoa_spark.datapipe.pipeline import CurationConfig, curate_corpus
+
+    bench_text = ("Which Of The Following Statements About The Moon "
+                  "Is True According To The Passage Provided Here")
+    rows = [
+        (1, "cookie banner " + "plain safe content here " * 6),
+        (2, "cookie banner " + "other harmless words in this doc " * 6),
+        (3, "cookie banner padding words around " + bench_text +
+            " and a long tail of additional filler to finish the doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out, _ = curate_corpus(
+        df,
+        CurationConfig(
+            remove_boilerplate=True,
+            boilerplate_min_doc_pct=90,
+            benchmark_texts=[bench_text],
+            gopher_rules=False,
+            max_top_bigram_frac=None,
+            exact_dedup=False,
+            near_dedup=False,
+            decontam_ngram=8,
+        ),
+        report=False,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
