@@ -3587,11 +3587,11 @@ def sliding_chunks_docs(spark, sf_dir):
     ),
     sl AS (SELECT list(sc ORDER BY i) AS scs FROM s)
     SELECT vec_id,
-           list_transform(generate_series(1, len(embedding)),
+           array_to_string(list_transform(generate_series(1, len(embedding)),
              i -> CASE WHEN scs[i] > 0
                   THEN CAST(floor(CAST(embedding[i] AS DOUBLE) / scs[i]
                                   * 127 + 0.5) AS INT)
-                  ELSE 0 END) AS q,
+                  ELSE 0 END), ',') AS q,
            ROUND(list_max(list_transform(generate_series(1, len(embedding)),
              i -> ABS(CAST(embedding[i] AS DOUBLE)
                   - (CASE WHEN scs[i] > 0
@@ -3608,11 +3608,19 @@ def embedding_int8_quantization(spark, sf_dir):
     MAP-ONLY quantize pass sharing one scalar-broadcast scales array.
     floor(x+0.5) instead of round() pins half-up semantics in both
     engines; float->double widening is exact, so q and the rounded
-    per-vector max reconstruction error match bit-for-bit."""
+    per-vector max reconstruction error match bit-for-bit. q is
+    emitted comma-joined (scalar string): the driver's canonicalizer
+    cannot hash LIST columns (the round-5 red row), and the joined
+    form is still byte-exact per vector."""
     from openoa_spark.session import spread_small_input
 
     vecs = spread_small_input(_t(spark, sf_dir, "embeddings"))
-    return similarity.scalar_quantize_embeddings(vecs, "embedding", "vec_id")
+    sq = similarity.scalar_quantize_embeddings(vecs, "embedding", "vec_id")
+    return sq.select(
+        "vec_id",
+        F.array_join(F.col("q").cast("array<string>"), ",").alias("q"),
+        "max_abs_err",
+    )
 
 
 @register("bloom_decontaminate_docs", _bloom_decontaminate_sql(3))
@@ -6194,8 +6202,11 @@ def _pq_sql(m: int, k: int, iters: int, dim: int = 64) -> str:
     end into the per-vector code list."""
     body = ",\n    ".join(_pq_parts(m, k, iters, dim))
     codes = ", ".join(f"CAST(a{j}.cid AS INT)" for j in range(m))
+    # concat_ws (not a list) so the output column is scalar VARCHAR —
+    # the driver's canonicalizer sort_values cannot hash LIST columns
+    # (round-5 red row on embedding_int8_quantization).
     return (
-        f"WITH {body}\n    SELECT vec_id, [{codes}] AS codes "
+        f"WITH {body}\n    SELECT vec_id, concat_ws(',', {codes}) AS codes "
         f"FROM {_pq_join(m, iters)}"
     )
 
@@ -6258,12 +6269,20 @@ def pq_codes_embeddings(spark, sf_dir):
     training you can verify across engines. All m subspace fits share
     each job and the final code array is emitted by one map-only
     projection (one Arrow einsum pass on the gemm kernel) — codes
-    never shuffle."""
+    never shuffle. The code array is emitted comma-joined (scalar
+    string) because the driver's canonicalizer cannot hash LIST
+    columns; the joined form is still byte-exact per vector."""
     from openoa_spark.session import spread_small_input
 
     emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
-    return similarity.product_quantize_embeddings(
+    pq = similarity.product_quantize_embeddings(
         emb, "embedding", "vec_id", dim=64, m=8, k=16, iters=2
+    )
+    return pq.select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias(
+            "codes"
+        ),
     )
 
 

@@ -335,12 +335,24 @@ def apply_cdc(
         .drop(op_col)
     )
     latest = latest.localCheckpoint(eager=True)  # fix before the overwrite
-    (
-        latest.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(table_path)
-    )
+    present = {
+        r[0] for r in latest.select(partition_col).distinct().collect()
+    }
+    if present:
+        # a previous delete-everything batch left a flat schema-marker
+        # file at the root (see below); drop flat data files before the
+        # dynamic overwrite so the layout stays purely partitioned
+        if fs.exists(path):
+            for st in fs.listStatus(path):
+                nm = st.getPath().getName()
+                if st.isFile() and nm.endswith(".parquet"):
+                    fs.delete(st.getPath(), False)
+        (
+            latest.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(table_path)
+        )
     # dynamic overwrite only replaces partitions PRESENT in the output:
     # a partition whose every row was deleted would silently survive —
     # drop those directories explicitly. Directory names carry Spark's
@@ -348,9 +360,6 @@ def apply_cdc(
     # …), so build them with the same escaping — a raw str(v) path
     # would miss exactly the partitions this cleanup exists to remove.
     if fs.exists(path):
-        present = {
-            r[0] for r in latest.select(partition_col).distinct().collect()
-        }
         for v in set(touched) - present:
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(
@@ -359,6 +368,24 @@ def apply_cdc(
                 ),
                 True,
             )
+        # A batch that deletes EVERY remaining row leaves zero data
+        # files: the dynamic overwrite wrote nothing and the cleanup
+        # just removed the last directory, so spark.read.parquet(path)
+        # would throw UNABLE_TO_INFER_SCHEMA. Keep the table readable-
+        # but-empty with one schema-bearing empty file (static write,
+        # no partitionBy — the partition column stays as a plain
+        # column with its original type).
+        dirs_left = any(
+            st.isDirectory()
+            and st.getPath().getName().startswith(f"{partition_col}=")
+            for st in fs.listStatus(path)
+        )
+        if not dirs_left:
+            latest.limit(0).write.mode("overwrite").parquet(table_path)
+    elif not present:
+        # first-ever batch whose rows were all deletes: still
+        # materialize an empty, readable table
+        latest.limit(0).write.mode("overwrite").parquet(table_path)
 
 
 # The characters Spark's ExternalCatalogUtils.escapePathName percent-

@@ -123,6 +123,26 @@ def test_no_hugeint_oracle_columns(duck):
     )
 
 
+def test_no_list_or_struct_oracle_columns(duck):
+    """Round-5 regression class: the driver's canonicalizer does a
+    pandas ``sort_values`` over every output column and cannot hash
+    LIST/STRUCT values (``embedding_int8_quantization`` shipped red
+    with ``unhashable type: 'list'``). Nested outputs must be emitted
+    scalar — ``array_to_string``/``concat_ws`` in the oracle and
+    ``F.array_join`` on the Spark side — or exploded to rows."""
+    bad = {}
+    for name, sql in registry.oracle_sql().items():
+        types = _oracle_types(duck, sql)
+        nested = {c: t for c, t in types.items()
+                  if _duck_bucket(t) in {"array", "struct"}}
+        if nested:
+            bad[name] = nested
+    assert not bad, (
+        "oracles emitting LIST/STRUCT columns (flatten with "
+        f"array_to_string / explode to rows): {bad}"
+    )
+
+
 def test_oracle_spark_type_buckets_agree(duck, spark):
     """Column-by-column type-bucket parity between each oracle and its
     Spark twin — catches DECIMAL-vs-DOUBLE (and int-vs-float) output
