@@ -169,7 +169,7 @@ def q3_top_revenue_orders(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum_dec(_disc_price()).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -198,7 +198,7 @@ def q5_nation_revenue(spark, sf_dir):
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
@@ -1876,7 +1876,7 @@ def q10_returned_revenue(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum_dec(_disc_price()).alias("revenue"))
@@ -1934,7 +1934,7 @@ def q14_promo_revenue_pct(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     dp = _disc_price()
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             rounded(
                 100.0
@@ -1964,7 +1964,7 @@ def q16_supplier_variety(spark, sf_dir):
         & F.col("p_size").isin(1, 4, 7)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -1992,7 +1992,7 @@ def q18_large_volume_customers(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"))
         .agg(dsum("l_quantity").alias("total_qty"))
         .where(F.col("total_qty") > 250)
@@ -2024,7 +2024,7 @@ def q19_bracketed_revenue(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#9") & sz.between(1, 35) & q.between(20, 50))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .where(cond)
         .agg(dsum_dec(_disc_price()).alias("revenue"))
     )
@@ -2199,7 +2199,7 @@ def q7_volume_shipping(spark, sf_dir):
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), sup.s_nationkey == F.col("_n1key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("_n2key"))
         .where(
@@ -2263,10 +2263,10 @@ def q8_market_share(spark, sf_dir):
     )
     vol = _disc_price()
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("_n1key"))
         .join(F.broadcast(region), F.col("_n1reg") == region.r_regionkey)
         .join(F.broadcast(n2), sup.s_nationkey == F.col("_n2key"))
@@ -2375,8 +2375,8 @@ def q17_small_quantity_revenue(spark, sf_dir):
         davg("l_quantity").alias("_avg_qty")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(per_part), li.l_partkey == F.col("_pk"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("_pk"))
         .where(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
         .agg((dsum_dec(dec("l_extendedprice")) / 7.0).alias("avg_yearly"))
     )
@@ -2407,7 +2407,7 @@ def q20_heavy_suppliers(spark, sf_dir):
     part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
     sup = _t(spark, sf_dir, "supplier")
     heavy = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("_q"))
         .where(F.col("_q") > 400)
@@ -2711,7 +2711,7 @@ def q9_profit_by_nation_year(spark, sf_dir):
     nat = _t(spark, sf_dir, "nation")
     profit = _disc_price() - dec("p_retailprice") * dec("l_quantity")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -2750,7 +2750,7 @@ def q2_min_price_part_supplier(spark, sf_dir):
     part = _t(spark, sf_dir, "part").where(F.col("p_size") <= 5)
     li = (
         _t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_suppkey", dec("l_extendedprice").alias("price"))
     )
     # rename the aggregate side's key (self-derived frame: a bare
@@ -4560,7 +4560,7 @@ def cohort_retention(spark, sf_dir):
         F.min(F.col("ts").cast("date")).alias("cohort_day")
     )
     activity = (
-        ev.join(F.broadcast(first_day), "user_id")
+        ev.join(first_day, "user_id")
         .select(
             "user_id",
             "cohort_day",
@@ -5547,7 +5547,7 @@ def nation_share_of_region(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     nrev = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy(

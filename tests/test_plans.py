@@ -121,6 +121,78 @@ def test_filter_pushdown_reaches_scans(plans):
         assert pushed, f"{name}: no non-empty pushed filter on any scan"
 
 
+def test_no_forced_broadcast_of_sf_scaled_tables():
+    """Round-5 verdict item: ``F.broadcast`` hints on SF-scaled inputs
+    (customer/part/orders/lineitem/events/documents/embeddings, or
+    per-key aggregates over them like per-partkey / per-user tables)
+    are executor-OOM bombs at 100 TB — AQE already picks broadcast at
+    small SF without the hint. nation/region/supplier and bounded
+    dim-/bin-/vocab-grain frames may keep hints.
+
+    Source-level AST lint over registry.py: flag any F.broadcast(name)
+    where ``name`` was bound from ``_t(spark, sf_dir, <fact table>)``
+    (through row-preserving .where/.select/.withColumn/.filter/.alias
+    chains — those keep SF-linearity; groupBy/agg/join break taint and
+    are judged case-by-case)."""
+    import ast
+    import inspect
+
+    FACTS = {"customer", "part", "orders", "lineitem", "events",
+             "documents", "embeddings"}
+    ROW_PRESERVING = {"where", "filter", "select", "withColumn",
+                      "withColumnRenamed", "alias", "drop", "selectExpr"}
+
+    def _root_table(node):
+        # walk a method chain to its root call; return the _t table
+        # name if the root is _t(..., "<fact>") and every hop is
+        # row-preserving
+        while isinstance(node, ast.Call):
+            f = node.func
+            if isinstance(f, ast.Name):
+                if f.id == "_t" and node.args:
+                    last = node.args[-1]
+                    if (isinstance(last, ast.Constant)
+                            and last.value in FACTS):
+                        return last.value
+                return None
+            if isinstance(f, ast.Attribute):
+                if f.attr == "_t" or f.attr in ROW_PRESERVING:
+                    node = f.value
+                    continue
+                return None
+            return None
+        return None
+
+    src = inspect.getsource(registry)
+    tree = ast.parse(src)
+    offenders = []
+    for fn in ast.walk(tree):
+        if not isinstance(fn, ast.FunctionDef):
+            continue
+        tainted = {}
+        for node in ast.walk(fn):
+            if isinstance(node, ast.Assign) and len(node.targets) == 1 \
+                    and isinstance(node.targets[0], ast.Name):
+                t = _root_table(node.value)
+                if t is not None:
+                    tainted[node.targets[0].id] = t
+        for node in ast.walk(fn):
+            if (isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "broadcast"
+                    and node.args
+                    and isinstance(node.args[0], ast.Name)
+                    and node.args[0].id in tainted):
+                offenders.append(
+                    f"{fn.name}: F.broadcast({node.args[0].id}) "
+                    f"[SF-scaled: {tainted[node.args[0].id]}]"
+                )
+    assert not offenders, (
+        "forced broadcast of SF-scaled tables (drop the hint — AQE "
+        f"broadcasts at small SF on its own): {offenders}"
+    )
+
+
 def test_column_pruning_reaches_scans(plans):
     # q6 touches only 4 lineitem columns; the scan must not read the
     # full 11-column schema.
