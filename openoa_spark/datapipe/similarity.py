@@ -924,6 +924,18 @@ def _micros_vec(col: Column | str) -> Column:
     )
 
 
+def _micros_scalar(x: float) -> int:
+    """Python twin of :func:`_micros_vec`'s grid snap for driver-side
+    QUERY vectors: half-AWAY-from-zero, matching Spark's round() on
+    doubles and DuckDB's round() — NOT Python ``round()``'s banker's
+    half-to-even, which maps a component landing exactly on the
+    half-micro grid to a different int than the corpus side."""
+    import math
+
+    m = int(math.floor(abs(float(x)) * 1_000_000.0 + 0.5))
+    return m if float(x) >= 0 else -m
+
+
 def _argmin_struct(mic: Column, centroids: list[list[int]]) -> Column:
     """Nearest-centroid (d2, cid) struct (squared L2 over micro-grid
     ints, ties -> lowest cluster id) as one JVM column expression over
@@ -1359,14 +1371,18 @@ def incremental_kmeans(
     )
     if not exists:
         # first batch: full deterministic fit, then suffstats of the
-        # final assignment + the seed table for empty-cluster fallback
-        asg = kmeans_assignments(
+        # final assignment. The seeds table persists the FITTED
+        # centroids (kmeans_fit's second return — the centroids the
+        # final Lloyd pass assigned against), NOT the raw lowest-id
+        # seed vectors: a crash-replayed batch 0 excludes its own
+        # suffstats from the centroid fold, falls back to this table,
+        # and must land bit-identical assignments to the original
+        # iters_first-round fit. Later empty-cluster folds also fall
+        # back to a fitted centroid rather than a raw seed vector.
+        asg, fitted = kmeans_fit(
             batch, vec_col, id_col, k=k, iters=iters_first, strategy=strategy
         )
-        seed_rows = base.orderBy("_id").limit(k).collect()
-        seeds = [
-            (cid, list(r["_mic"])) for cid, r in enumerate(seed_rows)
-        ]
+        seeds = [(cid, c) for cid, c in enumerate(fitted)]
         spark.createDataFrame(
             seeds, "cluster int, seed_mic array<bigint>"
         ).write.mode("overwrite").parquet(f"{state_path}/seeds")
@@ -1707,7 +1723,7 @@ def _adc_lut(
     m*k ints — config-bounded. Shared by every ADC scorer so the
     micros rounding rule and the j*k+c layout cannot drift."""
     m, k, d_sub = len(books), len(books[0]), len(books[0][0])
-    qm = [int(round(float(q) * 1_000_000)) for q in query]
+    qm = [_micros_scalar(q) for q in query]
     return [
         sum((qm[j * d_sub + i] - books[j][c][i]) ** 2 for i in range(d_sub))
         for j in range(m)
@@ -1808,7 +1824,7 @@ def ivf_pq_search(
     codes, books = pq_fit(
         df, vec_col, id_col, dim=dim, m=m, k=k, iters=iters
     )
-    qm = [int(round(float(q) * 1_000_000)) for q in query]
+    qm = [_micros_scalar(q) for q in query]
     ranked = sorted(
         (
             sum((qm[i] - cv[i]) ** 2 for i in range(dim)),
@@ -1875,7 +1891,7 @@ def pq_recall_at_k(
     exact_parts = []
     adc_parts = []
     for qi, q in enumerate(queries):
-        qm = [int(round(float(v) * 1_000_000)) for v in q]
+        qm = [_micros_scalar(v) for v in q]
         qarr = F.array(*[F.lit(v).cast("bigint") for v in qm])
         d2 = F.aggregate(
             F.zip_with(F.col("_mic"), qarr, lambda a, b: (a - b) * (a - b)),

@@ -73,8 +73,10 @@ def power_curve_plot_data(
     - ``scatter``: a DETERMINISTIC hash downsample capped at
       ``max_points`` rows total (xxhash64 of ws⊕power — stable across
       runs and partitionings, no full-table sort). When ``flag_col``
-      is given the sample stratifies over it so filtered/kept marks
-      both appear.
+      is given the budget is split equally across its values and each
+      stratum gets its own keep fraction, so a rare stratum (typically
+      the filtered outliers the plot exists to show) can never sample
+      to zero rows.
     - ``curve``: the exact IEC binned mean curve per key (bin-grain
       aggregate, driver-sized by construction).
     """
@@ -86,12 +88,32 @@ def power_curve_plot_data(
     n = base.count()
     strata = [flag_col] if flag_col else []
     if n > max_points:
-        # per-stratum hash threshold: keep ~max_points rows overall
-        frac = max_points / n
         h = F.abs(
             F.xxhash64(F.col(ws_col), F.col(power_col), *map(F.col, keys))
         )
-        base = base.where(h % 1_000_000 < int(frac * 1_000_000) + 1)
+        if flag_col:
+            # per-stratum keep fraction: max_points split equally
+            # across flag values (flag-grain collect — 2-3 rows); a
+            # stratum smaller than its budget keeps every row
+            counts = {
+                r[0]: r[1]
+                for r in base.groupBy(flag_col)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
+            }
+            per = max_points / len(counts)
+            keep = None
+            for v, cnt in counts.items():
+                frac = min(1.0, per / cnt)
+                cond = F.col(flag_col).eqNullSafe(F.lit(v)) & (
+                    h % 1_000_000 < int(frac * 1_000_000) + 1
+                )
+                keep = cond if keep is None else (keep | cond)
+            base = base.where(keep)
+        else:
+            # single global hash threshold: keep ~max_points rows
+            frac = max_points / n
+            base = base.where(h % 1_000_000 < int(frac * 1_000_000) + 1)
     scatter = base.toPandas()
     curve = iec_binned_curve(
         df, ws_col, power_col, bin_width=bin_width, keys=keys + strata

@@ -6224,7 +6224,7 @@ def _pq_lut_parts(
     ``prefix`` namespaces the CTEs for multi-query panels."""
     d = dim // m
     last = iters - 1
-    qm = [int(round(float(q) * 1_000_000)) for q in query]
+    qm = [similarity._micros_scalar(q) for q in query]
     parts = []
     for j in range(m):
         qj = qm[j * d : (j + 1) * d]
@@ -6305,7 +6305,7 @@ def _ivf_pq_sql(
     disjoint namespaces), a driver-free probed-list CTE ranking the
     final coarse centroids against the query, and ADC scoring of the
     probed lists only."""
-    qm = [int(round(float(q) * 1_000_000)) for q in query]
+    qm = [similarity._micros_scalar(q) for q in query]
     last = iters - 1
     qlit = ", ".join(map(str, qm))
     # _kmeans_body is defined further down the module (decorator args
@@ -6409,7 +6409,7 @@ def _pq_recall_sql(
     selects = []
     for qi, q in enumerate(queries):
         parts += _pq_lut_parts(m, k, iters, q, dim, prefix=f"q{qi}lut")
-        qm = [int(round(float(v) * 1_000_000)) for v in q]
+        qm = [similarity._micros_scalar(v) for v in q]
         qlit = ", ".join(map(str, qm))
         parts.append(f"""ex{qi} AS (
       SELECT vec_id FROM (

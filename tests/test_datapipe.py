@@ -1486,6 +1486,19 @@ def test_incremental_kmeans_across_batches(spark, tmp_path):
     want = similarity.kmeans_assignments(b1, "embedding", "vec_id", k=3, iters=2)
     assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, want.collect()))
 
+    # crash-replay of batch 0 (the r5 ADVICE gap): the exclude-fold
+    # sees zero surviving suffstats and falls back to the seeds table,
+    # which persists the FITTED centroids (not the raw lowest-id seed
+    # vectors) — any iters_first > 1 diverges otherwise. The replay
+    # must land bit-identical assignments and append nothing.
+    n0 = spark.read.parquet(f"{state}/suffstats").count()
+    a1r = incremental_kmeans(
+        spark, b1, "embedding", "vec_id", state, k=3, iters_first=2,
+        batch_id=0,
+    )
+    assert sorted(map(tuple, a1r.collect())) == sorted(map(tuple, a1.collect()))
+    assert spark.read.parquet(f"{state}/suffstats").count() == n0
+
     # state centroids must equal the exact integer grid-mean of batch-1
     # members under the final assignment
     cents = kmeans_state_centroids(spark, state)

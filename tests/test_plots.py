@@ -62,6 +62,23 @@ def test_power_curve_plot_data_flag_stratified(spark):
     assert "flag" in data["curve"].columns  # one curve per flag value
 
 
+def test_power_curve_plot_data_rare_stratum_survives(spark):
+    """r5 ADVICE: a rare flagged stratum (the filtered outliers the
+    plot exists to show) must never downsample to zero — the budget is
+    split per stratum, so 20 flagged rows among 20k survive whole."""
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 250 / 10.0).alias("ws"),
+        (F.col("id") % 2000 * 1.0).alias("p"),
+        (F.col("id") < 20).alias("flag"),
+    )
+    data = plots.power_curve_plot_data(
+        df, "ws", "p", max_points=400, flag_col="flag"
+    )
+    sc = data["scatter"]
+    assert (sc["flag"]).sum() == 20          # rare stratum kept whole
+    assert (~sc["flag"]).sum() <= 2 * 200    # common stratum capped
+
+
 def test_column_histograms_data(spark):
     df = spark.range(0, 10000).select(
         (F.col("id") % 100).cast("double").alias("a"),
