@@ -1,12 +1,23 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode/feature kernels are STUBS (the container has no image or
-audio codecs) — clearly marked below — but the Spark-side contract is
-real and tested: schemas, Arrow batch shapes, ``mapInPandas``
-signatures, and partition sizing are exactly what a production decode
-stage uses; swapping the stub body for PIL/ffmpeg is a one-function
-change.
+Two tiers of decode live here:
+
+- REAL header decoders (:func:`parse_png_header`,
+  :func:`parse_wav_header`) — genuine byte-level PNG/RIFF parsing in
+  pure Python (signature validation, chunk walking, field extraction
+  at spec offsets). No PIL/ffmpeg needed for metadata-grade decoding;
+  :func:`png_image_codec` plugs the PNG parser into the
+  ``image_features`` codec seam. Matching synthesizers
+  (:func:`synthesize_png` — a fully valid zlib-stream RGB8 PNG with
+  real CRCs — and :func:`synthesize_wav`) are written independently
+  against the specs, so the oracle-backed ``multimodal_*`` registry
+  queries cross-check builder and parser against each other and
+  against arithmetic the DuckDB twin derives from first principles.
+- STUB pixel/content kernels (``default_image_codec``'s feature half)
+  for the parts that genuinely need an image/audio library absent in
+  this container; the Arrow plumbing around them is real and tested,
+  and swapping in PIL/ffmpeg is a one-function change.
 """
 
 from __future__ import annotations
@@ -117,6 +128,320 @@ def image_features(
             )
 
     return df.select("media_id", "content").mapInPandas(_extract, IMAGE_FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------- real decoders
+#
+# Builder (synthesize_*) and parser (parse_*_header) are deliberately
+# written against the specs independently — the builder assembles with
+# struct.pack format strings, the parser walks chunks and reads fields
+# at named offsets — so an offset/endianness bug in either side breaks
+# the oracle-backed metadata queries instead of cancelling out.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png_header(content: bytes):
+    """REAL PNG decode (metadata grade): validate the 8-byte
+    signature, walk the chunk stream to IHDR, and read big-endian
+    width/height plus bit depth and color type. Returns
+    ``(width, height, bit_depth, color_type)`` or ``None`` for
+    non-PNG / truncated payloads (the corrupt-media detection
+    contract — never raises on arbitrary bytes)."""
+    import struct
+
+    if content is None or len(content) < 33 or content[:8] != _PNG_SIG:
+        return None
+    pos = 8
+    while pos + 8 <= len(content):
+        length = struct.unpack(">I", content[pos:pos + 4])[0]
+        ctype = content[pos + 4:pos + 8]
+        if ctype == b"IHDR":
+            if length != 13 or pos + 8 + 13 > len(content):
+                return None
+            w, h = struct.unpack(">II", content[pos + 8:pos + 16])
+            bit_depth = content[pos + 16]
+            color_type = content[pos + 17]
+            if w == 0 or h == 0:
+                return None
+            return (int(w), int(h), int(bit_depth), int(color_type))
+        pos += 8 + length + 4  # len + type + data + crc
+    return None
+
+
+def parse_wav_header(content: bytes):
+    """REAL WAV (RIFF) decode: validate the RIFF/WAVE magic, walk the
+    word-aligned chunk list for ``fmt `` and ``data``, and return
+    ``(channels, sample_rate, bits_per_sample, n_samples)`` or
+    ``None`` for malformed payloads."""
+    import struct
+
+    if (
+        content is None
+        or len(content) < 12
+        or content[:4] != b"RIFF"
+        or content[8:12] != b"WAVE"
+    ):
+        return None
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        clen = struct.unpack("<I", content[pos + 4:pos + 8])[0]
+        if cid == b"fmt ":
+            if clen < 16 or pos + 24 > len(content):
+                return None
+            _audio_fmt, ch, rate = struct.unpack(
+                "<HHI", content[pos + 8:pos + 16]
+            )
+            bits = struct.unpack("<H", content[pos + 22:pos + 24])[0]
+            fmt = (int(ch), int(rate), int(bits))
+        elif cid == b"data":
+            data_len = int(clen)
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are 2-byte aligned
+    if fmt is None or data_len is None:
+        return None
+    ch, rate, bits = fmt
+    if ch == 0 or bits == 0 or bits % 8:
+        return None
+    return (ch, rate, bits, data_len // (ch * (bits // 8)))
+
+
+def png_image_codec(content: bytes) -> tuple[int, int, list[float]]:
+    """REAL decode path for the :func:`image_features` codec seam:
+    dimensions from the PNG IHDR (parse_png_header) plus the 8-bin
+    byte-histogram feature. Register with ``set_image_codec`` — same
+    contract as the stub, genuine parsing."""
+    raw = content or b""
+    hdr = parse_png_header(raw)
+    if hdr is None:
+        return (0, 0, [0.0] * 8)
+    w, h, _, _ = hdr
+    feature = (
+        np.bincount(np.frombuffer(raw, dtype=np.uint8) & 7, minlength=8)
+        .astype(float)
+        .tolist()
+    )
+    return (w, h, feature)
+
+
+# ---------------------------------------------------- synthesizers
+
+
+def synthesize_png(width: int, height: int, seed: int = 0) -> bytes:
+    """A genuinely valid RGB8 PNG: signature, IHDR, one zlib-stream
+    IDAT (level-0 stored block — size is exactly ``raw + 11`` bytes,
+    so total file size is closed-form arithmetic an oracle can
+    replay), IEND; every chunk carries its real CRC32. Pixels are a
+    deterministic function of ``seed`` (linear byte ramp). Any PNG
+    reader opens the result."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = 3 * width
+    idx = np.arange(height * stride, dtype=np.int64)
+    pix = ((seed * 31 + idx * 7) % 256).astype(np.uint8).reshape(
+        height, stride
+    )
+    raw = b"".join(b"\x00" + r.tobytes() for r in pix)  # filter: None
+    if len(raw) >= 60000:
+        # one stored block only — keeps len(compressed) == len+11 exact
+        raise ValueError("synthetic image too large for one stored block")
+    idat = zlib.compress(raw, 0)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthesize_wav(
+    channels: int, sample_rate: int, n_samples: int, seed: int = 0
+) -> bytes:
+    """A genuinely valid PCM16 WAV: RIFF/WAVE header, canonical 16-byte
+    ``fmt `` chunk, one ``data`` chunk of deterministic int16 samples
+    derived from ``seed``. Total size = 44 + 2*channels*n_samples —
+    closed-form for the oracle."""
+    import struct
+
+    idx = np.arange(channels * n_samples, dtype=np.int64)
+    samples = (((seed * 7 + idx * 13) % 65536) - 32768).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * channels * 2, channels * 2, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthesize_png_column(
+    df: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """Map-only Arrow pass building a binary PNG column from a spec
+    frame ``(id_col, _w, _h, _seed)`` -> ``(id_col, content)``. The
+    scale shape of a decode stage in reverse: bytes are born in the
+    executor and never shuffle (consume them in the same stage)."""
+    from openoa_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "content": [
+                        synthesize_png(int(w), int(h), int(s))
+                        for w, h, s in zip(pdf["_w"], pdf["_h"], pdf["_seed"])
+                    ],
+                }
+            )
+
+    return df.select(id_col, "_w", "_h", "_seed").mapInPandas(_synth, schema)
+
+
+def synthesize_wav_column(
+    df: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """As :func:`synthesize_png_column`, for WAV: spec frame
+    ``(id_col, _ch, _rate, _n, _seed)`` -> ``(id_col, content)``."""
+    from openoa_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "content": [
+                        synthesize_wav(int(c), int(r), int(n), int(s))
+                        for c, r, n, s in zip(
+                            pdf["_ch"], pdf["_rate"], pdf["_n"], pdf["_seed"]
+                        )
+                    ],
+                }
+            )
+
+    return df.select(id_col, "_ch", "_rate", "_n", "_seed").mapInPandas(
+        _synth, schema
+    )
+
+
+IMAGE_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("color_type", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+AUDIO_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("bits", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def image_metadata(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Decode PNG header metadata for every row of a binary table via
+    one Arrow ``mapInPandas`` pass (the payload is dropped on output —
+    only scalars shuffle). Malformed payloads yield NULL fields, the
+    corrupt-media detection surface."""
+    from openoa_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                hdr = parse_png_header(raw)
+                w, h, bd, ct = hdr if hdr else (None, None, None, None)
+                rows.append(
+                    {
+                        "media_id": mid, "width": w, "height": h,
+                        "bit_depth": bd, "color_type": ct,
+                        "n_bytes": len(raw),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_METADATA_SCHEMA.fields]
+            )
+
+    return df.select(
+        F.col(id_col).alias("media_id"), "content"
+    ).mapInPandas(_meta, IMAGE_METADATA_SCHEMA)
+
+
+def audio_metadata(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Decode WAV header metadata (channels, rate, bits, exact sample
+    count, integer-floor duration_ms) per row — same Arrow shape as
+    :func:`image_metadata`."""
+    from openoa_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                hdr = parse_wav_header(raw)
+                if hdr:
+                    ch, rate, bits, n = hdr
+                    dur = (n * 1000) // rate if rate else None
+                else:
+                    ch = rate = bits = n = dur = None
+                rows.append(
+                    {
+                        "media_id": mid, "channels": ch,
+                        "sample_rate": rate, "bits": bits,
+                        "n_samples": n, "duration_ms": dur,
+                        "n_bytes": len(raw),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_METADATA_SCHEMA.fields]
+            )
+
+    return df.select(
+        F.col(id_col).alias("media_id"), "content"
+    ).mapInPandas(_meta, AUDIO_METADATA_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_n_seconds: float = 1.0) -> DataFrame:

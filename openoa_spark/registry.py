@@ -3578,6 +3578,135 @@ def sliding_chunks_docs(spark, sf_dir):
 
 
 @register(
+    "multimodal_image_metadata",
+    """
+    SELECT doc_id,
+           CAST(16 + doc_id % 32 AS INT) AS width,
+           CAST(16 + doc_id % 24 AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(2 AS INT) AS color_type,
+           CAST(68 + (16 + doc_id % 24) * (1 + 3 * (16 + doc_id % 32))
+                AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_image_metadata(spark, sf_dir):
+    """Image-column metadata extraction with a REAL decode path: each
+    doc_id deterministically synthesizes a fully valid RGB8 PNG
+    (real zlib stream + chunk CRCs, multimodal.synthesize_png), and
+    one Arrow mapInPandas pass parses the IHDR back out
+    (multimodal.parse_png_header — byte-level chunk walking, no PIL).
+    Builder and parser are independent spec implementations, and the
+    oracle derives width/height/bit-depth/color-type AND the exact
+    file size from first-principles arithmetic (level-0 zlib stored
+    block: |IDAT data| = raw + 11), so a single mis-packed offset on
+    either side fails the hash. Scale shape: bytes are born and
+    decoded inside one map stage — only scalar metadata ever
+    shuffles, the pattern that makes a 100 TB image corpus tractable."""
+    from openoa_spark.datapipe import multimodal
+    from openoa_spark.session import spread_small_input
+
+    docs = spread_small_input(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+    spec = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(16) + F.col("doc_id") % 32).cast("int").alias("_w"),
+        (F.lit(16) + F.col("doc_id") % 24).cast("int").alias("_h"),
+        (F.col("doc_id") * 7919 % 1000003).alias("_seed"),
+    )
+    media = multimodal.synthesize_png_column(spec)
+    return multimodal.image_metadata(media).select(
+        F.col("media_id").alias("doc_id"),
+        "width", "height", "bit_depth", "color_type", "n_bytes",
+    )
+
+
+@register(
+    "multimodal_audio_metadata",
+    """
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(8000 + 1000 * (doc_id % 5) AS INT) AS sample_rate,
+           CAST(16 AS INT) AS bits,
+           CAST(100 + doc_id % 400 AS BIGINT) AS n_samples,
+           CAST((100 + doc_id % 400) * 1000
+                // (8000 + 1000 * (doc_id % 5)) AS BIGINT) AS duration_ms,
+           CAST(44 + 2 * (1 + doc_id % 2) * (100 + doc_id % 400)
+                AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_audio_metadata(spark, sf_dir):
+    """Audio-column metadata twin of multimodal_image_metadata: a
+    valid PCM16 WAV per doc_id (multimodal.synthesize_wav), RIFF
+    chunk-walk decode back to channels/rate/bits/exact sample count
+    (multimodal.parse_wav_header), and integer-floor duration_ms —
+    all replayed by the oracle as closed-form arithmetic (file size =
+    44 + 2*channels*n_samples). Map-only; payloads never shuffle."""
+    from openoa_spark.datapipe import multimodal
+    from openoa_spark.session import spread_small_input
+
+    docs = spread_small_input(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+    spec = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("_ch"),
+        (F.lit(8000) + F.lit(1000) * (F.col("doc_id") % 5))
+        .cast("int").alias("_rate"),
+        (F.lit(100) + F.col("doc_id") % 400).alias("_n"),
+        (F.col("doc_id") * 104729 % 999983).alias("_seed"),
+    )
+    media = multimodal.synthesize_wav_column(spec)
+    return multimodal.audio_metadata(media).select(
+        F.col("media_id").alias("doc_id"),
+        "channels", "sample_rate", "bits",
+        "n_samples", "duration_ms", "n_bytes",
+    )
+
+
+@register(
+    "multimodal_corrupt_media",
+    """
+    SELECT doc_id, doc_id % 13 <> 0 AS is_valid
+    FROM documents
+    """,
+)
+def multimodal_corrupt_media(spark, sf_dir):
+    """Corrupt-media detection over a binary column: every 13th
+    payload is truncated to its first 20 bytes (not even a full PNG
+    signature+IHDR), and the REAL header parser must classify exactly
+    those as invalid (NULL metadata) without raising. The oracle knows
+    which rows were corrupted by construction; the engine has to
+    rediscover them from the bytes."""
+    from openoa_spark.datapipe import multimodal
+    from openoa_spark.session import spread_small_input
+
+    docs = spread_small_input(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+    spec = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(16) + F.col("doc_id") % 32).cast("int").alias("_w"),
+        (F.lit(16) + F.col("doc_id") % 24).cast("int").alias("_h"),
+        (F.col("doc_id") * 7919 % 1000003).alias("_seed"),
+    )
+    media = multimodal.synthesize_png_column(spec)
+    corrupted = media.select(
+        "media_id",
+        F.when(
+            F.col("media_id") % 13 == 0,
+            F.expr("substring(content, 1, 20)"),
+        ).otherwise(F.col("content")).alias("content"),
+    )
+    return multimodal.image_metadata(corrupted).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").isNotNull().alias("is_valid"),
+    )
+
+
+@register(
     "embedding_int8_quantization",
     """
     WITH s AS (

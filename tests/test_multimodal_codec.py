@@ -92,3 +92,112 @@ def test_output_schema_is_codec_independent(media_df):
         assert not any(
             isinstance(f.dataType, T.BinaryType) for f in out.schema.fields
         )
+
+
+# ------------------------------------------------- real decoders (r6)
+
+
+def test_png_builder_parser_roundtrip():
+    """synthesize_png emits a fully valid PNG (true zlib stream, real
+    chunk CRCs) and parse_png_header recovers the IHDR fields; the
+    level-0 stored block makes total size closed-form."""
+    import struct
+
+    for w, h, seed in ((1, 1, 0), (20, 12, 7), (47, 39, 123456)):
+        png = multimodal.synthesize_png(w, h, seed)
+        assert multimodal.parse_png_header(png) == (w, h, 8, 2)
+        raw_len = h * (1 + 3 * w)
+        assert len(png) == 68 + raw_len
+        # IDAT payload is a genuine zlib stream of the filtered rows
+        idat_len = struct.unpack(">I", png[33:37])[0]
+        body = zlib.decompress(png[41:41 + idat_len])
+        assert len(body) == raw_len
+        assert all(body[i * (1 + 3 * w)] == 0 for i in range(h))  # filters
+        # chunk CRCs are real CRC32s
+        ihdr_crc = struct.unpack(">I", png[29:33])[0]
+        assert ihdr_crc == zlib.crc32(png[12:29])
+
+
+def test_png_parser_rejects_malformed():
+    png = multimodal.synthesize_png(8, 8, 1)
+    assert multimodal.parse_png_header(b"") is None
+    assert multimodal.parse_png_header(b"not a png at all....!!..") is None
+    assert multimodal.parse_png_header(png[:20]) is None  # truncated
+    assert multimodal.parse_png_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40) is None
+    zero = bytearray(png)
+    zero[16:20] = b"\x00\x00\x00\x00"  # width 0
+    assert multimodal.parse_png_header(bytes(zero)) is None
+
+
+def test_wav_builder_parser_roundtrip():
+    for ch, rate, n, seed in ((1, 8000, 100, 0), (2, 12000, 499, 9)):
+        wav = multimodal.synthesize_wav(ch, rate, n, seed)
+        assert multimodal.parse_wav_header(wav) == (ch, rate, 16, n)
+        assert len(wav) == 44 + 2 * ch * n
+
+
+def test_wav_parser_walks_extra_chunks_and_rejects_malformed():
+    import struct
+
+    wav = multimodal.synthesize_wav(1, 8000, 50, 2)
+    # splice an odd-length LIST chunk between fmt and data: the walker
+    # must skip it (word-aligned) and still find data
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad
+    spliced = wav[:fmt_end] + extra + wav[fmt_end:]
+    spliced = (
+        spliced[:4]
+        + struct.pack("<I", len(spliced) - 8)
+        + spliced[8:]
+    )
+    assert multimodal.parse_wav_header(spliced) == (1, 8000, 16, 50)
+    assert multimodal.parse_wav_header(b"") is None
+    assert multimodal.parse_wav_header(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert multimodal.parse_wav_header(wav[:30]) is None
+
+
+def test_png_codec_behind_image_features_seam(spark):
+    """The REAL PNG parser drives the existing image_features codec
+    seam: dimensions come from the IHDR, not the byte-length stub."""
+    rows = [
+        (1, "image", multimodal.synthesize_png(21, 17, 5), "image/png", None),
+        (2, "image", b"corrupt", None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r
+        for r in multimodal.image_features(
+            df, codec=multimodal.png_image_codec
+        ).collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (21, 17)
+    assert out[1]["n_bytes"] == 68 + 17 * (1 + 3 * 21)
+    assert (out[2]["width"], out[2]["height"]) == (0, 0)
+
+
+def test_metadata_extractors_null_on_corrupt(spark):
+    png = multimodal.synthesize_png(9, 9, 3)
+    df = spark.createDataFrame(
+        [(1, png), (2, png[:15]), (3, None)],
+        T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]),
+    )
+    out = {r["media_id"]: r for r in multimodal.image_metadata(df).collect()}
+    assert out[1]["width"] == 9 and out[1]["bit_depth"] == 8
+    assert out[2]["width"] is None and out[2]["n_bytes"] == 15
+    assert out[3]["width"] is None and out[3]["n_bytes"] == 0
+
+    wav = multimodal.synthesize_wav(2, 9000, 150, 3)
+    dfw = spark.createDataFrame(
+        [(1, wav), (2, wav[:25])],
+        T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]),
+    )
+    got = {r["media_id"]: r for r in multimodal.audio_metadata(dfw).collect()}
+    assert got[1]["n_samples"] == 150
+    assert got[1]["duration_ms"] == 150 * 1000 // 9000
+    assert got[2]["channels"] is None and got[2]["n_bytes"] == 25
