@@ -7804,6 +7804,51 @@ def lang_metadata_mismatch(spark, sf_dir):
 
 
 _PRIORITY = [
+    # ---- ROUND 6 window (policy: never-driver-verified first, then
+    # brand-new, then plan-changed, then longest-unchecked fill) ----
+    # (1) The 7 queries with no all-green driver row yet: the r5 PQ
+    # family + sliding chunks landed after the 50 slots filled, and
+    # embedding_int8_quantization was RED in r5 (array-typed output;
+    # now flattened to a comma-joined scalar in both engines, as is
+    # pq_codes_embeddings which would have hit the same canonicalizer
+    # bug on arrival).
+    "embedding_int8_quantization", "pq_codes_embeddings",
+    "pq_adc_topk", "ivf_pq_topk", "pq_recall_measured",
+    "pq_reconstruction_error", "sliding_chunks_docs",
+    # (2) Brand-new this round: the multimodal real-decode family
+    # (valid PNG/WAV synth -> byte-level header parse, oracle =
+    # closed-form arithmetic) and the analysis-pipeline prep stages
+    # (ElectricalLosses coverage filter via the real pipeline
+    # function, AEP monthly meter aggregate, TIE corrected daily
+    # energy).
+    "multimodal_image_metadata", "multimodal_audio_metadata",
+    "multimodal_corrupt_media", "elosses_daily_coverage_energy",
+    "aep_monthly_meter_prep", "tie_daily_corrected_energy",
+    # (3) Plan-changed this round: forced F.broadcast hints on
+    # SF-scaled tables (customer/part/per-key aggregates) were
+    # dropped (r5 VERDICT item 4) — AQE re-plans these joins, so they
+    # re-prove under the driver.
+    "q3_top_revenue_orders", "q5_nation_revenue", "q10_returned_revenue",
+    "q14_promo_revenue_pct", "q16_supplier_variety",
+    "q18_large_volume_customers", "q19_bracketed_revenue",
+    "q7_volume_shipping", "q8_market_share",
+    "q17_small_quantity_revenue", "q20_heavy_suppliers",
+    "q9_profit_by_nation_year", "q2_min_price_part_supplier",
+    "cohort_retention", "nation_share_of_region",
+    # (4) Longest-unchecked fill: last all-green driver row was
+    # round 2 for all of these (alphabetical prefix of that cohort).
+    "air_density", "asof_hourly_value", "asset_direction_pairs",
+    "asset_distance_pairs", "avg_word_lengths",
+    "calendar_hour_profile", "circular_mean_by_type", "cosine_topk",
+    "cumulative_sum_per_user", "doc_fingerprints",
+    "duplicate_minutes", "embedding_norms", "exact_dedup_docs",
+    "find_hour_gaps", "gross_energy_frac", "iec_power_curve",
+    "impute_linear_synthetic", "infer_frequency",
+    "lag_delta_per_user", "language_id", "lsh_bucket_counts",
+    "nearest_neighbor",
+]
+
+_PRIORITY_R5 = [
     # Round 5: the complete never-driver-checked set (29 queries) —
     # after rounds 1-4, these are the ONLY registry entries without an
     # all-green CORRECTNESS_r*.json row. With all 29 in the 50-name
