@@ -296,18 +296,278 @@ def wake_losses_plot_data(result, kind: str = "wd") -> pd.DataFrame:
 
 
 # ------------------------------------------------------------------- render
+#
+# The render halves of every mapped reference plot (PLOTTING.md).
+# Contract: each renderer consumes ONLY its builder's driver-sized
+# output and an optional axes object. matplotlib is imported lazily
+# and ONLY when no axes is supplied, so (a) the container without
+# matplotlib can still test every renderer end-to-end by injecting a
+# recording fake, and (b) in a real deployment `render_x(build_x(df))`
+# produces the reference figure. Reference: openoa/utils/plot.py and
+# the per-analysis .plot_* methods (lines cited per function).
 
 
-def render_power_curve(data: dict[str, pd.DataFrame], ax=None):
-    """Minimal matplotlib rendering of power_curve_plot_data output
-    (requires matplotlib — absent here; kept thin on purpose)."""
-    plt = _mpl()  # pragma: no cover - no matplotlib in this container
-    ax = ax or plt.gca()
-    ax.scatter(data["scatter"].iloc[:, -2], data["scatter"].iloc[:, -1],
-               s=4, alpha=0.3)
-    ax.plot(data["curve"]["ws_bin"], data["curve"]["mean_power"])
+def _ax(ax):
+    if ax is not None:
+        return ax
+    return _mpl().gca()  # pragma: no cover - no matplotlib here
+
+
+def _axes_grid(n: int, axes=None):
+    """Return a flat list of n axes — the supplied ones (validated)
+    or a fresh matplotlib grid."""
+    if axes is not None:
+        axes = list(axes)
+        if len(axes) < n:
+            raise ValueError(f"need {n} axes, got {len(axes)}")
+        return axes[:n]
+    plt = _mpl()  # pragma: no cover - no matplotlib here
+    ncols = min(n, 3)  # pragma: no cover
+    nrows = -(-n // ncols)  # pragma: no cover
+    _, axs = plt.subplots(nrows, ncols, squeeze=False)  # pragma: no cover
+    return [a for row in axs for a in row][:n]  # pragma: no cover
+
+
+def render_power_curve(data: dict[str, pd.DataFrame], ax=None,
+                       ws_col: str | None = None,
+                       power_col: str | None = None,
+                       flag_col: str | None = None):
+    """plot_power_curve (ref plot.py:433): hash-capped scatter + the
+    exact IEC binned curve. With ``flag_col``, kept and flagged marks
+    render as separate series (the filtered-outlier overlay of TIE's
+    plot_filtered_power_curves, tie:567)."""
+    ax = _ax(ax)
+    sc, curve = data["scatter"], data["curve"]
+    if ws_col is None or power_col is None:
+        non_flag = [c for c in sc.columns if c != flag_col]
+        ws_col, power_col = non_flag[-2], non_flag[-1]
+    if flag_col and flag_col in sc.columns:
+        for val, sub in sc.groupby(flag_col, sort=True):
+            ax.scatter(sub[ws_col], sub[power_col], s=4, alpha=0.3,
+                       label=f"{flag_col}={val}")
+        ax.legend()
+    else:
+        ax.scatter(sc[ws_col], sc[power_col], s=4, alpha=0.3)
+    key_cols = [c for c in curve.columns
+                if c not in ("ws_bin", "mean_power", "n")]
+    if key_cols:
+        for key, sub in curve.groupby(key_cols, sort=True):
+            ax.plot(sub["ws_bin"], sub["mean_power"], label=str(key))
+    else:
+        ax.plot(curve["ws_bin"], curve["mean_power"])
     ax.set_xlabel("wind speed (m/s)")
     ax.set_ylabel("power (kW)")
+    return ax
+
+
+def render_windfarm(data: pd.DataFrame, ax=None, annotate: bool = True):
+    """plot_windfarm (ref plot.py:161-290): planar asset map — one
+    scatter series per asset type, ids annotated."""
+    ax = _ax(ax)
+    for typ, sub in data.groupby("type", sort=True):
+        ax.scatter(sub["x_m"], sub["y_m"], label=str(typ))
+    if annotate:
+        for _, r in data.iterrows():
+            ax.annotate(str(r["asset_id"]), (r["x_m"], r["y_m"]))
+    ax.set_xlabel("easting (m)")
+    ax.set_ylabel("northing (m)")
+    ax.set_aspect("equal")
+    ax.legend()
+    return ax
+
+
+def render_by_id(data: pd.DataFrame, id_col: str, time_col: str,
+                 value_col: str, axes=None):
+    """plot_by_id (ref plot.py:293-391): one timeseries panel per
+    asset from a long (id, time, value) frame (the keyed bucket
+    aggregate the registry's resample queries produce)."""
+    ids = sorted(data[id_col].unique())
+    axs = _axes_grid(len(ids), axes)
+    for ax, i in zip(axs, ids):
+        sub = data[data[id_col] == i].sort_values(time_col)
+        ax.plot(sub[time_col], sub[value_col])
+        ax.set_title(str(i))
+        ax.set_ylabel(value_col)
+    return axs
+
+
+def render_column_histograms(data: pd.DataFrame, axes=None):
+    """column_histograms (ref plot.py:394-430): one bar panel per
+    column from the long (column, bin_left, bin_right, count)
+    frame."""
+    cols = sorted(data["column"].unique())
+    axs = _axes_grid(len(cols), axes)
+    for ax, c in zip(axs, cols):
+        sub = data[data["column"] == c]
+        ax.bar(sub["bin_left"], sub["count"],
+               width=(sub["bin_right"] - sub["bin_left"]),
+               align="edge")
+        ax.set_title(c)
+        ax.set_ylabel("count")
+    return axs
+
+
+def render_distribution(data: pd.DataFrame, ax=None,
+                        xlabel: str = "value"):
+    """plot_distributions / plot_result_aep_distributions (ref
+    plot.py:668, aep.py:1413): histogram bars of the per-sim
+    scalars."""
+    ax = _ax(ax)
+    ax.bar(data["bin_left"], data["count"],
+           width=(data["bin_right"] - data["bin_left"]), align="edge")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel("count")
+    return ax
+
+
+def render_boxplot(stats: dict[str, float], ax=None,
+                   label: str = ""):
+    """plot_boxplot / plot_aep_boxplot (ref plot.py:812,
+    aep.py:1468): feed the precomputed five-number summary straight
+    into Axes.bxp (no raw data needed — the renderer never recomputes
+    statistics)."""
+    ax = _ax(ax)
+    ax.bxp(
+        [
+            {
+                "med": stats["median"], "q1": stats["q1"],
+                "q3": stats["q3"], "whislo": stats["whisker_low"],
+                "whishi": stats["whisker_high"], "mean": stats["mean"],
+                "label": label, "fliers": [],
+            }
+        ],
+        showmeans=True, showfliers=False,
+    )
+    return ax
+
+
+def render_waterfall(data: pd.DataFrame, ax=None):
+    """plot_waterfall (ref plot.py:896-981, eya_gap_analysis.py:180):
+    floating bars at the builder's cumulative geometry + running-total
+    connector steps."""
+    ax = _ax(ax)
+    x = np.arange(len(data))
+    ax.bar(x, data["height"], bottom=data["bottom"])
+    run = [float(data["value"].iloc[0])]
+    for v in data["value"].iloc[1:-1]:
+        run.append(run[-1] + float(v))
+    for i, lvl in enumerate(run):
+        ax.plot([i - 0.4, i + 1.4], [lvl, lvl])
+    ax.set_xticks(x, [str(s) for s in data["label"]])
+    return ax
+
+
+def render_monthly_windspeed(data: pd.DataFrame, ax=None,
+                             normalized: bool = False):
+    """plot_monthly_reanalysis_windspeed (ref plot.py:509) /
+    AEP.plot_normalized_monthly_reanalysis_windspeed (aep.py:1197):
+    one line per year across calendar months; ``normalized`` switches
+    to the climatology-normalized series."""
+    ax = _ax(ax)
+    col = "ws_norm" if normalized else "ws"
+    for year, sub in data.groupby("year", sort=True):
+        sub = sub.sort_values("month")
+        ax.plot(sub["month"], sub[col], label=str(year))
+    ax.set_xlabel("month")
+    ax.set_ylabel("normalized wind speed" if normalized
+                  else "wind speed (m/s)")
+    ax.legend()
+    return ax
+
+
+def render_energy_losses_timeseries(data: pd.DataFrame, axes=None):
+    """plot_plant_energy_losses_timeseries (ref plot.py:594) /
+    AEP.plot_aggregate_plant_data_timeseries (aep.py:1360): one panel
+    per series from the tidy (period, series, value) frame."""
+    series = sorted(data["series"].unique())
+    axs = _axes_grid(len(series), axes)
+    for ax, s in zip(axs, series):
+        sub = data[data["series"] == s].sort_values("period")
+        ax.plot(sub["period"], sub["value"])
+        ax.set_title(s)
+    return axs
+
+
+def render_monthly_losses(data: pd.DataFrame, ax=None):
+    """ElectricalLosses.plot_monthly_losses (electrical_losses.py:332):
+    per-month loss fraction line over the scada/meter series."""
+    ax = _ax(ax)
+    period_col = data.columns[0]
+    ax.plot(data[period_col], data["loss"], marker="o")
+    ax.set_ylabel("loss fraction")
+    return ax
+
+
+def render_wake_losses(data: pd.DataFrame, ax=None,
+                       xlabel: str = "wind direction bin"):
+    """WakeLosses.plot_wake_losses_by_wind_direction / _by_wind_speed
+    (wake_losses.py:1319,1411; utils plot.py:1081): POR and long-term
+    mean lines with ±1 MC-std bands."""
+    ax = _ax(ax)
+    for prefix, label in (("por", "period of record"),
+                          ("lt", "long-term corrected")):
+        m, s = data[f"{prefix}_mean"], data[f"{prefix}_std"]
+        ax.plot(data["bin"], m, label=label)
+        ax.fill_between(data["bin"], m - s, m + s, alpha=0.2)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel("wake losses")
+    ax.legend()
+    return ax
+
+
+def render_yaw_misalignment(points: pd.DataFrame, params, mean_vane,
+                            ax=None,
+                            vane_col: str = "vane_bin",
+                            power_col: str = "power"):
+    """StaticYawMisalignment.plot_yaw_misalignment[_by_turbine]
+    (yaw.py:585; utils plot.py:1329): per-vane-bin normalized power
+    points, the fitted cosine-exponent curve, and the two vertical
+    markers (curve peak vs mean vane angle) whose gap IS the
+    misalignment estimate."""
+    from openoa_spark.functions.regression import cos_curve
+
+    ax = _ax(ax)
+    amp, offset, cos_exp = (float(p) for p in params)
+    ax.scatter(points[vane_col], points[power_col], s=10)
+    grid = np.linspace(float(points[vane_col].min()),
+                       float(points[vane_col].max()), 100)
+    ax.plot(grid, cos_curve(grid, amp, offset, cos_exp))
+    ax.axvline(offset, linestyle="--")
+    ax.axvline(float(mean_vane), linestyle=":")
+    ax.set_xlabel("vane angle (deg)")
+    ax.set_ylabel("normalized power")
+    return ax
+
+
+def render_daylight_savings(data: pd.DataFrame, time_col: str,
+                            power_col: str, axes=None):
+    """qa.daylight_savings_plot (ref qa.py:266-466), render half: one
+    panel per (year, transition) window of power against the raw
+    timestamps — duplicated/missing stamps around the shift show as
+    overplots/gaps."""
+    groups = sorted(
+        {(int(y), str(t)) for y, t in zip(data["year"], data["transition"])}
+    )
+    axs = _axes_grid(len(groups), axes)
+    for ax, (year, trans) in zip(axs, groups):
+        sub = data[(data["year"] == year) & (data["transition"] == trans)]
+        sub = sub.sort_values(time_col)
+        ax.plot(sub[time_col], sub[power_col], marker=".")
+        ax.set_title(f"{year} {trans}")
+    return axs
+
+
+def render_wtk_diurnal(data: pd.DataFrame, ax=None):
+    """qa.wtk_diurnal_plot (ref qa.py:556-618): the two self-normalized
+    hour-of-day profiles (WTK wind speed vs plant power) on one
+    axes."""
+    ax = _ax(ax)
+    sub = data.sort_values("hour")
+    ax.plot(sub["hour"], sub["ws_norm"], label="WTK wind speed")
+    ax.plot(sub["hour"], sub["power_norm"], label="plant power")
+    ax.set_xlabel("hour of day")
+    ax.set_ylabel("normalized mean")
+    ax.legend()
     return ax
 
 

@@ -229,3 +229,245 @@ def test_monthly_losses_plot_data():
     assert out["loss"].tolist() == [
         pytest.approx(0.02), pytest.approx(0.03)
     ]
+
+
+# ------------------------------------------------ render layer (r6)
+#
+# Every renderer accepts an injected axes object and imports
+# matplotlib ONLY when none is given — so the render halves are fully
+# testable here (no matplotlib in this container) with a recording
+# fake that pins WHAT is drawn from WHICH builder columns.
+
+
+class FakeAxes:
+    def __init__(self):
+        self.calls = []
+
+    def __getattr__(self, name):
+        def rec(*a, **k):
+            self.calls.append((name, a, k))
+        return rec
+
+    def of(self, name):
+        return [c for c in self.calls if c[0] == name]
+
+
+def test_render_power_curve_flag_series_and_keyed_curves(spark):
+    scada = (
+        spark.createDataFrame(make_scada(days=4))
+        .withColumn("flag", F.col("WTUR_W") < 50.0)
+    )
+    data = plots.power_curve_plot_data(
+        scada, "WMET_HorWdSpd", "WTUR_W",
+        keys=["asset_id"], max_points=10**9, flag_col="flag",
+    )
+    ax = FakeAxes()
+    plots.render_power_curve(
+        data, ax=ax, ws_col="WMET_HorWdSpd", power_col="WTUR_W",
+        flag_col="flag",
+    )
+    scat = ax.of("scatter")
+    assert len(scat) == 2  # one series per flag stratum
+    n_pts = sum(len(c[1][0]) for c in scat)
+    assert n_pts == len(data["scatter"])
+    # one curve line per (asset, flag) group
+    lines = ax.of("plot")
+    n_groups = data["curve"].groupby(["asset_id", "flag"]).ngroups
+    assert len(lines) == n_groups
+    assert ax.of("legend") and ax.of("set_xlabel")
+
+
+def test_render_windfarm_series_and_annotations():
+    data = pd.DataFrame({
+        "asset_id": ["t1", "t2", "m1"],
+        "x_m": [0.0, 500.0, 250.0],
+        "y_m": [0.0, 0.0, 100.0],
+        "latitude": [0.0] * 3, "longitude": [0.0] * 3,
+        "type": ["turbine", "turbine", "tower"],
+    })
+    ax = FakeAxes()
+    plots.render_windfarm(data, ax=ax)
+    assert len(ax.of("scatter")) == 2          # turbine + tower series
+    assert len(ax.of("annotate")) == 3         # every asset labeled
+    assert ax.of("set_aspect")[0][1] == ("equal",)
+
+
+def test_render_by_id_one_panel_per_asset():
+    data = pd.DataFrame({
+        "asset_id": ["a", "a", "b"],
+        "day": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-01"]),
+        "v": [1.0, 2.0, 3.0],
+    })
+    axs = [FakeAxes(), FakeAxes()]
+    out = plots.render_by_id(data, "asset_id", "day", "v", axes=axs)
+    assert out == axs
+    assert list(axs[0].of("plot")[0][1][1]) == [1.0, 2.0]
+    assert list(axs[1].of("plot")[0][1][1]) == [3.0]
+    assert axs[0].of("set_title")[0][1] == ("a",)
+    with pytest.raises(ValueError, match="need 2 axes"):
+        plots.render_by_id(data, "asset_id", "day", "v", axes=[FakeAxes()])
+
+
+def test_render_column_histograms_bar_heights(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 10).cast("double").alias("a"),
+        (F.col("id") % 3).cast("double").alias("b"),
+    )
+    data = plots.column_histograms_data(df, ["a", "b"], bins=5)
+    axs = [FakeAxes(), FakeAxes()]
+    plots.render_column_histograms(data, axes=axs)
+    for ax, col in zip(axs, ("a", "b")):
+        sub = data[data["column"] == col]
+        heights = list(ax.of("bar")[0][1][1])
+        assert heights == sub["count"].tolist()
+        assert sum(heights) == 1000
+
+
+def test_render_distribution_and_boxplot():
+    rng = np.random.default_rng(5)
+    x = rng.normal(10.0, 1.0, 500)
+    hist = plots.distribution_plot_data(x, n_bins=12)
+    ax = FakeAxes()
+    plots.render_distribution(hist, ax=ax, xlabel="AEP (GWh)")
+    name, args, kwargs = ax.of("bar")[0]
+    assert list(args[1]) == hist["count"].tolist()
+    assert list(kwargs["width"]) == (
+        (hist["bin_right"] - hist["bin_left"]).tolist()
+    )
+    assert ax.of("set_xlabel")[0][1] == ("AEP (GWh)",)
+
+    stats = plots.boxplot_stats(x)
+    ax2 = FakeAxes()
+    plots.render_boxplot(stats, ax=ax2, label="AEP")
+    bxp = ax2.of("bxp")[0][1][0][0]
+    assert bxp["med"] == stats["median"]
+    assert bxp["whislo"] == stats["whisker_low"]
+    assert bxp["whishi"] == stats["whisker_high"]
+    assert bxp["mean"] == stats["mean"]
+
+
+def test_render_waterfall_geometry():
+    values = [100.0, -5.0, 3.0, 98.0]
+    labels = ["eya", "loss_a", "gain_b", "total"]
+    data = plots.waterfall_plot_data(values, labels)
+    ax = FakeAxes()
+    plots.render_waterfall(data, ax=ax)
+    name, args, kwargs = ax.of("bar")[0]
+    assert list(args[1]) == data["height"].tolist()
+    assert list(kwargs["bottom"]) == data["bottom"].tolist()
+    # connector levels are the running totals 100, 95, 98
+    levels = [c[1][1][0] for c in ax.of("plot")]
+    assert levels == [100.0, 95.0, 98.0]
+
+
+def test_render_monthly_windspeed_lines_per_year():
+    data = pd.DataFrame({
+        "year": [2020, 2020, 2021, 2021],
+        "month": [1, 2, 1, 2],
+        "ws": [8.0, 9.0, 10.0, 7.0],
+    })
+    data["ws_norm"] = data["ws"] / data.groupby("month")["ws"].transform("mean")
+    ax = FakeAxes()
+    plots.render_monthly_windspeed(data, ax=ax)
+    assert len(ax.of("plot")) == 2
+    assert list(ax.of("plot")[0][1][1]) == [8.0, 9.0]
+    ax2 = FakeAxes()
+    plots.render_monthly_windspeed(data, ax=ax2, normalized=True)
+    assert list(ax2.of("plot")[0][1][1]) == data[data["year"] == 2020][
+        "ws_norm"].tolist()
+
+
+def test_render_energy_losses_timeseries_panels():
+    agg = pd.DataFrame(
+        {
+            "energy_gwh": [1.0, 2.0],
+            "availability_pct": [0.1, 0.2],
+        },
+        index=pd.Index(pd.to_datetime(["2024-01-01", "2024-02-01"]),
+                       name="period"),
+    )
+    tidy = plots.energy_losses_timeseries_plot_data(agg)
+    axs = [FakeAxes(), FakeAxes()]
+    plots.render_energy_losses_timeseries(tidy, axes=axs)
+    titles = [a.of("set_title")[0][1][0] for a in axs]
+    assert titles == ["availability_pct", "energy_gwh"]
+    assert list(axs[1].of("plot")[0][1][1]) == [1.0, 2.0]
+
+
+def test_render_monthly_losses_values():
+    scada = pd.Series([100.0, 200.0],
+                      index=pd.to_datetime(["2024-01-01", "2024-02-01"]))
+    meter = pd.Series([98.0, 190.0], index=scada.index)
+    data = plots.monthly_losses_plot_data(scada, meter)
+    ax = FakeAxes()
+    plots.render_monthly_losses(data, ax=ax)
+    got = list(ax.of("plot")[0][1][1])
+    assert got == pytest.approx([0.02, 0.05])
+
+
+def test_render_wake_losses_lines_and_bands():
+    data = pd.DataFrame({
+        "bin": [0, 1],
+        "por_mean": [0.1, 0.2], "por_std": [0.01, 0.02],
+        "lt_mean": [0.15, 0.25], "lt_std": [0.03, 0.04],
+    })
+    ax = FakeAxes()
+    plots.render_wake_losses(data, ax=ax)
+    assert len(ax.of("plot")) == 2
+    bands = ax.of("fill_between")
+    assert len(bands) == 2
+    lo, hi = bands[0][1][1], bands[0][1][2]
+    assert list(lo) == pytest.approx([0.09, 0.18])
+    assert list(hi) == pytest.approx([0.11, 0.22])
+
+
+def test_render_yaw_misalignment_curve_matches_fit():
+    from openoa_spark.functions.regression import cos_curve
+
+    points = pd.DataFrame({
+        "vane_bin": [-10.0, -5.0, 0.0, 5.0, 10.0],
+        "power": [0.8, 0.95, 1.0, 0.93, 0.78],
+    })
+    params = (1.0, 2.0, 2.0)
+    ax = FakeAxes()
+    plots.render_yaw_misalignment(points, params, mean_vane=-1.0, ax=ax)
+    assert len(ax.of("scatter")) == 1
+    grid, curve = ax.of("plot")[0][1]
+    assert list(curve) == pytest.approx(
+        list(cos_curve(np.asarray(grid), *params))
+    )
+    vlines = [c[1][0] for c in ax.of("axvline")]
+    assert vlines == [2.0, -1.0]  # fitted peak vs mean vane angle
+
+
+def test_render_daylight_savings_panels():
+    data = pd.DataFrame({
+        "year": [2024, 2024, 2024],
+        "transition": ["spring", "spring", "fall"],
+        "time": pd.to_datetime(
+            ["2024-03-10 01:00", "2024-03-10 02:00", "2024-11-03 01:00"]
+        ),
+        "time_utc": pd.to_datetime(
+            ["2024-03-10 08:00", "2024-03-10 09:00", "2024-11-03 08:00"]
+        ),
+        "power": [1.0, 2.0, 3.0],
+    })
+    axs = [FakeAxes(), FakeAxes()]
+    plots.render_daylight_savings(data, "time", "power", axes=axs)
+    titles = [a.of("set_title")[0][1][0] for a in axs]
+    assert titles == ["2024 fall", "2024 spring"]
+    assert list(axs[1].of("plot")[0][1][1]) == [1.0, 2.0]
+
+
+def test_render_wtk_diurnal_two_series():
+    data = pd.DataFrame({
+        "hour": [0, 1, 2],
+        "ws_norm": [0.9, 1.0, 1.1],
+        "power_norm": [0.8, 1.0, 1.2],
+    })
+    ax = FakeAxes()
+    plots.render_wtk_diurnal(data, ax=ax)
+    series = [list(c[1][1]) for c in ax.of("plot")]
+    assert series == [[0.9, 1.0, 1.1], [0.8, 1.0, 1.2]]
+    labels = [c[2].get("label") for c in ax.of("plot")]
+    assert labels == ["WTK wind speed", "plant power"]
