@@ -142,6 +142,18 @@ PROBE_QUERIES = [
     "pq_recall_measured",
     # fit + one extra map-only argmin-d2 pass: rows x N
     "pq_reconstruction_error",
+    # round 6: synth + header-decode both live in ONE map stage
+    # (payloads never shuffle) -> rows x N scan cost, zero shuffle
+    "multimodal_image_metadata",
+    "multimodal_audio_metadata",
+    "multimodal_corrupt_media",
+    # pipeline prep stages: two bucket-grain hash aggregates (2h ->
+    # day), both map-side combined -> rows x N
+    "elosses_daily_coverage_energy",
+    "tie_daily_corrected_energy",
+    # monthly meter aggregate over inflated orders: month count fixed,
+    # rows x N partials into a bounded agg
+    "aep_monthly_meter_prep",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
