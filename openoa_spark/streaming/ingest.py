@@ -875,6 +875,75 @@ def stream_cdc_apply(
     return w.start()
 
 
+def stream_media_metadata(
+    stream: DataFrame,
+    metadata_path: str,
+    checkpoint: str,
+    kind: str = "image",
+    quarantine_path: str | None = None,
+    id_col: str = "media_id",
+    available_now: bool = True,
+):
+    """Streaming decode stage for multimodal ingestion — the streaming
+    member of the multimodal family (every other datapipe family has
+    one): each micro-batch of ``(id, content)`` binary rows is
+    header-decoded ONCE, at ingestion (datapipe.multimodal's real
+    PNG/RIFF parsers via one Arrow pass), the scalar metadata lands at
+    ``metadata_path``, and rows the decoder REJECTS are routed whole —
+    payload included — to ``quarantine_path`` for re-fetch/inspection.
+
+    Scale shape: payloads never reach a shuffle or the metadata table
+    (decode once, persist scalars, drop bytes — the only tractable
+    pattern for a 100 TB media corpus); the quarantine reroute is a
+    batch-local semi-join on the id. Batch-id dynamic-overwrite
+    partitioning makes a crash-replayed epoch rewrite its own output
+    partition instead of appending twice — the family-wide
+    idempotence contract (same as stream_quality_gate/stream_cdc).
+    """
+    from openoa_spark.datapipe import multimodal
+
+    if kind == "image":
+        extract, valid_col = multimodal.image_metadata, "width"
+    elif kind == "audio":
+        extract, valid_col = multimodal.audio_metadata, "channels"
+    else:
+        raise ValueError(f"kind must be 'image' or 'audio', got {kind!r}")
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        meta = extract(batch, id_col=id_col).persist()
+        try:
+            good = meta.where(F.col(valid_col).isNotNull())
+            (
+                good.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(metadata_path)
+            )
+            if quarantine_path is not None:
+                bad_ids = meta.where(F.col(valid_col).isNull()).select(
+                    F.col("media_id").alias(id_col)
+                )
+                bad = batch.join(bad_ids, id_col, "left_semi")
+                (
+                    bad.withColumn("_batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(quarantine_path)
+                )
+        finally:
+            meta.unpersist()
+
+    w = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def stream_cluster_assign(
     stream: DataFrame,
     vec_col: str,

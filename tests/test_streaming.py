@@ -985,3 +985,71 @@ def test_late_arrival_matrix_ewma(spark, tmp_path):
     assert len(late) == 1
     assert late[0]["zscore"] is not None        # scored against live state
     assert late[0]["is_anomaly"] is not None
+
+
+def test_stream_media_metadata_decode_and_quarantine(spark, tmp_path):
+    """Streaming multimodal decode: each micro-batch header-parses its
+    binary payloads once, valid scalars land at the metadata path
+    (equal to the batch decoder's output), corrupt rows route WHOLE to
+    quarantine, and a crash-replayed epoch overwrites its own batch
+    partition instead of appending a duplicate."""
+    import pyspark.sql.types as T
+
+    from openoa_spark.datapipe import multimodal
+    from openoa_spark.streaming import ingest
+
+    src = str(tmp_path / "src")
+    meta_p = str(tmp_path / "meta")
+    quar = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    png = multimodal.synthesize_png
+    rows = [
+        (1, png(20, 10, 1)),
+        (2, png(8, 8, 2)[:15]),       # truncated -> quarantine
+        (3, png(31, 7, 3)),
+        (4, b"not a png"),            # corrupt -> quarantine
+    ]
+    batch_df = spark.createDataFrame(rows, schema)
+    batch_df.write.mode("append").parquet(src)
+
+    q = ingest.stream_media_metadata(
+        ingest.file_stream(spark, src, schema), meta_p, ckpt,
+        kind="image", quarantine_path=quar,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["n_bytes"])
+        for r in spark.read.parquet(meta_p).collect()
+    }
+    want = {
+        r["media_id"]: (r["width"], r["height"], r["n_bytes"])
+        for r in multimodal.image_metadata(batch_df).collect()
+        if r["width"] is not None
+    }
+    assert got == want and set(got) == {1, 3}
+
+    bad = {r["media_id"] for r in spark.read.parquet(quar).collect()}
+    assert bad == {2, 4}
+    # quarantined rows carry the original payload for re-inspection
+    quar_content = {
+        r["media_id"]: bytes(r["content"])
+        for r in spark.read.parquet(quar).collect()
+    }
+    assert quar_content[4] == b"not a png"
+
+    # crash-replay: a second run from a FRESH checkpoint re-processes
+    # batch 0 and must overwrite its own partition, not duplicate it
+    q2 = ingest.stream_media_metadata(
+        ingest.file_stream(spark, src, schema), meta_p,
+        str(tmp_path / "ckpt2"), kind="image", quarantine_path=quar,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(meta_p).count() == 2
+    assert spark.read.parquet(quar).count() == 2
