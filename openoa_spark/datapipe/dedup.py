@@ -321,6 +321,66 @@ def _pairs_from_banded(
     )
 
 
+def minhash_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """FUZZY benchmark decontamination — the near-duplicate complement
+    of the exact-gram paths (text.benchmark_overlap /
+    text.bloom_decontaminate): a corpus document is contaminated when
+    it is a MinHash near-duplicate (estimated shingle-Jaccard >=
+    ``jaccard_threshold``) of ANY benchmark document — catching
+    lightly-paraphrased or whitespace-mangled test-set copies that
+    exact n-gram joins miss.
+
+    Scale shape: candidate generation is the banded LSH equi-join
+    BETWEEN the two tables (never corpus x bench all-pairs); the bench
+    side is benchmark-suite-sized by contract, so its band table
+    broadcasts; the Jaccard estimate runs on the banded signature
+    arrays and the verdict dedups on scalar ids only (array columns
+    never reach an aggregate). Returns the corpus with an
+    ``is_contaminated`` flag — filter or quarantine downstream.
+    """
+    sig_c = _minhash_signatures(
+        corpus, text_col, id_col, num_hashes, shingle_n, hash_fn
+    )
+    sig_b = _minhash_signatures(
+        bench, text_col, id_col, num_hashes, shingle_n, hash_fn
+    )
+    bc = _band_hashes(sig_c, num_hashes, bands, hash_fn).alias("a")
+    bb = _band_hashes(sig_b, num_hashes, bands, hash_fn).alias("b")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a._sig"), F.col("b._sig"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    est = agree / F.lit(float(num_hashes))
+    on = (F.col("a.band") == F.col("b.band")) & (
+        F.col("a.bhash") == F.col("b.bhash")
+    )
+    hits = (
+        bc.join(F.broadcast(bb), on)
+        .select(F.col("a._id").alias(id_col), est.alias("_est"))
+        .where(F.col("_est") >= jaccard_threshold)
+        .select(id_col)
+        .dropDuplicates([id_col])
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        corpus.join(hits, id_col, "left")
+        .withColumn("is_contaminated", F.col("_hit").isNotNull())
+        .drop("_hit")
+    )
+
+
 def simhash(col: Column | str, bits: int = 64, hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash over word tokens: sign-sum of per-token hash bits.
 

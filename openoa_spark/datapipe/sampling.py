@@ -381,3 +381,61 @@ def token_budget_select(
         .where(F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget))
     )
     return out.select(F.col("_id").alias(id_col), "n_tokens", "cum_tokens")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    splits=DEFAULT_SPLITS,
+    seed: int = 0,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.4,
+    hash_fn: str = "md5",
+    max_band_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate-aware train/val/test assignment: the split key
+    is the document's near-dup CLUSTER representative (MinHash-LSH
+    pairs -> connected components -> min id), not the document itself
+    — so two near-identical documents can never straddle train and
+    test. A plain per-document hash split (:func:`hash_split`)
+    permits exactly that leakage: a paraphrased copy of a training
+    document lands in test with probability test_fraction, silently
+    inflating eval scores.
+
+    Scale shape: the LSH/CC machinery is the same bucketed design as
+    near_dedup (banded equi-join with optional skew cap, pointer-
+    doubling CC); the final assignment is one left join of the
+    corpus against the (paired docs only) component table plus a
+    map-only hash expression — unpaired documents (the vast majority)
+    take their own id as representative and never shuffle.
+
+    Output: ``df`` + ``split_rep`` (the cluster representative the
+    hash keyed on) + ``split``.
+    """
+    from openoa_spark.datapipe.dedup import (
+        connected_components,
+        minhash_near_dup_pairs,
+    )
+
+    pairs = minhash_near_dup_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_n,
+        jaccard_threshold, hash_fn, max_band_bucket,
+    )
+    comp = connected_components(pairs).withColumnRenamed("doc_id", "_cc_id")
+    joined = df.join(
+        comp, df[id_col] == F.col("_cc_id"), "left"
+    ).drop("_cc_id")
+    rep = F.coalesce(F.col("component"), F.col(id_col))
+    return (
+        joined.withColumn("split_rep", rep)
+        .withColumn(
+            "split",
+            hash_split(
+                F.col("split_rep").cast("string"), splits, seed, hash_fn="md5"
+            ),
+        )
+        .drop("component")
+    )

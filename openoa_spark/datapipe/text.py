@@ -937,3 +937,42 @@ def sliding_token_chunks(
         F.size("_ctoks").alias("n_tokens"),
         F.array_join("_ctoks", " ").alias("chunk_text"),
     )
+
+
+# Encoding-damage / mojibake patterns (Java-regex ∩ RE2 syntax so both
+# engines compile the same expression — the PII_RULES discipline):
+# - replacement char U+FFFD: a decoder already gave up on these bytes;
+# - C0 control chars other than \t \n \r: binary spilled into text;
+# - UTF-8-read-as-Latin-1 mojibake: Â/Ã followed by a Latin-1 high
+#   char (the decoded form of a UTF-8 continuation byte).
+ENCODING_DAMAGE_PATTERNS = (
+    ("n_replacement", "\\uFFFD"),
+    ("n_control", "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]"),
+    ("n_mojibake", "[\\u00C2\\u00C3][\\u0080-\\u00FF]"),
+)
+
+
+def encoding_damage_signals(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Encoding-damage detector — the crawl-hygiene gate run before
+    any text model sees a document: per-document counts of the three
+    classic damage signatures (see ENCODING_DAMAGE_PATTERNS) plus an
+    ``is_damaged`` verdict on integer thresholds (>=1 replacement or
+    control char; >=2 mojibake digraphs — a single Â/Ã+high-char can
+    be legitimate Latin-script text, a run of them is damage).
+
+    Map-only: three regexp_count projections fused into the scan,
+    zero shuffle — costs one pass over the corpus however large.
+    """
+    c = F.col(text_col)
+    cols = [F.col(id_col)]
+    for name, pat in ENCODING_DAMAGE_PATTERNS:
+        cols.append(F.regexp_count(c, F.lit(pat)).cast("bigint").alias(name))
+    out = df.select(*cols)
+    return out.withColumn(
+        "is_damaged",
+        (F.col("n_replacement") >= 1)
+        | (F.col("n_control") >= 1)
+        | (F.col("n_mojibake") >= 2),
+    )

@@ -1277,6 +1277,77 @@ def _minhash_sql(num_hashes: int, bands: int, threshold: float, n: int = 3) -> s
     """
 
 
+def _minhash_decon_sql(
+    num_hashes: int, bands: int, threshold: float, bench_mod: int, n: int = 3
+) -> str:
+    """Cross-table twin of _minhash_sql for fuzzy decontamination:
+    same shingle/KM-signature/band CTEs over ALL documents, but the
+    candidate join pairs corpus rows (doc_id % bench_mod <> 0) with
+    BENCH rows (doc_id % bench_mod = 0), and the output is the corpus
+    with a contaminated flag."""
+    rpb = num_hashes // bands
+    b52 = "CAST('0x' || substring(md5({s}), 1, 13) AS BIGINT)"
+    sig_items = ",\n             ".join(
+        f"list_min(list_transform(hp, p -> (p.h1 + {i} * p.h2) % 2147483647))"
+        for i in range(num_hashes)
+    )
+    bhash = dedup.sql_hash64(
+        f"array_to_string(sig[band*{rpb}+1 : band*{rpb}+{rpb}], ',')"
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa[{i}] = sb[{i}] THEN 1 ELSE 0 END)"
+        for i in range(1, num_hashes + 1)
+    )
+    return f"""
+    WITH {_shingle_cte(n)},
+    hps AS (
+      SELECT doc_id,
+             list_transform(shs, s -> {{'h1': {b52.format(s='s')},
+                                        'h2': {b52.format(s="s || '#'")}}}) AS hp
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, [{sig_items}] AS sig FROM (SELECT doc_id, hp FROM hps)),
+    banded AS (
+      SELECT doc_id, sig, band, {bhash} AS bhash
+      FROM sig, (SELECT unnest(range(0, {bands})) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS cid, a.sig AS sa, b.sig AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bhash = b.bhash
+       AND a.doc_id % {bench_mod} <> 0 AND b.doc_id % {bench_mod} = 0
+    ),
+    hits AS (
+      SELECT DISTINCT cid FROM cand
+      WHERE ({agree}) / {float(num_hashes)} >= {threshold}
+    )
+    SELECT d.doc_id, (d.doc_id IN (SELECT cid FROM hits)) AS is_contaminated
+    FROM documents d WHERE d.doc_id % {bench_mod} <> 0
+    """
+
+
+@register("minhash_decontaminate_docs", _minhash_decon_sql(32, 8, 0.4, 7))
+def minhash_decontaminate_docs(spark, sf_dir):
+    """FUZZY benchmark decontamination (the near-dup complement of
+    bloom_decontaminate_docs' exact-gram join): corpus documents that
+    are MinHash near-duplicates (est. shingle-Jaccard >= 0.4) of any
+    benchmark document get flagged — paraphrased/whitespace-mangled
+    test-set copies exact n-gram joins miss. Bench = every 7th doc
+    (cross-partition fuzzy pairs exist at every SF, so the flag is
+    exercised, not vacuous). Candidates come from the banded LSH
+    equi-join BETWEEN tables with the bench band table broadcast —
+    never corpus x bench all-pairs; the oracle replays the identical
+    KM signature/band arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    out = dedup.minhash_decontaminate(
+        corpus, bench, "text", "doc_id",
+        num_hashes=32, bands=8, jaccard_threshold=0.4, hash_fn="md5",
+    )
+    return out.select("doc_id", "is_contaminated")
+
+
 @register("minhash_near_dups", _minhash_sql(32, 8, 0.4))
 def minhash_near_dups(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -3906,6 +3977,61 @@ def embedding_int8_quantization(spark, sf_dir):
     )
 
 
+@register(
+    "encoding_damage_docs",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 11 = 0
+                  THEN repeat(chr(65533), CAST(doc_id % 3 + 1 AS INT))
+                  ELSE '' END
+               || CASE WHEN doc_id % 13 = 0 THEN chr(7) ELSE '' END
+               || CASE WHEN doc_id % 17 = 0
+                  THEN repeat(chr(195) || chr(169), 2) ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(t, '\x{FFFD}')) AS BIGINT)
+             AS n_replacement,
+           CAST(length(regexp_extract_all(t,
+                 '[\x01-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_control,
+           CAST(length(regexp_extract_all(t,
+                 '[\x{00C2}\x{00C3}][\x{0080}-\x{00FF}]')) AS BIGINT)
+             AS n_mojibake,
+           (length(regexp_extract_all(t, '\x{FFFD}')) >= 1
+            OR length(regexp_extract_all(t,
+                 '[\x01-\x08\x0B\x0C\x0E-\x1F]')) >= 1
+            OR length(regexp_extract_all(t,
+                 '[\x{00C2}\x{00C3}][\x{0080}-\x{00FF}]')) >= 2)
+             AS is_damaged
+    FROM d
+    """,
+)
+def encoding_damage_docs(spark, sf_dir):
+    """Encoding-damage / mojibake detection (the crawl-hygiene gate):
+    per-doc counts of U+FFFD replacement chars, C0 control chars, and
+    UTF-8-as-Latin-1 mojibake digraphs, plus an integer-threshold
+    verdict. Damage is injected deterministically from doc_id (the
+    PII_RULES pattern — testdata text is clean, so the oracle must
+    exercise real matches AND real non-matches); patterns are
+    Java-regex ∩ RE2 so both engines compile the same expression.
+    Map-only, fused into the scan, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.col("text")
+    t = F.when(
+        did % 11 == 0,
+        F.concat(t, F.repeat(F.lit("�"), (did % 3 + 1).cast("int"))),
+    ).otherwise(t)
+    t = F.when(did % 13 == 0, F.concat(t, F.lit("\x07"))).otherwise(t)
+    t = F.when(
+        did % 17 == 0, F.concat(t, F.lit("Ã©Ã©"))
+    ).otherwise(t)
+    mut = docs.select("doc_id", t.alias("text"))
+    return text.encoding_damage_signals(mut, "text", "doc_id")
+
+
 @register("bloom_decontaminate_docs", _bloom_decontaminate_sql(3))
 def bloom_decontaminate_docs(spark, sf_dir):
     """Bloom-prefiltered EXACT decontamination — same answer as the
@@ -6113,6 +6239,50 @@ def weighted_sample_docs(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
+_LEAK_SPLIT_EXPR = sampling.sql_hash_split(
+    "CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)", seed=17
+)
+
+
+@register(
+    "leakage_safe_split_docs",
+    f"""
+    WITH RECURSIVE mh AS ({_minhash_sql(32, 8, 0.4)}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM mh
+      UNION
+      SELECT id_b AS a, id_a AS b FROM mh
+    ),
+    verts AS (SELECT DISTINCT a FROM edges),
+    reach(a, b) AS (
+      SELECT a, a FROM verts
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS split_rep,
+           {_LEAK_SPLIT_EXPR} AS split
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def leakage_safe_split_docs(spark, sf_dir):
+    """Near-duplicate-aware train/val/test split: the hash split keys
+    on the near-dup CLUSTER representative (LSH pairs -> connected
+    components -> min id), so a paraphrased copy of a training
+    document can never land in test — the leakage mode a plain
+    per-document hash split permits and the reason eval scores inflate
+    on carelessly split corpora. Unpaired docs (the vast majority) key
+    on their own id with zero extra shuffle; the oracle replays the
+    full LSH + recursive-CTE component labeling + md5 split hash."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.leakage_safe_split(
+        docs, "text", "doc_id", seed=17,
+        num_hashes=32, bands=8, jaccard_threshold=0.4, hash_fn="md5",
+    )
+    return out.select("doc_id", "split_rep", "split")
+
+
 @register(
     "train_val_test_split_docs",
     f"""
@@ -7844,8 +8014,14 @@ _PRIORITY = [
     "duplicate_minutes", "embedding_norms", "exact_dedup_docs",
     "find_hour_gaps", "gross_energy_frac", "iec_power_curve",
     "impute_linear_synthetic", "infer_frequency",
-    "lag_delta_per_user", "language_id", "lsh_bucket_counts",
-    "nearest_neighbor",
+    "lag_delta_per_user",
+    # (5) Brand-new late-round-6 structural queries (displacing the
+    # last three longest-unchecked fills — language_id /
+    # lsh_bucket_counts / nearest_neighbor roll to the r7 fill):
+    # fuzzy LSH benchmark decontamination, near-dup-aware
+    # leakage-safe splits, encoding-damage detection.
+    "minhash_decontaminate_docs", "leakage_safe_split_docs",
+    "encoding_damage_docs",
 ]
 
 _PRIORITY_R5 = [

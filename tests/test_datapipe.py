@@ -2110,3 +2110,102 @@ def test_curate_corpus_decontam_case_folds_with_boilerplate(spark):
         report=False,
     )
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
+# ------------------------------------------------- round-6 additions
+
+
+def test_minhash_decontaminate_flags_paraphrase(spark):
+    """A corpus document sharing most shingles with a benchmark doc is
+    flagged; unrelated documents are not; bench docs themselves are
+    not in the output."""
+    from openoa_spark.datapipe.dedup import minhash_decontaminate
+
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank on a bright cold morning in april"
+    )
+    near_copy = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank on a bright cold morning in may"
+    )
+    unrelated = (
+        "completely different words about spark shuffle partitions "
+        "and adaptive query execution planning stages"
+    )
+    corpus = spark.createDataFrame(
+        [(1, near_copy), (2, unrelated)], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in minhash_decontaminate(
+            corpus, bench, "text", "doc_id",
+            num_hashes=64, bands=16, jaccard_threshold=0.5,
+        ).collect()
+    }
+    assert out == {1: True, 2: False}
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every member of a near-dup cluster lands in the SAME split, and
+    the assignment equals hash_split of the cluster representative."""
+    from openoa_spark.datapipe.sampling import hash_split, leakage_safe_split
+    from pyspark.sql import functions as F
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (10, base + " one"),
+        (11, base + " two"),          # near-dup of 10
+        (12, base + " three"),        # near-dup of 10/11
+        (50, "totally different text about wind turbine power curves "
+             "and meteorological tower measurements data"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = leakage_safe_split(
+        df, "text", "doc_id", seed=17,
+        num_hashes=64, bands=16, jaccard_threshold=0.5,
+    )
+    got = {r["doc_id"]: (r["split_rep"], r["split"]) for r in out.collect()}
+    # the cluster keys on its min id and shares one split
+    assert got[10][0] == got[11][0] == got[12][0] == 10
+    assert len({got[i][1] for i in (10, 11, 12)}) == 1
+    # the unpaired doc keys on itself
+    assert got[50][0] == 50
+    # assignment replays hash_split of the representative
+    expect = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id",
+            hash_split(F.lit("10"), seed=17).alias("s"),
+        ).collect()
+    }
+    assert got[10][1] == expect[10]
+
+
+def test_encoding_damage_signals(spark):
+    from openoa_spark.datapipe.text import encoding_damage_signals
+
+    rows = [
+        (1, "clean ascii text"),
+        (2, "bad bytes �� here"),
+        (3, "bell \x07 char"),
+        (4, "cafÃ© mojibake Ã©"),   # two digraphs
+        (5, "single Ã© only"),                # below threshold
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["n_replacement"], r["n_control"], r["n_mojibake"],
+            r["is_damaged"],
+        )
+        for r in encoding_damage_signals(df, "text", "doc_id").collect()
+    }
+    assert got[1] == (0, 0, 0, False)
+    assert got[2] == (2, 0, 0, True)
+    assert got[3] == (0, 1, 0, True)
+    assert got[4][2] == 2 and got[4][3] is True
+    assert got[5][2] == 1 and got[5][3] is False

@@ -154,6 +154,13 @@ PROBE_QUERIES = [
     # monthly meter aggregate over inflated orders: month count fixed,
     # rows x N partials into a bounded agg
     "aep_monthly_meter_prep",
+    # fuzzy decontamination: banded LSH corpus x bench join, bench
+    # side bounded -> rows x N signatures + sliver verify
+    "minhash_decontaminate_docs",
+    # LSH + pointer-doubling CC + map-only hash split: rows x N
+    "leakage_safe_split_docs",
+    # three regexp_count projections fused into the scan: rows x N
+    "encoding_damage_docs",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
