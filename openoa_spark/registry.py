@@ -3891,6 +3891,67 @@ def multimodal_audio_metadata(spark, sf_dir):
     )
 
 
+_PIXEL_MEAN_SQL = ",\n           ".join(
+    f"ROUND(CAST(SUM((seed*31 + ((i//w)*3*w + 3*(i%w) + {c})*7) % 256) "
+    f"AS DOUBLE) / COUNT(*), 6) AS mean_{ch}"
+    for c, ch in enumerate("rgb")
+)
+
+
+@register(
+    "multimodal_pixel_stats",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(16 + doc_id % 32 AS BIGINT) AS w,
+             CAST(16 + doc_id % 24 AS BIGINT) AS h,
+             (doc_id * 7919 % 1000003) AS seed
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, w, h, seed,
+             unnest(generate_series(0, w*h - 1)) AS i
+      FROM p
+    )
+    SELECT doc_id,
+           {_PIXEL_MEAN_SQL},
+           CAST(MAX(w*h) AS BIGINT) AS n_pixels
+    FROM e GROUP BY doc_id
+    """,
+)
+def multimodal_pixel_stats(spark, sf_dir):
+    """FULL image decode, not just header metadata: per-channel pixel
+    means from decode_png_pixels (chunk walk -> zlib inflate ->
+    scanline unfiltering -> (h,w,3) array). The oracle recomputes the
+    means in closed form from the deterministic pixel formula, so a
+    bug anywhere in the byte pipeline — chunk assembly, the zlib
+    stream, filter handling, row-major ordering — breaks the hash.
+    uint8 sums stay exact in float64, so the means are engine-exact
+    before the defensive round. Decode is one Arrow map pass; only
+    three doubles per image ever shuffle."""
+    from openoa_spark.datapipe import multimodal
+    from openoa_spark.session import spread_small_input
+
+    docs = spread_small_input(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+    spec = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(16) + F.col("doc_id") % 32).cast("int").alias("_w"),
+        (F.lit(16) + F.col("doc_id") % 24).cast("int").alias("_h"),
+        (F.col("doc_id") * 7919 % 1000003).alias("_seed"),
+    )
+    media = multimodal.synthesize_png_column(spec)
+    stats = multimodal.image_pixel_stats(media)
+    return stats.select(
+        F.col("media_id").alias("doc_id"),
+        rounded("mean_r").alias("mean_r"),
+        rounded("mean_g").alias("mean_g"),
+        rounded("mean_b").alias("mean_b"),
+        "n_pixels",
+    )
+
+
 @register(
     "multimodal_corrupt_media",
     """
@@ -8014,14 +8075,14 @@ _PRIORITY = [
     "duplicate_minutes", "embedding_norms", "exact_dedup_docs",
     "find_hour_gaps", "gross_energy_frac", "iec_power_curve",
     "impute_linear_synthetic", "infer_frequency",
-    "lag_delta_per_user",
     # (5) Brand-new late-round-6 structural queries (displacing the
-    # last three longest-unchecked fills — language_id /
-    # lsh_bucket_counts / nearest_neighbor roll to the r7 fill):
-    # fuzzy LSH benchmark decontamination, near-dup-aware
-    # leakage-safe splits, encoding-damage detection.
+    # last four longest-unchecked fills — lag_delta_per_user /
+    # language_id / lsh_bucket_counts / nearest_neighbor roll to the
+    # r7 fill): fuzzy LSH benchmark decontamination, near-dup-aware
+    # leakage-safe splits, encoding-damage detection, and the
+    # full-pixel-decode stats query.
     "minhash_decontaminate_docs", "leakage_safe_split_docs",
-    "encoding_damage_docs",
+    "encoding_damage_docs", "multimodal_pixel_stats",
 ]
 
 _PRIORITY_R5 = [

@@ -201,3 +201,68 @@ def test_metadata_extractors_null_on_corrupt(spark):
     assert got[1]["n_samples"] == 150
     assert got[1]["duration_ms"] == 150 * 1000 // 9000
     assert got[2]["channels"] is None and got[2]["n_bytes"] == 25
+
+
+def test_decode_png_pixels_roundtrip_and_profile_guard():
+    """Full pixel decode (inflate + unfilter) returns exactly the
+    synthesizer's deterministic pixel array; out-of-profile or
+    corrupted streams return None instead of raising."""
+    import struct
+
+    import numpy as np
+
+    w, h, seed = 20, 12, 7
+    png = multimodal.synthesize_png(w, h, seed)
+    px = multimodal.decode_png_pixels(png)
+    assert px.shape == (h, w, 3)
+    idx = np.arange(h * 3 * w, dtype=np.int64)
+    want = ((seed * 31 + idx * 7) % 256).astype(np.uint8).reshape(h, w, 3)
+    assert (px == want).all()
+
+    assert multimodal.decode_png_pixels(b"junk") is None
+    assert multimodal.decode_png_pixels(png[:40]) is None
+    # corrupt the zlib stream -> None, not an exception
+    bad = bytearray(png)
+    bad[45] ^= 0xFF
+    assert multimodal.decode_png_pixels(bytes(bad)) is None
+    # non-None filter byte -> out of profile
+    idat_len = struct.unpack(">I", png[33:37])[0]
+    import zlib as _z
+
+    raw = bytearray(_z.decompress(png[41:41 + idat_len]))
+    raw[0] = 1  # Sub filter
+    new_idat = _z.compress(bytes(raw), 0)
+    rebuilt = (
+        png[:33]
+        + struct.pack(">I", len(new_idat)) + b"IDAT" + new_idat
+        + struct.pack(">I", _z.crc32(b"IDAT" + new_idat))
+        + png[41 + idat_len + 4:]
+    )
+    assert multimodal.parse_png_header(rebuilt) is not None
+    assert multimodal.decode_png_pixels(rebuilt) is None
+
+
+def test_png_pixel_stats_codec_and_extractor(spark):
+    import numpy as np
+
+    png = multimodal.synthesize_png(9, 5, 3)
+    w, h, feat = multimodal.png_pixel_stats_codec(png)
+    assert (w, h) == (9, 5)
+    px = multimodal.decode_png_pixels(png)
+    assert feat == [float(m) for m in px.reshape(-1, 3).mean(axis=0)]
+    assert multimodal.png_pixel_stats_codec(b"bad") == (0, 0, [0.0] * 3)
+
+    df = spark.createDataFrame(
+        [(1, png), (2, b"bad")],
+        T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]),
+    )
+    got = {
+        r["media_id"]: r
+        for r in multimodal.image_pixel_stats(df).collect()
+    }
+    assert got[1]["n_pixels"] == 45
+    assert got[1]["mean_r"] == feat[0]
+    assert got[2]["mean_r"] is None and got[2]["n_pixels"] is None

@@ -161,6 +161,9 @@ PROBE_QUERIES = [
     "leakage_safe_split_docs",
     # three regexp_count projections fused into the scan: rows x N
     "encoding_damage_docs",
+    # full pixel decode (inflate + unfilter) inside one map stage;
+    # only 3 doubles/image shuffle: rows x N
+    "multimodal_pixel_stats",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
