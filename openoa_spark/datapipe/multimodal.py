@@ -246,6 +246,94 @@ def decode_png_pixels(content: bytes):
     return arr[:, 1:].reshape(h, w, 3)
 
 
+def decode_wav_samples(content: bytes):
+    """FULL WAV sample decode for the engine's media profile (PCM16):
+    RIFF chunk walk to ``data``, little-endian int16 interpretation,
+    (n_samples, channels) reshape with exact length validation.
+    Returns an int16 array or ``None`` for malformed/out-of-profile
+    payloads (non-PCM16, truncated data chunk)."""
+    import struct
+
+    hdr = parse_wav_header(content)
+    if hdr is None:
+        return None
+    ch, _rate, bits, n = hdr
+    if bits != 16:
+        return None
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        clen = struct.unpack("<I", content[pos + 4:pos + 8])[0]
+        if cid == b"data":
+            if pos + 8 + clen > len(content):
+                return None
+            raw = content[pos + 8:pos + 8 + clen]
+            if len(raw) != n * ch * 2:
+                return None
+            return np.frombuffer(raw, dtype="<i2").reshape(n, ch)
+        pos += 8 + clen + (clen & 1)
+    return None
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mean_amp", T.DoubleType(), True),
+        T.StructField("max_abs", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+    ]
+)
+
+
+def audio_sample_stats(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Per-clip amplitude statistics from the FULL sample decode
+    (:func:`decode_wav_samples`): mean amplitude, peak |sample|, RMS —
+    the loudness/clipping screen an audio-corpus pipeline runs before
+    feature extraction. int16 sums and sums of squares stay exact in
+    float64 at any in-profile clip size, so the stats are
+    oracle-checkable. One Arrow map pass; payloads never shuffle."""
+    from openoa_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                s = decode_wav_samples(raw)
+                if s is None:
+                    rows.append(
+                        {
+                            "media_id": mid, "mean_amp": None,
+                            "max_abs": None, "rms": None, "n_frames": None,
+                        }
+                    )
+                    continue
+                flat = s.astype(np.int64).ravel()
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "mean_amp": float(flat.sum()) / len(flat),
+                        "max_abs": int(np.abs(flat).max()),
+                        "rms": math.sqrt(
+                            float((flat * flat).sum()) / len(flat)
+                        ),
+                        "n_frames": s.shape[0],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields]
+            )
+
+    return df.select(
+        F.col(id_col).alias("media_id"), "content"
+    ).mapInPandas(_stats, AUDIO_STATS_SCHEMA)
+
+
 def png_pixel_stats_codec(content: bytes) -> tuple[int, int, list[float]]:
     """Feature codec backed by the FULL pixel decode: per-channel
     means over the decoded (h, w, 3) array. Same ``image_features``

@@ -3953,6 +3953,68 @@ def multimodal_pixel_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio_stats",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+             CAST(100 + doc_id % 400 AS BIGINT) AS n,
+             (doc_id * 104729 % 999983) AS seed
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, ch, n, seed,
+             unnest(generate_series(0, ch*n - 1)) AS i
+      FROM p
+    ),
+    v AS (
+      SELECT doc_id, n, ((seed*7 + i*13) % 65536) - 32768 AS v FROM e
+    )
+    SELECT doc_id,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_amp,
+           CAST(MAX(ABS(v)) AS INT) AS max_abs,
+           ROUND(sqrt(CAST(SUM(v*v) AS DOUBLE) / COUNT(*)), 6) AS rms,
+           CAST(MAX(n) AS BIGINT) AS n_frames
+    FROM v GROUP BY doc_id
+    """,
+)
+def multimodal_audio_stats(spark, sf_dir):
+    """FULL audio decode twin of multimodal_pixel_stats: per-clip
+    amplitude stats (mean, peak |sample|, RMS) from
+    decode_wav_samples' real PCM16 interpretation of the data chunk.
+    The oracle recomputes every stat in closed form from the sample
+    formula — int16 sums and sums of squares stay exact in float64
+    and IEEE sqrt is correctly rounded in both engines, so the stats
+    match bit-for-bit before the defensive round. The
+    loudness/clipping screen an audio pipeline runs before feature
+    extraction; decode is one Arrow map pass, payloads never
+    shuffle."""
+    from openoa_spark.datapipe import multimodal
+    from openoa_spark.session import spread_small_input
+
+    docs = spread_small_input(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+    spec = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("_ch"),
+        (F.lit(8000) + F.lit(1000) * (F.col("doc_id") % 5))
+        .cast("int").alias("_rate"),
+        (F.lit(100) + F.col("doc_id") % 400).alias("_n"),
+        (F.col("doc_id") * 104729 % 999983).alias("_seed"),
+    )
+    media = multimodal.synthesize_wav_column(spec)
+    stats = multimodal.audio_sample_stats(media)
+    return stats.select(
+        F.col("media_id").alias("doc_id"),
+        rounded("mean_amp").alias("mean_amp"),
+        "max_abs",
+        rounded("rms").alias("rms"),
+        "n_frames",
+    )
+
+
+@register(
     "multimodal_corrupt_media",
     """
     SELECT doc_id, doc_id % 13 <> 0 AS is_valid
@@ -8074,15 +8136,17 @@ _PRIORITY = [
     "cumulative_sum_per_user", "doc_fingerprints",
     "duplicate_minutes", "embedding_norms", "exact_dedup_docs",
     "find_hour_gaps", "gross_energy_frac", "iec_power_curve",
-    "impute_linear_synthetic", "infer_frequency",
+    "impute_linear_synthetic",
     # (5) Brand-new late-round-6 structural queries (displacing the
-    # last four longest-unchecked fills — lag_delta_per_user /
-    # language_id / lsh_bucket_counts / nearest_neighbor roll to the
-    # r7 fill): fuzzy LSH benchmark decontamination, near-dup-aware
-    # leakage-safe splits, encoding-damage detection, and the
-    # full-pixel-decode stats query.
+    # last five longest-unchecked fills — infer_frequency /
+    # lag_delta_per_user / language_id / lsh_bucket_counts /
+    # nearest_neighbor roll to the r7 fill): fuzzy LSH benchmark
+    # decontamination, near-dup-aware leakage-safe splits,
+    # encoding-damage detection, and the full-decode stats pair
+    # (pixel means, PCM amplitude).
     "minhash_decontaminate_docs", "leakage_safe_split_docs",
     "encoding_damage_docs", "multimodal_pixel_stats",
+    "multimodal_audio_stats",
 ]
 
 _PRIORITY_R5 = [

@@ -266,3 +266,35 @@ def test_png_pixel_stats_codec_and_extractor(spark):
     assert got[1]["n_pixels"] == 45
     assert got[1]["mean_r"] == feat[0]
     assert got[2]["mean_r"] is None and got[2]["n_pixels"] is None
+
+
+def test_decode_wav_samples_roundtrip_and_guards(spark):
+    import numpy as np
+
+    ch, rate, n, seed = 2, 9000, 150, 3
+    wav = multimodal.synthesize_wav(ch, rate, n, seed)
+    s = multimodal.decode_wav_samples(wav)
+    assert s.shape == (n, ch)
+    idx = np.arange(ch * n, dtype=np.int64)
+    want = (((seed * 7 + idx * 13) % 65536) - 32768).astype(np.int16)
+    assert (s.ravel() == want).all()
+
+    assert multimodal.decode_wav_samples(b"junk") is None
+    assert multimodal.decode_wav_samples(wav[:40]) is None  # truncated data
+
+    df = spark.createDataFrame(
+        [(1, wav), (2, wav[:40])],
+        T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]),
+    )
+    got = {
+        r["media_id"]: r
+        for r in multimodal.audio_sample_stats(df).collect()
+    }
+    flat = s.astype("int64").ravel()
+    assert got[1]["n_frames"] == n
+    assert got[1]["mean_amp"] == flat.sum() / len(flat)
+    assert got[1]["max_abs"] == int(abs(flat).max())
+    assert got[2]["rms"] is None and got[2]["n_frames"] is None

@@ -164,6 +164,8 @@ PROBE_QUERIES = [
     # full pixel decode (inflate + unfilter) inside one map stage;
     # only 3 doubles/image shuffle: rows x N
     "multimodal_pixel_stats",
+    # full PCM16 sample decode + amplitude stats, same shape
+    "multimodal_audio_stats",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
