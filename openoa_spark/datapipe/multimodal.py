@@ -275,6 +275,36 @@ def decode_wav_samples(content: bytes):
     return None
 
 
+def _per_item_extractor(df: DataFrame, id_col: str, schema, row_fn):
+    """Shared Arrow scaffold for every per-payload metadata extractor:
+    alias ``id_col`` to the schema's ``media_id``, run ``row_fn(bytes)
+    -> dict`` (no media_id key) per payload inside one ``mapInPandas``
+    pass, drop the payload on output. One copy of the select/zip/yield
+    plumbing so an id-handling bug cannot be re-made per extractor
+    (round-6 review: four copies all read ``pdf[id_col]`` after the
+    select had renamed it, breaking any non-default id_col)."""
+    from openoa_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {
+                    "media_id": mid,
+                    **row_fn(bytes(c) if c is not None else b""),
+                }
+                for mid, c in zip(pdf["media_id"], pdf["content"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return df.select(
+        F.col(id_col).alias("media_id"), "content"
+    ).mapInPandas(_run, schema)
+
+
 AUDIO_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -293,45 +323,22 @@ def audio_sample_stats(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     feature extraction. int16 sums and sums of squares stay exact in
     float64 at any in-profile clip size, so the stats are
     oracle-checkable. One Arrow map pass; payloads never shuffle."""
-    from openoa_spark.session import ship_package
+    import math
 
-    ship_package(df.sparkSession)
+    def _row(raw: bytes) -> dict:
+        s = decode_wav_samples(raw)
+        if s is None:
+            return {"mean_amp": None, "max_abs": None, "rms": None,
+                    "n_frames": None}
+        flat = s.astype(np.int64).ravel()
+        return {
+            "mean_amp": float(flat.sum()) / len(flat),
+            "max_abs": int(np.abs(flat).max()),
+            "rms": math.sqrt(float((flat * flat).sum()) / len(flat)),
+            "n_frames": s.shape[0],
+        }
 
-    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
-
-        for pdf in batches:
-            rows = []
-            for mid, content in zip(pdf[id_col], pdf["content"]):
-                raw = bytes(content) if content is not None else b""
-                s = decode_wav_samples(raw)
-                if s is None:
-                    rows.append(
-                        {
-                            "media_id": mid, "mean_amp": None,
-                            "max_abs": None, "rms": None, "n_frames": None,
-                        }
-                    )
-                    continue
-                flat = s.astype(np.int64).ravel()
-                rows.append(
-                    {
-                        "media_id": mid,
-                        "mean_amp": float(flat.sum()) / len(flat),
-                        "max_abs": int(np.abs(flat).max()),
-                        "rms": math.sqrt(
-                            float((flat * flat).sum()) / len(flat)
-                        ),
-                        "n_frames": s.shape[0],
-                    }
-                )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields]
-            )
-
-    return df.select(
-        F.col(id_col).alias("media_id"), "content"
-    ).mapInPandas(_stats, AUDIO_STATS_SCHEMA)
+    return _per_item_extractor(df, id_col, AUDIO_STATS_SCHEMA, _row)
 
 
 def png_pixel_stats_codec(content: bytes) -> tuple[int, int, list[float]]:
@@ -397,6 +404,15 @@ def synthesize_png(width: int, height: int, seed: int = 0) -> bytes:
         # one stored block only — keeps len(compressed) == len+11 exact
         raise ValueError("synthetic image too large for one stored block")
     idat = zlib.compress(raw, 0)
+    if len(idat) != len(raw) + 11:
+        # the closed-form size contract the oracles replay assumes
+        # CPython's zlib emits ONE stored block below the cap — fail
+        # loudly if a different zlib build splits earlier, rather than
+        # shipping sizes the oracle arithmetic silently disagrees with
+        raise AssertionError(
+            f"zlib stored-block layout drifted: {len(idat)} != "
+            f"{len(raw)} + 11"
+        )
     return (
         _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
@@ -522,41 +538,18 @@ def image_pixel_stats(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     in float64 at any in-profile image size, so the means are
     bit-reproducible and oracle-checkable. NULL stats for payloads
     outside the decodable profile."""
-    from openoa_spark.session import ship_package
 
-    ship_package(df.sparkSession)
+    def _row(raw: bytes) -> dict:
+        px = decode_png_pixels(raw)
+        if px is None:
+            return {"mean_r": None, "mean_g": None, "mean_b": None,
+                    "n_pixels": None}
+        h, w, _ = px.shape
+        m = px.reshape(-1, 3).mean(axis=0)
+        return {"mean_r": float(m[0]), "mean_g": float(m[1]),
+                "mean_b": float(m[2]), "n_pixels": h * w}
 
-    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, content in zip(pdf[id_col], pdf["content"]):
-                raw = bytes(content) if content is not None else b""
-                px = decode_png_pixels(raw)
-                if px is None:
-                    rows.append(
-                        {
-                            "media_id": mid, "mean_r": None,
-                            "mean_g": None, "mean_b": None,
-                            "n_pixels": None,
-                        }
-                    )
-                    continue
-                h, w, _ = px.shape
-                m = px.reshape(-1, 3).mean(axis=0)
-                rows.append(
-                    {
-                        "media_id": mid,
-                        "mean_r": float(m[0]), "mean_g": float(m[1]),
-                        "mean_b": float(m[2]), "n_pixels": h * w,
-                    }
-                )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in PIXEL_STATS_SCHEMA.fields]
-            )
-
-    return df.select(
-        F.col(id_col).alias("media_id"), "content"
-    ).mapInPandas(_stats, PIXEL_STATS_SCHEMA)
+    return _per_item_extractor(df, id_col, PIXEL_STATS_SCHEMA, _row)
 
 
 AUDIO_METADATA_SCHEMA = T.StructType(
@@ -577,67 +570,32 @@ def image_metadata(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     one Arrow ``mapInPandas`` pass (the payload is dropped on output —
     only scalars shuffle). Malformed payloads yield NULL fields, the
     corrupt-media detection surface."""
-    from openoa_spark.session import ship_package
 
-    ship_package(df.sparkSession)
+    def _row(raw: bytes) -> dict:
+        hdr = parse_png_header(raw)
+        w, h, bd, ct = hdr if hdr else (None, None, None, None)
+        return {"width": w, "height": h, "bit_depth": bd,
+                "color_type": ct, "n_bytes": len(raw)}
 
-    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, content in zip(pdf[id_col], pdf["content"]):
-                raw = bytes(content) if content is not None else b""
-                hdr = parse_png_header(raw)
-                w, h, bd, ct = hdr if hdr else (None, None, None, None)
-                rows.append(
-                    {
-                        "media_id": mid, "width": w, "height": h,
-                        "bit_depth": bd, "color_type": ct,
-                        "n_bytes": len(raw),
-                    }
-                )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in IMAGE_METADATA_SCHEMA.fields]
-            )
-
-    return df.select(
-        F.col(id_col).alias("media_id"), "content"
-    ).mapInPandas(_meta, IMAGE_METADATA_SCHEMA)
+    return _per_item_extractor(df, id_col, IMAGE_METADATA_SCHEMA, _row)
 
 
 def audio_metadata(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Decode WAV header metadata (channels, rate, bits, exact sample
     count, integer-floor duration_ms) per row — same Arrow shape as
     :func:`image_metadata`."""
-    from openoa_spark.session import ship_package
 
-    ship_package(df.sparkSession)
+    def _row(raw: bytes) -> dict:
+        hdr = parse_wav_header(raw)
+        if hdr:
+            ch, rate, bits, n = hdr
+            dur = (n * 1000) // rate if rate else None
+        else:
+            ch = rate = bits = n = dur = None
+        return {"channels": ch, "sample_rate": rate, "bits": bits,
+                "n_samples": n, "duration_ms": dur, "n_bytes": len(raw)}
 
-    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, content in zip(pdf[id_col], pdf["content"]):
-                raw = bytes(content) if content is not None else b""
-                hdr = parse_wav_header(raw)
-                if hdr:
-                    ch, rate, bits, n = hdr
-                    dur = (n * 1000) // rate if rate else None
-                else:
-                    ch = rate = bits = n = dur = None
-                rows.append(
-                    {
-                        "media_id": mid, "channels": ch,
-                        "sample_rate": rate, "bits": bits,
-                        "n_samples": n, "duration_ms": dur,
-                        "n_bytes": len(raw),
-                    }
-                )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in AUDIO_METADATA_SCHEMA.fields]
-            )
-
-    return df.select(
-        F.col(id_col).alias("media_id"), "content"
-    ).mapInPandas(_meta, AUDIO_METADATA_SCHEMA)
+    return _per_item_extractor(df, id_col, AUDIO_METADATA_SCHEMA, _row)
 
 
 def frame_sample_plan(df: DataFrame, every_n_seconds: float = 1.0) -> DataFrame:

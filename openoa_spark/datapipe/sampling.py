@@ -433,8 +433,12 @@ def leakage_safe_split(
         joined.withColumn("split_rep", rep)
         .withColumn(
             "split",
+            # same hash_fn for BOTH stages: a caller matching an
+            # existing xxhash64-keyed split pipeline must not silently
+            # get md5 split labels (review r6)
             hash_split(
-                F.col("split_rep").cast("string"), splits, seed, hash_fn="md5"
+                F.col("split_rep").cast("string"), splits, seed,
+                hash_fn=hash_fn,
             ),
         )
         .drop("component")

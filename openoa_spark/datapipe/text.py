@@ -939,16 +939,29 @@ def sliding_token_chunks(
     )
 
 
-# Encoding-damage / mojibake patterns (Java-regex ∩ RE2 syntax so both
-# engines compile the same expression — the PII_RULES discipline):
+# Encoding-damage / mojibake patterns. Unlike PII_RULES (whose single
+# pattern strings are valid in BOTH regex dialects), codepoint escapes
+# spell differently — Java regex wants \uXXXX, RE2/DuckDB wants
+# \x{XXXX} — so each signal carries BOTH spellings of the SAME
+# character class side by side; registry.py builds the DuckDB oracle
+# from the `sql` member so the two dialects cannot drift
+# independently. Signals:
 # - replacement char U+FFFD: a decoder already gave up on these bytes;
 # - C0 control chars other than \t \n \r: binary spilled into text;
 # - UTF-8-read-as-Latin-1 mojibake: Â/Ã followed by a Latin-1 high
 #   char (the decoded form of a UTF-8 continuation byte).
 ENCODING_DAMAGE_PATTERNS = (
-    ("n_replacement", "\\uFFFD"),
-    ("n_control", "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]"),
-    ("n_mojibake", "[\\u00C2\\u00C3][\\u0080-\\u00FF]"),
+    ("n_replacement", "\\uFFFD", r"\x{FFFD}"),
+    (
+        "n_control",
+        "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]",
+        r"[\x01-\x08\x0B\x0C\x0E-\x1F]",
+    ),
+    (
+        "n_mojibake",
+        "[\\u00C2\\u00C3][\\u0080-\\u00FF]",
+        r"[\x{00C2}\x{00C3}][\x{0080}-\x{00FF}]",
+    ),
 )
 
 
@@ -967,7 +980,7 @@ def encoding_damage_signals(
     """
     c = F.col(text_col)
     cols = [F.col(id_col)]
-    for name, pat in ENCODING_DAMAGE_PATTERNS:
+    for name, pat, _sql_pat in ENCODING_DAMAGE_PATTERNS:
         cols.append(F.regexp_count(c, F.lit(pat)).cast("bigint").alias(name))
     out = df.select(*cols)
     return out.withColumn(

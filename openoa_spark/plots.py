@@ -85,22 +85,28 @@ def power_curve_plot_data(
     base = df.select(*sel).where(
         F.col(ws_col).isNotNull() & F.col(power_col).isNotNull()
     )
-    n = base.count()
     strata = [flag_col] if flag_col else []
+    if flag_col:
+        # one flag-grain aggregate supplies BOTH the total row count
+        # and the per-stratum budgets (a separate base.count() would
+        # re-scan the table for a number this collect already holds)
+        counts = {
+            r[0]: r[1]
+            for r in base.groupBy(flag_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        }
+        n = sum(counts.values())
+    else:
+        n = base.count()
     if n > max_points:
         h = F.abs(
             F.xxhash64(F.col(ws_col), F.col(power_col), *map(F.col, keys))
         )
         if flag_col:
             # per-stratum keep fraction: max_points split equally
-            # across flag values (flag-grain collect — 2-3 rows); a
-            # stratum smaller than its budget keeps every row
-            counts = {
-                r[0]: r[1]
-                for r in base.groupBy(flag_col)
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .collect()
-            }
+            # across flag values; a stratum smaller than its budget
+            # keeps every row
             per = max_points / len(counts)
             keep = None
             for v, cnt in counts.items():

@@ -4100,9 +4100,16 @@ def embedding_int8_quantization(spark, sf_dir):
     )
 
 
+_DMG_SQL = {n: s for n, _java, s in text.ENCODING_DAMAGE_PATTERNS}
+_DMG_COUNTS = ",\n           ".join(
+    f"CAST(length(regexp_extract_all(t, '{s}')) AS BIGINT) AS {n}"
+    for n, s in _DMG_SQL.items()
+)
+
+
 @register(
     "encoding_damage_docs",
-    r"""
+    f"""
     WITH d AS (
       SELECT doc_id,
              text
@@ -4115,18 +4122,10 @@ def embedding_int8_quantization(spark, sf_dir):
       FROM documents
     )
     SELECT doc_id,
-           CAST(length(regexp_extract_all(t, '\x{FFFD}')) AS BIGINT)
-             AS n_replacement,
-           CAST(length(regexp_extract_all(t,
-                 '[\x01-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_control,
-           CAST(length(regexp_extract_all(t,
-                 '[\x{00C2}\x{00C3}][\x{0080}-\x{00FF}]')) AS BIGINT)
-             AS n_mojibake,
-           (length(regexp_extract_all(t, '\x{FFFD}')) >= 1
-            OR length(regexp_extract_all(t,
-                 '[\x01-\x08\x0B\x0C\x0E-\x1F]')) >= 1
-            OR length(regexp_extract_all(t,
-                 '[\x{00C2}\x{00C3}][\x{0080}-\x{00FF}]')) >= 2)
+           {_DMG_COUNTS},
+           (length(regexp_extract_all(t, '{_DMG_SQL["n_replacement"]}')) >= 1
+            OR length(regexp_extract_all(t, '{_DMG_SQL["n_control"]}')) >= 1
+            OR length(regexp_extract_all(t, '{_DMG_SQL["n_mojibake"]}')) >= 2)
              AS is_damaged
     FROM d
     """,

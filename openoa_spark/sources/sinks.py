@@ -339,20 +339,29 @@ def apply_cdc(
         r[0] for r in latest.select(partition_col).distinct().collect()
     }
     if present:
-        # a previous delete-everything batch left a flat schema-marker
-        # file at the root (see below); drop flat data files before the
-        # dynamic overwrite so the layout stays purely partitioned
-        if fs.exists(path):
-            for st in fs.listStatus(path):
-                nm = st.getPath().getName()
-                if st.isFile() and nm.endswith(".parquet"):
-                    fs.delete(st.getPath(), False)
-        (
-            latest.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(partition_col)
-            .parquet(table_path)
+        has_marker = fs.exists(path) and any(
+            st.isFile() and st.getPath().getName().endswith(".parquet")
+            for st in fs.listStatus(path)
         )
+        w = latest.write.mode("overwrite").partitionBy(partition_col)
+        if has_marker:
+            # a previous delete-everything batch left the flat schema
+            # marker (see below), so the table is logically EMPTY — a
+            # STATIC overwrite (replace everything) is semantically
+            # identical here and clears the marker within Spark's own
+            # overwrite commit instead of a hand-rolled pre-delete
+            # (review r6: deleting the marker BEFORE the dynamic write
+            # committed reopened the unreadable-table crash window this
+            # function exists to close; static overwrite reduces the
+            # exposure to plain parquet's standard non-atomic-overwrite
+            # semantics, the baseline everywhere without a table
+            # format)
+            w.parquet(table_path)
+        else:
+            (
+                w.option("partitionOverwriteMode", "dynamic")
+                .parquet(table_path)
+            )
     # dynamic overwrite only replaces partitions PRESENT in the output:
     # a partition whose every row was deleted would silently survive —
     # drop those directories explicitly. Directory names carry Spark's

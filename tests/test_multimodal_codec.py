@@ -298,3 +298,34 @@ def test_decode_wav_samples_roundtrip_and_guards(spark):
     assert got[1]["mean_amp"] == flat.sum() / len(flat)
     assert got[1]["max_abs"] == int(abs(flat).max())
     assert got[2]["rms"] is None and got[2]["n_frames"] is None
+
+
+def test_extractors_accept_custom_id_col(spark):
+    """r6 review regression: the extractors alias id_col to media_id
+    in the select — the Arrow closure must read the RENAMED column,
+    not pdf[id_col] (which crashed for any non-default id column, in
+    all four extractors)."""
+    png = multimodal.synthesize_png(8, 8, 1)
+    wav = multimodal.synthesize_wav(1, 8000, 50, 2)
+    imgs = spark.createDataFrame(
+        [(7, png)],
+        T.StructType([
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]),
+    )
+    wavs = spark.createDataFrame(
+        [(9, wav)],
+        T.StructType([
+            T.StructField("clip_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]),
+    )
+    assert multimodal.image_metadata(imgs, id_col="asset_id").first()[
+        "width"] == 8
+    assert multimodal.image_pixel_stats(imgs, id_col="asset_id").first()[
+        "n_pixels"] == 64
+    assert multimodal.audio_metadata(wavs, id_col="clip_id").first()[
+        "n_samples"] == 50
+    assert multimodal.audio_sample_stats(wavs, id_col="clip_id").first()[
+        "n_frames"] == 50
