@@ -431,3 +431,58 @@ def test_bracket_order_stats_differential(spark, rows, q):
     got_top = sorted(map(tuple,
         stats.grouped_top_k(df, ["k"], "v", "id", k).collect()))
     assert got_top == ref_top
+
+
+# ------------------------------------------------ multimodal decoders
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_media_parsers_never_raise_on_arbitrary_bytes(blob):
+    """The decode contract: malformed payloads yield None, never an
+    exception — pinned on arbitrary byte strings, including ones that
+    start with valid magic and then lie about lengths."""
+    from openoa_spark.datapipe import multimodal as mm
+
+    for fn in (mm.parse_png_header, mm.parse_wav_header,
+               mm.decode_png_pixels, mm.decode_wav_samples):
+        out = fn(blob)
+        assert out is None or out is not None  # no exception is the test
+    # adversarial: valid magic + attacker-controlled tail
+    for prefix in (b"\x89PNG\r\n\x1a\n", b"RIFF\xff\xff\xff\xffWAVE"):
+        for fn in (mm.parse_png_header, mm.parse_wav_header,
+                   mm.decode_png_pixels, mm.decode_wav_samples):
+            fn(prefix + blob)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 40), st.integers(1, 30), st.integers(0, 2**31 - 1),
+)
+def test_png_synth_decode_roundtrip_property(w, h, seed):
+    from openoa_spark.datapipe import multimodal as mm
+
+    png = mm.synthesize_png(w, h, seed)
+    assert mm.parse_png_header(png) == (w, h, 8, 2)
+    assert len(png) == 68 + h * (1 + 3 * w)
+    px = mm.decode_png_pixels(png)
+    assert px.shape == (h, w, 3)
+    # spot-check the first and last pixel against the formula
+    assert px[0, 0, 0] == (seed * 31) % 256
+    last_idx = h * 3 * w - 1
+    assert px[h - 1, w - 1, 2] == (seed * 31 + last_idx * 7) % 256
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 2), st.integers(8000, 48000), st.integers(1, 400),
+    st.integers(0, 2**31 - 1),
+)
+def test_wav_synth_decode_roundtrip_property(ch, rate, n, seed):
+    from openoa_spark.datapipe import multimodal as mm
+
+    wav = mm.synthesize_wav(ch, rate, n, seed)
+    assert mm.parse_wav_header(wav) == (ch, rate, 16, n)
+    assert len(wav) == 44 + 2 * ch * n
+    s = mm.decode_wav_samples(wav)
+    assert s.shape == (n, ch)
+    assert int(s.ravel()[0]) == ((seed * 7) % 65536) - 32768
