@@ -1575,6 +1575,132 @@ def aep_monthly_meter_prep(spark, sf_dir):
 
 
 @register(
+    "wake_plant_reference_conditions",
+    """
+    WITH pud AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
+             ROUND((degrees(atan2(
+                 avg(sin(radians(CAST(event_id % 360 AS DOUBLE)))),
+                 avg(cos(radians(CAST(event_id % 360 AS DOUBLE))))))
+               + 360) % 360, 6) AS wd,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                   / COUNT(value), 6) AS ws
+      FROM events WHERE user_id < 3
+      GROUP BY 1, 2
+    )
+    SELECT day,
+           ROUND((degrees(atan2(avg(sin(radians(wd))),
+                                avg(cos(radians(wd))))) + 360) % 360, 6)
+             AS ref_wd,
+           ROUND(avg(ws), 6) AS ref_ws
+    FROM pud GROUP BY day HAVING COUNT(*) = 3
+    """,
+)
+def wake_plant_reference_conditions(spark, sf_dir):
+    """WakeLosses' prepare() stage (analysis/wake_losses.py:97-120;
+    reference wake_losses.py:983-1054) on testdata shape: keep only
+    COMPLETE periods (every designated wind-direction asset
+    reporting), then the plant reference conditions — circular-mean
+    wind direction over the designated assets and their mean wind
+    speed — the frame every wake-loss bin downstream reads. Twin
+    grain: (user, day) aggregates for 3 designated assets, day kept
+    only when all 3 report (the completeness filter is exercised at
+    every SF), per-asset wd/ws rounded BEFORE the plant fold so both
+    engines fold identical doubles. Two bucket-grain hash aggregates,
+    map-side combined."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 3)
+    wd = (F.col("event_id") % 360).cast("double")
+    pud = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).agg(
+        rounded(met.circular_mean_agg(wd)).alias("_wd"),
+        rounded(davg("value")).alias("_ws"),
+    )
+    return (
+        pud.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            rounded(met.circular_mean_agg(F.col("_wd"))).alias("ref_wd"),
+            rounded(F.avg("_ws")).alias("ref_ws"),
+        )
+        .where(F.col("_n") == 3)
+        .select("day", "ref_wd", "ref_ws")
+    )
+
+
+@register(
+    "yaw_vane_bin_cells",
+    """
+    WITH s AS (
+      SELECT CAST(user_id % 5 AS BIGINT) AS asset,
+             value % 15 AS ws,
+             CAST(event_id % 41 AS DOUBLE) - 20 AS vane,
+             value * 10 AS power
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT asset,
+             CAST(CASE WHEN ws >= 4.5 AND ws < 5.5 THEN 5.0
+                  WHEN ws >= 5.5 AND ws < 6.5 THEN 6.0
+                  WHEN ws >= 6.5 AND ws < 7.5 THEN 7.0
+                  WHEN ws >= 7.5 AND ws < 8.5 THEN 8.0 END
+                  AS DOUBLE) AS ws_bin,
+             round(vane / 2.0) * 2.0 AS vane_bin,
+             power / (ws * ws * ws) AS pow_ratio
+      FROM s
+    )
+    SELECT asset, ws_bin, vane_bin,
+           ROUND(AVG(pow_ratio), 6) AS mean_ratio,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b WHERE ws_bin IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
+def yaw_vane_bin_cells(spark, sf_dir):
+    """StaticYawMisalignment's binned-cells prep
+    (analysis/yaw.py:104 _binned_tables; reference
+    yaw_misalignment.py:352-420) on testdata shape: power-coefficient
+    ratio (power / ws^3) cell means per (turbine, wind-speed bin,
+    vane bin) — the exact table the cosine fits consume. Same
+    idioms as the pipeline: F.get over a filtered bin array (NULL,
+    not ANSI error, outside every bin), F.round-to-width vane
+    binning (half-away in both engines on the x.5 lattice), one hash
+    aggregate to cell grain."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ws = F.col("value") % 15
+    s = ev.select(
+        (F.col("user_id") % 5).alias("asset"),
+        ws.alias("ws"),
+        ((F.col("event_id") % 41).cast("double") - 20).alias("vane"),
+        (F.col("value") * 10).alias("power"),
+    )
+    ws_bins = F.array(*[F.lit(float(b)) for b in (5.0, 6.0, 7.0, 8.0)])
+    binned = (
+        s.withColumn(
+            "ws_bin",
+            F.get(
+                F.filter(
+                    ws_bins,
+                    lambda b: (F.col("ws") >= b - 0.5)
+                    & (F.col("ws") < b + 0.5),
+                ),
+                0,
+            ),
+        )
+        .where(F.col("ws_bin").isNotNull())
+        .withColumn("vane_bin", F.round(F.col("vane") / 2.0) * 2.0)
+        .withColumn(
+            "pow_ratio",
+            F.col("power") / (F.col("ws") * F.col("ws") * F.col("ws")),
+        )
+    )
+    return binned.groupBy("asset", "ws_bin", "vane_bin").agg(
+        rounded(F.avg("pow_ratio")).alias("mean_ratio"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "tie_daily_corrected_energy",
     """
     WITH h AS (
@@ -8134,18 +8260,20 @@ _PRIORITY = [
     "calendar_hour_profile", "circular_mean_by_type", "cosine_topk",
     "cumulative_sum_per_user", "doc_fingerprints",
     "duplicate_minutes", "embedding_norms", "exact_dedup_docs",
-    "find_hour_gaps", "gross_energy_frac", "iec_power_curve",
-    "impute_linear_synthetic",
+    "find_hour_gaps", "gross_energy_frac",
     # (5) Brand-new late-round-6 structural queries (displacing the
-    # last five longest-unchecked fills — infer_frequency /
-    # lag_delta_per_user / language_id / lsh_bucket_counts /
-    # nearest_neighbor roll to the r7 fill): fuzzy LSH benchmark
-    # decontamination, near-dup-aware leakage-safe splits,
-    # encoding-damage detection, and the full-decode stats pair
-    # (pixel means, PCM amplitude).
+    # last seven longest-unchecked fills — iec_power_curve /
+    # impute_linear_synthetic / infer_frequency / lag_delta_per_user /
+    # language_id / lsh_bucket_counts / nearest_neighbor roll to the
+    # r7 fill): fuzzy LSH benchmark decontamination, near-dup-aware
+    # leakage-safe splits, encoding-damage detection, the full-decode
+    # stats pair (pixel means, PCM amplitude), and the wake/yaw prep
+    # oracles completing driver coverage of all six pipelines' prep
+    # stages.
     "minhash_decontaminate_docs", "leakage_safe_split_docs",
     "encoding_damage_docs", "multimodal_pixel_stats",
-    "multimodal_audio_stats",
+    "multimodal_audio_stats", "wake_plant_reference_conditions",
+    "yaw_vane_bin_cells",
 ]
 
 _PRIORITY_R5 = [

@@ -166,6 +166,10 @@ PROBE_QUERIES = [
     "multimodal_pixel_stats",
     # full PCM16 sample decode + amplitude stats, same shape
     "multimodal_audio_stats",
+    # wake/yaw prep: bucket- and cell-grain hash aggregates, map-side
+    # combined: rows x N
+    "wake_plant_reference_conditions",
+    "yaw_vane_bin_cells",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
