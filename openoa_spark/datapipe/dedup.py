@@ -341,11 +341,14 @@ def minhash_decontaminate(
     exact n-gram joins miss.
 
     Scale shape: candidate generation is the banded LSH equi-join
-    BETWEEN the two tables (never corpus x bench all-pairs); the bench
-    side is benchmark-suite-sized by contract, so its band table
-    broadcasts; the Jaccard estimate runs on the banded signature
-    arrays and the verdict dedups on scalar ids only (array columns
-    never reach an aggregate). Returns the corpus with an
+    BETWEEN the two tables (never corpus x bench all-pairs). The bench
+    band table is usually benchmark-suite-sized, but callers may pass
+    an SF-scaled bench side, so the join strategy is left to AQE
+    (which broadcasts it when its measured size is below the
+    threshold) rather than forced with a hint that would OOM on a
+    large bench table. The Jaccard estimate runs on the banded
+    signature arrays and the verdict dedups on scalar ids only (array
+    columns never reach an aggregate). Returns the corpus with an
     ``is_contaminated`` flag — filter or quarantine downstream.
     """
     sig_c = _minhash_signatures(
@@ -367,7 +370,7 @@ def minhash_decontaminate(
         F.col("a.bhash") == F.col("b.bhash")
     )
     hits = (
-        bc.join(F.broadcast(bb), on)
+        bc.join(bb, on)
         .select(F.col("a._id").alias(id_col), est.alias("_est"))
         .where(F.col("_est") >= jaccard_threshold)
         .select(id_col)

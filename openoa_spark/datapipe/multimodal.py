@@ -196,6 +196,12 @@ def parse_wav_header(content: bytes):
             bits = struct.unpack("<H", content[pos + 22:pos + 24])[0]
             fmt = (int(ch), int(rate), int(bits))
         elif cid == b"data":
+            # a data chunk whose declared length overruns the payload
+            # is a truncated file — reject it here so metadata never
+            # reports a full n_samples that decode_wav_samples would
+            # refuse (keeps the corrupt-media surface symmetric)
+            if pos + 8 + clen > len(content):
+                return None
             data_len = int(clen)
         pos += 8 + clen + (clen & 1)  # RIFF chunks are 2-byte aligned
     if fmt is None or data_len is None:

@@ -104,13 +104,27 @@ def power_curve_plot_data(
             F.xxhash64(F.col(ws_col), F.col(power_col), *map(F.col, keys))
         )
         if flag_col:
-            # per-stratum keep fraction: max_points split equally
-            # across flag values; a stratum smaller than its budget
-            # keeps every row
-            per = max_points / len(counts)
+            # per-stratum budgets by waterfill: start from an equal
+            # split, but when a stratum is smaller than its share
+            # (e.g. 50 flagged rows vs millions kept) its unused
+            # budget is redistributed to the strata that can absorb
+            # it — so the plot returns ~max_points rows, not
+            # max_points/len(counts) per saturated stratum
+            budget = {v: float(cnt) for v, cnt in counts.items()}
+            remaining, open_strata = float(max_points), dict(counts)
+            while open_strata:
+                per = remaining / len(open_strata)
+                small = {v: c for v, c in open_strata.items() if c <= per}
+                if not small:
+                    budget.update({v: per for v in open_strata})
+                    break
+                for v, c in small.items():
+                    budget[v] = float(c)
+                    remaining -= c
+                    del open_strata[v]
             keep = None
             for v, cnt in counts.items():
-                frac = min(1.0, per / cnt)
+                frac = min(1.0, budget[v] / cnt)
                 cond = F.col(flag_col).eqNullSafe(F.lit(v)) & (
                     h % 1_000_000 < int(frac * 1_000_000) + 1
                 )

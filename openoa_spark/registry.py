@@ -1334,10 +1334,11 @@ def minhash_decontaminate_docs(spark, sf_dir):
     benchmark document get flagged — paraphrased/whitespace-mangled
     test-set copies exact n-gram joins miss. Bench = every 7th doc
     (cross-partition fuzzy pairs exist at every SF, so the flag is
-    exercised, not vacuous). Candidates come from the banded LSH
-    equi-join BETWEEN tables with the bench band table broadcast —
-    never corpus x bench all-pairs; the oracle replays the identical
-    KM signature/band arithmetic."""
+    exercised, not vacuous; the bench side scales with SF, which is
+    exactly why the join strategy is left to AQE instead of a forced
+    broadcast). Candidates come from the banded LSH equi-join BETWEEN
+    tables — never corpus x bench all-pairs; the oracle replays the
+    identical KM signature/band arithmetic."""
     docs = _t(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 7 == 0)
     corpus = docs.where(F.col("doc_id") % 7 != 0)

@@ -912,7 +912,16 @@ def stream_media_metadata(
     def _process(batch: DataFrame, batch_id: int) -> None:
         meta = extract(batch, id_col=id_col).persist()
         try:
-            good = meta.where(F.col(valid_col).isNotNull())
+            # With a quarantine configured, rejects go there whole and
+            # the metadata table stays all-valid. WITHOUT one, keep the
+            # NULL-metadata rows in the metadata table (they still
+            # carry the id + n_bytes) — silently vanishing corrupt
+            # payloads would make rejects unobservable.
+            good = (
+                meta.where(F.col(valid_col).isNotNull())
+                if quarantine_path is not None
+                else meta
+            )
             (
                 good.withColumn("_batch_id", F.lit(batch_id))
                 .write.mode("overwrite")

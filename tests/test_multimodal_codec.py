@@ -156,6 +156,19 @@ def test_wav_parser_walks_extra_chunks_and_rejects_malformed():
     assert multimodal.parse_wav_header(wav[:30]) is None
 
 
+def test_wav_header_rejects_truncated_data_chunk():
+    """A WAV cut mid-data must fail the HEADER parse too, not just the
+    sample decode — otherwise audio_metadata reports full
+    n_samples/duration for a file decode_wav_samples refuses
+    (asymmetric corrupt-media detection)."""
+    wav = multimodal.synthesize_wav(1, 8000, 50, 3)
+    truncated = wav[:-10]  # data chunk declares 100 bytes, 90 present
+    assert multimodal.parse_wav_header(truncated) is None
+    assert multimodal.decode_wav_samples(truncated) is None
+    # chopping exactly at the declared data length still parses
+    assert multimodal.parse_wav_header(wav) == (1, 8000, 16, 50)
+
+
 def test_png_codec_behind_image_features_seam(spark):
     """The REAL PNG parser drives the existing image_features codec
     seam: dimensions come from the IHDR, not the byte-length stub."""

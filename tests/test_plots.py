@@ -76,7 +76,10 @@ def test_power_curve_plot_data_rare_stratum_survives(spark):
     )
     sc = data["scatter"]
     assert (sc["flag"]).sum() == 20          # rare stratum kept whole
-    assert (~sc["flag"]).sum() <= 2 * 200    # common stratum capped
+    # r6 ADVICE (waterfill): the rare stratum's unused budget flows to
+    # the big stratum — its cap is ~max_points - 20, not max_points/2
+    assert (~sc["flag"]).sum() > 250         # got more than a half-split
+    assert (~sc["flag"]).sum() <= 2 * 380    # still capped near budget
 
 
 def test_column_histograms_data(spark):

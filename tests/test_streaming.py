@@ -1053,3 +1053,20 @@ def test_stream_media_metadata_decode_and_quarantine(spark, tmp_path):
     q2.awaitTermination(120)
     assert spark.read.parquet(meta_p).count() == 2
     assert spark.read.parquet(quar).count() == 2
+
+    # quarantine_path=None must NOT silently drop rejects: the
+    # NULL-metadata rows (which still carry id + n_bytes) stay in the
+    # metadata table so corrupt payloads remain observable
+    meta_noq = str(tmp_path / "meta_noq")
+    q3 = ingest.stream_media_metadata(
+        ingest.file_stream(spark, src, schema), meta_noq,
+        str(tmp_path / "ckpt3"), kind="image", quarantine_path=None,
+    )
+    q3.awaitTermination(120)
+    noq = {
+        r["media_id"]: r["width"]
+        for r in spark.read.parquet(meta_noq).collect()
+    }
+    assert set(noq) == {1, 2, 3, 4}
+    assert noq[2] is None and noq[4] is None
+    assert noq[1] is not None and noq[3] is not None
