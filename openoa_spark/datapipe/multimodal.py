@@ -4,9 +4,15 @@ columns with typed metadata.
 Two tiers of decode live here:
 
 - REAL header decoders (:func:`parse_png_header`,
-  :func:`parse_wav_header`) — genuine byte-level PNG/RIFF parsing in
-  pure Python (signature validation, chunk walking, field extraction
-  at spec offsets). No PIL/ffmpeg needed for metadata-grade decoding;
+  :func:`parse_wav_header`, :func:`parse_jpeg_header`) — genuine
+  byte-level PNG/RIFF/JFIF parsing in pure Python (signature
+  validation, chunk/segment walking, field extraction at spec
+  offsets). The JPEG parser is additionally pinned against FOREIGN
+  fixtures (camera/editor-produced JPEGs from the Apache Spark
+  distribution, tests/fixtures/jpeg/) cross-checked with Spark's own
+  ``image`` data source (Java ImageIO), so its correctness does not
+  rest on round-tripping with a builder-written synthesizer.
+  No PIL/ffmpeg needed for metadata-grade decoding;
   :func:`png_image_codec` plugs the PNG parser into the
   ``image_features`` codec seam. Matching synthesizers
   (:func:`synthesize_png` — a fully valid zlib-stream RGB8 PNG with
@@ -210,6 +216,65 @@ def parse_wav_header(content: bytes):
     if ch == 0 or bits == 0 or bits % 8:
         return None
     return (ch, rate, bits, data_len // (ch * (bits // 8)))
+
+
+def parse_jpeg_header(content: bytes):
+    """REAL JPEG decode (metadata grade): validate the SOI marker and
+    walk the JFIF/EXIF segment list (length-prefixed, with 0xFF fill
+    bytes and standalone markers handled) to the first frame header
+    (SOF0–SOF15, excluding DHT/JPG/DAC which share the 0xC0 row), and
+    return ``(width, height, precision, n_components)`` or ``None``
+    for malformed payloads.
+
+    Unlike PNG/WAV this format has FOREIGN fixtures the builder did
+    not synthesize: tests/fixtures/jpeg/* (camera/editor-produced
+    JPEGs shipped with the Apache Spark distribution and other
+    public packages) are pinned against Spark's own ``image`` data
+    source (Java ImageIO — an entirely independent decoder), so the
+    parser's correctness does not rest on round-tripping with
+    :func:`synthesize_jpeg`."""
+    if (
+        content is None
+        or len(content) < 4
+        or content[0] != 0xFF
+        or content[1] != 0xD8  # SOI
+    ):
+        return None
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            return None  # lost marker sync
+        # skip fill bytes: any number of 0xFF may pad before a marker
+        while pos < len(content) and content[pos] == 0xFF:
+            pos += 1
+        if pos >= len(content):
+            return None
+        marker = content[pos]
+        pos += 1
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone: TEM, SOI, RSTn — no length field
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        if pos + 2 > len(content):
+            return None
+        seg_len = (content[pos] << 8) | content[pos + 1]
+        if seg_len < 2 or pos + seg_len > len(content):
+            return None  # truncated or corrupt segment
+        is_sof = 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC)
+        if is_sof:
+            if seg_len < 8:
+                return None
+            precision = content[pos + 2]
+            h = (content[pos + 3] << 8) | content[pos + 4]
+            w = (content[pos + 5] << 8) | content[pos + 6]
+            ncomp = content[pos + 7]
+            if w == 0 or h == 0 or ncomp == 0:
+                return None
+            return (int(w), int(h), int(precision), int(ncomp))
+        if marker == 0xDA:
+            return None  # scan started without a frame header
+        pos += seg_len
+    return None
 
 
 def decode_png_pixels(content: bytes):
@@ -449,6 +514,50 @@ def synthesize_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def synthesize_jpeg(
+    width: int, height: int, n_components: int = 3, seed: int = 0
+) -> bytes:
+    """A structurally valid JPEG marker stream for METADATA-grade
+    decoding: SOI, JFIF APP0, a seed-length COM segment, DQT, a real
+    SOF0 frame header carrying the requested dimensions/components,
+    SOS, deterministic 0xFF-free entropy filler, EOI. The scan data is
+    filler (this synthesizer's scope is the header walk, and — unlike
+    PNG/WAV — the parser is additionally pinned against FOREIGN
+    camera/editor JPEGs, so synth/parse round-trip bugs cannot
+    cancel). Total size is closed-form for the oracles:
+    ``113 + 5*n_components + (seed % 17) + (60 + (width*height) % 191)``.
+    """
+    import struct
+
+    if not (0 < width < 65536 and 0 < height < 65536):
+        raise ValueError("JPEG dimensions must fit in uint16")
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    com = bytes((seed * 11 + i * 3) % 255 for i in range(seed % 17))
+    dqt = b"\x00" + bytes((i * 5 + 1) % 255 for i in range(64))
+    sof = struct.pack(">BHHB", 8, height, width, n_components) + b"".join(
+        struct.pack(">BBB", c + 1, 0x11, 0) for c in range(n_components)
+    )
+    sos = struct.pack(">B", n_components) + b"".join(
+        struct.pack(">BB", c + 1, 0) for c in range(n_components)
+    ) + b"\x00\x3f\x00"
+    n_scan = 60 + (width * height) % 191
+    scan = bytes((seed * 7 + i * 13) % 255 for i in range(n_scan))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    return (
+        b"\xff\xd8"                 # SOI
+        + seg(0xE0, app0)           # APP0 (18 bytes)
+        + seg(0xFE, com)            # COM  (4 + seed%17)
+        + seg(0xDB, dqt)            # DQT  (69)
+        + seg(0xC0, sof)            # SOF0 (10 + 3c)
+        + seg(0xDA, sos)            # SOS  (8 + 2c)
+        + scan                      # 60 + (w*h) % 191, no 0xFF bytes
+        + b"\xff\xd9"               # EOI
+    )
+
+
 def synthesize_png_column(
     df: DataFrame, id_col: str = "media_id"
 ) -> DataFrame:
@@ -511,6 +620,40 @@ def synthesize_wav_column(
             )
 
     return df.select(id_col, "_ch", "_rate", "_n", "_seed").mapInPandas(
+        _synth, schema
+    )
+
+
+def synthesize_jpeg_column(
+    df: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """As :func:`synthesize_png_column`, for JPEG: spec frame
+    ``(id_col, _w, _h, _c, _seed)`` -> ``(id_col, content)``."""
+    from openoa_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "content": [
+                        synthesize_jpeg(int(w), int(h), int(c), int(s))
+                        for w, h, c, s in zip(
+                            pdf["_w"], pdf["_h"], pdf["_c"], pdf["_seed"]
+                        )
+                    ],
+                }
+            )
+
+    return df.select(id_col, "_w", "_h", "_c", "_seed").mapInPandas(
         _synth, schema
     )
 
@@ -584,6 +727,32 @@ def image_metadata(df: DataFrame, id_col: str = "media_id") -> DataFrame:
                 "color_type": ct, "n_bytes": len(raw)}
 
     return _per_item_extractor(df, id_col, IMAGE_METADATA_SCHEMA, _row)
+
+
+JPEG_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("precision", T.IntegerType(), True),
+        T.StructField("n_components", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def jpeg_metadata(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Decode JPEG frame-header metadata (SOF marker walk:
+    width/height/precision/component count) per row — same Arrow shape
+    as :func:`image_metadata`; malformed payloads yield NULL fields."""
+
+    def _row(raw: bytes) -> dict:
+        hdr = parse_jpeg_header(raw)
+        w, h, prec, nc = hdr if hdr else (None, None, None, None)
+        return {"width": w, "height": h, "precision": prec,
+                "n_components": nc, "n_bytes": len(raw)}
+
+    return _per_item_extractor(df, id_col, JPEG_METADATA_SCHEMA, _row)
 
 
 def audio_metadata(df: DataFrame, id_col: str = "media_id") -> DataFrame:

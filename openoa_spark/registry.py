@@ -4182,6 +4182,77 @@ def multimodal_corrupt_media(spark, sf_dir):
 
 
 @register(
+    "multimodal_jpeg_metadata",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             16 + doc_id % 48 AS w,
+             16 + doc_id % 40 AS h,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS c,
+             (doc_id * 6151 % 999979) AS seed
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE w END AS INT)
+             AS width,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE h END AS INT)
+             AS height,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 8 END AS INT)
+             AS sof_precision,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE c END AS INT)
+             AS n_components,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN 3
+                ELSE 173 + 5*c + seed % 17 + (w*h) % 191 END AS BIGINT)
+             AS n_bytes
+    FROM p
+    """,
+)
+def multimodal_jpeg_metadata(spark, sf_dir):
+    """JPEG frame-header metadata + corrupt detection in one pass: a
+    structurally valid JPEG marker stream per doc_id (JFIF APP0, a
+    seed-length COM segment the walker must skip by length, DQT, SOF0,
+    SOS — multimodal.synthesize_jpeg), every 13th payload truncated to
+    3 bytes (mid-marker), and the REAL segment walker
+    (multimodal.parse_jpeg_header) recovers width/height/precision/
+    component count — or all-NULL for the corrupt rows — from the
+    bytes. Mixed grayscale (1-component, doc_id%3==0) and color
+    (3-component) frames. The oracle replays dimensions and the exact
+    closed-form file size (113 + 5c + seed%17 + 60 + (w*h)%191).
+    Unlike the PNG/WAV twins, the parser here is ALSO pinned against
+    foreign camera-produced fixtures via Spark's image data source
+    (tests/test_multimodal_codec.py), so builder/parser round-trip
+    bugs cannot cancel. Map-only; payloads never shuffle."""
+    from openoa_spark.datapipe import multimodal
+    from openoa_spark.session import spread_small_input
+
+    docs = spread_small_input(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+    spec = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(16) + F.col("doc_id") % 48).cast("int").alias("_w"),
+        (F.lit(16) + F.col("doc_id") % 40).cast("int").alias("_h"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(1))
+        .otherwise(F.lit(3)).cast("int").alias("_c"),
+        (F.col("doc_id") * 6151 % 999979).alias("_seed"),
+    )
+    media = multimodal.synthesize_jpeg_column(spec)
+    corrupted = media.select(
+        "media_id",
+        F.when(
+            F.col("media_id") % 13 == 0,
+            F.expr("substring(content, 1, 3)"),
+        ).otherwise(F.col("content")).alias("content"),
+    )
+    return multimodal.jpeg_metadata(corrupted).select(
+        F.col("media_id").alias("doc_id"),
+        "width", "height",
+        F.col("precision").alias("sof_precision"),
+        "n_components", "n_bytes",
+    )
+
+
+@register(
     "embedding_int8_quantization",
     """
     WITH s AS (

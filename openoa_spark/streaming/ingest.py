@@ -904,10 +904,14 @@ def stream_media_metadata(
 
     if kind == "image":
         extract, valid_col = multimodal.image_metadata, "width"
+    elif kind == "jpeg":
+        extract, valid_col = multimodal.jpeg_metadata, "width"
     elif kind == "audio":
         extract, valid_col = multimodal.audio_metadata, "channels"
     else:
-        raise ValueError(f"kind must be 'image' or 'audio', got {kind!r}")
+        raise ValueError(
+            f"kind must be 'image', 'jpeg' or 'audio', got {kind!r}"
+        )
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         meta = extract(batch, id_col=id_col).persist()

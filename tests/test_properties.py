@@ -444,12 +444,15 @@ def test_media_parsers_never_raise_on_arbitrary_bytes(blob):
     from openoa_spark.datapipe import multimodal as mm
 
     for fn in (mm.parse_png_header, mm.parse_wav_header,
+               mm.parse_jpeg_header,
                mm.decode_png_pixels, mm.decode_wav_samples):
         out = fn(blob)
         assert out is None or out is not None  # no exception is the test
     # adversarial: valid magic + attacker-controlled tail
-    for prefix in (b"\x89PNG\r\n\x1a\n", b"RIFF\xff\xff\xff\xffWAVE"):
+    for prefix in (b"\x89PNG\r\n\x1a\n", b"RIFF\xff\xff\xff\xffWAVE",
+                   b"\xff\xd8"):
         for fn in (mm.parse_png_header, mm.parse_wav_header,
+                   mm.parse_jpeg_header,
                    mm.decode_png_pixels, mm.decode_wav_samples):
             fn(prefix + blob)
 
@@ -470,6 +473,19 @@ def test_png_synth_decode_roundtrip_property(w, h, seed):
     assert px[0, 0, 0] == (seed * 31) % 256
     last_idx = h * 3 * w - 1
     assert px[h - 1, w - 1, 2] == (seed * 31 + last_idx * 7) % 256
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 4000), st.integers(1, 4000), st.integers(1, 4),
+    st.integers(0, 2**31 - 1),
+)
+def test_jpeg_synth_parse_roundtrip_property(w, h, c, seed):
+    from openoa_spark.datapipe import multimodal as mm
+
+    jpg = mm.synthesize_jpeg(w, h, c, seed)
+    assert mm.parse_jpeg_header(jpg) == (w, h, 8, c)
+    assert len(jpg) == 113 + 5 * c + seed % 17 + 60 + (w * h) % 191
 
 
 @settings(max_examples=25, deadline=None)

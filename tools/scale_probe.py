@@ -147,6 +147,9 @@ PROBE_QUERIES = [
     "multimodal_image_metadata",
     "multimodal_audio_metadata",
     "multimodal_corrupt_media",
+    # round 7: JPEG segment walk, same synth+decode-in-one-map-stage
+    # shape as the PNG/WAV twins — rows x N, zero shuffle
+    "multimodal_jpeg_metadata",
     # pipeline prep stages: two bucket-grain hash aggregates (2h ->
     # day), both map-side combined -> rows x N
     "elosses_daily_coverage_energy",
