@@ -351,3 +351,145 @@ def load_reference_analysis():
     el = importlib.import_module("openoa.analysis.electrical_losses")
     aep = importlib.import_module("openoa.analysis.aep")
     return el, aep
+
+
+def _lm_curve_fit(f, xdata, ydata, p0=None, maxfev=2000, **_kw):
+    """Generic Levenberg–Marquardt ``scipy.optimize.curve_fit``
+    stand-in (numerical Jacobian, damped normal equations). Any
+    correct least-squares optimizer converges to the same optimum on
+    the well-conditioned 3-parameter cosine fits the yaw pipeline
+    runs — this is an independent implementation, NOT the engine's
+    cos_curve_fit, so the parity test compares two separately-written
+    optimizers as well as the pipelines around them. Returns
+    (popt, pcov) with pcov = (JᵀJ)⁻¹·s² like scipy."""
+    x = np.asarray(xdata, dtype=float)
+    y = np.asarray(ydata, dtype=float)
+    p = np.array(p0 if p0 is not None else np.ones(2), dtype=float)
+
+    def resid(q):
+        r = y - np.asarray(f(x, *q), dtype=float)
+        return np.where(np.isfinite(r), r, 1e150)
+
+    r = resid(p)
+    cost = float(r @ r)
+    lam = 1e-3
+    for _ in range(200):
+        J = np.empty((len(r), len(p)))
+        for j in range(len(p)):
+            h = 1e-7 * max(abs(p[j]), 1e-3)
+            pj = p.copy()
+            pj[j] += h
+            J[:, j] = (resid(pj) - r) / h
+        g = J.T @ r
+        A = J.T @ J
+        moved = False
+        for _damp in range(40):
+            try:
+                step = np.linalg.solve(
+                    A + lam * np.diag(np.diag(A) + 1e-12), -g
+                )
+            except np.linalg.LinAlgError:
+                lam *= 10.0
+                continue
+            r_new = resid(p + step)
+            cost_new = float(r_new @ r_new)
+            if cost_new <= cost:
+                converged = cost - cost_new < 1e-14 * (1.0 + cost)
+                p, r, cost = p + step, r_new, cost_new
+                lam = max(lam / 3.0, 1e-12)
+                moved = True
+                if converged:
+                    moved = False  # stop the outer loop too
+                break
+            lam = min(lam * 10.0, 1e12)
+        if not moved:
+            break
+    dof = max(len(y) - len(p), 1)
+    try:
+        pcov = np.linalg.inv(J.T @ J) * (cost / dof)
+    except np.linalg.LinAlgError:
+        pcov = np.full((len(p), len(p)), np.inf)
+    return p, pcov
+
+
+def _shared_gam_3param(
+    windspeed_col=None, wind_direction_col=None, air_density_col=None,
+    power_col=None, n_splines=20, data=None,
+):
+    """Model-seam injection for the reference's pygam-backed
+    ``power_curve.functions.gam_3param`` (pygam absent in this
+    container): BOTH sides of the TIE pipeline parity test fit the
+    ENGINE's documented polynomial basis (openoa_spark/analysis/
+    tie.py:_fit_basis — ws/ws²/ws³ + sin(wd)/cos(wd) + rho OLS), so
+    the test pins everything AROUND the model — filtering, daily
+    energy correction, imputation, daily reanalysis means,
+    calendar-month long-term assembly, the MC loop — while the model
+    seam is held identical. No clamp here: the reference clamps
+    negative predictions itself (turbine_long_term_gross_energy
+    .py:552), mirroring the engine's np.maximum in fit_and_apply."""
+    from openoa_spark.analysis.tie import _fit_basis
+
+    X = _fit_basis(
+        data[windspeed_col].to_numpy(dtype=float),
+        data[wind_direction_col].to_numpy(dtype=float),
+        data[air_density_col].to_numpy(dtype=float),
+    )
+    yv = data[power_col].to_numpy(dtype=float)
+    coef, *_ = np.linalg.lstsq(X, yv, rcond=None)
+
+    def predict(ws, wd, rho):
+        Xp = _fit_basis(
+            np.asarray(ws, dtype=float),
+            np.asarray(wd, dtype=float),
+            np.asarray(rho, dtype=float),
+        )
+        return Xp @ coef
+
+    return predict
+
+
+def load_reference_analysis_extended():
+    """Return the reference ``wake_losses``, ``yaw_misalignment`` and
+    ``turbine_long_term_gross_energy`` modules (round-7: pipeline
+    parity beyond EL/AEP). Extra seams on top of
+    :func:`load_reference_analysis`:
+
+    - ``scipy.optimize.curve_fit``: independent NumPy LM (yaw's
+      cosine fits are well-conditioned; both optimizers reach the
+      same least-squares optimum);
+    - ``matplotlib.ticker.StrMethodFormatter``: display-only, inert;
+    - ``openoa.utils.power_curve.functions.gam_3param``: pygam is
+      absent, so both sides share the engine's polynomial-basis OLS
+      (see :func:`_shared_gam_3param`) — the TIE test pins the
+      pipeline around an identical model seam.
+    """
+    load_reference_analysis()
+
+    scipy = sys.modules["scipy"]
+    if not hasattr(scipy, "optimize"):
+        opt = _mod("scipy.optimize")
+        opt.curve_fit = _lm_curve_fit
+        scipy.optimize = opt
+        sys.modules["scipy.optimize"] = opt
+    mpl = sys.modules["matplotlib"]
+    if not hasattr(mpl, "ticker"):
+        ticker = _mod("matplotlib.ticker")
+        ticker.StrMethodFormatter = object
+        mpl.ticker = ticker
+        sys.modules["matplotlib.ticker"] = ticker
+    if "openoa.utils.power_curve" not in sys.modules:
+        pkg = _mod("openoa.utils.power_curve")
+        pkg.__path__ = [f"{_REF_ROOT}/utils/power_curve"]
+        sys.modules["openoa.utils.power_curve"] = pkg
+    if "openoa.utils.power_curve.functions" not in sys.modules:
+        fns = _mod("openoa.utils.power_curve.functions")
+        fns.gam_3param = _shared_gam_3param
+        sys.modules["openoa.utils.power_curve.functions"] = fns
+        sys.modules["openoa.utils.power_curve"].functions = fns
+
+    wake = importlib.import_module("openoa.analysis.wake_losses")
+    yaw = importlib.import_module("openoa.analysis.yaw_misalignment")
+    tie = importlib.import_module(
+        "openoa.analysis.turbine_long_term_gross_energy"
+    )
+    return wake, yaw, tie

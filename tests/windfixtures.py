@@ -145,14 +145,22 @@ def make_aep_tables(
             "gross_kwh": pd.Series(gross_kwh, index=rean["time"])}
 
 
-def make_wake_tables(days: int = 30, deficit: float = 0.12, seed: int = 23) -> dict:
+def make_wake_tables(
+    days: int = 30, deficit: float = 0.12, seed: int = 23,
+    wd_amplitude: float = 28.0,
+) -> dict:
     """SCADA with a known synthetic wake structure: turbines sit on an
     east-west line; whenever the wind has a westerly component
     (|wrap180(wd-270)| <= 45) every turbine except the westernmost T01
     sees ``deficit``-reduced wind speed. Reanalysis shares the same
     (ws, wd) generating process over a 3-year span so the long-term
     correction should reproduce the POR loss. Returns the exact truth
-    loss computed from the generating arrays."""
+    loss computed from the generating arrays.
+
+    ``wd_amplitude=180`` sweeps the wind direction through the FULL
+    rose (the reference WakeLosses' wd-binned result assembly assumes
+    every 5° bin is populated, as its ENGIE data is — required for the
+    pipeline parity test)."""
     rng = np.random.default_rng(seed)
 
     # ONE hourly weather series for the whole reanalysis span; the
@@ -164,7 +172,7 @@ def make_wake_tables(days: int = 30, deficit: float = 0.12, seed: int = 23) -> d
     hours = np.arange(n, dtype=float)
     ws_all = np.clip(8.0 + 2.0 * np.sin(2 * np.pi * hours / (24 * 7))
                      + rng.normal(0, 1.0, n), 4.0, 13.0)
-    wd_all = (270.0 + 28.0 * np.sin(2 * np.pi * hours / 96.0)
+    wd_all = (270.0 + wd_amplitude * np.sin(2 * np.pi * hours / 96.0)
               + rng.normal(0, 3, n)) % 360.0
 
     # scada: 10-min stamps, hourly-constant met (repeat each hour 6x)
