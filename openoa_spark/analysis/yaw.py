@@ -5,13 +5,17 @@ the misalignment as (cosine-peak offset − mean vane angle).
 Parity target (behavior only): openoa/analysis/yaw_misalignment.py:
 74-743.
 
-Spark-first inversion: the reference loops turbine × ws-bin in pandas;
-here ONE grouped aggregation produces every (turbine, ws_bin,
-vane_bin) cell — power-curve outlier filtering (pitch threshold +
-per-turbine MAD power-bin filter) included — and only the bin-grain
-table (turbines × ws_bins × vane bins) is collected for the tiny
-driver-side curve fits (pure-NumPy Levenberg-Marquardt replaces
-scipy.optimize.curve_fit)."""
+Spark-first inversion: the reference loops turbine × ws-bin in pandas
+AND Monte-Carlo sims in an outer python loop; here ONE grouped
+aggregation produces every (sim, turbine, ws_bin, vane_bin) cell for
+ALL simulations at once — power-curve outlier filtering (pitch
+threshold + per-turbine MAD power-bin filter) included, the bootstrap
+expressed as deterministic per-(row, sim) Poisson(1) weights — and
+only the bin-grain table (sims × turbines × ws_bins × vane bins) is
+collected for the tiny driver-side curve fits (pure-NumPy
+Levenberg-Marquardt replaces scipy.optimize.curve_fit). At the
+reference's default num_sim=100 this is 1 Spark job instead of 100
+sequential ones."""
 
 from __future__ import annotations
 
@@ -25,6 +29,15 @@ from pyspark.sql import DataFrame, functions as F
 from openoa_spark.functions.regression import cos_curve_fit
 from openoa_spark.operators import filters
 from openoa_spark.plant import PlantData
+
+# cumulative Poisson(1) CDF (k = 0..7; tail mass 1e-5 maps to k = 8):
+# drives the deterministic per-(row, sim) bootstrap weights so the
+# batched MC replays identically whatever the sim batching
+_POISSON1_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253,
+)
 
 
 @dataclass
@@ -101,48 +114,105 @@ class StaticYawMisalignment:
         )
         return df.where(~F.col("_flag_bin")).drop("_p_norm", "_flag_bin")
 
-    def _binned_tables(self, df: DataFrame, bootstrap_seed: int | None):
-        """One aggregation pass → (turbine, ws_bin, vane_bin) cell means
-        and (turbine, ws_bin) mean vane angles."""
+    def _binned_tables_batch(self, specs: list[dict]) -> pd.DataFrame:
+        """EVERY simulation's (turbine, ws_bin, vane_bin) cell table in
+        ONE Spark aggregation (round-7: the MC loop previously ran one
+        job per sim — 100 sequential jobs at the reference's default
+        num_sim; a 1000-executor cluster was idle 99% of the time).
+
+        Mechanics:
+        - sims sharing a (max_power_filter, mad) filter combination
+          share one filtered scan branch (the MC draws come from small
+          integer grids, so distinct combos ≪ sims);
+        - each branch explodes a per-sim (sim, bseed) struct array —
+          rows fan out #sims-in-combo ways map-side, no shuffle;
+        - the bootstrap is a DETERMINISTIC per-(row, sim) Poisson(1)
+          weight (inverse CDF over an xxhash64-derived uniform) —
+          statistically the with-replacement resample of
+          yaw_misalignment.py:380-381, but replayable and identical
+          whatever the batching;
+        - cell means use order-independent decimal sums, so one
+          batched job and a per-sim loop produce BIT-IDENTICAL tables
+          (pinned by tests/test_yaw_eya.py::test_batched_equals_per_sim).
+
+        Returns the cell grain (sim, asset_id, ws_bin, vane_bin,
+        pow_ratio, n, vane_sum): the (sim, turbine, ws_bin) mean vane
+        angles are recovered exactly from vane_sum/n driver-side, so a
+        second aggregation pass is unnecessary.
+        """
         ws_bins_arr = F.array(*[F.lit(float(b)) for b in self.ws_bins])
         half = self.ws_bin_width / 2.0
-        df = df.withColumn(
-            "ws_bin",
-            # F.get, not [0]: a wind speed outside EVERY bin filters to
-            # an empty array, and ANSI mode turns [0] on an empty array
-            # into a runtime error; get() yields NULL, dropped next line
-            F.get(
-                F.filter(
-                    ws_bins_arr,
-                    lambda b: (F.col("WMET_HorWdSpd") >= b - half)
-                    & (F.col("WMET_HorWdSpd") < b + half),
+        by_combo: dict[tuple, list[dict]] = {}
+        for s in specs:
+            by_combo.setdefault((s["mpf"], s["mad"]), []).append(s)
+        branches = []
+        for (mpf, mad), ss in by_combo.items():
+            df = self._filtered(mpf, mad).withColumn(
+                "ws_bin",
+                # F.get, not [0]: a wind speed outside EVERY bin
+                # filters to an empty array, and ANSI mode turns [0]
+                # on an empty array into a runtime error; get() yields
+                # NULL, dropped next line
+                F.get(
+                    F.filter(
+                        ws_bins_arr,
+                        lambda b: (F.col("WMET_HorWdSpd") >= b - half)
+                        & (F.col("WMET_HorWdSpd") < b + half),
+                    ),
+                    0,
                 ),
-                0,
-            ),
-        ).where(F.col("ws_bin").isNotNull())
-        if bootstrap_seed is not None:
-            # bootstrap resample within the analysis set
-            # (yaw_misalignment.py:380-381) — Spark's with-replacement
-            # Poisson(1) row sampling
-            df = df.sample(withReplacement=True, fraction=1.0, seed=bootstrap_seed)
+            ).where(F.col("ws_bin").isNotNull())
+            entries = F.array(*[
+                F.struct(
+                    F.lit(int(s["sim"])).alias("sim"),
+                    F.lit(-1 if s["bseed"] is None else int(s["bseed"]))
+                    .alias("bseed"),
+                )
+                for s in ss
+            ])
+            df = (
+                df.withColumn("_s", F.explode(entries))
+                .withColumn("sim", F.col("_s.sim"))
+                .withColumn("bseed", F.col("_s.bseed"))
+                .drop("_s")
+            )
+            branches.append(df)
+        alldf = branches[0]
+        for b in branches[1:]:
+            alldf = alldf.unionByName(b)
+        # Poisson(1) bootstrap count via inverse CDF over a hash
+        # uniform; bseed < 0 marks a no-bootstrap sim (weight 1)
+        u = (
+            (F.xxhash64("time", "asset_id", "bseed") % F.lit(1_000_000)
+             + F.lit(1_000_000)) % F.lit(1_000_000)
+        ) / F.lit(1_000_000.0)
+        w = F.lit(len(_POISSON1_CDF))
+        for k in reversed(range(len(_POISSON1_CDF))):
+            w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+        alldf = alldf.withColumn(
+            "_w", F.when(F.col("bseed") < 0, F.lit(1)).otherwise(w)
+        ).where(F.col("_w") > 0)
         pow_ref = (
             F.pow(F.col("WMET_HorWdSpd"), 3.0) if self.use_power_coeff else F.lit(1.0)
         )
-        df = df.withColumn("pow_ratio", F.col("WTUR_W") / pow_ref).withColumn(
+        alldf = alldf.withColumn("pow_ratio", F.col("WTUR_W") / pow_ref).withColumn(
             "vane_bin",
             F.round(F.col("WMET_HorWdDirRel") / self.vane_bin_width) * self.vane_bin_width,
         )
-        cells = (
-            df.groupBy("asset_id", "ws_bin", "vane_bin")
-            .agg(F.avg("pow_ratio").alias("pow_ratio"), F.count("*").alias("n"))
+        return (
+            alldf.groupBy("sim", "asset_id", "ws_bin", "vane_bin")
+            .agg(
+                (
+                    F.sum((F.col("_w") * F.col("pow_ratio")).cast("decimal(32,9)"))
+                    / F.sum("_w")
+                ).cast("double").alias("pow_ratio"),
+                F.sum("_w").alias("n"),
+                F.sum(
+                    (F.col("_w") * F.col("WMET_HorWdDirRel")).cast("decimal(32,9)")
+                ).cast("double").alias("vane_sum"),
+            )
             .toPandas()
         )
-        vane_means = (
-            df.groupBy("asset_id", "ws_bin")
-            .agg(F.avg("WMET_HorWdDirRel").alias("mean_vane"))
-            .toPandas()
-        )
-        return cells, vane_means
 
     # ------------------------------------------------------------ run
 
@@ -157,6 +227,7 @@ class StaticYawMisalignment:
             np.full((n_sims, nt, nw, 3), np.nan),
             self.turbine_ids, list(self.ws_bins),
         )
+        specs = []
         for n in range(n_sims):
             if self.UQ:
                 mad = float(rng.integers(
@@ -173,7 +244,21 @@ class StaticYawMisalignment:
                 mpf = float(self.max_power_filter) if np.isscalar(
                     self.max_power_filter) else float(np.mean(self.max_power_filter))
                 boot_seed = None
-            cells, vane_means = self._binned_tables(self._filtered(mpf, mad), boot_seed)
+            specs.append({"sim": n, "mpf": mpf, "mad": mad, "bseed": boot_seed})
+        cells_all = self._binned_tables_batch(specs)
+        # exact (sim, turbine, ws_bin) mean vane angles from the cell
+        # sums, in a deterministic (sorted) fold order
+        cells_all = cells_all.sort_values(
+            ["sim", "asset_id", "ws_bin", "vane_bin"]
+        )
+        vane_all = (
+            cells_all.groupby(["sim", "asset_id", "ws_bin"], as_index=False)
+            .agg(vane_sum=("vane_sum", "sum"), n=("n", "sum"))
+        )
+        vane_all["mean_vane"] = vane_all["vane_sum"] / vane_all["n"]
+        for n in range(n_sims):
+            cells = cells_all[cells_all["sim"] == n]
+            vane_means = vane_all[vane_all["sim"] == n]
             for i, t in enumerate(self.turbine_ids):
                 for k, wsb in enumerate(self.ws_bins):
                     sub = cells[(cells["asset_id"] == t) & (cells["ws_bin"] == wsb)]

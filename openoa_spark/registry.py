@@ -1659,7 +1659,7 @@ def wake_plant_reference_conditions(spark, sf_dir):
 )
 def yaw_vane_bin_cells(spark, sf_dir):
     """StaticYawMisalignment's binned-cells prep
-    (analysis/yaw.py:104 _binned_tables; reference
+    (analysis/yaw.py _binned_tables_batch; reference
     yaw_misalignment.py:352-420) on testdata shape: power-coefficient
     ratio (power / ws^3) cell means per (turbine, wind-speed bin,
     vane bin) — the exact table the cosine fits consume. Same

@@ -79,6 +79,41 @@ def test_uq_mode(plant):
     assert res.std.max() < 1.0
 
 
+def test_batched_equals_per_sim(plant):
+    """Round-7 pin: the single-job all-sims MC (sim-explode +
+    deterministic Poisson bootstrap weights + order-independent
+    decimal cell sums) is BIT-IDENTICAL to running each simulation as
+    its own batch-of-one Spark job — execution layout cannot change
+    the result."""
+    yaw = StaticYawMisalignment(
+        plant, UQ=True, num_sim=3, min_vane_bin_count=20,
+        max_power_filter=(0.92, 0.98), power_bin_mad_thresh=(4, 10),
+    )
+    batched = yaw._binned_tables_batch([
+        {"sim": 0, "mpf": 0.95, "mad": 7.0, "bseed": 12345},
+        {"sim": 1, "mpf": 0.93, "mad": 5.0, "bseed": 777},
+        {"sim": 2, "mpf": 0.95, "mad": 7.0, "bseed": None},
+    ])
+    key = ["sim", "asset_id", "ws_bin", "vane_bin"]
+    singles = pd.concat([
+        yaw._binned_tables_batch([{"sim": 0, "mpf": 0.95, "mad": 7.0,
+                                   "bseed": 12345}]),
+        yaw._binned_tables_batch([{"sim": 1, "mpf": 0.93, "mad": 5.0,
+                                   "bseed": 777}]),
+        yaw._binned_tables_batch([{"sim": 2, "mpf": 0.95, "mad": 7.0,
+                                   "bseed": None}]),
+    ])
+    b = batched.sort_values(key).reset_index(drop=True)
+    s = singles.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, s, check_exact=True)
+    # and the bootstrap actually perturbs: sims 0 and 2 share the
+    # filter combo but differ in weighting
+    c0 = b[b["sim"] == 0].set_index(["asset_id", "ws_bin", "vane_bin"])
+    c2 = b[b["sim"] == 2].set_index(["asset_id", "ws_bin", "vane_bin"])
+    joined = c0.join(c2, lsuffix="_0", rsuffix="_2", how="inner")
+    assert (joined["n_0"] != joined["n_2"]).any()
+
+
 def test_eya_gap_waterfall():
     eya = EYAEstimate(
         aep=30.0, gross_energy=38.0, availability_losses=0.03,
