@@ -2,6 +2,13 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+Since round 7 the same line also carries the DuckDB-twin timings
+(``oracle`` object + ``engine_vs_oracle_ratio``), measured in the SAME
+process immediately after the engine pass — session variance was
+measured at ±0.6 s across runs, so only same-session pairs support a
+ratio claim. ``--oracle`` still emits the twin-only line;
+``--no-oracle`` skips the twin (pure engine timing).
 """
 
 from __future__ import annotations
@@ -125,17 +132,29 @@ def main():
                 best = dt if best is None else min(best, dt)
             times[name] = round(best, 4)
     total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
+    line = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if "--no-oracle" not in sys.argv:
+        # DuckDB twin in the SAME process, right after the engine pass:
+        # the per-round artifact then carries a self-contained
+        # same-session ratio instead of two lines the reader must pair
+        o = time_oracles(sf_dir)
+        o_total = round(sum(o.values()), 4)
+        line["oracle"] = {
+            "metric": "duckdb_oracle_total_wall",
+            "value": o_total,
+            "unit": "sec",
+            "queries": o,
+        }
+        line["engine_vs_oracle_ratio"] = (
+            round(total / o_total, 4) if o_total else None
         )
-    )
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

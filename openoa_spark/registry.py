@@ -1524,6 +1524,57 @@ def elosses_daily_coverage_energy(spark, sf_dir):
 
 
 @register(
+    "plant_sql_daily_turbine_energy",
+    """
+    SELECT 'T' || CAST(user_id % 5 AS VARCHAR) AS asset_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS energy_kwh,
+           COUNT(*) AS n_obs
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def plant_sql_daily_turbine_energy(spark, sf_dir):
+    """The plant-catalog SQL surface, driver-checked end-to-end
+    (SURVEY §7/T1): events mapped to a 5-turbine hourly SCADA shape,
+    attached through the REAL PlantData (which derives WTUR_SupWh =
+    power x interval-hours, exactly 1.0 at hourly frequency —
+    plant.py:1157-1162 semantics), registered via
+    PlantData.create_views(), and the result computed with RAW
+    spark.sql over the registered view — proving a user can query the
+    plant catalog with plain SQL and get oracle-exact answers. One
+    hash aggregate at (turbine, day) grain; the temp view is a lazy
+    reference, not a copy, so the SQL path plans identically to the
+    DataFrame path."""
+    from openoa_spark.plant import PlantData
+
+    ev = _t(spark, sf_dir, "events")
+    scada = ev.select(
+        F.col("ts").alias("time"),
+        F.concat(F.lit("T"), (F.col("user_id") % 5).cast("string"))
+        .alias("asset_id"),
+        F.col("value").alias("WTUR_W"),
+    )
+    plant = PlantData(
+        spark,
+        {"latitude": 47.9, "longitude": 5.12, "capacity": 10.0,
+         "scada": {"frequency": "h"}},
+        analysis_type=None,
+        scada=scada,
+    )
+    plant.create_views(prefix="plantq_")
+    return spark.sql("""
+        SELECT asset_id,
+               date_trunc('day', time) AS day,
+               CAST(SUM(CAST(WTUR_SupWh AS DECIMAL(20,4))) AS DOUBLE)
+                 AS energy_kwh,
+               COUNT(*) AS n_obs
+        FROM plantq_scada
+        GROUP BY asset_id, date_trunc('day', time)
+    """)
+
+
+@register(
     "aep_monthly_meter_prep",
     """
     SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS period,
@@ -8294,6 +8345,45 @@ def lang_metadata_mismatch(spark, sf_dir):
 
 
 _PRIORITY = [
+    # ---- ROUND 7 window (policy: plan-changed this round, then
+    # brand-new, then longest-unchecked fill) ----
+    # (1) Plan changed this round: the forced F.broadcast of the bench
+    # band table was dropped from minhash_decontaminate (the registry
+    # caller's bench side is SF-scaled — r6 ADVICE) and AQE now picks
+    # the join strategy.
+    "minhash_decontaminate_docs",
+    # (2) Brand-new this round: the JPEG segment-walk decoder (also
+    # pinned on foreign fixtures vs Java ImageIO) with built-in
+    # corrupt-detection rows, and the plant-catalog SQL surface proof
+    # (PlantData.create_views -> raw spark.sql).
+    "multimodal_jpeg_metadata", "plant_sql_daily_turbine_energy",
+    # (3) Longest-unchecked fill: first the complete r2 cohort (last
+    # all-green driver row was round 2 — 31 queries), then the oldest
+    # 16 of the r3 cohort alphabetically. This keeps every registry
+    # query's latest driver row within 5 rounds.
+    "iec_power_curve", "impute_linear_synthetic", "infer_frequency",
+    "lag_delta_per_user", "language_id", "lsh_bucket_counts",
+    "nearest_neighbor", "order_priority_stats",
+    "orders_without_lineitems", "percent_null_synthetic",
+    "power_to_energy", "pressure_extrapolation", "q1_pricing_summary",
+    "q6_forecast_revenue", "range_flag_events", "resample_day_sum",
+    "resample_hour_mean_by_type", "rolling_sum3_per_user",
+    "rollup_lineitem_counts", "shear_alpha", "simhash_docs",
+    "span_days_hours", "std_range_flag_events", "token_counts",
+    "top2_orders_per_customer", "turbulence_intensity_by_user",
+    "unresponsive_flag_runs", "user_daily_correlation_pairs",
+    "wind_direction_from_uv", "window_range_flag_lineitem",
+    "wrap180_values",
+    "benchmark_overlap_docs", "centroid_distances",
+    "cube_returnflag_status", "electrical_losses_proxy",
+    "embedding_cosine_near_dups", "exact_quantiles_by_type",
+    "except_lapsed_customers", "freestream_iec_membership",
+    "freestream_membership", "gap_fill_daily", "impute_best_neighbor",
+    "impute_quadratic_synthetic", "interval_join_daily_activity",
+    "json_props_stats", "label_centroids", "logistic5_power_values",
+]
+
+_PRIORITY_R6 = [
     # ---- ROUND 6 window (policy: never-driver-verified first, then
     # brand-new, then plan-changed, then longest-unchecked fill) ----
     # (1) The 7 queries with no all-green driver row yet: the r5 PQ

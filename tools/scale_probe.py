@@ -173,6 +173,13 @@ PROBE_QUERIES = [
     # combined: rows x N
     "wake_plant_reference_conditions",
     "yaw_vane_bin_cells",
+    # round-7: composed prep DAGs end-to-end (every stage is a
+    # bucket/time-keyed agg or join -> rows x N); plus the SQL-surface
+    # path (create_views + spark.sql: identical plan to the DataFrame
+    # route, proven here at x N too)
+    "aep_prepare_pipeline",
+    "wake_prepare_pipeline",
+    "plant_sql_daily_turbine_energy",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
@@ -277,6 +284,147 @@ def build_probe_dir(spark, base_dir: str, factor: int, probe_dir: str) -> None:
         )
 
 
+def aep_prep_probe():
+    """COMPOSED-pipeline probe (round-7 VERDICT #4): MonteCarloAEP's
+    full prepare() DAG — meter resample + nan accounting, curtailment
+    resample, gross-energy join, reanalysis bucket aggregate, POR
+    alignment, long-term loss table — end-to-end on plant tables
+    derived from the (time-shifted, so POR span ×factor) events table.
+    Daily resolution; every stage is a bucket-grain hash aggregate or
+    bucket-key join, so wall time should track rows ~linearly."""
+    from openoa_spark.analysis.aep import MonteCarloAEP
+    from openoa_spark.plant import PlantData
+
+    def run(spark, d):
+        ev = registry._t(spark, d, "events").where(F.col("value").isNotNull())
+        meter = ev.select(
+            F.col("ts").alias("time"),
+            (F.abs(F.col("value")) * 100).alias("MMTR_SupWh"),
+        )
+        curtail = ev.select(
+            F.col("ts").alias("time"),
+            (F.abs(F.col("value")) % 7).alias("IAVL_DnWh"),
+            (F.abs(F.col("value")) % 3).alias("IAVL_ExtPwrDnWh"),
+        )
+        por_rean = ev.groupBy(F.date_trunc("hour", "ts").alias("time")).agg(
+            (F.avg(F.abs("value")) % 15).alias("WMETR_HorWdSpd"),
+            (F.lit(1.2) + F.avg("value") % F.lit(0.1)).alias("WMETR_AirDen"),
+        )
+        # the LT correction needs >= 1 windiness-year of reanalysis
+        # history; testdata events span 30 days at every SF, so build a
+        # FIXED-SIZE synthetic hourly backfill before the POR (constant
+        # ~10k rows on both the base and the inflated side — it cannot
+        # perturb the linearity signal, which lives in the rows x N
+        # POR aggregates)
+        start = ev.agg(F.min("ts")).first()[0]
+        n_back = 24 * 400  # 400 days
+        backfill = spark.range(n_back).select(
+            F.timestamp_micros(
+                F.lit(int(start.timestamp() * 1e6))
+                - (F.col("id") + 1) * F.lit(3_600_000_000)
+            ).alias("time"),
+            (F.lit(5.0) + (F.col("id") % 7).cast("double"))
+            .alias("WMETR_HorWdSpd"),
+            F.lit(1.2).alias("WMETR_AirDen"),
+        )
+        rean = backfill.unionByName(por_rean)
+        plant = PlantData(
+            spark,
+            {"latitude": 47.9, "longitude": 5.12, "capacity": 10.0,
+             "meter": {"frequency": "h"}, "curtail": {"frequency": "h"},
+             "reanalysis": {"era5": {"frequency": "h"}}},
+            analysis_type=["MonteCarloAEP"],
+            meter=meter, curtail=curtail, reanalysis={"era5": rean},
+        )
+        mc = MonteCarloAEP(
+            plant, time_resolution="D", uncertainty_windiness=(1, 1)
+        )
+        # the SPARK portion of prepare(): meter aggregate + curtail
+        # aggregate + gross-energy join, and the per-product LT
+        # reanalysis bucket aggregate. (prepare() itself finishes with
+        # a driver-side pandas calendar-mean over the <=500-row
+        # collected aggregate and a 366-calendar-day coverage check the
+        # 30-day testdata POR cannot satisfy — bounded work with no
+        # scale behavior to probe.)
+        meter_agg = mc._meter_aggregate()
+        curt_agg = mc._curtail_aggregate()
+        joined = meter_agg.join(curt_agg, "period", "inner").withColumn(
+            "gross_energy_gwh",
+            F.col("energy_gwh") + F.col("availability_gwh")
+            + F.col("curtailment_gwh"),
+        )
+        agg = joined.toPandas()          # bounded: bucket grain
+        rean_agg = mc._reanalysis_aggregate_df()  # executes Spark aggs
+        assert len(rean_agg) > 0
+        return spark.createDataFrame(agg[["period", "gross_energy_gwh"]])
+
+    return run
+
+
+def wake_prep_probe():
+    """COMPOSED-pipeline probe: WakeLosses.prepare() end-to-end —
+    complete-timestamp filter (time-grain count agg), plant circular-
+    mean reference direction, hour-floored reanalysis joins — on a
+    4-turbine scada shape derived from events (each event timestamp
+    fans out to all four turbines so the completeness filter keeps
+    real rows). Returns the materialized base⨝ref fact table the wake
+    sims consume; all stages are time-keyed aggregates/joins →
+    rows×factor work."""
+    from openoa_spark.analysis.wake_losses import WakeLosses
+    from openoa_spark.plant import PlantData
+
+    def run(spark, d):
+        import pandas as pd
+
+        ev = registry._t(spark, d, "events").where(F.col("value").isNotNull())
+        turbs = F.array(*[F.lit(t) for t in ("T0", "T1", "T2", "T3")])
+        scada = (
+            ev.select("ts", "value", F.explode(turbs).alias("asset_id"))
+            .select(
+                F.col("ts").alias("time"),
+                "asset_id",
+                (F.abs("value") % 15).alias("WMET_HorWdSpd"),
+                (F.abs("value") * 10).alias("WTUR_W"),
+                ((F.abs("value") * 37) % 360).alias("WMET_HorWdDir"),
+            )
+            .dropDuplicates(["time", "asset_id"])
+        )
+        rean = ev.groupBy(F.date_trunc("hour", "ts").alias("time")).agg(
+            (F.avg(F.abs("value")) % 15).alias("WMETR_HorWdSpd"),
+            (F.avg(F.abs("value")) % 360).alias("WMETR_HorWdDir"),
+        )
+        asset = pd.DataFrame({
+            "asset_id": ["T0", "T1", "T2", "T3"],
+            "latitude": [47.90, 47.90, 47.90, 47.90],
+            "longitude": [5.10, 5.1067, 5.1134, 5.1201],
+            "rated_power": [2000.0] * 4,
+            "hub_height": [80.0] * 4,
+            "rotor_diameter": [100.0] * 4,
+            "elevation": [400.0] * 4,
+            "type": ["turbine"] * 4,
+        })
+        plant = PlantData(
+            spark,
+            {"latitude": 47.9, "longitude": 5.11, "capacity": 8.0,
+             "scada": {"frequency": "h"},
+             "reanalysis": {"era5": {"frequency": "h"}}},
+            analysis_type=["WakeLosses-scada"],
+            scada=scada, asset=spark.createDataFrame(asset),
+            reanalysis={"era5": rean},
+        )
+        wl = WakeLosses(plant, UQ=False, num_years_LT=1)
+        wl.prepare()
+        out = wl._base.join(wl._ref, "time")
+        # the probe times a fresh prepare() per call: drop the caches
+        # prepare() pinned so back-to-back runs don't reuse them
+        out = out.localCheckpoint(eager=False)
+        wl._base.unpersist()
+        wl._ref.unpersist()
+        return out
+
+    return run
+
+
 def semantic_dedup_probe(factor: int, probe_dir: str):
     """SemDeDup under its own scale contract: the registry query pins
     k=8 for the oracle replay, but the production knob is k ~ n /
@@ -311,6 +459,10 @@ def main():
 
     qs = dict(registry.queries())
     qs["semantic_dedup_scaled_k"] = semantic_dedup_probe(factor, probe)
+    # round-7: composed pipeline-prep DAGs (operators were probed in
+    # r4-r6; their composition was not)
+    qs["aep_prepare_pipeline"] = aep_prep_probe()
+    qs["wake_prepare_pipeline"] = wake_prep_probe()
     failures = []
     for name in subset:
         fn = qs[name]
