@@ -14,16 +14,18 @@ Spark-first inversions:
 - Per-turbine model fitting uses groupBy("asset_id").applyInPandas
   (Arrow-batched); the daily reanalysis table it predicts over is
   bucket-grain (~365×years rows), broadcast through the closure.
-- The GAM (pygam, unavailable) is substituted by a documented
-  polynomial basis OLS — ws/ws²/ws³ + sin(wd)/cos(wd) + rho —
-  fitted per turbine (reference: functions.gam_3param at
-  power_curve/functions.py:153-200).
-- Stated model tolerance of the spline substitute (pinned by
-  tests/test_regression_gam.py::test_gam_power_curve_deviation_envelope
-  on the reference's own power-curve shapes): ≤2.5% of rated
-  pointwise on smooth curve regions, ≤5% within ±1.5 m/s of a hard
-  rated-power knee (any smooth basis — pygam included — rounds the
-  corner), ≤0.8% RMS. Gross-energy numbers from this pipeline carry
+- The GAM is the engine's P-spline additive model on raw
+  (ws, wd, rho) — the same model CLASS as the reference's pygam
+  LinearGAM (Eilers-Marx penalized B-splines with pygam's defaults:
+  20 cubic splines/feature, 2nd-order difference penalty, λ=0.6),
+  reimplemented in NumPy since pygam is unavailable
+  (functions/regression.py:PSplineGAM / gam_3param_fit; reference:
+  functions.gam_3param at power_curve/functions.py:153-200).
+- Stated model tolerance (pinned by tests/test_regression_gam.py::
+  test_gam_power_curve_deviation_envelope on the reference's own
+  power-curve shapes): see the envelope constants in that test;
+  any smooth penalized basis — pygam included — rounds a hard
+  rated-power knee. Gross-energy numbers from this pipeline carry
   that envelope on top of statistical recovery.
 """
 
@@ -38,6 +40,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType, TimestampType
 
 from openoa_spark.functions import met
+from openoa_spark.functions.regression import gam_3param_fit
 from openoa_spark.operators import filters
 from openoa_spark.operators.imputing import impute_all_assets_by_correlation
 from openoa_spark.operators.timeseries import resample
@@ -45,6 +48,10 @@ from openoa_spark.plant import PlantData
 
 
 def _fit_basis(ws, wd, rho):
+    """Round-6 polynomial basis, kept for the fast/fallback path and
+    API compat; the pipeline now fits the P-spline additive model
+    (functions/regression.py:gam_3param_fit) on RAW (ws, wd, rho) like
+    the reference's pygam gam_3param."""
     wdr = np.deg2rad(wd)
     return np.column_stack([
         ws, ws ** 2, ws ** 3, np.sin(wdr), np.cos(wdr), rho, np.ones(len(ws)),
@@ -220,12 +227,15 @@ class TurbineLongTermGrossEnergy:
             if len(merged) < 10:
                 return pd.DataFrame(columns=["asset_id", "day", "gross"])
             y = merged["energy_imputed"].to_numpy() * scada_fraction
-            X = _fit_basis(merged["ws"].to_numpy(), merged["wd"].to_numpy(),
-                           merged["rho"].to_numpy())
-            coef, *_ = np.linalg.lstsq(X, y, rcond=None)
-            Xp = _fit_basis(rean_reset["ws"].to_numpy(), rean_reset["wd"].to_numpy(),
-                            rean_reset["rho"].to_numpy())
-            pred = np.maximum(Xp @ coef, 0.0)
+            model = gam_3param_fit(
+                merged["ws"].to_numpy(), merged["wd"].to_numpy(),
+                merged["rho"].to_numpy(), y,
+            )
+            pred = np.maximum(
+                model(rean_reset["ws"].to_numpy(), rean_reset["wd"].to_numpy(),
+                      rean_reset["rho"].to_numpy()),
+                0.0,
+            )
             return pd.DataFrame({
                 "asset_id": t, "day": rean_reset["day"], "gross": pred,
             })

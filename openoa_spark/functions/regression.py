@@ -328,6 +328,175 @@ def natural_cubic_basis(x: np.ndarray, knots: np.ndarray) -> np.ndarray:
     return np.column_stack(cols)
 
 
+def bspline_basis(
+    x: np.ndarray, lo: float, hi: float, n_splines: int = 20,
+    spline_order: int = 3,
+) -> np.ndarray:
+    """Cubic B-spline basis on a UNIFORM knot grid over [lo, hi] —
+    the P-spline basis of Eilers & Marx (1996), which is also what
+    pygam's default ``s()`` term builds (n_splines basis functions,
+    spline_order 3, knots equally spaced over the data range with
+    order-extension at the edges). Cox–de Boor recursion; values
+    beyond [lo, hi] are evaluated at the clipped edge (the caller
+    adds the linear extrapolation term, see :class:`PSplineGAM`).
+    Returns (len(x), n_splines)."""
+    x = np.asarray(x, dtype=float)
+    scale = hi - lo
+    if scale <= 0:
+        scale = 1.0
+    t = np.clip((x - lo) / scale, 0.0, 1.0)
+    n_inner = n_splines - spline_order + 1  # boundary-knot count
+    inner = np.linspace(0.0, 1.0, n_inner)
+    diff = inner[1] - inner[0] if n_inner > 1 else 1.0
+    aug = np.arange(1, spline_order + 1) * diff
+    knots = np.r_[-aug[::-1], inner, 1.0 + aug]
+    knots[-1] += 1e-9  # make the last knot inclusive at t == 1
+    tt = t[:, None]
+    # degree-0 (Haar) bases, then the de Boor recursion
+    b = ((tt >= knots[:-1]) & (tt < knots[1:])).astype(float)
+    maxi = len(knots) - 1
+    for m in range(2, spline_order + 2):
+        maxi -= 1
+        num_l = (tt - knots[:maxi]) * b[:, :maxi]
+        den_l = knots[m - 1:maxi + m - 1] - knots[:maxi]
+        num_r = (knots[m:maxi + m] - tt) * b[:, 1:maxi + 1]
+        den_r = knots[m:maxi + m] - knots[1:maxi + 1]
+        b = num_l / den_l + num_r / den_r
+    return b
+
+
+class PSplineGAM:
+    """Penalized-B-spline additive model — the model CLASS of the
+    reference's pygam ``LinearGAM`` (power_curve/functions.py:34-61,
+    153-200), reimplemented from the published P-spline formulation
+    (Eilers & Marx 1996, "Flexible smoothing with B-splines and
+    penalties") with pygam's defaults: per-feature cubic B-spline
+    basis with ``n_splines`` uniform knots over the training range, a
+    second-order difference penalty at strength ``lam`` = 0.6 per
+    term, an unpenalized intercept, and one penalized-least-squares
+    solve (identity link: pygam's PIRLS converges in a single step).
+    Predictions beyond a feature's training range follow
+    ``extrapolation``: ``"linear"`` (pygam's edge behavior — extend
+    the edge tangent) or ``"clip"`` (freeze at the edge value). The
+    default is pygam-faithful linear; pipelines that predict far
+    outside a SHORT training window should pass "clip" — the edge
+    slope of a penalized fit is noise-scale (≈ noise / knot-spacing),
+    so extending it across a distance comparable to the training
+    range amplifies noise unboundedly (measured: a 60-day TIE fit
+    extrapolating over an annual air-density cycle overshot 15×; the
+    reference never sees this only because its regression data spans
+    years, making extrapolation distances negligible).
+
+    pygam itself is absent in this container, so this cannot be
+    diffed against it bit-for-bit; the fidelity envelope
+    (tests/test_regression_gam.py) pins behavior on the reference's
+    own power-curve shapes instead."""
+
+    def __init__(self, n_splines=20, lam=0.6, spline_order=3,
+                 extrapolation="linear", **_ignored):
+        if extrapolation not in ("linear", "clip"):
+            raise ValueError(f"unknown extrapolation {extrapolation!r}")
+        self.n_splines = int(n_splines)
+        self.lam = float(lam)
+        self.spline_order = int(spline_order)
+        self.extrapolation = extrapolation
+        self.edges_ = None
+        self.coef_ = None
+
+    def _feature_basis(self, xj, lo, hi):
+        """Basis + linear extrapolation: rows outside [lo, hi] get the
+        edge basis plus (x - edge) times the edge derivative (numeric,
+        h = 1e-6 of the range — the basis is piecewise-cubic so the
+        one-sided difference at the edge is exact to O(h))."""
+        b = bspline_basis(xj, lo, hi, self.n_splines, self.spline_order)
+        if self.extrapolation == "clip":
+            return b  # bspline_basis already evaluates at the clipped edge
+        scale = (hi - lo) or 1.0
+        h = 1e-6 * scale
+        for side, edge, sgn in (("lo", lo, -1.0), ("hi", hi, 1.0)):
+            out = (xj < lo) if side == "lo" else (xj > hi)
+            if not out.any():
+                continue
+            e0 = bspline_basis(
+                np.array([edge]), lo, hi, self.n_splines, self.spline_order
+            )
+            e1 = bspline_basis(
+                np.array([edge - sgn * h]), lo, hi,
+                self.n_splines, self.spline_order,
+            )
+            deriv = sgn * (e0 - e1) / h  # one-sided, pointing outward
+            dist = (xj[out] - edge)[:, None] * sgn
+            b[out] = e0 + dist * deriv
+        return b
+
+    def fit(self, X, y):
+        X = np.atleast_2d(np.asarray(X, dtype=float))
+        if X.shape[0] == 1 and X.shape[1] > 1 and np.ndim(y) and len(y) > 1:
+            X = X.T
+        y = np.asarray(y, dtype=float)
+        p = X.shape[1]
+        self.edges_ = [
+            (float(np.min(X[:, j])), float(np.max(X[:, j]))) for j in range(p)
+        ]
+        blocks = [np.ones((len(X), 1))]
+        for j in range(p):
+            blocks.append(self._feature_basis(X[:, j], *self.edges_[j]))
+        B = np.hstack(blocks)
+        # block-diagonal 2nd-order difference penalty, intercept free
+        k = self.n_splines
+        D = np.diff(np.eye(k), n=2, axis=0)
+        P = np.zeros((B.shape[1], B.shape[1]))
+        for j in range(p):
+            s = 1 + j * k
+            P[s:s + k, s:s + k] = self.lam * (D.T @ D)
+        # tiny ridge for the identifiability null-space the difference
+        # penalty leaves (constant/linear per term vs the intercept)
+        P += 1e-9 * np.eye(B.shape[1])
+        self.coef_ = np.linalg.solve(B.T @ B + P, B.T @ y)
+        return self
+
+    def predict(self, X):
+        X = np.atleast_2d(np.asarray(X, dtype=float))
+        if X.shape[1] != len(self.edges_) and X.shape[0] == len(self.edges_):
+            X = X.T
+        blocks = [np.ones((len(X), 1))]
+        for j, (lo, hi) in enumerate(self.edges_):
+            blocks.append(self._feature_basis(X[:, j], lo, hi))
+        return np.hstack(blocks) @ self.coef_
+
+
+def gam_3param_fit(ws, wd, rho, y):
+    """The TIE model seam (reference power_curve/functions.py:153-200
+    gam_3param): fit energy on RAW (ws, wd, rho) with the P-spline
+    additive model and return a ``(ws, wd, rho) -> prediction``
+    callable. Shared by the engine pipeline (analysis/tie.py) and the
+    reference-parity injection (tests/refimport.py), so pipeline
+    parity holds the model seam identical by construction.
+
+    Edge extrapolation is CLIPPED, not linear: TIE predicts over the
+    full long-term reanalysis span from a (possibly short) SCADA POR,
+    and a penalized fit's edge slope is noise-scale — see the
+    PSplineGAM docstring for the measured 15× overshoot a linear
+    extension produced on a 60-day winter POR."""
+    m = PSplineGAM(n_splines=20, extrapolation="clip").fit(
+        np.column_stack([
+            np.asarray(ws, dtype=float),
+            np.asarray(wd, dtype=float),
+            np.asarray(rho, dtype=float),
+        ]),
+        np.asarray(y, dtype=float),
+    )
+
+    def predict(ws2, wd2, rho2):
+        return m.predict(np.column_stack([
+            np.asarray(ws2, dtype=float),
+            np.asarray(wd2, dtype=float),
+            np.asarray(rho2, dtype=float),
+        ]))
+
+    return predict
+
+
 class PolyGAM:
     """Additive GAM analog (pygam is absent): per-feature standardized
     basis — natural cubic splines with ``n_splines`` quantile knots
@@ -406,7 +575,7 @@ def make_ml_model(reg_model: str, params: dict, seed: int = 42):
     if reg_model == "gbm":
         return GBMReg(seed=seed, **params)
     if reg_model == "gam":
-        return PolyGAM(**params)
+        return PSplineGAM(**params)
     raise ValueError(f"unknown reg_model {reg_model!r}")
 
 

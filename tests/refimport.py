@@ -419,31 +419,30 @@ def _shared_gam_3param(
     """Model-seam injection for the reference's pygam-backed
     ``power_curve.functions.gam_3param`` (pygam absent in this
     container): BOTH sides of the TIE pipeline parity test fit the
-    ENGINE's documented polynomial basis (openoa_spark/analysis/
-    tie.py:_fit_basis — ws/ws²/ws³ + sin(wd)/cos(wd) + rho OLS), so
-    the test pins everything AROUND the model — filtering, daily
-    energy correction, imputation, daily reanalysis means,
-    calendar-month long-term assembly, the MC loop — while the model
-    seam is held identical. No clamp here: the reference clamps
+    ENGINE's P-spline additive model on raw (ws, wd, rho)
+    (openoa_spark/functions/regression.py:gam_3param_fit — the same
+    model CLASS as pygam's LinearGAM, Eilers-Marx P-splines with
+    pygam's defaults), so the test pins everything AROUND the model —
+    filtering, daily energy correction, imputation, daily reanalysis
+    means, calendar-month long-term assembly, the MC loop — while the
+    model seam is held identical. No clamp here: the reference clamps
     negative predictions itself (turbine_long_term_gross_energy
     .py:552), mirroring the engine's np.maximum in fit_and_apply."""
-    from openoa_spark.analysis.tie import _fit_basis
+    from openoa_spark.functions.regression import gam_3param_fit
 
-    X = _fit_basis(
+    model = gam_3param_fit(
         data[windspeed_col].to_numpy(dtype=float),
         data[wind_direction_col].to_numpy(dtype=float),
         data[air_density_col].to_numpy(dtype=float),
+        data[power_col].to_numpy(dtype=float),
     )
-    yv = data[power_col].to_numpy(dtype=float)
-    coef, *_ = np.linalg.lstsq(X, yv, rcond=None)
 
     def predict(ws, wd, rho):
-        Xp = _fit_basis(
+        return model(
             np.asarray(ws, dtype=float),
             np.asarray(wd, dtype=float),
             np.asarray(rho, dtype=float),
         )
-        return Xp @ coef
 
     return predict
 

@@ -18,7 +18,14 @@ META = {
 
 @pytest.fixture(scope="module")
 def plant(spark):
-    tables = plant_tables(days=60)
+    # a FULL-YEAR POR (r7): TIE's GAM predicts over the whole
+    # long-term reanalysis span, so the training window must cover the
+    # annual (ws, rho) cycle — the reference documents 1+year PORs and
+    # its own regression data spans ~2 years. A 60-day winter POR
+    # forces the model to extrapolate over ~66% of prediction days'
+    # air densities, which no penalized-spline fit supports (see
+    # PSplineGAM docstring).
+    tables = plant_tables(days=365)
     return PlantData(
         spark, META, analysis_type=["TurbineLongTermGrossEnergy"],
         scada=spark.createDataFrame(tables["scada"]),
@@ -46,8 +53,8 @@ def test_daily_energy_and_imputation(tie):
     daily = tie.daily_valid_energy(filtered, correction_threshold=0.9)
     pdf = daily.toPandas()
     assert set(pdf["asset_id"]) == {"T01", "T02", "T03", "T04"}
-    # ~60 days per turbine
-    assert 50 <= pdf.groupby("asset_id").size().min() <= 61
+    # ~365 days per turbine
+    assert 320 <= pdf.groupby("asset_id").size().min() <= 366
     # daily turbine energy plausible: 2 MW turbine → <= 48,000 kWh/day
     assert pdf["energy_imputed"].between(0, 48000).all()
 
@@ -71,7 +78,8 @@ def test_lt_gross_plausible(plant, tie):
         .agg(F.avg("e")).first()[0]
     )
     por_annual_gwh = por_daily * 365.25 / 1e6
-    assert gross == pytest.approx(por_annual_gwh, rel=0.25)
+    # season-balanced POR + P-spline GAM: measured r7 agreement 2.5%
+    assert gross == pytest.approx(por_annual_gwh, rel=0.10)
     # long-term per-day predictions cover the full reanalysis span
     assert res.turbine_lt_gross["day"].nunique() > 1000
 
