@@ -45,6 +45,18 @@ def main():
     stats = multimodal.image_pixel_stats(media)
     stats.orderBy("media_id").show(3)
 
+    print("== JPEG frame headers (r7: parser pinned on foreign files) ==")
+    jspec = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(16) + F.col("doc_id") % 48).cast("int").alias("_w"),
+        (F.lit(16) + F.col("doc_id") % 40).cast("int").alias("_h"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(1))
+        .otherwise(F.lit(3)).cast("int").alias("_c"),
+        (F.col("doc_id") * 6151 % 999979).alias("_seed"),
+    )
+    jmeta = multimodal.jpeg_metadata(multimodal.synthesize_jpeg_column(jspec))
+    jmeta.orderBy("media_id").show(3)
+
     print("== corrupt-payload detection ==")
     corrupted = media.select(
         "media_id",
