@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from openoa_spark.functions import met, regression as reg
+from openoa_spark.functions.stats import poisson1_weight
 from openoa_spark.operators import filters
 from openoa_spark.plant import PlantData
 
@@ -81,6 +82,10 @@ class WakeLosses:
     min_ws_bin_lin_reg: float = 3.0
     bin_count_thresh_lin_reg: int = 50
     seed: int = 42
+    # sims per batched Spark pass (round-7): bounds the rows × sims
+    # fan-out of the sim-keyed plan; each pass computes every result
+    # for its chunk in ~7 jobs, vs ~10 jobs per sim before
+    sim_batch: int = 25
 
     def __post_init__(self):
         if self.reanalysis_products is None:
@@ -181,70 +186,112 @@ class WakeLosses:
 
     # ------------------------------------------------------------ per-sim
 
-    def _identify_derating(self, dws_start: float, max_pf: float, mad_thresh: float) -> DataFrame:
-        """Window + per-turbine MAD bin flags (wake_losses.py:1057-1096)."""
-        asset = self.plant.asset.where(F.col("type") == "turbine").select(
-            "asset_id", "rated_power"
-        )
-        df = self._base.join(F.broadcast(asset), "asset_id")
-        cap = F.col("rated_power")
-        df = df.withColumn(
-            "_flag_window",
-            F.col("WMET_HorWdSpd").between(dws_start, 40.0)
-            & ~F.col("WTUR_W").between(0.01 * cap, 1.2 * cap),
-        )
-        bin_width_frac = 0.04 * (max_pf - 0.01)
-        df = df.withColumn(
-            "_p_norm", (F.col("WTUR_W") - 0.01 * cap) / (bin_width_frac * cap)
-        )
-        hi = (F.lit(max_pf) - 0.01) / bin_width_frac
-        df = filters.bin_filter(
-            df, bin_col="_p_norm", value_col="WMET_HorWdSpd", bin_width=1.0,
-            threshold=mad_thresh, center_type="median", threshold_type="mad",
-            direction="above", keys=["asset_id"],
-            bin_min_col=F.lit(0.0), bin_max_col=hi, flag_col="_flag_bin",
-        )
-        return df.withColumn(
-            "derate_flag", F.col("_flag_window") | F.col("_flag_bin")
-        ).drop("_p_norm", "_flag_window", "_flag_bin")
+    def _sim_tables(self, specs: list[dict]):
+        """EVERY simulation's per-time plant table and per-(time,
+        turbine) table in ONE sim-keyed plan (round-7: the MC loop
+        previously ran ~10 Spark jobs PER SIM — 1000 sequential jobs
+        at the reference's default num_sim=100).
 
-    def _sim_tables(self, run: dict):
-        """One simulation's per-time plant table and per-(time, turbine)
-        table, both lazy."""
-        if self.correct_for_derating:
-            df = self._identify_derating(
-                run["derating_filter_wind_speed_start"], run["max_power_filter"],
-                run["wind_bin_mad_thresh"],
-            )
-        else:
-            df = self._base.withColumn("derate_flag", F.lit(False))
-        ref = self._ref
-        bin_map, membership = self._freestream_sectors(run["freestream_sector_width"])
+        Mechanics of the batching:
+        - the per-sim freestream sector/membership tables (driver-side
+          pandas, bin-grain) are concatenated with a ``sim`` column
+          and broadcast ONCE; joining the reference table to the
+          (sim, wd_bin)-keyed map is what fans each time row out to
+          its sims — a broadcast-join fan-out, no explode of the fact
+          table and no cartesian;
+        - per-sim filter parameters (derating window start, max power
+          filter, MAD threshold) ride a broadcast (sim, params) table;
+          the derating bin filter runs keyed by (sim, asset_id) —
+          bin stats stay bin-grain × sims, still tiny;
+        - the UQ bootstrap is a deterministic per-(time, sim)
+          Poisson(1) weight (functions.stats.poisson1_weight),
+          replacing the per-sim df.sample jobs — identical whatever
+          the sim chunking;
+        - every aggregate downstream keys by sim, so one job computes
+          all sims' tables. run() chunks sims (``sim_batch``) to bound
+          the rows×sims fan-out.
+        """
         spark = self.plant.spark
-        bmap = F.broadcast(spark.createDataFrame(bin_map))
-        memb = F.broadcast(spark.createDataFrame(membership))
+        bin_maps, membs, params = [], [], []
+        for s in specs:
+            bm, mb = self._freestream_sectors(s["freestream_sector_width"])
+            bm = bm.copy()
+            bm["sim"] = s["sim"]
+            mb = mb.copy()
+            mb["sim"] = s["sim"]
+            bin_maps.append(bm)
+            membs.append(mb)
+            params.append({
+                "sim": s["sim"],
+                "_dws": s["derating_filter_wind_speed_start"],
+                "_mpf": s["max_power_filter"],
+                "_mad": s["wind_bin_mad_thresh"],
+                "_bseed": -1 if s.get("bseed") is None else int(s["bseed"]),
+            })
+        bmap = F.broadcast(spark.createDataFrame(pd.concat(bin_maps)))
+        memb = F.broadcast(spark.createDataFrame(pd.concat(membs)))
+        prm = F.broadcast(spark.createDataFrame(pd.DataFrame(params)))
 
+        ref = self._ref
         wd_to_bin = (
             F.round(F.col("wind_direction_ref") / self.wd_bin_width) * self.wd_bin_width
         ) % 360.0
-        ref_b = ref.withColumn("wd_bin", wd_to_bin).join(bmap, "wd_bin")
+        # (sim, wd_bin) map join = the sim fan-out of the time axis
+        ref_b = (
+            ref.withColumn("wd_bin", wd_to_bin)
+            .join(bmap, "wd_bin")
+            .join(prm.select("sim", "_bseed"), "sim")
+        )
+        w = F.when(
+            F.col("_bseed") < 0, F.lit(1)
+        ).otherwise(poisson1_weight("_bseed", "time"))
+        ref_b = ref_b.withColumn("w", w).where(F.col("w") > 0).drop("_bseed")
 
-        # bootstrap multiplicity weights on the time key (UQ)
-        if self.UQ:
-            w = (
-                ref.select("time").sample(withReplacement=True, fraction=1.0,
-                                          seed=int(self._rng.integers(2**31)))
-                .groupBy("time").agg(F.count("*").alias("w"))
+        df = self._base.join(
+            ref_b.select("time", "sim", "sector", "w"), "time", "inner"
+        ).join(prm.select("sim", "_dws", "_mpf", "_mad"), "sim")
+        if self.correct_for_derating:
+            # per-sim derating flags (wake_losses.py:1057-1096): the
+            # window bound and power-bin layout are per-sim COLUMNS;
+            # normalizing power by the per-sim bin width makes the bin
+            # domain [0, 25) for every sim, so one grouped bin filter
+            # keyed (sim, asset_id) covers the whole chunk
+            asset = self.plant.asset.where(F.col("type") == "turbine").select(
+                "asset_id", "rated_power"
             )
-            ref_b = ref_b.join(w, "time", "inner")  # times with w=0 drop out
+            df = df.join(F.broadcast(asset), "asset_id")
+            cap = F.col("rated_power")
+            df = df.withColumn(
+                "_flag_window",
+                F.col("WMET_HorWdSpd").between(F.col("_dws"), 40.0)
+                & ~F.col("WTUR_W").between(0.01 * cap, 1.2 * cap),
+            )
+            bin_width_frac = 0.04 * (F.col("_mpf") - 0.01)
+            df = df.withColumn(
+                "_p_norm", (F.col("WTUR_W") - 0.01 * cap) / (bin_width_frac * cap)
+            )
+            df = filters.bin_filter(
+                df, bin_col="_p_norm", value_col="WMET_HorWdSpd", bin_width=1.0,
+                threshold=F.col("_mad"), center_type="median",
+                threshold_type="mad", direction="above",
+                keys=["sim", "asset_id"],
+                bin_min_col=F.lit(0.0),
+                # (mpf - 0.01) / (0.04 (mpf - 0.01)) == 25 for every sim
+                bin_max_col=F.lit(25.0),
+                flag_col="_flag_bin",
+            )
+            df = df.withColumn(
+                "derate_flag", F.col("_flag_window") | F.col("_flag_bin")
+            ).drop("_p_norm", "_flag_window", "_flag_bin", "rated_power")
         else:
-            ref_b = ref_b.withColumn("w", F.lit(1))
+            df = df.withColumn("derate_flag", F.lit(False))
+        df = df.drop("_dws", "_mpf", "_mad")
 
-        df = df.join(ref_b.select("time", "sector", "w"), "time", "inner")
-
-        # freestream representative power/ws per time over NORMAL
-        # freestream turbines (wake_losses.py:628-649)
-        fs = df.join(memb, ["sector", "asset_id"], "inner").where(~F.col("derate_flag"))
+        # freestream representative power/ws per (sim, time) over
+        # NORMAL freestream turbines (wake_losses.py:628-649)
+        fs = df.join(memb, ["sim", "sector", "asset_id"], "inner").where(
+            ~F.col("derate_flag")
+        )
         if self.freestream_power_method == "mean":
             p_agg = F.sum(F.col("WTUR_W") * F.col("mult")) / F.sum("mult")
         elif self.freestream_power_method == "median":
@@ -255,18 +302,18 @@ class WakeLosses:
             ws_agg = F.sum(F.col("WMET_HorWdSpd") * F.col("mult")) / F.sum("mult")
         else:
             ws_agg = F.median("WMET_HorWdSpd")
-        fs_per_time = fs.groupBy("time").agg(
+        fs_per_time = fs.groupBy("sim", "time").agg(
             p_agg.alias("fs_power"), ws_agg.alias("fs_ws")
         )
 
         per_turb = (
-            df.join(fs_per_time, "time", "inner")
+            df.join(fs_per_time, ["sim", "time"], "inner")
             .withColumn(
                 "potential_turbine_power",
                 F.when(F.col("derate_flag"), F.col("WTUR_W")).otherwise(F.col("fs_power")),
             )
         )
-        plant_per_time = per_turb.groupBy("time").agg(
+        plant_per_time = per_turb.groupBy("sim", "time").agg(
             F.first("w").alias("w"),
             F.first("fs_power").alias("fs_power"),
             F.first("fs_ws").alias("fs_ws"),
@@ -290,99 +337,112 @@ class WakeLosses:
     # ------------------------------------------------------------ LT corr
 
     def _lt_correction(self, plant_per_time: DataFrame, per_turb: DataFrame,
-                       product: str, num_years: int):
+                       specs: list[dict]):
         """Hourly means → ws-bin linreg bias correction → (wd, ws) bin
         grid joined with LT reanalysis frequencies → weighted losses
-        (wake_losses.py:1098-1317). Grids collected at bin grain."""
+        (wake_losses.py:1098-1317), for EVERY sim in the chunk at once:
+        the hourly/bin/grid aggregates key by sim, the per-sim OLS bias
+        maps are fit driver-side from one collected sim-keyed bin table
+        and joined back as a broadcast (sim, slope, icpt) frame, and LT
+        frequencies are computed once per DISTINCT (product, num_years)
+        pair. Grids stay bin-grain × sims — tiny collects. Returns
+        {sim: (lt, t_losses, lt_wd, por_ws, lt_ws)}."""
         wsb = self.ws_bin_width_LT_corr
         wdb = self.wd_bin_width_LT_corr
+        spark = self.plant.spark
+        rean_cols = [f"ws_rean_{p}" for p in self.reanalysis_products]
         hourly = (
-            plant_per_time.groupBy(F.date_trunc("hour", "time").alias("hour"))
+            plant_per_time.groupBy(
+                "sim", F.date_trunc("hour", "time").alias("hour")
+            )
             .agg(
                 (F.sum(F.col("wind_direction_ref") * F.col("w")) / F.sum("w")).alias("wd_ref"),
                 (F.sum(F.col("fs_ws") * F.col("w")) / F.sum("w")).alias("fs_ws"),
                 (F.sum(F.col("actual_plant_power") * F.col("w")) / F.sum("w")).alias("actual"),
                 (F.sum(F.col("potential_plant_power") * F.col("w")) / F.sum("w")).alias("potential"),
-                (F.sum(F.col(f"ws_rean_{product}") * F.col("w")) / F.sum("w")).alias("ws_rean"),
+                *[
+                    (F.sum(F.col(c) * F.col("w")) / F.sum("w")).alias(c)
+                    for c in rean_cols
+                ],
                 F.sum("w").alias("w"),
             )
         ).cache()
         # SCADA freestream ws → reanalysis ws linear map from integer-
-        # bin means (wake_losses.py:1127-1149)
+        # bin means (wake_losses.py:1127-1149), one sim-keyed aggregate
+        # collecting every product's bin means; the per-sim OLS picks
+        # its sim's product column driver-side
         bin_stats = (
-            hourly.groupBy(F.round("fs_ws").alias("ws_int"))
-            .agg(F.avg("ws_rean").alias("m"), F.count("*").alias("n"))
-            .where((F.col("ws_int") >= self.min_ws_bin_lin_reg)
-                   & (F.col("n") >= self.bin_count_thresh_lin_reg))
+            hourly.groupBy("sim", F.round("fs_ws").alias("ws_int"))
+            .agg(
+                *[F.avg(c).alias(c) for c in rean_cols],
+                F.count("*").alias("n"),
+            )
+            .where(F.col("ws_int") >= self.min_ws_bin_lin_reg)
             .toPandas()
         )
-        if len(bin_stats) >= 2:
-            coef, icpt = reg.ols_fit(bin_stats["ws_int"].to_numpy(), bin_stats["m"].to_numpy())
-            slope = float(coef[0])
-        else:  # degenerate data: identity map
-            slope, icpt = 1.0, 0.0
-        no_wakes_thresh = float(np.round(slope * self.no_wakes_ws_thresh_LT_corr + icpt))
+        coefs = []
+        for s in specs:
+            bs = bin_stats[
+                (bin_stats["sim"] == s["sim"])
+                & (bin_stats["n"] >= self.bin_count_thresh_lin_reg)
+            ]
+            col = f"ws_rean_{s['reanalysis_product']}"
+            if len(bs) >= 2:
+                coef, icpt = reg.ols_fit(
+                    bs["ws_int"].to_numpy(), bs[col].to_numpy()
+                )
+                slope = float(coef[0])
+            else:  # degenerate data: identity map
+                slope, icpt = 1.0, 0.0
+            coefs.append({"sim": s["sim"], "_slope": slope, "_icpt": icpt})
+        coef_pd = pd.DataFrame(coefs)
+        coef_df = F.broadcast(spark.createDataFrame(coef_pd))
+        slope_of = {c["sim"]: (c["_slope"], c["_icpt"]) for c in coefs}
 
-        ws_corr = F.lit(slope) * F.col("fs_ws") + F.lit(icpt)
-        hourly_b = hourly.withColumn(
+        ws_corr = F.col("_slope") * F.col("fs_ws") + F.col("_icpt")
+        hourly_b = hourly.join(coef_df, "sim").withColumn(
             "ws_bin", F.round(ws_corr / wsb) * wsb
         ).withColumn(
             "wd_bin", (F.round(F.col("wd_ref") / wdb) * wdb) % 360.0
         )
-        grid = hourly_b.groupBy("wd_bin", "ws_bin").agg(
+        grid_all = hourly_b.groupBy("sim", "wd_bin", "ws_bin").agg(
             F.sum(F.col("actual") * F.col("w")).alias("sum_actual"),
             F.sum(F.col("potential") * F.col("w")).alias("sum_potential"),
             F.sum("w").alias("n"),
-        ).toPandas().set_index(["wd_bin", "ws_bin"]).sort_index()
+        ).toPandas()
 
-        # LT (wd, ws) frequencies from reanalysis (wake_losses.py:1151-1175)
-        rean = self.plant.reanalysis[product]
-        end_lt = pd.Timestamp(rean.agg(F.max("time")).first()[0]).floor("h")
-        start_lt = end_lt - pd.offsets.DateOffset(years=num_years)
-        freqs = (
-            rean.where((F.col("time") <= F.lit(end_lt.to_pydatetime()))
-                       & (F.col("time") > F.lit(start_lt.to_pydatetime())))
-            .withColumn("ws_bin", F.round(F.col("WMETR_HorWdSpd") / wsb) * wsb)
-            .withColumn("wd_bin",
-                        (F.round(F.col("WMETR_HorWdDir") / wdb) * wdb) % 360.0)
-            .groupBy("wd_bin", "ws_bin").agg(F.count("*").alias("cnt"))
-            .toPandas().set_index(["wd_bin", "ws_bin"]).sort_index()
-        )
-        freqs["freq"] = freqs["cnt"] / freqs["cnt"].sum()
-
-        # POR by-ws arrays (sum-based, wake_losses.py:1190-1214)
-        ws_index = np.arange(0.0, 31.0, wsb)
-        by_ws = grid.groupby(level=1).sum().reindex(ws_index)
-        wake_por_ws = (by_ws["sum_actual"] / by_ws["sum_potential"]).to_numpy()
-
-        # frequency-weighted LT losses on the joined bin grid
-        g = freqs.join(grid, how="outer")
-        g["mean_actual"] = g["sum_actual"] / g["n"]
-        g["mean_potential"] = g["sum_potential"] / g["n"]
-        if self.assume_no_wakes_high_ws_LT_corr:
-            fill = g["mean_actual"].isna() & (
-                g.index.get_level_values(1) >= no_wakes_thresh
+        # LT (wd, ws) frequencies from reanalysis, once per DISTINCT
+        # (product, num_years) (wake_losses.py:1151-1175)
+        freqs_memo: dict[tuple, pd.DataFrame] = {}
+        for s in specs:
+            key = (s["reanalysis_product"], int(s["num_years_LT"]))
+            if key in freqs_memo:
+                continue
+            product, num_years = key
+            rean = self.plant.reanalysis[product]
+            end_lt = pd.Timestamp(rean.agg(F.max("time")).first()[0]).floor("h")
+            start_lt = end_lt - pd.offsets.DateOffset(years=num_years)
+            fr = (
+                rean.where((F.col("time") <= F.lit(end_lt.to_pydatetime()))
+                           & (F.col("time") > F.lit(start_lt.to_pydatetime())))
+                .withColumn("ws_bin", F.round(F.col("WMETR_HorWdSpd") / wsb) * wsb)
+                .withColumn("wd_bin",
+                            (F.round(F.col("WMETR_HorWdDir") / wdb) * wdb) % 360.0)
+                .groupBy("wd_bin", "ws_bin").agg(F.count("*").alias("cnt"))
+                .toPandas().set_index(["wd_bin", "ws_bin"]).sort_index()
             )
-            cap_kw = self.plant.metadata.capacity * 1e3
-            g.loc[fill, "mean_actual"] = cap_kw
-            g.loc[fill, "mean_potential"] = cap_kw
-        g["actual_e"] = g["freq"] * g["mean_actual"]
-        g["potential_e"] = g["freq"] * g["mean_potential"]
-        lt_loss = 1.0 - np.nansum(g["actual_e"]) / np.nansum(g["potential_e"])
+            fr["freq"] = fr["cnt"] / fr["cnt"].sum()
+            freqs_memo[key] = fr
 
-        by_wd_lt = g.groupby(level=0).sum(min_count=1)
-        wd_index = np.arange(0.0, 360.0, wdb)
-        by_wd_lt = by_wd_lt.reindex(wd_index)
-        wake_lt_wd = (by_wd_lt["actual_e"] / by_wd_lt["potential_e"]).to_numpy()
-        by_ws_lt = g.groupby(level=1).sum(min_count=1).reindex(ws_index)
-        wake_lt_ws = (by_ws_lt["actual_e"] / by_ws_lt["potential_e"]).to_numpy()
-
-        # per-turbine LT losses from the per-turbine bin grid
+        # per-turbine bin grids, sim-keyed (wake_losses.py:1216-1317)
         per_turb_hourly = (
             per_turb.join(
-                plant_per_time.select("time", "wd_lt_bin"), "time"
+                plant_per_time.select("sim", "time", "wd_lt_bin"),
+                ["sim", "time"],
             )
-            .groupBy(F.date_trunc("hour", "time").alias("hour"), "asset_id")
+            .groupBy(
+                "sim", F.date_trunc("hour", "time").alias("hour"), "asset_id"
+            )
             .agg(
                 (F.sum(F.col("WTUR_W") * F.col("w")) / F.sum("w")).alias("p"),
                 (F.sum(F.col("potential_turbine_power") * F.col("w")) / F.sum("w")).alias("pp"),
@@ -391,10 +451,13 @@ class WakeLosses:
                 F.first(F.col("wd_lt_bin")).alias("wd_bin_any"),
             )
         )
-        tgrid = (
-            per_turb_hourly
-            .withColumn("ws_bin", F.round((F.lit(slope) * F.col("fs_ws_any") + F.lit(icpt)) / wsb) * wsb)
-            .groupBy("asset_id", F.col("wd_bin_any").alias("wd_bin"), "ws_bin")
+        tgrid_all = (
+            per_turb_hourly.join(coef_df, "sim")
+            .withColumn(
+                "ws_bin",
+                F.round((F.col("_slope") * F.col("fs_ws_any") + F.col("_icpt")) / wsb) * wsb,
+            )
+            .groupBy("sim", "asset_id", F.col("wd_bin_any").alias("wd_bin"), "ws_bin")
             .agg(F.sum(F.col("p") * F.col("w")).alias("sp"),
                  F.sum(F.col("pp") * F.col("w")).alias("spp"),
                  F.sum("w").alias("n"))
@@ -405,22 +468,75 @@ class WakeLosses:
             for r in self.plant.asset.select("asset_id", "rated_power").collect()
             if r["rated_power"] is not None
         }
-        t_losses = []
-        for t in self.turbine_ids:
-            tg = tgrid[tgrid["asset_id"] == t].set_index(["wd_bin", "ws_bin"]).sort_index()
-            tj = freqs.join(tg, how="outer")
-            tj["mp"] = tj["sp"] / tj["n"]
-            tj["mpp"] = tj["spp"] / tj["n"]
+
+        ws_index = np.arange(0.0, 31.0, wsb)
+        wd_index = np.arange(0.0, 360.0, wdb)
+        out: dict[int, tuple] = {}
+        for s in specs:
+            sim = s["sim"]
+            slope, icpt = slope_of[sim]
+            no_wakes_thresh = float(
+                np.round(slope * self.no_wakes_ws_thresh_LT_corr + icpt)
+            )
+            freqs = freqs_memo[(s["reanalysis_product"], int(s["num_years_LT"]))]
+            grid = (
+                grid_all[grid_all["sim"] == sim]
+                .drop(columns=["sim"])
+                .set_index(["wd_bin", "ws_bin"]).sort_index()
+            )
+
+            # POR by-ws arrays (sum-based, wake_losses.py:1190-1214)
+            by_ws = grid.groupby(level=1).sum().reindex(ws_index)
+            wake_por_ws = (by_ws["sum_actual"] / by_ws["sum_potential"]).to_numpy()
+
+            # frequency-weighted LT losses on the joined bin grid
+            g = freqs.join(grid, how="outer")
+            g["mean_actual"] = g["sum_actual"] / g["n"]
+            g["mean_potential"] = g["sum_potential"] / g["n"]
             if self.assume_no_wakes_high_ws_LT_corr:
-                rated = rated_by_turbine[t]
-                fill = tj["mp"].isna() & (tj.index.get_level_values(1) >= no_wakes_thresh)
-                tj.loc[fill, "mp"] = rated
-                tj.loc[fill, "mpp"] = rated
-            t_losses.append(
-                1.0 - np.nansum(tj["freq"] * tj["mp"]) / np.nansum(tj["freq"] * tj["mpp"])
+                fill = g["mean_actual"].isna() & (
+                    g.index.get_level_values(1) >= no_wakes_thresh
+                )
+                cap_kw = self.plant.metadata.capacity * 1e3
+                g.loc[fill, "mean_actual"] = cap_kw
+                g.loc[fill, "mean_potential"] = cap_kw
+            g["actual_e"] = g["freq"] * g["mean_actual"]
+            g["potential_e"] = g["freq"] * g["mean_potential"]
+            lt_loss = 1.0 - np.nansum(g["actual_e"]) / np.nansum(g["potential_e"])
+
+            by_wd_lt = g.groupby(level=0).sum(min_count=1).reindex(wd_index)
+            wake_lt_wd = (by_wd_lt["actual_e"] / by_wd_lt["potential_e"]).to_numpy()
+            by_ws_lt = g.groupby(level=1).sum(min_count=1).reindex(ws_index)
+            wake_lt_ws = (by_ws_lt["actual_e"] / by_ws_lt["potential_e"]).to_numpy()
+
+            t_losses = []
+            for t in self.turbine_ids:
+                tg = (
+                    tgrid_all[
+                        (tgrid_all["sim"] == sim) & (tgrid_all["asset_id"] == t)
+                    ]
+                    .drop(columns=["sim", "asset_id"])
+                    .set_index(["wd_bin", "ws_bin"]).sort_index()
+                )
+                tj = freqs.join(tg, how="outer")
+                tj["mp"] = tj["sp"] / tj["n"]
+                tj["mpp"] = tj["spp"] / tj["n"]
+                if self.assume_no_wakes_high_ws_LT_corr:
+                    rated = rated_by_turbine[t]
+                    fill = tj["mp"].isna() & (
+                        tj.index.get_level_values(1) >= no_wakes_thresh
+                    )
+                    tj.loc[fill, "mp"] = rated
+                    tj.loc[fill, "mpp"] = rated
+                t_losses.append(
+                    1.0 - np.nansum(tj["freq"] * tj["mp"])
+                    / np.nansum(tj["freq"] * tj["mpp"])
+                )
+            out[sim] = (
+                lt_loss, np.array(t_losses), wake_lt_wd, wake_por_ws, wake_lt_ws
             )
         hourly.unpersist()
-        return lt_loss, np.array(t_losses), wake_lt_wd, wake_por_ws, wake_lt_ws
+        return out
 
     # ------------------------------------------------------------ run
 
@@ -444,8 +560,12 @@ class WakeLosses:
             np.empty((n_sims, n_wd)), np.empty((n_sims, n_ws)),
             np.empty((n_sims, n_ws)), self.turbine_ids,
         )
+        # one spec per sim — drawn in a fixed order BEFORE batching so
+        # results are independent of the chunking
+        specs = []
         for n in range(n_sims):
-            run = {
+            specs.append({
+                "sim": n,
                 "freestream_sector_width": draw(self.freestream_sector_width),
                 "derating_filter_wind_speed_start": draw(self.derating_filter_wind_speed_start),
                 "max_power_filter": draw(self.max_power_filter),
@@ -455,44 +575,57 @@ class WakeLosses:
                     str(rng.choice(self.reanalysis_products)) if self.UQ
                     else self.reanalysis_products[n]
                 ),
-            }
-            plant_per_time, per_turb = self._sim_tables(run)
+                "bseed": int(rng.integers(2**31)) if self.UQ else None,
+            })
+        wd_index = np.arange(0.0, 360.0, self.wd_bin_width_LT_corr)
+        # chunk the sims to bound the rows × sims fan-out per pass;
+        # every pass computes all of its sims' results in ~7 jobs
+        # (vs ~10 jobs PER SIM in the per-sim loop this replaces)
+        for lo in range(0, n_sims, self.sim_batch):
+            chunk = specs[lo:lo + self.sim_batch]
+            plant_per_time, per_turb = self._sim_tables(chunk)
             plant_per_time = plant_per_time.cache()
             per_turb = per_turb.cache()
 
-            sums = plant_per_time.agg(
-                F.sum(F.col("actual_plant_power") * F.col("w")).alias("a"),
-                F.sum(F.col("potential_plant_power") * F.col("w")).alias("p"),
-            ).first()
-            out.wake_losses_por[n] = 1.0 - sums["a"] / sums["p"]
-
+            sums = {
+                r["sim"]: r
+                for r in plant_per_time.groupBy("sim").agg(
+                    F.sum(F.col("actual_plant_power") * F.col("w")).alias("a"),
+                    F.sum(F.col("potential_plant_power") * F.col("w")).alias("p"),
+                ).collect()
+            }
             tsums = (
-                per_turb.groupBy("asset_id")
+                per_turb.groupBy("sim", "asset_id")
                 .agg(F.sum(F.col("WTUR_W") * F.col("w")).alias("a"),
                      F.sum(F.col("potential_turbine_power") * F.col("w")).alias("p"))
-                .toPandas().set_index("asset_id")
+                .toPandas().set_index(["sim", "asset_id"])
             )
-            out.turbine_wake_losses_por[n] = [
-                1.0 - tsums.loc[t, "a"] / tsums.loc[t, "p"] for t in self.turbine_ids
-            ]
-
             wd_sums = (
-                plant_per_time.groupBy("wd_lt_bin")
+                plant_per_time.groupBy("sim", "wd_lt_bin")
                 .agg(F.sum(F.col("actual_plant_power") * F.col("w")).alias("a"),
                      F.sum(F.col("potential_plant_power") * F.col("w")).alias("p"))
-                .toPandas().set_index("wd_lt_bin").sort_index()
-                .reindex(np.arange(0.0, 360.0, self.wd_bin_width_LT_corr))
+                .toPandas()
             )
-            out.wake_losses_por_wd[n] = (wd_sums["a"] / wd_sums["p"]).to_numpy()
+            lt_out = self._lt_correction(plant_per_time, per_turb, chunk)
 
-            (lt, lt_turb, lt_wd, por_ws, lt_ws) = self._lt_correction(
-                plant_per_time, per_turb, run["reanalysis_product"], run["num_years_LT"]
-            )
-            out.wake_losses_lt[n] = lt
-            out.turbine_wake_losses_lt[n] = lt_turb
-            out.wake_losses_lt_wd[n] = lt_wd
-            out.wake_losses_por_ws[n] = por_ws
-            out.wake_losses_lt_ws[n] = lt_ws
+            for s in chunk:
+                n = s["sim"]
+                out.wake_losses_por[n] = 1.0 - sums[n]["a"] / sums[n]["p"]
+                out.turbine_wake_losses_por[n] = [
+                    1.0 - tsums.loc[(n, t), "a"] / tsums.loc[(n, t), "p"]
+                    for t in self.turbine_ids
+                ]
+                wds = (
+                    wd_sums[wd_sums["sim"] == n]
+                    .set_index("wd_lt_bin").sort_index().reindex(wd_index)
+                )
+                out.wake_losses_por_wd[n] = (wds["a"] / wds["p"]).to_numpy()
+                (lt, lt_turb, lt_wd, por_ws, lt_ws) = lt_out[n]
+                out.wake_losses_lt[n] = lt
+                out.turbine_wake_losses_lt[n] = lt_turb
+                out.wake_losses_lt_wd[n] = lt_wd
+                out.wake_losses_por_ws[n] = por_ws
+                out.wake_losses_lt_ws[n] = lt_ws
             plant_per_time.unpersist()
             per_turb.unpersist()
         return out

@@ -27,17 +27,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from openoa_spark.functions.regression import cos_curve_fit
+from openoa_spark.functions.stats import poisson1_weight
 from openoa_spark.operators import filters
 from openoa_spark.plant import PlantData
-
-# cumulative Poisson(1) CDF (k = 0..7; tail mass 1e-5 maps to k = 8):
-# drives the deterministic per-(row, sim) bootstrap weights so the
-# batched MC replays identically whatever the sim batching
-_POISSON1_CDF = (
-    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
-    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
-    0.9999167588507119, 0.9999897508033253,
-)
 
 
 @dataclass
@@ -180,15 +172,9 @@ class StaticYawMisalignment:
         alldf = branches[0]
         for b in branches[1:]:
             alldf = alldf.unionByName(b)
-        # Poisson(1) bootstrap count via inverse CDF over a hash
-        # uniform; bseed < 0 marks a no-bootstrap sim (weight 1)
-        u = (
-            (F.xxhash64("time", "asset_id", "bseed") % F.lit(1_000_000)
-             + F.lit(1_000_000)) % F.lit(1_000_000)
-        ) / F.lit(1_000_000.0)
-        w = F.lit(len(_POISSON1_CDF))
-        for k in reversed(range(len(_POISSON1_CDF))):
-            w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+        # Poisson(1) bootstrap count (functions.stats.poisson1_weight);
+        # bseed < 0 marks a no-bootstrap sim (weight 1)
+        w = poisson1_weight("bseed", "time", "asset_id")
         alldf = alldf.withColumn(
             "_w", F.when(F.col("bseed") < 0, F.lit(1)).otherwise(w)
         ).where(F.col("_w") > 0)

@@ -577,3 +577,34 @@ def keyed_row_number(
         .withColumn(out_col, F.col("_boff") + F.row_number().over(w_in))
         .drop("_rnb", "_boff")
     )
+
+
+# cumulative Poisson(1) CDF (k = 0..7; the 1e-5 tail maps to k = 8):
+# drives deterministic per-(row, sim) bootstrap weights — the
+# with-replacement resample of a Monte-Carlo loop expressed as a
+# column, so one batched job replays identically however sims are
+# batched (used by the yaw and wake MC batchers).
+POISSON1_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253,
+)
+
+
+def poisson1_weight(seed_col: Column | str, *key_cols: Column | str) -> Column:
+    """Deterministic Poisson(1) bootstrap count for a (row, sim) pair:
+    inverse CDF over an xxhash64-derived uniform of (key_cols…,
+    seed_col). Rows with count 0 drop out of the resample; counts >= 1
+    weight the aggregates — statistically the classic with-replacement
+    bootstrap (the multiplicity of each row in an n-of-n resample is
+    Binomial(n, 1/n) → Poisson(1)), but replayable and independent of
+    execution layout."""
+    cols = [_c(c) for c in (*key_cols, seed_col)]
+    u = (
+        (F.xxhash64(*cols) % F.lit(1_000_000) + F.lit(1_000_000))
+        % F.lit(1_000_000)
+    ) / F.lit(1_000_000.0)
+    w = F.lit(len(POISSON1_CDF))
+    for k in reversed(range(len(POISSON1_CDF))):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w

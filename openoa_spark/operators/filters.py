@@ -119,7 +119,7 @@ def bin_filter(
     bin_col: str,
     value_col: str,
     bin_width: float,
-    threshold: float = 2.0,
+    threshold: float | Column = 2.0,
     center_type: str = "mean",
     threshold_type: str = "std",
     direction: str = "all",
@@ -206,7 +206,10 @@ def bin_filter(
 
     joined = binned.join(F.broadcast(stats), gb, "left")
     v, ctr, dev = F.col(value_col), F.col("_center"), F.col("_dev")
-    margin = F.lit(threshold) * dev
+    # threshold may be a per-row Column (e.g. a per-sim Monte-Carlo
+    # draw when a batched analysis keys the filter by sim)
+    thr = threshold if isinstance(threshold, Column) else F.lit(threshold)
+    margin = thr * dev
     if direction == "all":
         flag = F.abs(v - ctr) > margin
     elif direction == "above":

@@ -77,3 +77,24 @@ def test_uq_mode(plant):
     assert res.wake_losses_por.shape == (3,)
     assert np.isfinite(res.wake_losses_por).all()
     assert res.wake_losses_por.std() < 0.05
+
+
+def test_batched_sims_equal_per_sim_chunks(plant):
+    """Round-7 pin: the sim-keyed batched MC produces the same results
+    whatever the chunking — one 3-sim pass vs three 1-sim passes. The
+    MC draws happen before batching and the bootstrap is a
+    deterministic per-(time, sim) Poisson weight, so only float
+    summation order can differ between layouts (plain double sums);
+    pinned at 1e-9 relative."""
+    a = WakeLosses(plant, UQ=True, num_sim=3, num_years_LT=(1, 2),
+                   sim_batch=25).run()
+    b = WakeLosses(plant, UQ=True, num_sim=3, num_years_LT=(1, 2),
+                   sim_batch=1).run()
+    for attr in ("wake_losses_por", "turbine_wake_losses_por",
+                 "wake_losses_lt", "turbine_wake_losses_lt",
+                 "wake_losses_por_wd", "wake_losses_lt_wd",
+                 "wake_losses_por_ws", "wake_losses_lt_ws"):
+        np.testing.assert_allclose(
+            getattr(a, attr), getattr(b, attr), rtol=1e-9, equal_nan=True,
+            err_msg=attr,
+        )
