@@ -22,11 +22,12 @@ Spark-first inversions:
   (functions/regression.py:PSplineGAM / gam_3param_fit; reference:
   functions.gam_3param at power_curve/functions.py:153-200).
 - Stated model tolerance (pinned by tests/test_regression_gam.py::
-  test_gam_power_curve_deviation_envelope on the reference's own
-  power-curve shapes): see the envelope constants in that test;
-  any smooth penalized basis — pygam included — rounds a hard
-  rated-power knee. Gross-energy numbers from this pipeline carry
-  that envelope on top of statistical recovery.
+  test_pspline_power_curve_deviation_envelope on the reference's own
+  power-curve shapes): RMS ≤0.6% of rated, ≤0.5% pointwise away from
+  slope discontinuities, ≤5% within ±1.5 m/s of a hard rated-power
+  knee — any smooth penalized basis, pygam included, rounds the
+  corner. Gross-energy numbers from this pipeline carry that envelope
+  on top of statistical recovery.
 """
 
 from __future__ import annotations
@@ -45,17 +46,6 @@ from openoa_spark.operators import filters
 from openoa_spark.operators.imputing import impute_all_assets_by_correlation
 from openoa_spark.operators.timeseries import resample
 from openoa_spark.plant import PlantData
-
-
-def _fit_basis(ws, wd, rho):
-    """Round-6 polynomial basis, kept for the fast/fallback path and
-    API compat; the pipeline now fits the P-spline additive model
-    (functions/regression.py:gam_3param_fit) on RAW (ws, wd, rho) like
-    the reference's pygam gam_3param."""
-    wdr = np.deg2rad(wd)
-    return np.column_stack([
-        ws, ws ** 2, ws ** 3, np.sin(wdr), np.cos(wdr), rho, np.ones(len(ws)),
-    ])
 
 
 @dataclass
@@ -210,7 +200,7 @@ class TurbineLongTermGrossEnergy:
         (asset_id, day, gross) over the full reanalysis span."""
         from openoa_spark.session import ship_package
 
-        ship_package(scada_valid.sparkSession)  # closure refs _fit_basis
+        ship_package(scada_valid.sparkSession)  # closure refs gam_3param_fit
         rean = self.daily_reanalysis(product)
         rean_reset = rean.reset_index()[["day", "ws", "wd", "rho"]]
         schema = StructType([

@@ -196,13 +196,15 @@ class WakeLosses:
         - the per-sim freestream sector/membership tables (driver-side
           pandas, bin-grain) are concatenated with a ``sim`` column
           and broadcast ONCE; joining the reference table to the
-          (sim, wd_bin)-keyed map is what fans each time row out to
-          its sims — a broadcast-join fan-out, no explode of the fact
-          table and no cartesian;
-        - per-sim filter parameters (derating window start, max power
-          filter, MAD threshold) ride a broadcast (sim, params) table;
-          the derating bin filter runs keyed by (sim, asset_id) —
-          bin stats stay bin-grain × sims, still tiny;
+          (sim, wd_bin)-keyed map fans each TIME row out to its sims —
+          a broadcast-join fan-out, no cartesian;
+        - per-sim derating parameters arrive as a map-side explode of
+          (sim, params) structs over the FULL base table — the
+          reference identifies derating BEFORE the bootstrap resample
+          (wake_losses.py:551-555), so the bin-filter statistics must
+          see every timestamp, not the w>0 subset; the filter runs
+          keyed by (sim, asset_id) with the MAD threshold as a per-sim
+          column — bin stats stay bin-grain × sims, still tiny;
         - the UQ bootstrap is a deterministic per-(time, sim)
           Poisson(1) weight (functions.stats.poisson1_weight),
           replacing the per-sim df.sample jobs — identical whatever
@@ -212,7 +214,7 @@ class WakeLosses:
           the rows×sims fan-out.
         """
         spark = self.plant.spark
-        bin_maps, membs, params = [], [], []
+        bin_maps, membs, seeds = [], [], []
         for s in specs:
             bm, mb = self._freestream_sectors(s["freestream_sector_width"])
             bm = bm.copy()
@@ -221,16 +223,13 @@ class WakeLosses:
             mb["sim"] = s["sim"]
             bin_maps.append(bm)
             membs.append(mb)
-            params.append({
+            seeds.append({
                 "sim": s["sim"],
-                "_dws": s["derating_filter_wind_speed_start"],
-                "_mpf": s["max_power_filter"],
-                "_mad": s["wind_bin_mad_thresh"],
                 "_bseed": -1 if s.get("bseed") is None else int(s["bseed"]),
             })
         bmap = F.broadcast(spark.createDataFrame(pd.concat(bin_maps)))
         memb = F.broadcast(spark.createDataFrame(pd.concat(membs)))
-        prm = F.broadcast(spark.createDataFrame(pd.DataFrame(params)))
+        prm = F.broadcast(spark.createDataFrame(pd.DataFrame(seeds)))
 
         ref = self._ref
         wd_to_bin = (
@@ -247,19 +246,40 @@ class WakeLosses:
         ).otherwise(poisson1_weight("_bseed", "time"))
         ref_b = ref_b.withColumn("w", w).where(F.col("w") > 0).drop("_bseed")
 
-        df = self._base.join(
-            ref_b.select("time", "sim", "sector", "w"), "time", "inner"
-        ).join(prm.select("sim", "_dws", "_mpf", "_mad"), "sim")
         if self.correct_for_derating:
-            # per-sim derating flags (wake_losses.py:1057-1096): the
-            # window bound and power-bin layout are per-sim COLUMNS;
-            # normalizing power by the per-sim bin width makes the bin
-            # domain [0, 25) for every sim, so one grouped bin filter
-            # keyed (sim, asset_id) covers the whole chunk
+            # per-sim derating flags (wake_losses.py:1057-1096) on the
+            # FULL base — the reference identifies derating BEFORE the
+            # bootstrap resample (wake_losses.py:551-555), so the
+            # bin-filter statistics must not see the w>0 filter (r7
+            # review fix; the yaw batcher already had this ordering).
+            # Sim fan-out here is a map-side explode of the per-sim
+            # parameter structs; the window bound and power-bin layout
+            # are then per-sim COLUMNS, and normalizing power by the
+            # per-sim bin width makes the bin domain [0, 25) for every
+            # sim, so one grouped bin filter keyed (sim, asset_id)
+            # covers the whole chunk
+            entries = F.array(*[
+                F.struct(
+                    F.lit(int(s["sim"])).alias("sim"),
+                    F.lit(float(s["derating_filter_wind_speed_start"]))
+                    .alias("_dws"),
+                    F.lit(float(s["max_power_filter"])).alias("_mpf"),
+                    F.lit(float(s["wind_bin_mad_thresh"])).alias("_mad"),
+                )
+                for s in specs
+            ])
             asset = self.plant.asset.where(F.col("type") == "turbine").select(
                 "asset_id", "rated_power"
             )
-            df = df.join(F.broadcast(asset), "asset_id")
+            df = (
+                self._base.join(F.broadcast(asset), "asset_id")
+                .withColumn("_s", F.explode(entries))
+                .withColumn("sim", F.col("_s.sim"))
+                .withColumn("_dws", F.col("_s._dws"))
+                .withColumn("_mpf", F.col("_s._mpf"))
+                .withColumn("_mad", F.col("_s._mad"))
+                .drop("_s")
+            )
             cap = F.col("rated_power")
             df = df.withColumn(
                 "_flag_window",
@@ -282,10 +302,17 @@ class WakeLosses:
             )
             df = df.withColumn(
                 "derate_flag", F.col("_flag_window") | F.col("_flag_bin")
-            ).drop("_p_norm", "_flag_window", "_flag_bin", "rated_power")
+            ).drop("_p_norm", "_flag_window", "_flag_bin", "rated_power",
+                   "_dws", "_mpf", "_mad")
+            df = df.join(
+                ref_b.select("time", "sim", "sector", "w"),
+                ["time", "sim"], "inner",
+            )
         else:
-            df = df.withColumn("derate_flag", F.lit(False))
-        df = df.drop("_dws", "_mpf", "_mad")
+            # no derating: the (sim, wd_bin) map join alone fans out
+            df = self._base.join(
+                ref_b.select("time", "sim", "sector", "w"), "time", "inner"
+            ).withColumn("derate_flag", F.lit(False))
 
         # freestream representative power/ws per (sim, time) over
         # NORMAL freestream turbines (wake_losses.py:628-649)

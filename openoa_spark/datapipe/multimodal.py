@@ -531,6 +531,11 @@ def synthesize_jpeg(
 
     if not (0 < width < 65536 and 0 < height < 65536):
         raise ValueError("JPEG dimensions must fit in uint16")
+    if not 1 <= n_components <= 255:
+        # c=0 would synthesize a payload the parser itself rejects
+        # (SOF ncomp==0 -> None), c>255 a struct.error mid-pack —
+        # fail loudly at synthesis time instead
+        raise ValueError("JPEG n_components must be in [1, 255]")
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     com = bytes((seed * 11 + i * 3) % 255 for i in range(seed % 17))
     dqt = b"\x00" + bytes((i * 5 + 1) % 255 for i in range(64))

@@ -424,9 +424,12 @@ class PSplineGAM:
                 np.array([edge - sgn * h]), lo, hi,
                 self.n_splines, self.spline_order,
             )
-            deriv = sgn * (e0 - e1) / h  # one-sided, pointing outward
-            dist = (xj[out] - edge)[:, None] * sgn
-            b[out] = e0 + dist * deriv
+            # one-sided tangent expressed in the +x direction:
+            # hi: (f(hi) - f(hi-h)) / h; lo: (f(lo) - f(lo+h)) / (-h).
+            # (r7 review fix: the old dist*deriv multiplied sgn twice,
+            # mirroring the low-side tail instead of extending it)
+            slope = (e0 - e1) / (sgn * h)
+            b[out] = e0 + (xj[out] - edge)[:, None] * slope
         return b
 
     def fit(self, X, y):

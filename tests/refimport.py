@@ -458,9 +458,10 @@ def load_reference_analysis_extended():
       same least-squares optimum);
     - ``matplotlib.ticker.StrMethodFormatter``: display-only, inert;
     - ``openoa.utils.power_curve.functions.gam_3param``: pygam is
-      absent, so both sides share the engine's polynomial-basis OLS
-      (see :func:`_shared_gam_3param`) — the TIE test pins the
-      pipeline around an identical model seam.
+      absent, so both sides share the engine's P-spline additive
+      model with clipped edge extrapolation (see
+      :func:`_shared_gam_3param` / regression.gam_3param_fit) — the
+      TIE test pins the pipeline around an identical model seam.
     """
     load_reference_analysis()
 

@@ -159,6 +159,22 @@ def test_pspline_recovers_smooth_and_extrapolates_linearly():
     assert abs(far[2] - 2 * far[1] + far[0]) < 1e-6 * max(1.0, abs(far[2]))
 
 
+def test_pspline_linear_extrapolation_extends_both_edge_tangents():
+    """r7 review fix: the LOW-side tail must EXTEND the edge tangent,
+    not mirror it (dist·deriv multiplied the outward sign twice, so a
+    curve rising at the low edge extrapolated UP as x decreased —
+    inflating low-wind gross energy in any gam-model AEP run). Pinned
+    on y = 2x, where both tails are exactly the line itself."""
+    x = np.linspace(0.0, 10.0, 2000)
+    m = PSplineGAM(extrapolation="linear").fit(x[:, None], 2.0 * x)
+    p = m.predict(np.array([[-2.0], [-1.0], [11.0], [12.0]]))
+    np.testing.assert_allclose(p, [-4.0, -2.0, 22.0, 24.0], atol=0.05)
+    # clip mode freezes both edges instead
+    mc = PSplineGAM(extrapolation="clip").fit(x[:, None], 2.0 * x)
+    pc = mc.predict(np.array([[-2.0], [12.0]]))
+    np.testing.assert_allclose(pc, [0.0, 20.0], atol=0.05)
+
+
 def test_pspline_power_curve_deviation_envelope():
     """THE stated model tolerance for the P-spline GAM (supersedes the
     PolyGAM envelope above for everything the gam paths now route
