@@ -72,6 +72,10 @@ ALLOWED_CARTESIAN = {
     "pq_adc_topk",
     "ivf_pq_topk",
     "pq_recall_measured",
+    # docs x langs pair frame: broadcast NLJ over the BOUNDED language
+    # table (5 rows) so out-of-profile floor scores exist for every
+    # (doc, lang) — the dimension-broadcast pattern, not a fact join
+    "lid_trained_heldout_accuracy",
 }
 
 

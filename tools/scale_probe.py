@@ -180,6 +180,10 @@ PROBE_QUERIES = [
     "aep_prepare_pipeline",
     "wake_prepare_pipeline",
     "plant_sql_daily_turbine_energy",
+    # trained LID: train = vocab-grain agg (+ lang-keyed top-k window),
+    # apply = explode + broadcast-profile equi-join + (doc, lang) agg
+    # -> rows x N scan/agg cost, model size corpus-independent
+    "lid_trained_heldout_accuracy",
 ]
 # fixed per-query Spark job floor on local mode (scheduling + codegen
 # reuse), subtracted before the linearity check
