@@ -936,25 +936,41 @@ def _micros_scalar(x: float) -> int:
     return m if float(x) >= 0 else -m
 
 
-def _argmin_struct(mic: Column, centroids: list[list[int]]) -> Column:
+def _argmin_struct(
+    mic: Column, centroids: list[list[int]], wide: bool = False
+) -> Column:
     """Nearest-centroid (d2, cid) struct (squared L2 over micro-grid
     ints, ties -> lowest cluster id) as one JVM column expression over
     the broadcast centroid literals: array_min of (d2, cid) structs,
-    lexicographic struct order = (min distance, min id)."""
+    lexicographic struct order = (min distance, min id).
+
+    ``wide`` accumulates d2 in decimal(38,0) instead of bigint — for
+    arbitrary-magnitude scalar inputs (filters.cluster_mahalanobis_2d
+    clusters raw SCADA/price-scale columns whose micro DIFFS square
+    past 9.2e18; embedding components are |x| <= ~30 and stay on the
+    fast bigint path). Exact integers either way, so the tie order —
+    and therefore every assignment — is identical."""
     cands = []
     for cid, c in enumerate(centroids):
-        ca = F.array(*[F.lit(int(v)).cast("bigint") for v in c])
+        if wide:
+            ca = F.array(*[F.lit(int(v)).cast("decimal(19,0)") for v in c])
+            zero = F.lit(0).cast("decimal(38,0)")
+        else:
+            ca = F.array(*[F.lit(int(v)).cast("bigint") for v in c])
+            zero = F.lit(0).cast("bigint")
         d2 = F.aggregate(
             F.zip_with(mic, ca, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
+            zero,
             lambda acc, x: acc + x,
         )
         cands.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
     return F.array_min(F.array(*cands))
 
 
-def _argmin_cluster(mic: Column, centroids: list[list[int]]) -> Column:
-    return _argmin_struct(mic, centroids)["cid"]
+def _argmin_cluster(
+    mic: Column, centroids: list[list[int]], wide: bool = False
+) -> Column:
+    return _argmin_struct(mic, centroids, wide=wide)["cid"]
 
 
 def _argmin_cluster_gemm(
@@ -1028,6 +1044,7 @@ def kmeans_fit(
     iters: int = 3,
     strategy: str = "auto",
     with_distance: bool = False,
+    wide_d2: bool = False,
 ) -> tuple[DataFrame, list[list[int]]]:
     """Deterministic distributed Lloyd k-means over an embedding
     column -> ``((id_col, cluster) assignments, fitted k x dim
@@ -1076,7 +1093,12 @@ def kmeans_fit(
         raise ValueError("k and iters must be >= 1")
     if strategy not in ("auto", "expr", "gemm"):
         raise ValueError(f"unknown strategy {strategy!r}")
-    use_gemm = strategy == "gemm" or (strategy == "auto" and k > 32)
+    # wide_d2 (decimal d2 accumulation for arbitrary-magnitude scalar
+    # inputs, see _argmin_struct) forces the expression kernel — the
+    # int64 GEMM would overflow exactly where wide is needed
+    use_gemm = (not wide_d2) and (
+        strategy == "gemm" or (strategy == "auto" and k > 32)
+    )
     base = df.select(
         F.col(id_col).alias("_id"), _micros_vec(vec_col).alias("_mic")
     )
@@ -1108,7 +1130,10 @@ def kmeans_fit(
             ).withColumnRenamed("cluster", "_cid")
         else:
             assigned = base.select(
-                "_mic", _argmin_cluster(F.col("_mic"), centroids).alias("_cid")
+                "_mic",
+                _argmin_cluster(
+                    F.col("_mic"), centroids, wide=wide_d2
+                ).alias("_cid"),
             )
         stats = (
             assigned.select("_cid", F.posexplode("_mic").alias("_pos", "_m"))
@@ -1139,7 +1164,8 @@ def kmeans_fit(
     # and CollapseProject keeps multiply-used non-trivial expressions
     # in their own projection — the k-branch argmin evaluates once
     scored = base.select(
-        "_id", _argmin_struct(F.col("_mic"), centroids).alias("_best")
+        "_id",
+        _argmin_struct(F.col("_mic"), centroids, wide=wide_d2).alias("_best"),
     )
     cols = [
         F.col("_id").alias(id_col),

@@ -468,7 +468,7 @@ class PSplineGAM:
         return np.hstack(blocks) @ self.coef_
 
 
-def gam_3param_fit(ws, wd, rho, y):
+def gam_3param_fit(ws, wd, rho, y, extrapolation: str = "clip"):
     """The TIE model seam (reference power_curve/functions.py:153-200
     gam_3param): fit energy on RAW (ws, wd, rho) with the P-spline
     additive model and return a ``(ws, wd, rho) -> prediction``
@@ -476,12 +476,16 @@ def gam_3param_fit(ws, wd, rho, y):
     reference-parity injection (tests/refimport.py), so pipeline
     parity holds the model seam identical by construction.
 
-    Edge extrapolation is CLIPPED, not linear: TIE predicts over the
-    full long-term reanalysis span from a (possibly short) SCADA POR,
-    and a penalized fit's edge slope is noise-scale — see the
-    PSplineGAM docstring for the measured 15× overshoot a linear
-    extension produced on a 60-day winter POR."""
-    m = PSplineGAM(n_splines=20, extrapolation="clip").fit(
+    Default edge extrapolation is CLIPPED, not linear: TIE predicts
+    over the full long-term reanalysis span from a (possibly short)
+    SCADA POR, and a penalized fit's edge slope is noise-scale — see
+    the PSplineGAM docstring for the measured 15× overshoot a linear
+    extension produced on a 60-day winter POR. Callers that need the
+    reference's pygam behavior (LinearGAM extends the edge tangent)
+    can pass ``extrapolation="linear"`` — exposed on
+    TurbineLongTermGrossEnergy so the choice is configurable per run
+    (r7 ADVICE)."""
+    m = PSplineGAM(n_splines=20, extrapolation=extrapolation).fit(
         np.column_stack([
             np.asarray(ws, dtype=float),
             np.asarray(wd, dtype=float),

@@ -130,6 +130,7 @@ def bin_filter(
     bin_min_col: Column | None = None,
     bin_max_col: Column | None = None,
     median_strategy: str = "bracket",
+    std_strategy: str = "native",
 ) -> DataFrame:
     """Bin ``bin_col`` into fixed-width bins; per bin compute a center
     (mean|median) and deviation (std|mad|scalar); flag values beyond
@@ -147,6 +148,15 @@ def bin_filter(
     a per-turbine loop — here one grouped aggregate covers all).
     ``bin_min_col``/``bin_max_col`` allow per-row (per-key) domain
     bounds, e.g. fractions of each turbine's rated power.
+
+    ``std_strategy`` picks the per-bin deviation aggregate for
+    threshold_type="std": "native" (default) is F.stddev_samp —
+    fastest, but its float partial-merge order varies with the
+    partitioning; "sums" derives the same sample std from EXACT
+    decimal sums (n, Σx, Σx²), order-independent, so flags are
+    bit-stable whatever the batching — required by sim-batched
+    Monte-Carlo pipelines (analysis/tie.py) that pin
+    batched == per-sim equality.
     """
     from openoa_spark.functions import stats as _stats
 
@@ -189,9 +199,38 @@ def bin_filter(
     else:
         stats = _median_tbl(binned, gb, value_col, "_center")
     if threshold_type == "std":
-        devs = binned.groupBy(*gb).agg(
-            F.stddev_samp(value_col).alias("_dev")
-        )
+        if std_strategy == "native":
+            devs = binned.groupBy(*gb).agg(
+                F.stddev_samp(value_col).alias("_dev")
+            )
+        elif std_strategy == "sums":
+            v = F.col(value_col)
+            devs = (
+                binned.groupBy(*gb)
+                .agg(
+                    F.count(v).cast("double").alias("_dn"),
+                    F.sum(v.cast("decimal(38,12)")).cast("double").alias("_dsx"),
+                    F.sum((v * v).cast("decimal(38,12)")).cast("double").alias("_dsxx"),
+                )
+                .select(
+                    *gb,
+                    F.when(
+                        F.col("_dn") >= 2.0,
+                        F.sqrt(
+                            F.greatest(
+                                F.lit(0.0),
+                                (
+                                    F.col("_dn") * F.col("_dsxx")
+                                    - F.col("_dsx") * F.col("_dsx")
+                                )
+                                / (F.col("_dn") * (F.col("_dn") - 1.0)),
+                            )
+                        ),
+                    ).alias("_dev"),
+                )
+            )
+        else:
+            raise ValueError(f"unknown std_strategy {std_strategy!r}")
         stats = stats.join(devs, gb, "inner")
     elif threshold_type == "mad":
         centered = binned.join(F.broadcast(stats), gb, "left").withColumn(
@@ -232,50 +271,132 @@ def cluster_mahalanobis_2d(
     distance_threshold: float = 3.0,
     flag_col: str = "cluster_flag",
     seed: int = 42,
+    iters: int = 3,
 ) -> DataFrame:
-    """KMeans-cluster two columns; flag points whose Mahalanobis
-    distance from their cluster centroid exceeds the threshold.
+    """Cluster two columns; flag points whose Mahalanobis distance
+    from their cluster centroid exceeds the threshold.
 
-    Semantics: filters.py:289-343. MLlib KMeans (distributed) + a
-    per-cluster 2x2 covariance aggregate with the closed-form inverse
-    applied as a row expression — no per-row Python.
+    Semantics: filters.py:289-343 (the reference fits sklearn KMeans
+    then scipy-mahalanobis-filters per cluster).
+
+    ``n_clusters <= 1``: single global cluster — means/covariances
+    via float covar_samp, fully SQL-expressible (oracle twin
+    mahalanobis_flag_lineitem exercises this path, unchanged since
+    round 3).
+
+    ``n_clusters > 1`` (round 8): the seeded-float MLlib KMeans is
+    replaced by the engine's DETERMINISTIC integer-grid Lloyd
+    (datapipe/similarity.py:kmeans_fit — 1e-6-micros arithmetic,
+    seeds = the ``n_clusters`` lexicographically-smallest (col1,
+    col2) vectors, ties to lowest cid), and the per-cluster 2x2
+    covariances are derived from EXACT integer micro-sums (decimal
+    accumulation) with the closed-form inverse applied as one fixed
+    double expression. Every number is a deterministic function of
+    the input multiset, so an independent SQL engine replays the
+    flags bit-for-bit — the registry twin mahalanobis_cluster_flag
+    unrolls the same chain in DuckDB. KMeans-substitution tolerance
+    vs the reference: cluster BOUNDARIES differ from sklearn's
+    (different init/fit), so per-point flags near boundaries can
+    differ; the micro-grid snap itself perturbs inputs by <= 5e-7
+    relative. ``seed`` is accepted for API compatibility and ignored
+    (the fit has no randomness); ``iters`` is the Lloyd pass count.
+
+    Scale: assignment passes are map-only over broadcast centroid
+    literals; the covariance aggregate is cluster-grain; only k x 2
+    centroid ints ever reach the driver.
     """
     clean = df.where(F.col(col1).isNotNull() & F.col(col2).isNotNull())
-    if n_clusters <= 1:
-        # single global cluster: no KMeans needed (MLlib requires k≥2),
-        # and the whole operator becomes SQL-expressible — the oracle
-        # twin exercises this path
-        clustered = clean.withColumn("_cluster", F.lit(0)).withColumn(
-            "_features", F.lit(None)
-        )
-    else:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.feature import VectorAssembler
-
-        vec = VectorAssembler(inputCols=[col1, col2], outputCol="_features")
-        feats = vec.transform(clean)
-        model = KMeans(k=n_clusters, seed=seed, featuresCol="_features").fit(feats)
-        clustered = model.transform(feats).withColumnRenamed("prediction", "_cluster")
-
     x, y = F.col(col1), F.col(col2)
+    if n_clusters <= 1:
+        # single global cluster: the whole operator is SQL-expressible
+        # float aggregation — the oracle twin exercises this path
+        clustered = clean.withColumn("_cluster", F.lit(0))
+        cov = clustered.groupBy("_cluster").agg(
+            F.avg(x).alias("_mx"),
+            F.avg(y).alias("_my"),
+            F.covar_samp(x, x).alias("_sxx"),
+            F.covar_samp(x, y).alias("_sxy"),
+            F.covar_samp(y, y).alias("_syy"),
+        )
+        j = clustered.join(F.broadcast(cov), "_cluster", "left")
+        dx, dy = x - F.col("_mx"), y - F.col("_my")
+        det = F.col("_sxx") * F.col("_syy") - F.col("_sxy") * F.col("_sxy")
+        # closed-form inverse of the 2x2 covariance: [syy -sxy; -sxy sxx]/det
+        d2 = (
+            dx * (F.col("_syy") * dx - F.col("_sxy") * dy)
+            + dy * (F.col("_sxx") * dy - F.col("_sxy") * dx)
+        ) / det
+        return (
+            j.withColumn(
+                flag_col,
+                F.coalesce(F.sqrt(d2) > distance_threshold, F.lit(False)),
+            )
+            .drop("_cluster", "_mx", "_my", "_sxx", "_sxy", "_syy")
+        )
+
+    from openoa_spark.datapipe.similarity import (
+        _argmin_cluster,
+        _micros_vec,
+        kmeans_fit,
+    )
+
+    based = clean.withColumn(
+        "_vec", F.array(x.cast("double"), y.cast("double"))
+    )
+    # seed probe: k may exceed the row count (tiny inputs / the
+    # empty-tables invariant) — clamp to what exists
+    k_eff = len(
+        based.select("_vec").orderBy("_vec").limit(n_clusters).collect()
+    )
+    if k_eff == 0:
+        return clean.withColumn(flag_col, F.lit(False))
+    _, centroids = kmeans_fit(
+        based, "_vec", "_vec", k=k_eff, iters=iters, wide_d2=True
+    )
+    clustered = based.withColumn("_mic", _micros_vec("_vec")).withColumn(
+        "_cluster", _argmin_cluster(F.col("_mic"), centroids, wide=True)
+    )
+    # per-cluster 2x2 covariance from EXACT integer micro-sums
+    # (factors decimal-cast BEFORE the multiply so nothing overflows
+    # bigint); the double-space combination below is one fixed IEEE
+    # expression, bit-replayable by the SQL twin
+    mx_i, my_i = F.col("_mic")[0], F.col("_mic")[1]
+    d19 = "decimal(19,0)"
     cov = clustered.groupBy("_cluster").agg(
-        F.avg(x).alias("_mx"),
-        F.avg(y).alias("_my"),
-        F.covar_samp(x, x).alias("_sxx"),
-        F.covar_samp(x, y).alias("_sxy"),
-        F.covar_samp(y, y).alias("_syy"),
+        F.count(F.lit(1)).cast("double").alias("_cn"),
+        F.sum(mx_i.cast("decimal(38,0)")).cast("double").alias("_tx"),
+        F.sum(my_i.cast("decimal(38,0)")).cast("double").alias("_ty"),
+        F.sum(mx_i.cast(d19) * mx_i.cast(d19)).cast("double").alias("_txx"),
+        F.sum(mx_i.cast(d19) * my_i.cast(d19)).cast("double").alias("_txy"),
+        F.sum(my_i.cast(d19) * my_i.cast(d19)).cast("double").alias("_tyy"),
+    )
+    n = F.col("_cn")
+    cov = cov.select(
+        "_cluster", "_cn",
+        (F.col("_tx") / n).alias("_mx"),
+        (F.col("_ty") / n).alias("_my"),
+        ((F.col("_txx") - F.col("_tx") * F.col("_tx") / n) / (n - 1.0)).alias("_sxx"),
+        ((F.col("_txy") - F.col("_tx") * F.col("_ty") / n) / (n - 1.0)).alias("_sxy"),
+        ((F.col("_tyy") - F.col("_ty") * F.col("_ty") / n) / (n - 1.0)).alias("_syy"),
     )
     j = clustered.join(F.broadcast(cov), "_cluster", "left")
-    dx, dy = x - F.col("_mx"), y - F.col("_my")
+    dx = mx_i.cast("double") - F.col("_mx")
+    dy = my_i.cast("double") - F.col("_my")
     det = F.col("_sxx") * F.col("_syy") - F.col("_sxy") * F.col("_sxy")
-    # closed-form inverse of the 2x2 covariance: [syy -sxy; -sxy sxx]/det
     d2 = (
         dx * (F.col("_syy") * dx - F.col("_sxy") * dy)
         + dy * (F.col("_sxx") * dy - F.col("_sxy") * dx)
     ) / det
+    flag = F.when(
+        (F.col("_cn") >= 2.0) & (det != 0.0),
+        F.sqrt(d2) > distance_threshold,
+    )
     return (
-        j.withColumn(flag_col, F.coalesce(F.sqrt(d2) > distance_threshold, F.lit(False)))
-        .drop("_features", "_cluster", "_mx", "_my", "_sxx", "_sxy", "_syy")
+        j.withColumn(flag_col, F.coalesce(flag, F.lit(False)))
+        .drop(
+            "_vec", "_mic", "_cluster", "_cn", "_mx", "_my",
+            "_sxx", "_sxy", "_syy",
+        )
     )
 
 

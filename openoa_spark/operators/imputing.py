@@ -49,6 +49,7 @@ def asset_correlation_pairs(
     asset_col: str,
     value_col: str,
     strategy: str = "matrix",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Pairwise Pearson correlation between every two assets' series,
     aligned on the time key. Output: (asset_a, asset_b, corr);
@@ -96,32 +97,51 @@ def asset_correlation_pairs(
     timestamp has a NULL value on one side appears with corr=NULL in
     "join" but is dropped by "vector"/"matrix"; zero-variance overlap
     yields NaN from F.corr but NULL from the other two.
+
+    ``group_cols`` computes the all-pairs correlations independently
+    WITHIN each group (e.g. per Monte-Carlo sim when a batched
+    analysis keys its tables by sim) — pairs never cross groups, and
+    every grouping/join/spine gains the group key. Supported for
+    "join" and "vector"; "matrix" refuses (its broadcast GEMM layout
+    is ungrouped — use "vector", whose per-pair sequential array fold
+    is also bit-deterministic whatever the sim batching).
     """
+    g = list(group_cols or [])
+    if g and strategy == "matrix":
+        raise ValueError(
+            "strategy='matrix' does not support group_cols; use "
+            "'vector' (bit-deterministic fold) or 'join'"
+        )
     if strategy == "join":
         a = df.select(
+            *g,
             F.col(time_col).alias("_t"),
             F.col(asset_col).alias("asset_a"),
             F.col(value_col).alias("_va"),
         )
         b = df.select(
+            *g,
             F.col(time_col).alias("_t"),
             F.col(asset_col).alias("asset_b"),
             F.col(value_col).alias("_vb"),
         )
         return (
-            a.join(b, "_t")
+            a.join(b, g + ["_t"])
             .where(F.col("asset_a") < F.col("asset_b"))
-            .groupBy("asset_a", "asset_b")
+            .groupBy(*g, "asset_a", "asset_b")
             .agg(F.corr("_va", "_vb").alias("corr"))
         )
     if strategy not in ("vector", "matrix"):
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    spine = df.select(time_col).distinct()
-    assets = df.select(asset_col).distinct()
-    filled = assets.crossJoin(spine).join(df, [asset_col, time_col], "left")
+    spine = df.select(*g, time_col).distinct()
+    assets = df.select(*g, asset_col).distinct()
+    # within-group cross: an equi-join on the group key (falls back to
+    # the true cross join when ungrouped)
+    crossed = assets.join(spine, g) if g else assets.crossJoin(spine)
+    filled = crossed.join(df, g + [asset_col, time_col], "left")
     vecs = (
-        filled.groupBy(asset_col)
+        filled.groupBy(*g, asset_col)
         .agg(
             F.array_sort(
                 F.collect_list(
@@ -131,7 +151,7 @@ def asset_correlation_pairs(
                 )
             ).alias("_s")
         )
-        .select(asset_col, F.expr("transform(_s, e -> e.v)").alias("_vv"))
+        .select(*g, asset_col, F.expr("transform(_s, e -> e.v)").alias("_vv"))
     )
     if strategy == "matrix":
         return _pairs_matrix(vecs, asset_col)
@@ -144,11 +164,17 @@ def asset_correlation_pairs(
     # AQE coalescing; each task then expands a slice of the pairs.
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     a = vecs.select(
-        F.col(asset_col).alias("asset_a"), F.col("_vv").alias("_va")
+        *g, F.col(asset_col).alias("asset_a"), F.col("_vv").alias("_va")
     ).repartition(n_part)
-    b = vecs.select(F.col(asset_col).alias("asset_b"), F.col("_vv").alias("_vb"))
+    b = vecs.select(*g, F.col(asset_col).alias("asset_b"), F.col("_vv").alias("_vb"))
+    if g:
+        paired = a.join(F.broadcast(b), g).where(
+            F.col("asset_a") < F.col("asset_b")
+        )
+    else:
+        paired = a.join(F.broadcast(b), F.col("asset_a") < F.col("asset_b"))
     return (
-        a.join(F.broadcast(b), F.col("asset_a") < F.col("asset_b"))
+        paired
         .where(
             F.expr(
                 "exists(zip_with(_va, _vb, (x, y) -> "
@@ -160,7 +186,7 @@ def asset_correlation_pairs(
         # the shifted values centered near zero)
         .withColumn("_kx", F.expr("element_at(filter(_va, v -> v IS NOT NULL), 1)"))
         .withColumn("_ky", F.expr("element_at(filter(_vb, v -> v IS NOT NULL), 1)"))
-        .select("asset_a", "asset_b", F.expr(_VEC_CORR).alias("corr"))
+        .select(*g, "asset_a", "asset_b", F.expr(_VEC_CORR).alias("corr"))
     )
 
 
@@ -338,6 +364,8 @@ def impute_all_assets_by_correlation(
     asset_col: str,
     value_col: str,
     r2_threshold: float = 0.7,
+    group_cols: list[str] | None = None,
+    strategy: str | None = None,
 ) -> DataFrame:
     """For each asset, fill missing values from its best-correlated
     neighbor (one pass; the reference iterates while NaNs remain,
@@ -347,16 +375,29 @@ def impute_all_assets_by_correlation(
     distributed: one self-join on (time) brings each asset its best
     neighbor's series, then per-asset closed-form fits (computed in a
     single grouped aggregate) fill the holes.
+
+    ``group_cols`` runs the whole imputation independently per group
+    (per Monte-Carlo sim in the batched TIE pipeline): correlations,
+    best-neighbor choice and fits all key on (group, asset). The
+    grouped path defaults to strategy="vector" for the correlations
+    and computes the linear fits from EXACT decimal sums — both
+    order-independent, so one batched job and a per-sim loop yield
+    BIT-IDENTICAL fills (pinned by
+    tests/test_tie.py::test_batched_equals_per_sim). The ungrouped
+    path is byte-for-byte the round-7 plan.
     """
+    g = list(group_cols or [])
+    strat = strategy or ("vector" if g else "matrix")
     # the pair computation is the expensive stage and feeds BOTH union
     # branches (and, at plan level, everything downstream) — cut the
     # lineage once so it executes once (surfaced by tools/plan_audit.py:
     # 23 exchanges in the uncut plan)
     corr = asset_correlation_pairs(
-        df, time_col, asset_col, value_col
+        df, time_col, asset_col, value_col, strategy=strat, group_cols=g
     ).localCheckpoint(eager=False)
-    sym = corr.select("asset_a", "asset_b", "corr").unionByName(
+    sym = corr.select(*g, "asset_a", "asset_b", "corr").unionByName(
         corr.select(
+            *g,
             F.col("asset_b").alias("asset_a"),
             F.col("asset_a").alias("asset_b"),
             F.col("corr"),
@@ -371,33 +412,68 @@ def impute_all_assets_by_correlation(
             F.row_number().over(
                 # asset_b tiebreak: row_number over corr alone is
                 # nondeterministic across partitionings on exact ties
-                Window.partitionBy("asset_a").orderBy(
+                Window.partitionBy(*g, "asset_a").orderBy(
                     F.desc("corr"), F.asc("asset_b")
                 )
             ),
         )
         .where(F.col("_rk") == 1)
-        .select(F.col("asset_a").alias(asset_col), F.col("asset_b").alias("_nbr"))
+        .select(
+            *g, F.col("asset_a").alias(asset_col), F.col("asset_b").alias("_nbr")
+        )
     )
     nbr_vals = df.select(
+        *g,
         F.col(time_col),
         F.col(asset_col).alias("_nbr"),
         F.col(value_col).alias("_nbr_val"),
     )
     j = (
-        df.join(F.broadcast(best), asset_col, "left")
-        .join(nbr_vals, [time_col, "_nbr"], "left")
+        df.join(F.broadcast(best), g + [asset_col], "left")
+        .join(nbr_vals, g + [time_col, "_nbr"], "left")
     ).localCheckpoint(eager=False)  # feeds the fits AND the output join
     y, x = F.col(value_col), F.col("_nbr_val")
-    fits = (
-        j.where(y.isNotNull() & x.isNotNull())
-        .groupBy(asset_col)
-        .agg(
-            (F.covar_samp(x, y) / F.var_samp(x)).alias("_slope"),
-            (F.avg(y) - (F.covar_samp(x, y) / F.var_samp(x)) * F.avg(x)).alias("_icpt"),
+    if g:
+        # order-independent closed form from exact decimal sums:
+        # slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), icpt = ȳ − slope·x̄.
+        # Decimal sums are exact and associative, so the fit is
+        # bit-identical whatever the sim batching; n==1 yields NULL
+        # slope (matching var_samp(single) = NULL in the float path).
+        sums = (
+            j.where(y.isNotNull() & x.isNotNull())
+            .groupBy(*g, asset_col)
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("_fn"),
+                F.sum(x.cast("decimal(32,9)")).cast("double").alias("_fsx"),
+                F.sum(y.cast("decimal(32,9)")).cast("double").alias("_fsy"),
+                F.sum((x * y).cast("decimal(38,6)")).cast("double").alias("_fsxy"),
+                F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("_fsxx"),
+            )
         )
-    )
-    out = j.join(F.broadcast(fits), asset_col, "left")
+        slope_c = F.when(
+            F.col("_fn") >= 2.0,
+            (F.col("_fn") * F.col("_fsxy") - F.col("_fsx") * F.col("_fsy"))
+            / (F.col("_fn") * F.col("_fsxx") - F.col("_fsx") * F.col("_fsx")),
+        )
+        fits = sums.select(
+            *g,
+            asset_col,
+            slope_c.alias("_slope"),
+            (
+                F.col("_fsy") / F.col("_fn")
+                - slope_c * (F.col("_fsx") / F.col("_fn"))
+            ).alias("_icpt"),
+        )
+    else:
+        fits = (
+            j.where(y.isNotNull() & x.isNotNull())
+            .groupBy(asset_col)
+            .agg(
+                (F.covar_samp(x, y) / F.var_samp(x)).alias("_slope"),
+                (F.avg(y) - (F.covar_samp(x, y) / F.var_samp(x)) * F.avg(x)).alias("_icpt"),
+            )
+        )
+    out = j.join(F.broadcast(fits), g + [asset_col], "left")
     pred = F.col("_slope") * x + F.col("_icpt")
     return (
         out.withColumn(

@@ -2115,6 +2115,115 @@ def mahalanobis_flag_lineitem(spark, sf_dir):
     return out.select("l_orderkey", "l_linenumber", "cluster_flag")
 
 
+def _maha_cluster_sql(k: int = 4, iters: int = 2, thresh: float = 3.0) -> str:
+    """Unrolled DuckDB twin of the k>1 cluster_mahalanobis_2d chain
+    (operators/filters.py, round 8): 1e-6-micros grid, seeds = the k
+    lexicographically-smallest (x, y) pairs, ``iters`` integer-exact
+    Lloyd assignment passes with half-away centroid means (empty
+    clusters carry forward), then per-cluster ddof-1 covariance from
+    EXACT decimal micro-sums and the closed-form 2x2 Mahalanobis flag
+    as one fixed double expression — every number is a deterministic
+    function of the input multiset, so the replay is bit-identical.
+    HUGEINT keeps the argmin distances exact where price-scale micros
+    square past BIGINT (the Spark side accumulates in decimal(38,0) —
+    see similarity._argmin_struct(wide=True))."""
+    parts = [
+        """t AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS xd,
+             CAST(l_extendedprice AS DOUBLE) AS yd,
+             CAST(round(CAST(l_quantity AS DOUBLE)*1000000) AS BIGINT) AS m1,
+             CAST(round(CAST(l_extendedprice AS DOUBLE)*1000000) AS BIGINT) AS m2
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)""",
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY xd, yd) - 1 AS cid, m1 AS c1, m2 AS c2
+      FROM (SELECT xd, yd, m1, m2 FROM t ORDER BY xd, yd LIMIT {k}))""",
+    ]
+    for i in range(iters):
+        # per-row list-expression argmin (list_position = FIRST index
+        # of the min -> lowest-cid tie rule), not a row_number window:
+        # the synthetic lineitem's (l_orderkey, l_linenumber) is NOT
+        # unique, so any per-key dedup would drop duplicate rows the
+        # engine keeps
+        d2l = (
+            f"[CAST(t.m1 - p.l1[i] AS HUGEINT)*(t.m1 - p.l1[i])"
+            f" + CAST(t.m2 - p.l2[i] AS HUGEINT)*(t.m2 - p.l2[i])"
+            f" for i in range(1, {k + 1})]"
+        )
+        parts.append(f"""p{i} AS (
+      SELECT list(c1 ORDER BY cid) AS l1, list(c2 ORDER BY cid) AS l2
+      FROM c{i})""")
+        parts.append(f"""a{i} AS (
+      SELECT l_orderkey, l_linenumber, m1, m2,
+             list_position(dl, list_min(dl)) - 1 AS cid
+      FROM (SELECT t.l_orderkey, t.l_linenumber, t.m1, t.m2,
+                   {d2l} AS dl
+            FROM t CROSS JOIN p{i} p))""")
+        if i < iters - 1:
+            parts.append(f"""s{i} AS (
+      SELECT cid, CAST(SUM(m1) AS BIGINT) AS s1,
+             CAST(SUM(m2) AS BIGINT) AS s2, COUNT(*) AS n
+      FROM a{i} GROUP BY cid)""")
+            parts.append(f"""c{i + 1} AS (
+      SELECT cc.cid,
+        CASE WHEN s.s1 IS NULL THEN cc.c1
+             WHEN s.s1 >= 0 THEN (2*s.s1 + s.n) // (2*s.n)
+             ELSE -((2*(-s.s1) + s.n) // (2*s.n)) END AS c1,
+        CASE WHEN s.s2 IS NULL THEN cc.c2
+             WHEN s.s2 >= 0 THEN (2*s.s2 + s.n) // (2*s.n)
+             ELSE -((2*(-s.s2) + s.n) // (2*s.n)) END AS c2
+      FROM c{i} cc LEFT JOIN s{i} s ON s.cid = cc.cid)""")
+    a = f"a{iters - 1}"
+    parts.append(f"""cov AS (
+      SELECT cid, CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(m1 AS DECIMAL(38,0))) AS DOUBLE) AS tx,
+        CAST(SUM(CAST(m2 AS DECIMAL(38,0))) AS DOUBLE) AS ty,
+        CAST(SUM(CAST(m1 AS DECIMAL(19,0)) * CAST(m1 AS DECIMAL(19,0))) AS DOUBLE) AS txx,
+        CAST(SUM(CAST(m1 AS DECIMAL(19,0)) * CAST(m2 AS DECIMAL(19,0))) AS DOUBLE) AS txy,
+        CAST(SUM(CAST(m2 AS DECIMAL(19,0)) * CAST(m2 AS DECIMAL(19,0))) AS DOUBLE) AS tyy
+      FROM {a} GROUP BY cid)""")
+    parts.append("""st AS (
+      SELECT cid, n, tx/n AS mx, ty/n AS my,
+        (txx - tx*tx/n)/(n - 1.0) AS sxx,
+        (txy - tx*ty/n)/(n - 1.0) AS sxy,
+        (tyy - ty*ty/n)/(n - 1.0) AS syy
+      FROM cov)""")
+    body = ",\n    ".join(parts)
+    return f"""WITH {body}
+    SELECT a.l_orderkey, a.l_linenumber,
+      COALESCE(CASE WHEN st.n >= 2.0
+                     AND (st.sxx*st.syy - st.sxy*st.sxy) <> 0.0 THEN
+        sqrt(((CAST(a.m1 AS DOUBLE) - st.mx)
+                * (st.syy*(CAST(a.m1 AS DOUBLE) - st.mx)
+                   - st.sxy*(CAST(a.m2 AS DOUBLE) - st.my))
+              + (CAST(a.m2 AS DOUBLE) - st.my)
+                * (st.sxx*(CAST(a.m2 AS DOUBLE) - st.my)
+                   - st.sxy*(CAST(a.m1 AS DOUBLE) - st.mx)))
+             / (st.sxx*st.syy - st.sxy*st.sxy)) > {thresh} END,
+        FALSE) AS cluster_flag
+    FROM {a} a JOIN st ON st.cid = a.cid"""
+
+
+@register("mahalanobis_cluster_flag", _maha_cluster_sql(4, 2, 3.0))
+def mahalanobis_cluster_flag(spark, sf_dir):
+    """The k>1 cluster-Mahalanobis path (reference filters.py:289-343)
+    made driver-checkable (r7 VERDICT item 3): the seeded-float MLlib
+    KMeans is replaced by the engine's deterministic integer-grid
+    Lloyd (similarity.kmeans_fit, wide-decimal d2 for price-scale
+    micros), per-cluster 2x2 covariances come from exact decimal
+    micro-sums, and the flag is one fixed IEEE double expression —
+    the DuckDB twin replays the whole chain bit-for-bit. Assignment
+    passes are map-only over broadcast centroid literals; the
+    covariance aggregate is cluster-grain."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = filters.cluster_mahalanobis_2d(
+        li, "l_quantity", "l_extendedprice", n_clusters=4,
+        distance_threshold=3.0, iters=2,
+    )
+    return out.select("l_orderkey", "l_linenumber", "cluster_flag")
+
+
 @register(
     "impute_quadratic_synthetic",
     """

@@ -40,19 +40,54 @@ def _mod(name: str) -> types.ModuleType:
 
 
 class _StubKMeans:
-    """Deterministic n_clusters=1 stand-in for sklearn KMeans."""
+    """Deterministic stand-in for sklearn KMeans.
+
+    n_clusters=1: labels all zero, centroid = column means (exact for
+    the reference's single-cluster path).
+
+    n_clusters>1 (round 8): a NumPy replay of the ENGINE's
+    integer-grid Lloyd (datapipe/similarity.py:kmeans_fit — 1e-6
+    micros, seeds = the k lexicographically-smallest vectors, argmin
+    ties to lowest cid, half-away integer means, 3 passes). This is
+    the declared KMeans-substitution seam: injecting the same
+    deterministic fit on both sides lets the parity test pin
+    everything AROUND the substitution (per-cluster covariance,
+    Mahalanobis distance, threshold flags) while the fit itself is
+    pinned engine-vs-DuckDB by the mahalanobis_cluster_flag oracle."""
 
     def __init__(self, n_clusters=8, **_kw):
         self.n_clusters = n_clusters
 
     def fit(self, data):
-        if self.n_clusters != 1:
-            raise NotImplementedError(
-                "reference-parity stub supports n_clusters=1 only"
-            )
         x = np.asarray(data, dtype=float)
-        self.labels_ = np.zeros(len(x), dtype=int)
-        self.cluster_centers_ = x.mean(axis=0, keepdims=True)
+        if self.n_clusters == 1:
+            self.labels_ = np.zeros(len(x), dtype=int)
+            self.cluster_centers_ = x.mean(axis=0, keepdims=True)
+            return self
+        k, iters = self.n_clusters, 3
+        a = np.abs(x) * 1e6
+        mic = np.where(x >= 0, np.floor(a + 0.5), -np.floor(a + 0.5)).astype(
+            np.int64
+        )
+        order = np.lexsort((x[:, 1], x[:, 0]))
+        cent = mic[order[:k]].copy()
+        lab = None
+        for it in range(iters):
+            d2 = ((mic[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            lab = d2.argmin(axis=1)  # first minimum == lowest cid
+            if it < iters - 1:
+                for c in range(k):
+                    m = lab == c
+                    if m.any():
+                        sm, n_ = mic[m].sum(axis=0), int(m.sum())
+                        cent[c] = [
+                            (2 * s + n_) // (2 * n_)
+                            if s >= 0
+                            else -((2 * (-s) + n_) // (2 * n_))
+                            for s in sm
+                        ]
+        self.labels_ = lab
+        self.cluster_centers_ = cent.astype(float) / 1e6
         return self
 
 

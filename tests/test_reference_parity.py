@@ -228,6 +228,39 @@ def test_cluster_mahalanobis_parity(spark):
     assert got == ref.tolist()
 
 
+def test_cluster_mahalanobis_k3_parity(spark):
+    """filters.py:289-343 at n_clusters=3 with the KMeans-substitution
+    seam injected on both sides (refimport._StubKMeans replays the
+    engine's integer-grid Lloyd): parity then pins the per-cluster
+    covariance, Mahalanobis distance and threshold flags around the
+    substituted fit. Known seam residue: the reference measures
+    distance from the KMeans CENTROID while the engine uses the
+    cluster MEAN (equal at convergence, near-equal after 3 passes) —
+    the separated-blob fixture keeps every point away from the flag
+    boundary so the residue cannot flip a flag."""
+    n = 150
+    blobs = np.concatenate([
+        RNG.normal((0.0, 0.0), 1.0, (n, 2)),
+        RNG.normal((40.0, 0.0), 1.0, (n, 2)),
+        RNG.normal((20.0, 60.0), 1.0, (n, 2)),
+    ])
+    outliers = np.array([[8.0, 8.0], [48.0, 8.0], [28.0, 68.0]])
+    xy = np.round(np.vstack([blobs, outliers]), 6)  # exact on the micro grid
+    pdf = pd.DataFrame({"id": np.arange(len(xy)), "x": xy[:, 0], "y": xy[:, 1]})
+    ref = ref_filters.cluster_mahalanobis_2d(
+        "x", "y", n_clusters=3, dist_thresh=3.0, data=pdf[["x", "y"]]
+    )
+    got = _flags_from(
+        sflt.cluster_mahalanobis_2d(
+            _sdf(spark, pdf), "x", "y", n_clusters=3,
+            distance_threshold=3.0,
+        ),
+        "cluster_flag",
+    )
+    assert got == ref.tolist()
+    assert sum(got) >= 3  # the planted outliers are flagged
+
+
 # ----------------------------------------------------------------- #
 # met_data_processing.py                                             #
 # ----------------------------------------------------------------- #

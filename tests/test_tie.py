@@ -92,3 +92,49 @@ def test_uq_mode(plant):
     # spread across sims is driven by the sampled wind-bin threshold
     # (1.0–3.0) — wide by design; bound it loosely
     assert (res.plant_gross_gwh > 10).all() and (res.plant_gross_gwh < 120).all()
+
+
+def test_batched_equals_per_sim(plant):
+    """One sim-keyed batched pass and a per-sim loop (sim_batch=1)
+    must produce BIT-IDENTICAL results: every aggregate on the
+    sim-keyed path is order-independent (exact decimal sums,
+    sequential array folds for the correlations, day-sorted NumPy
+    fits), so the batching grain cannot leak into the numbers —
+    the same guarantee tests/test_yaw_eya.py pins for yaw."""
+    import pandas as pd
+
+    kw = dict(UQ=True, num_sim=3, seed=7)
+    a = TurbineLongTermGrossEnergy(plant, **kw).run(sim_batch=1)
+    b = TurbineLongTermGrossEnergy(plant, **kw).run(sim_batch=3)
+    assert np.array_equal(a.plant_gross_gwh, b.plant_gross_gwh)
+    lt_a = a.turbine_lt_gross.sort_values(["asset_id", "day"]).reset_index(drop=True)
+    lt_b = b.turbine_lt_gross.sort_values(["asset_id", "day"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(lt_a, lt_b, check_exact=True)
+
+
+def test_extrapolation_choice_pinned(spark):
+    """r7 ADVICE: the GAM edge-extrapolation choice is exposed on
+    TurbineLongTermGrossEnergy (default "clip"; "linear" = pygam's
+    edge-tangent behavior) and the size of the out-of-range deviation
+    stays pinned. On a 60-day winter POR the long-term reanalysis span
+    falls far outside the trained (ws, rho) range for most prediction
+    days: measured r8 — clip 47.2 GWh (2.2x the POR-annualized energy,
+    dominated by genuine season imbalance), linear 173.7 GWh (3.7x
+    clip — the noise-scale edge tangent compounds over 3 years of
+    out-of-range days). If either side drifts, the extrapolation
+    semantics changed."""
+    t = plant_tables(days=60)
+    plant60 = PlantData(
+        spark, META, analysis_type=["TurbineLongTermGrossEnergy"],
+        scada=spark.createDataFrame(t["scada"]),
+        asset=spark.createDataFrame(t["asset"]),
+        reanalysis={"era5": spark.createDataFrame(t["reanalysis"])},
+    )
+    kw = dict(UQ=False, wind_bin_threshold=2.0, max_power_filter=0.85,
+              correction_threshold=0.9)
+    g_clip = TurbineLongTermGrossEnergy(plant60, **kw).run().plant_gross_gwh[0]
+    g_lin = TurbineLongTermGrossEnergy(
+        plant60, extrapolation="linear", **kw
+    ).run().plant_gross_gwh[0]
+    assert g_clip == pytest.approx(47.2, rel=0.15)
+    assert g_lin / g_clip == pytest.approx(3.7, rel=0.25)
