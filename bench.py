@@ -41,6 +41,14 @@ BENCH_QUERIES = [
     "token_counts",
     "cosine_topk",
     "language_id",
+    # Heavy datapipe operators (r7 VERDICT: the paired bench was
+    # TPC-H/timeseries weighted; a perf regression in the dedup/score
+    # family would only have shown in scale probes). Banded-LSH
+    # near-dup join, KN-smoothed LM scoring, and chunk-grain dedup
+    # are the three most expensive curation stages.
+    "minhash_near_dups",
+    "lm_score_docs",
+    "chunk_dedup_docs",
 ]
 
 

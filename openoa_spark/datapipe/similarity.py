@@ -1479,8 +1479,29 @@ def incremental_kmeans(
     return asg
 
 
+def embedding_dim_scales(df: DataFrame, vec_col: str) -> list[float]:
+    """Per-dimension max |value| over the corpus — the scale vector of
+    :func:`scalar_quantize_embeddings`, exposed so a composed pipeline
+    can compute it on an already-materialized intermediate (one
+    posexplode + dim-grain hash agg; output is d rows, driver-fit by
+    the bounded-collect discipline)."""
+    dim_max = (
+        df.select(F.posexplode(_vec(vec_col)).alias("_d", "_x"))
+        .groupBy("_d")
+        .agg(F.max(F.abs(F.col("_x"))).alias("_s"))
+        .collect()
+    )
+    scales = [0.0] * len(dim_max)
+    for r in dim_max:
+        scales[r["_d"]] = r["_s"]
+    return scales
+
+
 def scalar_quantize_embeddings(
-    df: DataFrame, vec_col: str, id_col: str
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    scales: list[float] | None = None,
 ) -> DataFrame:
     """Symmetric int8 scalar quantization for ANN storage: per
     DIMENSION, scale = max |value| over the corpus; each component
@@ -1498,20 +1519,16 @@ def scalar_quantize_embeddings(
     (partial-combined; output = d rows, driver-fit by the bounded
     collect discipline), then ride back as a one-row scalar broadcast
     so quantization is MAP-ONLY and every row shares one cached scales
-    array. The corpus is scanned twice (once for scales, once to
-    quantize) — at 100 TB, persist the input or fold the scale pass
-    into a prior pipeline stage.
+    array. Without precomputed ``scales`` the corpus is scanned twice
+    (once for scales, once to quantize) — at 100 TB, persist the input
+    first or pass ``scales`` computed on a materialized intermediate
+    (:func:`embedding_dim_scales`;
+    ``pipeline.quantize_surviving_embeddings`` does exactly that fold
+    when the quantizer runs inside the curation pipeline).
     """
     v = _vec(vec_col)
-    dim_max = (
-        df.select(F.posexplode(v).alias("_d", "_x"))
-        .groupBy("_d")
-        .agg(F.max(F.abs(F.col("_x"))).alias("_s"))
-        .collect()
-    )
-    scales = [0.0] * len(dim_max)
-    for r in dim_max:
-        scales[r["_d"]] = r["_s"]
+    if scales is None:
+        scales = embedding_dim_scales(df, vec_col)
     scales_df = df.sparkSession.createDataFrame(
         [(scales,)], "_scales: array<double>"
     )

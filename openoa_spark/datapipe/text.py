@@ -1078,7 +1078,10 @@ def apply_char_ngram_lid(
     n: int = 3,
 ) -> DataFrame:
     """Score every document against every language profile and return
-    (id_col, pred_lang): score(doc, lang) = Σ logp over profile grams
+    (id_col, pred_lang) for EVERY input document — documents with no
+    n-grams at all (normalized text shorter than ``n`` chars) have no
+    evidence to score and come back with ``pred_lang`` NULL rather
+    than being dropped. score(doc, lang) = Σ logp over profile grams
     + (out-of-profile gram count) × floor_logp, argmax with ties to
     the lexicographically-first language. All arithmetic is exact
     decimal over 6-dp-rounded log-probabilities, so the prediction is
@@ -1109,4 +1112,14 @@ def apply_char_ngram_lid(
     best = scored.groupBy(id_col).agg(
         F.min(F.struct((-F.col("_score")).alias("_ns"), F.col("lang"))).alias("_b")
     )
-    return best.select(id_col, F.col("_b.lang").alias("pred_lang"))
+    # Documents whose normalized text is shorter than n chars produce
+    # zero n-grams — there is no evidence to score, so they get an
+    # explicit ``pred_lang`` NULL row instead of silently vanishing
+    # from the output (callers joining predictions back would
+    # otherwise lose those ids without signal).
+    ids = docs.select(F.col(id_col)).distinct()
+    return ids.join(
+        best.select(id_col, F.col("_b.lang").alias("pred_lang")),
+        id_col,
+        "left",
+    )

@@ -350,7 +350,9 @@ def bspline_basis(
     diff = inner[1] - inner[0] if n_inner > 1 else 1.0
     aug = np.arange(1, spline_order + 1) * diff
     knots = np.r_[-aug[::-1], inner, 1.0 + aug]
-    knots[-1] += 1e-9  # make the last knot inclusive at t == 1
+    # (no last-knot nudging needed: t is clipped to [0, 1] and the
+    # order-extended last knot sits at 1 + spline_order*diff, so t == 1
+    # already lands inside the half-open interval [1, 1 + diff))
     tt = t[:, None]
     # degree-0 (Haar) bases, then the de Boor recursion
     b = ((tt >= knots[:-1]) & (tt < knots[1:])).astype(float)

@@ -598,7 +598,14 @@ def poisson1_weight(seed_col: Column | str, *key_cols: Column | str) -> Column:
     weight the aggregates — statistically the classic with-replacement
     bootstrap (the multiplicity of each row in an n-of-n resample is
     Binomial(n, 1/n) → Poisson(1)), but replayable and independent of
-    execution layout."""
+    execution layout.
+
+    Approximation bounds (deliberate, both negligible for UQ): the
+    Poisson(1) tail is truncated at multiplicity 8 (P(X >= 8) ~ 1e-5
+    is lumped into k = 8; higher counts are impossible), and the
+    uniform is derived from 1e6 hash buckets, so weights are a very
+    slightly discretized/biased version of
+    ``sample(withReplacement=True)``."""
     cols = [_c(c) for c in (*key_cols, seed_col)]
     u = (
         (F.xxhash64(*cols) % F.lit(1_000_000) + F.lit(1_000_000))

@@ -373,15 +373,26 @@ def cluster_mahalanobis_2d(
     n = F.col("_cn")
     cov = cov.select(
         "_cluster", "_cn",
-        (F.col("_tx") / n).alias("_mx"),
-        (F.col("_ty") / n).alias("_my"),
         ((F.col("_txx") - F.col("_tx") * F.col("_tx") / n) / (n - 1.0)).alias("_sxx"),
         ((F.col("_txy") - F.col("_tx") * F.col("_ty") / n) / (n - 1.0)).alias("_sxy"),
         ((F.col("_tyy") - F.col("_ty") * F.col("_ty") / n) / (n - 1.0)).alias("_syy"),
     )
     j = clustered.join(F.broadcast(cov), "_cluster", "left")
-    dx = mx_i.cast("double") - F.col("_mx")
-    dy = my_i.cast("double") - F.col("_my")
+    # distance from the fitted CENTROID (what the reference measures:
+    # kmeans.cluster_centers_, filters.py:326), not the final-label
+    # mean — the two differ whenever the last assignment pass moved a
+    # point, and that drift is exactly the seam residue that could
+    # flip threshold-adjacent flags vs the reference. dx/dy are exact
+    # integer micro differences; the covariance stays MEAN-centered
+    # (cluster.cov() in the reference).
+    cx = F.element_at(
+        F.array(*[F.lit(int(c[0])) for c in centroids]), F.col("_cluster") + 1
+    )
+    cy = F.element_at(
+        F.array(*[F.lit(int(c[1])) for c in centroids]), F.col("_cluster") + 1
+    )
+    dx = (mx_i - cx).cast("double")
+    dy = (my_i - cy).cast("double")
     det = F.col("_sxx") * F.col("_syy") - F.col("_sxy") * F.col("_sxy")
     d2 = (
         dx * (F.col("_syy") * dx - F.col("_sxy") * dy)
@@ -394,7 +405,7 @@ def cluster_mahalanobis_2d(
     return (
         j.withColumn(flag_col, F.coalesce(flag, F.lit(False)))
         .drop(
-            "_vec", "_mic", "_cluster", "_cn", "_mx", "_my",
+            "_vec", "_mic", "_cluster", "_cn",
             "_sxx", "_sxy", "_syy",
         )
     )

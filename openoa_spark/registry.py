@@ -2184,25 +2184,30 @@ def _maha_cluster_sql(k: int = 4, iters: int = 2, thresh: float = 3.0) -> str:
         CAST(SUM(CAST(m2 AS DECIMAL(19,0)) * CAST(m2 AS DECIMAL(19,0))) AS DOUBLE) AS tyy
       FROM {a} GROUP BY cid)""")
     parts.append("""st AS (
-      SELECT cid, n, tx/n AS mx, ty/n AS my,
+      SELECT cid, n,
         (txx - tx*tx/n)/(n - 1.0) AS sxx,
         (txy - tx*ty/n)/(n - 1.0) AS sxy,
         (tyy - ty*ty/n)/(n - 1.0) AS syy
       FROM cov)""")
     body = ",\n    ".join(parts)
+    # distance from the fitted CENTROID (c{iters-1} — the centroids
+    # the final assignment pass used, i.e. the reference's
+    # kmeans.cluster_centers_), covariance mean-centered: mirrors the
+    # engine exactly (operators/filters.py k>1 branch)
     return f"""WITH {body}
     SELECT a.l_orderkey, a.l_linenumber,
       COALESCE(CASE WHEN st.n >= 2.0
                      AND (st.sxx*st.syy - st.sxy*st.sxy) <> 0.0 THEN
-        sqrt(((CAST(a.m1 AS DOUBLE) - st.mx)
-                * (st.syy*(CAST(a.m1 AS DOUBLE) - st.mx)
-                   - st.sxy*(CAST(a.m2 AS DOUBLE) - st.my))
-              + (CAST(a.m2 AS DOUBLE) - st.my)
-                * (st.sxx*(CAST(a.m2 AS DOUBLE) - st.my)
-                   - st.sxy*(CAST(a.m1 AS DOUBLE) - st.mx)))
+        sqrt((CAST(a.m1 - cc.c1 AS DOUBLE)
+                * (st.syy*CAST(a.m1 - cc.c1 AS DOUBLE)
+                   - st.sxy*CAST(a.m2 - cc.c2 AS DOUBLE))
+              + CAST(a.m2 - cc.c2 AS DOUBLE)
+                * (st.sxx*CAST(a.m2 - cc.c2 AS DOUBLE)
+                   - st.sxy*CAST(a.m1 - cc.c1 AS DOUBLE)))
              / (st.sxx*st.syy - st.sxy*st.sxy)) > {thresh} END,
         FALSE) AS cluster_flag
-    FROM {a} a JOIN st ON st.cid = a.cid"""
+    FROM {a} a JOIN st ON st.cid = a.cid
+                JOIN c{iters - 1} cc ON cc.cid = a.cid"""
 
 
 @register("mahalanobis_cluster_flag", _maha_cluster_sql(4, 2, 3.0))
@@ -8630,6 +8635,55 @@ def lid_trained_heldout_accuracy(spark, sf_dir):
 
 
 _PRIORITY = [
+    # ---- ROUND 8 window (policy: brand-new, then plan-changed this
+    # round, then longest-unchecked fill) ----
+    # (1) Brand-new: the deterministic-Lloyd Mahalanobis cluster
+    # filter (the last §2.5 operator without a driver oracle row).
+    "mahalanobis_cluster_flag",
+    # (2) Plan changed this round: the TIE chain was rewritten
+    # sim-keyed (tie.py batched passes feed the same
+    # daily-corrected-energy prep the oracle replays), and
+    # impute_data / impute_all_assets_by_correlation grew the
+    # group_cols seam the batching rides on — their single-sim plans
+    # re-prove under the driver. mahalanobis_flag_lineitem's KMeans
+    # was replaced by the integer-grid Lloyd (also in the r3-stale
+    # cohort below).
+    "tie_daily_corrected_energy", "impute_linear_synthetic",
+    "impute_quadratic_synthetic", "impute_best_neighbor",
+    # (also plan-changed: apply_char_ngram_lid now left-joins back to
+    # the full id set so gram-less docs emit pred_lang NULL — r7
+    # ADVICE)
+    "lid_trained_heldout_accuracy",
+    # (3) Longest-unchecked fill: the complete r3 cohort (23 queries
+    # whose last driver row is round 3), then the two datapipe ops
+    # joining the paired bench this round (minhash_near_dups is
+    # already in the r3 cohort; lm_score_docs and chunk_dedup_docs
+    # are r4-stale), then the oldest 20 of the r4 cohort
+    # alphabetically.
+    "label_centroids", "logistic5_power_values",
+    "mahalanobis_flag_lineitem", "minhash_near_dups",
+    "near_dedup_docs", "near_dedup_keep_best_docs",
+    "ngram_jaccard_pairs", "ntile_value_quartiles",
+    "pivot_daily_by_type", "q11_important_stock",
+    "q13_order_count_distribution", "q15_top_suppliers",
+    "q21_waiting_suppliers", "q22_idle_customers",
+    "q4_late_shipment_priority", "qa_offset_dst",
+    "rolling_1h_sum_per_user", "rolling_zscore_outliers",
+    "source_overlap_matrix", "tfidf_top_terms",
+    "unpivot_lineitem_measures", "upsample_ffill_hourly",
+    "zipf_slope",
+    "lm_score_docs", "chunk_dedup_docs",
+    "active_users_grouping_sets", "asof_forward_hourly_value",
+    "behavior_cohorts", "bigram_pmi_top", "char_entropy_docs",
+    "customer_rfm_segments", "doc_chunks", "doc_shards",
+    "dq_checks_events", "dup_span_removal_docs", "event_funnel",
+    "event_gini_by_type", "event_sessions",
+    "event_type_cooccurrence", "event_type_transitions",
+    "first_touch_attribution", "full_outer_daily_activity",
+    "gopher_quality_docs", "grouping_sets_revenue",
+]
+
+_PRIORITY_R7 = [
     # ---- ROUND 7 window (policy: plan-changed this round, then
     # brand-new, then longest-unchecked fill) ----
     # (1) Plan changed this round: the forced F.broadcast of the bench

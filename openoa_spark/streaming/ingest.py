@@ -899,6 +899,14 @@ def stream_media_metadata(
     partitioning makes a crash-replayed epoch rewrite its own output
     partition instead of appending twice — the family-wide
     idempotence contract (same as stream_quality_gate/stream_cdc).
+
+    Behavior change (round 7): with NO quarantine configured, rows the
+    decoder rejects are KEPT in the metadata table as NULL-metadata
+    rows (id + n_bytes populated, decode fields NULL) instead of being
+    dropped — rejects stay observable. Consumers that assume an
+    all-valid metadata table must filter on the validity column
+    (``width`` for images/JPEG, ``channels`` for audio); configuring a
+    quarantine restores the all-valid metadata table.
     """
     from openoa_spark.datapipe import multimodal
 

@@ -233,11 +233,9 @@ def test_cluster_mahalanobis_k3_parity(spark):
     seam injected on both sides (refimport._StubKMeans replays the
     engine's integer-grid Lloyd): parity then pins the per-cluster
     covariance, Mahalanobis distance and threshold flags around the
-    substituted fit. Known seam residue: the reference measures
-    distance from the KMeans CENTROID while the engine uses the
-    cluster MEAN (equal at convergence, near-equal after 3 passes) —
-    the separated-blob fixture keeps every point away from the flag
-    boundary so the residue cannot flip a flag."""
+    substituted fit. Both sides measure distance from the fitted
+    CENTROID (kmeans.cluster_centers_), so the only residue is float
+    quantization (~1e-15 relative) — no data-dependent flag flips."""
     n = 150
     blobs = np.concatenate([
         RNG.normal((0.0, 0.0), 1.0, (n, 2)),
