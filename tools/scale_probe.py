@@ -179,6 +179,10 @@ PROBE_QUERIES = [
     # route, proven here at x N too)
     "aep_prepare_pipeline",
     "wake_prepare_pipeline",
+    # round-8: the batched Monte-Carlo RUN stages under ×factor rows
+    # (the sim-keyed joins/aggregates — prepare() alone was probed r7)
+    "wake_run_pipeline",
+    "yaw_run_pipeline",
     "plant_sql_daily_turbine_energy",
     # trained LID: train = vocab-grain agg (+ lang-keyed top-k window),
     # apply = explode + broadcast-profile equi-join + (doc, lang) agg
@@ -429,6 +433,127 @@ def wake_prep_probe():
     return run
 
 
+def wake_run_probe(num_sim: int = 100):
+    """RUN-stage probe (round-8): WakeLosses.run(num_sim) end-to-end
+    on the same events-derived 4-turbine plant as wake_prepare —
+    UQ=True so all ``num_sim`` Monte-Carlo sims flow through the
+    sim-keyed batched passes (r7 rewrite). The r7 probes covered
+    prepare(); this measures the sim-keyed joins/aggregates under
+    ×factor base-table rows: per chunk the fan-out is (sims-in-chunk ×
+    rows), every pass a (sim, key)-grain hash aggregate → expected
+    rows×factor wall growth. run() returns driver-side scalars, so
+    the probe returns a 1-row frame after the work completes."""
+    from openoa_spark.analysis.wake_losses import WakeLosses
+    from openoa_spark.plant import PlantData
+
+    def run(spark, d):
+        import pandas as pd
+
+        ev = registry._t(spark, d, "events").where(F.col("value").isNotNull())
+        turbs = F.array(*[F.lit(t) for t in ("T0", "T1", "T2", "T3")])
+        scada = (
+            ev.select("ts", "value", F.explode(turbs).alias("asset_id"))
+            .select(
+                F.col("ts").alias("time"),
+                "asset_id",
+                (F.abs("value") % 15).alias("WMET_HorWdSpd"),
+                (F.abs("value") * 10).alias("WTUR_W"),
+                ((F.abs("value") * 37) % 360).alias("WMET_HorWdDir"),
+            )
+            .dropDuplicates(["time", "asset_id"])
+        )
+        rean = ev.groupBy(F.date_trunc("hour", "ts").alias("time")).agg(
+            (F.avg(F.abs("value")) % 15).alias("WMETR_HorWdSpd"),
+            (F.avg(F.abs("value")) % 360).alias("WMETR_HorWdDir"),
+        )
+        asset = pd.DataFrame({
+            "asset_id": ["T0", "T1", "T2", "T3"],
+            "latitude": [47.90] * 4,
+            "longitude": [5.10, 5.1067, 5.1134, 5.1201],
+            "rated_power": [2000.0] * 4,
+            "hub_height": [80.0] * 4,
+            "rotor_diameter": [100.0] * 4,
+            "elevation": [400.0] * 4,
+            "type": ["turbine"] * 4,
+        })
+        plant = PlantData(
+            spark,
+            {"latitude": 47.9, "longitude": 5.11, "capacity": 8.0,
+             "scada": {"frequency": "h"},
+             "reanalysis": {"era5": {"frequency": "h"}}},
+            analysis_type=["WakeLosses-scada"],
+            scada=scada, asset=spark.createDataFrame(asset),
+            reanalysis={"era5": rean},
+        )
+        wl = WakeLosses(plant, UQ=True, num_years_LT=(1, 1))
+        wl.run(num_sim=num_sim)
+        wl._base.unpersist()
+        wl._ref.unpersist()
+        return spark.range(1)
+
+    return run
+
+
+def yaw_run_probe(num_sim: int = 100):
+    """RUN-stage probe (round-8): StaticYawMisalignment.run() with
+    UQ=True — all sims' pitch/MAD filters, vane binning and bootstrap
+    weights ride ONE batched Spark job (_binned_tables_batch). SCADA
+    derives from events (each event fans out to 4 turbines; vane/ws/
+    power are deterministic value transforms), so the inflated dir
+    runs the same sim count over ×factor rows."""
+    from openoa_spark.analysis.yaw import StaticYawMisalignment
+    from openoa_spark.plant import PlantData
+
+    def run(spark, d):
+        import pandas as pd
+
+        ev = registry._t(spark, d, "events").where(F.col("value").isNotNull())
+        turbs = F.array(*[F.lit(t) for t in ("T0", "T1", "T2", "T3")])
+        v = F.abs("value")
+        ws = v % 4 + 4.5
+        vane = (v * 13) % 60 - 30.0
+        scada = (
+            ev.select("ts", "value", F.explode(turbs).alias("asset_id"))
+            .select(
+                F.col("ts").alias("time"),
+                "asset_id",
+                ws.alias("WMET_HorWdSpd"),
+                (
+                    F.pow(ws, 3) * 2.0
+                    * F.pow(F.cos(F.radians(vane)), 2)
+                ).alias("WTUR_W"),
+                vane.alias("WMET_HorWdDirRel"),
+                F.lit(0.0).alias("WROT_BlPthAngVal"),
+            )
+            .dropDuplicates(["time", "asset_id"])
+        )
+        asset = pd.DataFrame({
+            "asset_id": ["T0", "T1", "T2", "T3"],
+            "latitude": [47.90] * 4,
+            "longitude": [5.10, 5.1067, 5.1134, 5.1201],
+            "rated_power": [2000.0] * 4,
+            "hub_height": [80.0] * 4,
+            "rotor_diameter": [100.0] * 4,
+            "elevation": [400.0] * 4,
+            "type": ["turbine"] * 4,
+        })
+        plant = PlantData(
+            spark,
+            {"latitude": 47.9, "longitude": 5.11, "capacity": 8.0,
+             "scada": {"frequency": "h"}},
+            analysis_type=["StaticYawMisalignment"],
+            scada=scada, asset=spark.createDataFrame(asset),
+        )
+        yaw = StaticYawMisalignment(
+            plant, UQ=True, num_sim=num_sim, min_vane_bin_count=20,
+            max_power_filter=(0.92, 0.98), power_bin_mad_thresh=(4, 10),
+        )
+        yaw.run()
+        return spark.range(1)
+
+    return run
+
+
 def semantic_dedup_probe(factor: int, probe_dir: str):
     """SemDeDup under its own scale contract: the registry query pins
     k=8 for the oracle replay, but the production knob is k ~ n /
@@ -467,6 +592,9 @@ def main():
     # r4-r6; their composition was not)
     qs["aep_prepare_pipeline"] = aep_prep_probe()
     qs["wake_prepare_pipeline"] = wake_prep_probe()
+    # round-8: the batched MC RUN stages (r7 probed only prepare())
+    qs["wake_run_pipeline"] = wake_run_probe()
+    qs["yaw_run_pipeline"] = yaw_run_probe()
     failures = []
     for name in subset:
         fn = qs[name]
