@@ -183,6 +183,7 @@ PROBE_QUERIES = [
     # (the sim-keyed joins/aggregates — prepare() alone was probed r7)
     "wake_run_pipeline",
     "yaw_run_pipeline",
+    "tie_run_pipeline",
     "plant_sql_daily_turbine_energy",
     # trained LID: train = vocab-grain agg (+ lang-keyed top-k window),
     # apply = explode + broadcast-profile equi-join + (doc, lang) agg
@@ -554,6 +555,69 @@ def yaw_run_probe(num_sim: int = 100):
     return run
 
 
+def tie_run_probe(num_sim: int = 100):
+    """RUN-stage probe (round-8): TurbineLongTermGrossEnergy.run()
+    with UQ=True — the pipeline whose per-sim driver loop was the r7
+    verdict's one scale-killer, rewritten sim-keyed this round. The
+    probe measures the whole batched chain (per-sim exploded filter
+    thresholds, sim-keyed daily energy + gap spine + correlation
+    imputation, per-(sim, turbine) GAM fits, calendar-month assembly)
+    under ×factor events-derived SCADA; the time-shift inflation
+    grows the POR span ×factor, so days — the grain every sim-keyed
+    stage works at — scale ×factor."""
+    from openoa_spark.analysis.tie import TurbineLongTermGrossEnergy
+    from openoa_spark.plant import PlantData
+
+    def run(spark, d):
+        import pandas as pd
+
+        ev = registry._t(spark, d, "events").where(F.col("value").isNotNull())
+        turbs = F.array(*[F.lit(t) for t in ("T0", "T1", "T2", "T3")])
+        v = F.abs("value")
+        ws = v % 10 + 5.5
+        power = F.pow(ws, 3) * 0.55  # ~2 MW near ws=15
+        scada = (
+            ev.select("ts", "value", F.explode(turbs).alias("asset_id"))
+            .select(
+                F.col("ts").alias("time"),
+                "asset_id",
+                ws.alias("WMET_HorWdSpd"),
+                power.alias("WTUR_W"),
+                (power / 6.0).alias("WTUR_SupWh"),
+            )
+            .dropDuplicates(["time", "asset_id"])
+        )
+        rean = ev.groupBy(F.date_trunc("hour", "ts").alias("time")).agg(
+            (F.avg(F.abs("value")) % 10 + 5.5).alias("WMETR_HorWdSpd"),
+            ((F.avg(F.abs("value")) * 37) % 360).alias("WMETR_HorWdDir"),
+            (F.lit(1.2) + F.avg("value") % F.lit(0.1)).alias("WMETR_AirDen"),
+        )
+        asset = pd.DataFrame({
+            "asset_id": ["T0", "T1", "T2", "T3"],
+            "latitude": [47.90] * 4,
+            "longitude": [5.10, 5.1067, 5.1134, 5.1201],
+            "rated_power": [2000.0] * 4,
+            "hub_height": [80.0] * 4,
+            "rotor_diameter": [100.0] * 4,
+            "elevation": [400.0] * 4,
+            "type": ["turbine"] * 4,
+        })
+        plant = PlantData(
+            spark,
+            {"latitude": 47.9, "longitude": 5.11, "capacity": 8.0,
+             "scada": {"frequency": "h"},
+             "reanalysis": {"era5": {"frequency": "h"}}},
+            analysis_type=["TurbineLongTermGrossEnergy"],
+            scada=scada, asset=spark.createDataFrame(asset),
+            reanalysis={"era5": rean},
+        )
+        tie = TurbineLongTermGrossEnergy(plant, UQ=True, num_sim=num_sim)
+        tie.run()
+        return spark.range(1)
+
+    return run
+
+
 def semantic_dedup_probe(factor: int, probe_dir: str):
     """SemDeDup under its own scale contract: the registry query pins
     k=8 for the oracle replay, but the production knob is k ~ n /
@@ -595,6 +659,7 @@ def main():
     # round-8: the batched MC RUN stages (r7 probed only prepare())
     qs["wake_run_pipeline"] = wake_run_probe()
     qs["yaw_run_pipeline"] = yaw_run_probe()
+    qs["tie_run_pipeline"] = tie_run_probe()
     failures = []
     for name in subset:
         fn = qs[name]
