@@ -17,3 +17,93 @@ _hyp_settings.load_profile("pinned")
 def spark():
     s = get_session("openoa-spark-tests", master="local[4]", shuffle_partitions=4)
     yield s
+
+
+# ---------------------------------------------------------------- tiers
+#
+# Two test tiers (r7 VERDICT item 8 — the 26-min full suite was the
+# round's verification bottleneck):
+#
+#   python -m pytest tests/ -m quick   # < 8 min, per-commit iteration
+#   python -m pytest tests/ -q         # full tier, unchanged, round close
+#
+# `quick` is everything not listed below; the slow list is the tests
+# measured ≥ 4.5 s (r8 durations run: 423 tests, 26:02 total) — heavy
+# MC pipeline regressions, registry-wide sweeps (empty-input
+# survival, oracle type buckets), incremental/streaming replay
+# matrices, and hypothesis differentials. Every product module keeps
+# at least one quick test (test_tie::test_filter_flags is the TIE
+# representative; the plan lints in test_plans stay quick on purpose
+# — they are the per-commit scale guard). When a listed test's module
+# moves, update the name here; unknown names fail collection loudly.
+
+SLOW_TESTS = {
+    "test_aep.py::test_ml_regression_models",
+    "test_datapipe.py::test_cluster_balanced_sample_exact_m_per_cluster",
+    "test_datapipe.py::test_curate_corpus_new_stages",
+    "test_datapipe.py::test_curate_corpus_pipeline",
+    "test_datapipe.py::test_incremental_embedding_dedup",
+    "test_datapipe.py::test_incremental_kmeans_across_batches",
+    "test_datapipe.py::test_incremental_near_dedup_across_batches",
+    "test_datapipe.py::test_incremental_near_dedup_sigs_only_remnant",
+    "test_datapipe.py::test_ivf_neighbors_matches_brute_force",
+    "test_datapipe.py::test_ivf_pq_probes_only_nearest_lists",
+    "test_datapipe.py::test_minhash_band_bucket_cap_bounds_hot_template",
+    "test_datapipe.py::test_near_dedup_keep_best",
+    "test_datapipe.py::test_pq_recall_bounds_and_self_recall",
+    "test_datapipe.py::test_pq_reconstruction_error_replay",
+    "test_datapipe.py::test_stream_cluster_assign_matches_serial",
+    "test_datapipe.py::test_stream_embedding_dedup_matches_serial",
+    "test_empty_inputs.py::test_every_query_survives_empty_tables",
+    "test_end_to_end_plant.py::test_end_to_end_six_pipelines",
+    "test_ml_qa.py::test_hyper_optimize_linear_signal",
+    "test_ml_qa.py::test_hyper_optimize_tree",
+    "test_ml_qa.py::test_time_series_splits_never_leak_future",
+    "test_oracle_types.py::test_oracle_spark_type_buckets_agree",
+    "test_pipeline_parity.py::test_static_yaw_misalignment_pipeline_parity",
+    "test_pipeline_parity.py::test_tie_pipeline_parity",
+    "test_pipeline_parity.py::test_wake_losses_pipeline_parity",
+    "test_properties.py::test_apply_cdc_matches_dict_replay",
+    "test_properties.py::test_bracket_order_stats_differential",
+    "test_quality_model.py::test_classifier_separates_planted_quality",
+    "test_quality_model.py::test_score_documents_featurizes_raw_corpus",
+    "test_quality_model.py::test_scoring_applies_to_a_stream",
+    "test_session_utils.py::test_fast_sums_matches_exact_mode_all_bench_queries",
+    "test_session_utils.py::test_grouped_exact_percentile_matches_f_percentile",
+    "test_session_utils.py::test_grouped_top_k_matches_row_number",
+    "test_streaming.py::test_late_arrival_matrix_dedup",
+    "test_streaming.py::test_late_arrival_matrix_sessionize",
+    "test_streaming.py::test_stream_cdc_apply_maintains_table",
+    "test_streaming.py::test_stream_drift_monitor_matches_batch_psi",
+    "test_streaming.py::test_stream_near_dedup_across_batches",
+    "test_tie.py::test_batched_equals_per_sim",
+    "test_tie.py::test_daily_energy_and_imputation",
+    "test_tie.py::test_extrapolation_choice_pinned",
+    "test_tie.py::test_lt_gross_plausible",
+    "test_tie.py::test_uq_mode",
+    "test_wake_losses.py::test_batched_sims_equal_per_sim_chunks",
+    "test_wake_losses.py::test_uq_mode",
+    "test_yaw_eya.py::test_batched_equals_per_sim",
+    "test_yaw_eya.py::test_recovers_injected_offsets",
+    "test_yaw_eya.py::test_uq_mode",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    seen = set()
+    for item in items:
+        key = f"{item.fspath.basename}::{item.name.split('[')[0]}"
+        if key in SLOW_TESTS:
+            seen.add(key)
+            item.add_marker(pytest.mark.slow)
+        elif not item.get_closest_marker("slow"):
+            item.add_marker(pytest.mark.quick)
+    # fail loudly if a listed test was renamed/moved (a silent miss
+    # would quietly promote a 100s test into the quick tier)
+    missing = SLOW_TESTS - seen - {
+        k for k in SLOW_TESTS if k.split("::")[0] not in {
+            i.fspath.basename for i in items
+        }
+    }
+    if len(items) > 50 and missing:
+        raise pytest.UsageError(f"SLOW_TESTS entries not collected: {sorted(missing)}")
