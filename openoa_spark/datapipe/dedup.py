@@ -127,13 +127,21 @@ def _minhash_signatures(
     if hash_fn == "md5":
         # Kirsch-Mitzenmacher double hashing: h_i(s) = (h1 + i·h2) mod
         # (2^31-1). Two md5 evaluations per shingle TOTAL instead of
-        # num_hashes — the _hp projection boundary stops
-        # CollapseProject from re-inlining the md5s into all
-        # num_hashes transforms. 52-bit bases keep i·h2 < 2^58 (no
-        # bigint overflow); the WRAPPING mod is what decorrelates the
+        # num_hashes. 52-bit bases keep i·h2 < 2^58 (no bigint
+        # overflow); the WRAPPING mod is what decorrelates the
         # per-seed orderings (without it the i-th min drifts toward
         # argmin(h2) and agreement is overestimated). The oracle SQL
         # replays the identical formula.
+        #
+        # Shape note (round 8): the signature is ONE aggregate fold —
+        # per shingle, zip the running minima with the seed array and
+        # take elementwise least. The earlier num_hashes-branch form
+        # (array_min(transform(_hp, …)) per seed) let CollapseProject
+        # re-inline the md5 struct into every branch — a plan whose
+        # first execution paid ~5 s of per-plan codegen/setup at ANY
+        # data size (measured sf0.1: 5.2 s → 0.5 s after this
+        # rewrite; values bit-identical by construction and pinned by
+        # the oracle twin).
         P = 2147483647
         def b52(s):
             return F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("long")
@@ -144,25 +152,48 @@ def _minhash_signatures(
                 b52(s).alias("h1"), b52(F.concat(s, F.lit("#"))).alias("h2")
             ),
         )
-        hp_df = df.select(F.col(id_col).alias("_id"), hp.alias("_hp"))
-        mins = [
-            F.array_min(
-                F.transform(
-                    F.col("_hp"),
-                    (lambda i: lambda p: (p["h1"] + F.lit(i) * p["h2"]) % F.lit(P))(i),
-                )
-            )
-            for i in range(num_hashes)
-        ]
-        sig = hp_df.select("_id", F.array(*mins).alias("_sig"))
+        seeds = F.array(*[F.lit(i).cast("long") for i in range(num_hashes)])
+        # ≥1-shingle filter as a CHEAP predicate on the raw text
+        # (token count ≥ shingle_n ⇔ ≥1 shingle), not on the hash
+        # pipeline's output: a filter whose predicate references the
+        # fold/hash expression (the old getItem(0)-is-null idiom, or
+        # size(_hp) > 0) gets that whole tree substituted in by
+        # filter pushdown and the optimizer's constraint propagation
+        # then chews on the giant predicate — measured 4-7 s of
+        # DRIVER time per plan build at any data size.
+        has_shingle = (
+            F.size(F.split(normalize_text(F.col(text_col)), " "))
+            >= F.lit(shingle_n)
+        )
+        hp_df = df.where(has_shingle).select(
+            F.col(id_col).alias("_id"), hp.alias("_hp")
+        )
+        sig = hp_df.select(
+            "_id",
+            F.aggregate(
+                F.col("_hp"),
+                F.array_repeat(F.lit(P).cast("long"), num_hashes),
+                lambda acc, p: F.zip_with(
+                    acc,
+                    seeds,
+                    lambda a, i: F.least(a, (p["h1"] + i * p["h2"]) % F.lit(P)),
+                ),
+            ).alias("_sig"),
+        )
     else:
-        sig = df.select(
+        # same cheap-predicate shingle filter as the md5 path (a
+        # filter over the signature expression itself would drag the
+        # whole hash tree into constraint propagation)
+        has_shingle = (
+            F.size(F.split(normalize_text(F.col(text_col)), " "))
+            >= F.lit(shingle_n)
+        )
+        sig = df.where(has_shingle).select(
             F.col(id_col).alias("_id"),
             minhash_signature(
                 shingles(text_col, shingle_n), num_hashes, hash_fn
             ).alias("_sig"),
         )
-    sig = sig.where(F.col("_sig").getItem(0).isNotNull())  # docs with ≥1 shingle
     # Lazy localCheckpoint: without this the signature lineage
     # (shingle + md5/xxhash + num_hashes array mins) replays on every
     # consumer side (a broadcast side does not reuse the probe side's
@@ -394,21 +425,45 @@ def simhash(col: Column | str, bits: int = 64, hash_fn: str = "xxhash64") -> Col
     toks = F.array_distinct(F.split(normalize_text(c), " "))
     hashes = F.transform(toks, lambda t: hash64(t, None, hash_fn))
     n = F.size(toks)
-    def bit_test(b: int):
-        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
-
-    # bits are disjoint: accumulate with OR over shifted 1-bits, not
-    # addition of 2^b literals — bit 63's weight overflows a signed
-    # long literal (and ANSI mode turns the sum's overflow into a
-    # runtime error), while shiftleft(1L, 63) is just the sign bit
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        ones = F.size(F.filter(hashes, bit_test(b)))
-        bit = F.when(
-            ones * 2 > n, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-        out = out.bitwiseOR(bit)
-    return out
+    # ONE fold over the token hashes accumulating all per-bit
+    # majorities, instead of `bits` separate size(filter(hashes, …))
+    # branches — the branch form re-inlines the hash pipeline into
+    # every branch (each token hashed `bits` times; for md5 that was
+    # a measured multi-second per-plan cost at any data size). The
+    # per-bit extraction lives INSIDE the transform where the bit
+    # index is a Python literal against the lambda variable, so the
+    # hash subtree appears exactly once in the plan.
+    bit_arrays = F.transform(
+        hashes,
+        lambda h: F.array(*[
+            F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int")
+            for b in range(bits)
+        ]),
+    )
+    counts = F.aggregate(
+        bit_arrays,
+        F.array_repeat(F.lit(0).cast("int"), bits),
+        lambda acc, ba: F.zip_with(acc, ba, lambda a, x: a + x),
+    )
+    # bits are disjoint: accumulate with OR over per-bit weight
+    # literals, not addition of 2^b terms — bit 63's weight overflows
+    # a signed long literal (and ANSI mode turns the sum's overflow
+    # into a runtime error), so its weight is the sign-bit value
+    weights = F.array(*[
+        F.lit((1 << b) if b < 63 else -(2 ** 63)).cast("long")
+        for b in range(bits)
+    ])
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            weights,
+            lambda cnt, w: F.when(cnt * 2 > n, w).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def simhash_near_dup_pairs(
