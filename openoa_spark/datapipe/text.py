@@ -473,6 +473,63 @@ def char_bigram_lm_scores(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q_lo: float = 1.0 / 3.0,
+    q_hi: float = 2.0 / 3.0,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3): score every document with the corpus
+    char-bigram LM (:func:`char_bigram_lm_scores`) and split the
+    corpus into ``head`` / ``middle`` / ``tail`` buckets at the
+    ``q_lo`` and ``q_hi`` score quantiles — head = lowest
+    bits-per-bigram (most predictable, cleanest text), tail =
+    highest. CCNet keeps head+middle and drops or down-weights tail;
+    the bucket column here feeds the sampling stages.
+
+    Determinism across engines: the boundaries are DISCRETE order
+    statistics (:func:`grouped_exact_order_stat` — actual score
+    values, no interpolation arithmetic), so the bucket comparison is
+    between identical already-rounded doubles on both sides and no
+    float ulp can flip a document across a boundary.
+
+    Scale shape: the score frame is lineage-cut once (lazy
+    localCheckpoint — it feeds both boundary aggregates and the
+    bucket assignment); each boundary is a bounded-memory bracket
+    aggregate (O(accuracy) per group, one constant group here); the
+    assignment is a map over a one-row broadcast. No global sort, no
+    corpus-wide window.
+
+    Output: (id_col, n_bigrams, bits_per_bigram, bucket).
+    """
+    from openoa_spark.functions.stats import grouped_exact_order_stat
+
+    scores = char_bigram_lm_scores(df, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    b_lo = grouped_exact_order_stat(
+        scores, [], "bits_per_bigram", q_lo, "_b_lo"
+    )
+    b_hi = grouped_exact_order_stat(
+        scores, [], "bits_per_bigram", q_hi, "_b_hi"
+    )
+    bounds = b_lo.crossJoin(b_hi)
+    return (
+        scores.crossJoin(F.broadcast(bounds))
+        .select(
+            id_col,
+            "n_bigrams",
+            "bits_per_bigram",
+            F.when(F.col("bits_per_bigram") <= F.col("_b_lo"), F.lit("head"))
+            .when(F.col("bits_per_bigram") <= F.col("_b_hi"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
 # Gopher's (Rae et al. 2021, arXiv:2112.11446 §A1.1) required
 # stopwords: a document must contain at least two of these to pass
 # the lexical quality gate.

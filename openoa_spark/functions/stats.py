@@ -305,6 +305,78 @@ def grouped_exact_percentile(
     return agg.select(*keys, res.alias(out_col))
 
 
+def grouped_exact_order_stat(
+    df,
+    keys: list[str],
+    value_col: str,
+    q: float,
+    out_col: str = "_order_stat",
+    accuracy: int = 10000,
+):
+    """EXACT per-group DISCRETE percentile (the 1-based order
+    statistic at rank ``ceil(q·n)`` — PostgreSQL ``percentile_disc``
+    / DuckDB ``quantile_disc`` semantics, pinned empirically) with
+    the same bounded-memory bracket pass as
+    :func:`grouped_exact_percentile`.
+
+    Unlike the interpolated variant, the result is always an ACTUAL
+    input value — no float arithmetic between engines — which makes
+    it the right boundary primitive when downstream comparisons
+    against the result must be bit-deterministic (e.g. quantile
+    bucketing: every row's value and the boundary are the same
+    already-rounded doubles in both engines, so no interpolation ulp
+    can flip a bucket).
+
+    ``keys=[]`` computes one global order statistic.
+    """
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    v = F.col(value_col)
+    drop_const = False
+    if not keys:
+        df = df.withColumn("_g_all", F.lit(1))
+        keys = ["_g_all"]
+        drop_const = True
+    rows = df.na.drop(subset=[*keys, value_col]).select(*keys, value_col)
+    eps = 3.0 / accuracy
+    cap = max(accuracy // 2, 1000)
+    lo_q, hi_q = max(0.0, q - eps), min(1.0, q + eps)
+    br = rows.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.percentile_approx(v, F.lit(lo_q), F.lit(accuracy)).alias("_lo"),
+        F.percentile_approx(v, F.lit(hi_q), F.lit(accuracy)).alias("_hi"),
+    )
+    j = rows.join(br, keys, "inner")
+    small = F.col("_n") <= F.lit(cap)
+    lo, hi = F.col("_lo"), F.col("_hi")
+    keep = small | ((v > lo) & (v < hi))
+    one = F.lit(1)
+    agg = j.groupBy(*keys).agg(
+        F.first("_n").alias("_n"),
+        F.first("_lo").alias("_lo"),
+        F.first("_hi").alias("_hi"),
+        F.sum(F.when(~small & (v < lo), one).otherwise(0)).alias("_clt"),
+        F.sum(F.when(~small & (v == lo), one).otherwise(0)).alias("_ceq"),
+        F.sort_array(F.collect_list(F.when(keep, v))).alias("_arr"),
+    )
+    n = F.col("_n")
+    # ceil of the IEEE product, replicated identically by the oracle
+    # (both engines evaluate the same double literal q against the
+    # same bigint n)
+    k = F.ceil(F.lit(float(q)) * n.cast("double")).cast("long")
+    base = (F.col("_clt") + F.col("_ceq")).cast("long")
+    res = (
+        F.when(k <= base, F.col("_lo"))
+        .when(
+            k <= base + F.size("_arr"),
+            F.element_at("_arr", (k - base).cast("int")),
+        )
+        .otherwise(F.col("_hi"))
+    )
+    out = agg.select(*keys, res.alias(out_col))
+    return out.drop("_g_all") if drop_const else out
+
+
 def grouped_top_k(
     df,
     keys: list[str],

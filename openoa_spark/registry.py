@@ -7707,6 +7707,70 @@ def lm_score_docs(spark, sf_dir):
 
 
 @register(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH g AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, GREATEST(length(text) - 1, 0))) AS i
+      FROM documents
+    ),
+    b AS (SELECT doc_id, substring(text, i, 2) AS bigram FROM g),
+    dc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    gl AS (SELECT bigram, SUM(c) AS gc FROM dc GROUP BY 1),
+    tot AS (SELECT CAST(SUM(gc) AS DOUBLE) AS t FROM gl),
+    lp AS (
+      SELECT bigram,
+             CAST(ROUND(log2(CAST(gc AS DOUBLE) / (SELECT t FROM tot)), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM gl
+    ),
+    sc AS (
+      SELECT dc.doc_id,
+             CAST(SUM(dc.c) AS BIGINT) AS n_bigrams,
+             ROUND(CAST(-SUM(CAST(dc.c AS DECIMAL(18,0)) * lp.lp) AS DOUBLE)
+                   / CAST(SUM(dc.c) AS DOUBLE), 6) AS bits
+      FROM dc JOIN lp USING (bigram)
+      GROUP BY 1
+    ),
+    bounds AS (
+      SELECT quantile_disc(bits, {1.0 / 3.0!r}) AS blo,
+             quantile_disc(bits, {2.0 / 3.0!r}) AS bhi
+      FROM sc
+    )
+    SELECT CASE WHEN bits <= blo THEN 'head'
+                WHEN bits <= bhi THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+           ROUND(MIN(bits), 6) + 0.0 AS min_bits,
+           ROUND(MAX(bits), 6) + 0.0 AS max_bits
+    FROM sc, bounds
+    GROUP BY 1
+    """,
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    2020 §4.3) over the corpus-trained char-bigram LM: boundaries are
+    DISCRETE order statistics (grouped_exact_order_stat — rank
+    ceil(q·n), DuckDB quantile_disc semantics pinned empirically), so
+    bucket membership compares identical round-6 doubles on both
+    engines and no interpolation ulp can flip a document. Output is
+    the per-bucket accounting (count, bigram mass, score range) —
+    order-independent aggregates only. Scale shape: score frame
+    lineage-cut once; boundaries via the bounded-memory bracket
+    aggregate; assignment is a map over a one-row broadcast — no
+    global sort anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    buckets = text.perplexity_buckets(docs, "text", "doc_id")
+    return buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("sum_bigrams"),
+        (F.round(F.min("bits_per_bigram"), 6) + F.lit(0.0)).alias("min_bits"),
+        (F.round(F.max("bits_per_bigram"), 6) + F.lit(0.0)).alias("max_bits"),
+    )
+
+
+@register(
     "token_budget_selection",
     r"""
     WITH d AS (
@@ -8638,8 +8702,10 @@ _PRIORITY = [
     # ---- ROUND 8 window (policy: brand-new, then plan-changed this
     # round, then longest-unchecked fill) ----
     # (1) Brand-new: the deterministic-Lloyd Mahalanobis cluster
-    # filter (the last §2.5 operator without a driver oracle row).
-    "mahalanobis_cluster_flag",
+    # filter (the last §2.5 operator without a driver oracle row) and
+    # the CCNet perplexity head/middle/tail bucketing (discrete
+    # order-statistic boundaries).
+    "mahalanobis_cluster_flag", "ccnet_perplexity_buckets",
     # (2) Plan changed this round: the TIE chain was rewritten
     # sim-keyed (tie.py batched passes feed the same
     # daily-corrected-energy prep the oracle replays), and
@@ -8680,7 +8746,7 @@ _PRIORITY = [
     "event_gini_by_type", "event_sessions",
     "event_type_cooccurrence", "event_type_transitions",
     "first_touch_attribution", "full_outer_daily_activity",
-    "gopher_quality_docs", "grouping_sets_revenue",
+    "gopher_quality_docs",
 ]
 
 _PRIORITY_R7 = [

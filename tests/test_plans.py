@@ -39,6 +39,7 @@ ALLOWED_CARTESIAN = {
     "std_range_flag_events",    # global mean/std scalar broadcast
     "embedding_norm_outliers",  # one-row global-median broadcast
     "describe_quantity_by_flag",
+    "ccnet_perplexity_buckets",  # one-row quantile-boundary broadcast
     "span_days_hours",
     "infer_frequency",
     "iec_power_curve",

@@ -237,3 +237,33 @@ def test_keyed_row_number_matches_window(spark):
     got = sorted(map(tuple,
         stats.keyed_row_number(df, ["k"], "o", "rn").collect()))
     assert got == ref
+
+
+def test_grouped_exact_order_stat_matches_sorted_rank(spark):
+    """grouped_exact_order_stat returns the element at rank ceil(q*n)
+    (percentile_disc / DuckDB quantile_disc semantics) in both
+    group-size regimes (whole-group collect and bracket pass), and
+    always an actual input value."""
+    import math
+    import random
+
+    from openoa_spark.functions import stats
+
+    random.seed(11)
+    data = {}
+    for g, n in enumerate([1, 5, 800, 7000]):
+        data[f"g{g}"] = sorted(round(random.uniform(-10, 10), 3) for _ in range(n))
+    rows = [(k, v) for k, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(16)
+    for q in (0.1, 1.0 / 3.0, 0.5, 2.0 / 3.0, 0.99, 1.0):
+        got = {
+            r["k"]: r["p"]
+            for r in stats.grouped_exact_order_stat(df, ["k"], "v", q, "p").collect()
+        }
+        for k, vs in data.items():
+            expect = vs[math.ceil(q * len(vs)) - 1]
+            assert got[k] == expect, (k, q, got[k], expect)
+    # global (keys=[]) path
+    allv = sorted(v for vs in data.values() for v in vs)
+    r = stats.grouped_exact_order_stat(df, [], "v", 0.5, "p").collect()
+    assert len(r) == 1 and r[0]["p"] == allv[math.ceil(0.5 * len(allv)) - 1]
