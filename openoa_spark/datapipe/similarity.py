@@ -949,22 +949,39 @@ def _argmin_struct(
     clusters raw SCADA/price-scale columns whose micro DIFFS square
     past 9.2e18; embedding components are |x| <= ~30 and stay on the
     fast bigint path). Exact integers either way, so the tie order —
-    and therefore every assignment — is identical."""
-    cands = []
-    for cid, c in enumerate(centroids):
-        if wide:
-            ca = F.array(*[F.lit(int(v)).cast("decimal(19,0)") for v in c])
-            zero = F.lit(0).cast("decimal(38,0)")
-        else:
-            ca = F.array(*[F.lit(int(v)).cast("bigint") for v in c])
-            zero = F.lit(0).cast("bigint")
-        d2 = F.aggregate(
-            F.zip_with(mic, ca, lambda a, b: (a - b) * (a - b)),
-            zero,
-            lambda acc, x: acc + x,
+    and therefore every assignment — is identical.
+
+    Shape (round 8): ONE transform over a k-element centroid LITERAL
+    array, not k parallel candidate branches — in the branch form
+    CollapseProject re-inlined the ``mic`` micro-grid transform into
+    every branch (k copies of the input pipeline per plan; the same
+    driver-cost pathology fixed in the MinHash signatures this
+    round). Here ``mic`` appears once, referenced from the lambda
+    body; the per-centroid work touches only lambda variables and
+    literals. Same d2 math, same array_min lexicographic (min d2,
+    min cid) tie rule — assignments are bit-identical."""
+    elem_t = "decimal(19,0)" if wide else "bigint"
+    zero = F.lit(0).cast("decimal(38,0)" if wide else "bigint")
+    cand = F.array(*[
+        F.struct(
+            F.array(*[F.lit(int(v)).cast(elem_t) for v in c]).alias("cv"),
+            F.lit(cid).alias("cid"),
         )
-        cands.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
-    return F.array_min(F.array(*cands))
+        for cid, c in enumerate(centroids)
+    ])
+    return F.array_min(
+        F.transform(
+            cand,
+            lambda cen: F.struct(
+                F.aggregate(
+                    F.zip_with(mic, cen["cv"], lambda a, b: (a - b) * (a - b)),
+                    zero,
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                cen["cid"].alias("cid"),
+            ),
+        )
+    )
 
 
 def _argmin_cluster(
