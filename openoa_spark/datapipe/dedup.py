@@ -420,6 +420,11 @@ def simhash(col: Column | str, bits: int = 64, hash_fn: str = "xxhash64") -> Col
 
     Built from array lambdas: for each bit, count tokens whose hash has
     that bit set; bit in result = (count > n_tokens/2).
+
+    NULL text → NULL fingerprint (round 8; the previous branch form
+    returned 0, which silently clustered NULL-text rows with each
+    other — and disagreed with the SQL twin's NULL propagation).
+    Empty text hashes the single empty token, same as before.
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = F.array_distinct(F.split(normalize_text(c), " "))
