@@ -186,6 +186,13 @@ def main():
     for stage, n in ledger:
         print(f"  {stage:>24}: {n}")
 
+    print("== CCNet perplexity buckets (head / middle / tail) ==")
+    text.perplexity_buckets(docs, "text", "doc_id").groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.min("bits_per_bigram"), 3).alias("min_bits"),
+        F.round(F.max("bits_per_bigram"), 3).alias("max_bits"),
+    ).orderBy("min_bits").show()
+
     print("== chunking + int8 quantization (retrieval-index prep) ==")
     chunks = text.sliding_token_chunks(
         docs, "text", "doc_id", chunk_tokens=24, stride=16
@@ -194,9 +201,17 @@ def main():
         F.count("*").alias("chunks"),
         F.round(F.avg("n_tokens"), 1).alias("avg_tokens"),
     ).show()
-    quant = similarity.scalar_quantize_embeddings(emb, "embedding", "vec_id")
+    # quantize only the CURATION SURVIVORS' embeddings, materialized
+    # once so the scale pass doesn't re-run the curation DAG
+    from openoa_spark.datapipe.pipeline import quantize_surviving_embeddings
+
+    quant = quantize_surviving_embeddings(
+        cleaned.select(F.col("doc_id").alias("vec_id")),
+        emb, id_col="vec_id", vec_col="embedding",
+    )
     quant.agg(
-        F.round(F.max("max_abs_err"), 4).alias("worst_reconstruction_err")
+        F.count("*").alias("surviving_vectors"),
+        F.round(F.max("max_abs_err"), 4).alias("worst_reconstruction_err"),
     ).show()
 
     print("== bloom-prefiltered exact decontamination ==")
