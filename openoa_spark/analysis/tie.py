@@ -435,8 +435,44 @@ class TurbineLongTermGrossEnergy:
                     "max_power_filter": chunk["max_power_filter"].astype(float),
                     "correction_threshold": chunk["correction_threshold"].astype(float),
                 })
-                filtered = self._sim_keyed_filtered(base, sims)
-                valid = self._daily_valid_energy_keyed(filtered, sims)
+                thr_cols = [
+                    "wind_bin_thresh", "max_power_filter",
+                    "correction_threshold",
+                ]
+                combos = (
+                    sims[thr_cols].drop_duplicates().reset_index(drop=True)
+                )
+                if len(combos) < len(sims):
+                    # sims sharing a threshold combo share ONE
+                    # filter/daily-energy/imputation chain (the non-UQ
+                    # case runs len(products) sims with IDENTICAL
+                    # thresholds — round 7's filter_memo collapsed
+                    # those; the sim-keyed chain does the same by
+                    # keying on the distinct combo and expanding the
+                    # day-grain result to member sims through a
+                    # broadcast map). Per-sim results are identical by
+                    # construction: same thresholds → same rows.
+                    combos_g = combos.copy()
+                    combos_g.insert(0, "sim", combos_g.index.astype(int))
+                    filtered = self._sim_keyed_filtered(base, combos_g)
+                    valid_g = self._daily_valid_energy_keyed(
+                        filtered, combos_g
+                    )
+                    gid_map = sims.merge(
+                        combos_g.rename(columns={"sim": "_gid"}),
+                        on=thr_cols,
+                    )[["_gid", "sim"]]
+                    map_df = self.plant.spark.createDataFrame(
+                        gid_map, "_gid long, sim long"
+                    )
+                    valid = (
+                        valid_g.withColumnRenamed("sim", "_gid")
+                        .join(F.broadcast(map_df), "_gid")
+                        .drop("_gid")
+                    )
+                else:
+                    filtered = self._sim_keyed_filtered(base, sims)
+                    valid = self._daily_valid_energy_keyed(filtered, sims)
                 lookup = {
                     int(i): (str(r["reanalysis_product"]), float(r["scada_data_fraction"]))
                     for i, r in chunk.iterrows()

@@ -124,6 +124,18 @@ def _minhash_signatures(
     from openoa_spark.session import spread_small_input
 
     df = spread_small_input(df)
+    # ≥1-shingle filter as a CHEAP predicate on the raw text (token
+    # count ≥ shingle_n ⇔ ≥1 shingle), shared by both hash backends:
+    # a filter whose predicate references the signature expression
+    # itself (the old getItem(0)-is-null idiom) gets the whole hash
+    # tree substituted in by filter pushdown, and constraint
+    # propagation then chews on the giant predicate — measured 4-7 s
+    # of DRIVER time per plan build at any data size.
+    has_shingle = (
+        F.size(F.split(normalize_text(F.col(text_col)), " "))
+        >= F.lit(shingle_n)
+    )
+    df = df.where(has_shingle)
     if hash_fn == "md5":
         # Kirsch-Mitzenmacher double hashing: h_i(s) = (h1 + i·h2) mod
         # (2^31-1). Two md5 evaluations per shingle TOTAL instead of
@@ -153,21 +165,7 @@ def _minhash_signatures(
             ),
         )
         seeds = F.array(*[F.lit(i).cast("long") for i in range(num_hashes)])
-        # ≥1-shingle filter as a CHEAP predicate on the raw text
-        # (token count ≥ shingle_n ⇔ ≥1 shingle), not on the hash
-        # pipeline's output: a filter whose predicate references the
-        # fold/hash expression (the old getItem(0)-is-null idiom, or
-        # size(_hp) > 0) gets that whole tree substituted in by
-        # filter pushdown and the optimizer's constraint propagation
-        # then chews on the giant predicate — measured 4-7 s of
-        # DRIVER time per plan build at any data size.
-        has_shingle = (
-            F.size(F.split(normalize_text(F.col(text_col)), " "))
-            >= F.lit(shingle_n)
-        )
-        hp_df = df.where(has_shingle).select(
-            F.col(id_col).alias("_id"), hp.alias("_hp")
-        )
+        hp_df = df.select(F.col(id_col).alias("_id"), hp.alias("_hp"))
         sig = hp_df.select(
             "_id",
             F.aggregate(
@@ -181,14 +179,7 @@ def _minhash_signatures(
             ).alias("_sig"),
         )
     else:
-        # same cheap-predicate shingle filter as the md5 path (a
-        # filter over the signature expression itself would drag the
-        # whole hash tree into constraint propagation)
-        has_shingle = (
-            F.size(F.split(normalize_text(F.col(text_col)), " "))
-            >= F.lit(shingle_n)
-        )
-        sig = df.where(has_shingle).select(
+        sig = df.select(
             F.col(id_col).alias("_id"),
             minhash_signature(
                 shingles(text_col, shingle_n), num_hashes, hash_fn
@@ -423,7 +414,7 @@ def simhash(col: Column | str, bits: int = 64, hash_fn: str = "xxhash64") -> Col
 
     NULL text → NULL fingerprint (round 8; the previous branch form
     returned 0, which silently clustered NULL-text rows with each
-    other — and disagreed with the SQL twin's NULL propagation).
+    other). The registry twin's CASE mirrors the NULL propagation.
     Empty text hashes the single empty token, same as before.
     """
     c = F.col(col) if isinstance(col, str) else col

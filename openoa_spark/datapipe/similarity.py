@@ -1152,15 +1152,19 @@ def kmeans_fit(
                     F.col("_mic"), centroids, wide=wide_d2
                 ).alias("_cid"),
             )
+        # wide inputs keep the component sum in decimal(38,0): a
+        # price-scale micro (~1e11) times a ≥9e7-row cluster overflows
+        # bigint, and the non-ANSI cast would silently NULL the mean
+        # (the MEAN itself is micro-scale and always fits — the DIV in
+        # half_away lands back on bigint). The embedding path keeps
+        # the documented bigint bound (|comp| ≤ ~30 → ~3e11 rows).
+        sm = F.sum(F.col("_m").cast("decimal(38,0)"))
+        if not wide_d2:
+            sm = sm.cast("bigint")
         stats = (
             assigned.select("_cid", F.posexplode("_mic").alias("_pos", "_m"))
             .groupBy("_cid", "_pos")
-            .agg(
-                F.sum(F.col("_m").cast("decimal(38,0)"))
-                .cast("bigint")
-                .alias("_sm"),
-                F.count("_m").alias("_n"),
-            )
+            .agg(sm.alias("_sm"), F.count("_m").alias("_n"))
             .select("_cid", "_pos", half_away.alias("_mean"))
             .collect()
         )

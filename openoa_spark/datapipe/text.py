@@ -504,18 +504,16 @@ def perplexity_buckets(
 
     Output: (id_col, n_bigrams, bits_per_bigram, bucket).
     """
-    from openoa_spark.functions.stats import grouped_exact_order_stat
+    from openoa_spark.functions.stats import grouped_exact_order_stats
 
     scores = char_bigram_lm_scores(df, text_col, id_col).localCheckpoint(
         eager=False
     )
-    b_lo = grouped_exact_order_stat(
-        scores, [], "bits_per_bigram", q_lo, "_b_lo"
+    # both boundaries from ONE bracket pass (2 scans of the score
+    # frame total, not 2 per boundary)
+    bounds = grouped_exact_order_stats(
+        scores, [], "bits_per_bigram", [q_lo, q_hi], ["_b_lo", "_b_hi"]
     )
-    b_hi = grouped_exact_order_stat(
-        scores, [], "bits_per_bigram", q_hi, "_b_hi"
-    )
-    bounds = b_lo.crossJoin(b_hi)
     return (
         scores.crossJoin(F.broadcast(bounds))
         .select(

@@ -329,8 +329,31 @@ def grouped_exact_order_stat(
 
     ``keys=[]`` computes one global order statistic.
     """
-    if not 0.0 < q <= 1.0:
-        raise ValueError(f"q must be in (0, 1], got {q}")
+    return grouped_exact_order_stats(
+        df, keys, value_col, [q], [out_col], accuracy
+    )
+
+
+def grouped_exact_order_stats(
+    df,
+    keys: list[str],
+    value_col: str,
+    qs: list[float],
+    out_cols: list[str],
+    accuracy: int = 10000,
+):
+    """Several EXACT discrete percentiles per group in ONE bracket
+    pass (2 scans total, however many quantiles) — each q keeps its
+    OWN bounded [approx(q−ε), approx(q+ε)] interior window, so memory
+    stays O(len(qs)·accuracy) per group rather than spanning the
+    inter-quantile range. The multi-boundary primitive for quantile
+    bucketing (CCNet head/middle/tail needs two boundaries; computing
+    them as two independent calls doubles the corpus scans)."""
+    if len(qs) != len(out_cols) or not qs:
+        raise ValueError("qs and out_cols must be same nonzero length")
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"q must be in (0, 1], got {q}")
     v = F.col(value_col)
     drop_const = False
     if not keys:
@@ -340,40 +363,53 @@ def grouped_exact_order_stat(
     rows = df.na.drop(subset=[*keys, value_col]).select(*keys, value_col)
     eps = 3.0 / accuracy
     cap = max(accuracy // 2, 1000)
-    lo_q, hi_q = max(0.0, q - eps), min(1.0, q + eps)
-    br = rows.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.percentile_approx(v, F.lit(lo_q), F.lit(accuracy)).alias("_lo"),
-        F.percentile_approx(v, F.lit(hi_q), F.lit(accuracy)).alias("_hi"),
-    )
+    br_aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, q in enumerate(qs):
+        lo_q, hi_q = max(0.0, q - eps), min(1.0, q + eps)
+        br_aggs.append(
+            F.percentile_approx(v, F.lit(lo_q), F.lit(accuracy)).alias(f"_lo{i}")
+        )
+        br_aggs.append(
+            F.percentile_approx(v, F.lit(hi_q), F.lit(accuracy)).alias(f"_hi{i}")
+        )
+    br = rows.groupBy(*keys).agg(*br_aggs)
     j = rows.join(br, keys, "inner")
     small = F.col("_n") <= F.lit(cap)
-    lo, hi = F.col("_lo"), F.col("_hi")
-    keep = small | ((v > lo) & (v < hi))
     one = F.lit(1)
-    agg = j.groupBy(*keys).agg(
-        F.first("_n").alias("_n"),
-        F.first("_lo").alias("_lo"),
-        F.first("_hi").alias("_hi"),
-        F.sum(F.when(~small & (v < lo), one).otherwise(0)).alias("_clt"),
-        F.sum(F.when(~small & (v == lo), one).otherwise(0)).alias("_ceq"),
-        F.sort_array(F.collect_list(F.when(keep, v))).alias("_arr"),
-    )
-    n = F.col("_n")
-    # ceil of the IEEE product, replicated identically by the oracle
-    # (both engines evaluate the same double literal q against the
-    # same bigint n)
-    k = F.ceil(F.lit(float(q)) * n.cast("double")).cast("long")
-    base = (F.col("_clt") + F.col("_ceq")).cast("long")
-    res = (
-        F.when(k <= base, F.col("_lo"))
-        .when(
-            k <= base + F.size("_arr"),
-            F.element_at("_arr", (k - base).cast("int")),
+    aggs = [F.first("_n").alias("_n")]
+    for i in range(len(qs)):
+        lo, hi = F.col(f"_lo{i}"), F.col(f"_hi{i}")
+        keep = small | ((v > lo) & (v < hi))
+        aggs.append(F.first(f"_lo{i}").alias(f"_lo{i}"))
+        aggs.append(F.first(f"_hi{i}").alias(f"_hi{i}"))
+        aggs.append(
+            F.sum(F.when(~small & (v < lo), one).otherwise(0)).alias(f"_clt{i}")
         )
-        .otherwise(F.col("_hi"))
-    )
-    out = agg.select(*keys, res.alias(out_col))
+        aggs.append(
+            F.sum(F.when(~small & (v == lo), one).otherwise(0)).alias(f"_ceq{i}")
+        )
+        aggs.append(
+            F.sort_array(F.collect_list(F.when(keep, v))).alias(f"_arr{i}")
+        )
+    agg = j.groupBy(*keys).agg(*aggs)
+    n = F.col("_n")
+    outs = []
+    for i, (q, out_col) in enumerate(zip(qs, out_cols)):
+        # ceil of the IEEE product, replicated identically by the
+        # oracle (both engines evaluate the same double literal q
+        # against the same bigint n)
+        k = F.ceil(F.lit(float(q)) * n.cast("double")).cast("long")
+        base = (F.col(f"_clt{i}") + F.col(f"_ceq{i}")).cast("long")
+        outs.append(
+            F.when(k <= base, F.col(f"_lo{i}"))
+            .when(
+                k <= base + F.size(f"_arr{i}"),
+                F.element_at(f"_arr{i}", (k - base).cast("int")),
+            )
+            .otherwise(F.col(f"_hi{i}"))
+            .alias(out_col)
+        )
+    out = agg.select(*keys, *outs)
     return out.drop("_g_all") if drop_const else out
 
 

@@ -344,10 +344,10 @@ def cluster_mahalanobis_2d(
         "_vec", F.array(x.cast("double"), y.cast("double"))
     )
     # seed probe: k may exceed the row count (tiny inputs / the
-    # empty-tables invariant) — clamp to what exists
-    k_eff = len(
-        based.select("_vec").orderBy("_vec").limit(n_clusters).collect()
-    )
+    # empty-tables invariant) — clamp to what exists. limit+count only
+    # (no sort, no row transfer); kmeans_fit collects the actual seeds
+    # itself.
+    k_eff = based.limit(n_clusters).count()
     if k_eff == 0:
         return clean.withColumn(flag_col, F.lit(False))
     _, centroids = kmeans_fit(

@@ -450,10 +450,25 @@ def impute_all_assets_by_correlation(
                 F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("_fsxx"),
             )
         )
+        # zero-variance guard: with a CONSTANT neighbor series the
+        # float path's var_samp is exactly 0 → NULL slope → gap left
+        # unfilled, but the decimal-rounded sums here turn that exact
+        # zero into rounding noise (n·Σx² − (Σx)² ~ 1e-12·|n·Σx²|),
+        # and noise/noise would fill the gap with a garbage value.
+        # Treat a denominator below 1e-9 RELATIVE to n·Σx² as zero —
+        # far under any physically meaningful variance, and the same
+        # pure-double comparison on every engine/partitioning.
+        _den = (
+            F.col("_fn") * F.col("_fsxx") - F.col("_fsx") * F.col("_fsx")
+        )
         slope_c = F.when(
-            F.col("_fn") >= 2.0,
+            (F.col("_fn") >= 2.0)
+            & (
+                F.abs(_den)
+                > F.lit(1e-9) * F.abs(F.col("_fn") * F.col("_fsxx"))
+            ),
             (F.col("_fn") * F.col("_fsxy") - F.col("_fsx") * F.col("_fsy"))
-            / (F.col("_fn") * F.col("_fsxx") - F.col("_fsx") * F.col("_fsx")),
+            / _den,
         )
         fits = sums.select(
             *g,

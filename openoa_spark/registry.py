@@ -1375,7 +1375,10 @@ def _simhash_sql(bits: int) -> str:
              len(toks) AS n
       FROM tok
     )
-    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h
+    SELECT doc_id,
+           CASE WHEN hs IS NULL THEN NULL
+                ELSE CAST({bit_terms} AS BIGINT) END AS simhash
+    FROM h
     """
 
 
@@ -2161,9 +2164,12 @@ def _maha_cluster_sql(k: int = 4, iters: int = 2, thresh: float = 3.0) -> str:
                    {d2l} AS dl
             FROM t CROSS JOIN p{i} p))""")
         if i < iters - 1:
+            # component sums stay HUGEINT (DuckDB's native SUM(BIGINT)
+            # width) — mirrors the engine's decimal(38,0) wide-path
+            # accumulator; the half-away MEAN below is micro-scale and
+            # always fits back in BIGINT
             parts.append(f"""s{i} AS (
-      SELECT cid, CAST(SUM(m1) AS BIGINT) AS s1,
-             CAST(SUM(m2) AS BIGINT) AS s2, COUNT(*) AS n
+      SELECT cid, SUM(m1) AS s1, SUM(m2) AS s2, COUNT(*) AS n
       FROM a{i} GROUP BY cid)""")
             parts.append(f"""c{i + 1} AS (
       SELECT cc.cid,
@@ -8650,7 +8656,7 @@ def lid_trained_profiles(spark, sf_dir):
            COUNT(*) AS n_docs,
            CAST(SUM(CASE WHEN pred.pred_lang = d.lang THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_correct
-    FROM d JOIN pred USING (doc_id)
+    FROM d LEFT JOIN pred USING (doc_id)
     WHERE d.doc_id % 2 = 1
     GROUP BY 1
     """,

@@ -115,3 +115,50 @@ def test_correlation_pairs_join_strategy_matches_vector(spark):
         ).collect()
     }
     assert vec == join
+
+
+def test_grouped_fit_constant_neighbor_leaves_gap(spark):
+    """A neighbor series that is CONSTANT over the fit overlap has
+    zero x-variance: the float path's var_samp is exactly 0 -> NULL
+    slope -> no fill. The grouped (sim-keyed) path computes the
+    denominator from decimal-ROUNDED sums, where the exact zero
+    becomes rounding noise — the relative-epsilon guard must map it
+    back to NULL instead of filling the gap with noise/noise. Pins
+    grouped == ungrouped on this edge."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from openoa_spark.operators import imputing
+
+    t0 = datetime.datetime(2020, 1, 1)
+    rows = []
+    const = 7.1234567891  # >6 decimal digits so decimal(38,6) rounds
+    for i in range(40):
+        ts = t0 + datetime.timedelta(hours=i)
+        rows.append((ts, "A", None if i % 5 == 0 else float(i)))
+        rows.append((ts, "B", const))
+    df = spark.createDataFrame(rows, "time timestamp, asset string, v double")
+
+    plain = imputing.impute_all_assets_by_correlation(
+        df, "time", "asset", "v", r2_threshold=0.0
+    )
+    grouped = imputing.impute_all_assets_by_correlation(
+        df.withColumn("sim", F.lit(0)),
+        "time", "asset", "v",
+        r2_threshold=0.0, group_cols=["sim"],
+    )
+
+    def null_cells(out):
+        return sorted(
+            (r["asset"], r["time"])
+            for r in out.collect()
+            if r["v"] is None
+        )
+
+    p, g = null_cells(plain), null_cells(grouped.drop("sim"))
+    # A has 8 planted gaps; the constant neighbor B gives no usable
+    # slope, so they must REMAIN null in both paths (the grouped
+    # path's rounding noise must not fill them with noise/noise)
+    assert len(p) == 8 and all(a == "A" for a, _ in p), p
+    assert g == p
