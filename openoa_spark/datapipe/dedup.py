@@ -1011,8 +1011,16 @@ def chunk_dedup(
     The in-doc membership probe is ``array_contains`` over the doc's
     own kept positions — O(chunks-per-doc) per chunk, bounded by
     document length, never by corpus size. The chunk table feeds both
-    the ownership path and the reassembly join, so it is lineage-cut
-    once (lazy localCheckpoint) rather than recomputed per consumer.
+    the ownership path and the reassembly join and is RECOMPUTED per
+    consumer (two parquet scans) rather than lineage-cut: a lazy
+    localCheckpoint costs ~0.3 s of driver plan-conversion per build
+    AND pins a corpus-sized chunk-text table in executor storage,
+    while the second scan streams from parquet and the ownership
+    branch projects text away before its shuffle (round-9 measured
+    A/B at sf0.1: 1.11 s recompute vs 1.26 s checkpointed; broadcast
+    of kept_sets was also measured and LOSES — 1.54 s — because the
+    reassembly aggregate then cannot reuse the join's hash
+    partitioning).
     """
     from openoa_spark.datapipe.text import tokens
     chunks = _chunk_table(df, text_col, id_col, chunk_tokens)
@@ -1027,13 +1035,19 @@ def chunk_dedup(
 
 
 def _chunk_table(
-    df: DataFrame, text_col: str, id_col: str, chunk_tokens: int
+    df: DataFrame, text_col: str, id_col: str, chunk_tokens: int,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """(id, pos, chunk) rows: consecutive ``chunk_tokens``-token chunks
-    per document, lineage-cut once (multiple consumers). split()
-    yields >= 1 element even for empty text, so n_chunks >= 1 and
-    sequence() never sees stop < start (which would COUNT DOWN); null
-    text -> null array -> posexplode drops the row."""
+    per document. split() yields >= 1 element even for empty text, so
+    n_chunks >= 1 and sequence() never sees stop < start (which would
+    COUNT DOWN); null text -> null array -> posexplode drops the row.
+
+    ``checkpoint=False`` (the corpus-scale default) lets each consumer
+    recompute the map-only chunk pipeline from the source scan — see
+    chunk_dedup's docstring for the measured tradeoff. Pass True when
+    the input is NOT a cheap re-scannable source (e.g. the incremental
+    path's already-transformed micro-batch)."""
     from openoa_spark.datapipe.text import tokens
     from openoa_spark.session import spread_small_input
 
@@ -1041,7 +1055,7 @@ def _chunk_table(
     toks = tokens(F.col(text_col))  # the corpus-canonical tokenizer
     n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
     ct = F.lit(chunk_tokens)
-    return df.select(
+    out = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
             F.transform(
@@ -1049,7 +1063,8 @@ def _chunk_table(
                 lambda i: F.array_join(F.slice(toks, i * ct + 1, ct), " "),
             )
         ).alias("pos", "chunk"),
-    ).localCheckpoint(eager=False)
+    )
+    return out.localCheckpoint(eager=False) if checkpoint else out
 
 
 def _chunk_fingerprints(chunks: DataFrame) -> DataFrame:
@@ -1114,7 +1129,8 @@ def incremental_chunk_dedup(
     size. The append is the only write (no rewrite of accumulated
     state).
     """
-    chunks = _chunk_table(batch, text_col, id_col, chunk_tokens)
+    chunks = _chunk_table(batch, text_col, id_col, chunk_tokens,
+                          checkpoint=True)
     hashed = _chunk_fingerprints(chunks)
     owner = hashed.groupBy("_h1", "_h2").agg(
         F.min(F.struct("_id", "pos")).alias("_o")

@@ -36,6 +36,29 @@ def char_count(col: Column | str) -> Column:
     return F.length(_c(col))
 
 
+def char_array(col: Column | str) -> Column:
+    """Code-point array of the text in O(len): ``split('')`` on the
+    pure-ASCII fast path (byte length == char length), one-code-point
+    regexp matches otherwise (``split('')`` splits between Java code
+    UNITS, so it would break surrogate pairs on non-BMP text, while
+    Java regex ``.`` consumes a full code point).
+
+    This is THE linear replacement for the
+    ``transform(sequence(1, len), i -> substr(c, i, n))`` idiom:
+    UTF8String char offsets are not byte offsets, so each positional
+    ``substr`` walks the string from the start — O(len²) per row.
+    Measured on 5000-char docs at local[32]: positional-substr bigram
+    extraction 4.21 s vs 0.70 s via this array (6×), and the gap grows
+    linearly with document length — at 100-TB web-corpus lengths the
+    quadratic form is a scale bug, not a constant factor.
+    ``split('')`` yields no empty entries ('' -> [], NULL -> NULL).
+    """
+    c = _c(col)
+    return F.when(F.length(c) == F.octet_length(c), F.split(c, "")).otherwise(
+        F.regexp_extract_all(c, F.lit("(?s)."), 0)
+    )
+
+
 def avg_word_length(col: Column | str) -> Column:
     t = tokens(col)
     total = F.aggregate(t, F.lit(0), lambda acc, w: acc + F.length(w))
@@ -429,18 +452,34 @@ def char_bigram_lm_scores(
     decimals and fixed as DECIMAL(18,6); per-doc totals are exact
     integer x decimal sums, so the only float op is the final single
     IEEE division (then round 6) — bit-equal across engines.
+
+    Bigram extraction is O(len) per row — code-point array once (see
+    ``char_array``), then one shifted ``zip_with`` — replacing the
+    round-8 ``transform(sequence)+substr`` form whose positional
+    substr is O(position) on UTF8Strings, i.e. O(len²) per document
+    (measured 6× slower at 5000-char docs and growing with length).
+    Round-9 plan-shape audit (SCALING.md): eight alternative shapes
+    were measured — char-grain join, dual-lineage model, broadcast
+    map + per-row fold (a trap: map ``element_at`` is a LINEAR scan,
+    O(alphabet²) per lookup), UTF-32 binary slicing, persist vs
+    checkpoint — and none beat this shape at sf0.1; its residual vs
+    the DuckDB twin is the serial two-job floor (the model broadcast
+    gates scoring), which amortizes at scale.
     """
     from openoa_spark.session import spread_small_input
 
     df = spread_small_input(df)
     c = F.col(text_col)
-    # guard: sequence(1, 0) would COUNT DOWN ([1, 0]) for docs with
-    # fewer than 2 chars — emit an empty array instead (explode drops)
+    ch = char_array(c)
+    n_ch = F.size(ch)
+    # guard: docs with fewer than 2 chars emit an empty array
+    # (explode drops them, matching the oracle's generate_series(1,0))
     grams = F.when(
         F.length(c) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.length(c) - 1),
-            lambda i: F.substring(c, i, F.lit(2)),
+        F.zip_with(
+            F.slice(ch, 1, n_ch - 1),
+            F.slice(ch, 2, n_ch - 1),
+            lambda x, y: F.concat(x, y),
         ),
     ).otherwise(F.array().cast("array<string>"))
     dc = (
@@ -1070,15 +1109,29 @@ LID_SMOOTH_V = 4096  # Laplace smoothing vocabulary size (fixed)
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """Array of character n-grams over the normalized text (lowercase,
     whitespace collapsed — spaces INCLUDED in the grams, the standard
-    LID convention). Pure array expression, no explode here."""
+    LID convention). Pure array expression, no explode here.
+
+    O(n·len) per row: code-point array once (:func:`char_array`),
+    then n-1 shifted ``zip_with`` passes — the same linear idiom as
+    :func:`word_ngrams`. Replaces transform(sequence)+substr, whose
+    positional substr is O(position) on UTF8Strings (O(len²) per
+    document — a corpus-scale bug for the LID's full-corpus apply
+    pass; see char_array's measured receipt)."""
     from openoa_spark.datapipe.dedup import normalize_text
 
     s = normalize_text(_c(col))
-    m = F.length(s) - (n - 1)
-    return F.when(
-        m >= 1,
-        F.transform(F.sequence(F.lit(1), m), lambda i: s.substr(i, F.lit(n))),
-    ).otherwise(F.array().cast("array<string>"))
+    ch = char_array(s)
+    g = ch
+    for k in range(1, n):
+        shifted = F.slice(ch, k + 1, F.greatest(F.size(ch) - k, F.lit(0)))
+        g = F.zip_with(
+            g,
+            shifted,
+            lambda a, b: F.when(a.isNotNull() & b.isNotNull(), F.concat(a, b)),
+        )
+    out = F.filter(g, lambda x: x.isNotNull()) if n > 1 else g
+    # preserve the old contract: NULL text -> empty array, not NULL
+    return F.coalesce(out, F.array().cast("array<string>"))
 
 
 def train_char_ngram_lid(
