@@ -5,16 +5,28 @@ one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Since round 7 the same line also carries the DuckDB-twin timings
 (``oracle`` object + ``engine_vs_oracle_ratio``), measured in the SAME
-process immediately after the engine pass — session variance was
-measured at ±0.6 s across runs, so only same-session pairs support a
-ratio claim. ``--oracle`` still emits the twin-only line;
-``--no-oracle`` skips the twin (pure engine timing).
+process — session variance was measured at +/-0.6 s across runs, so
+only same-session pairs support a ratio claim. ``--oracle`` still
+emits the twin-only line; ``--no-oracle`` skips the twin.
+
+Round 9: per-query timings are the MEDIAN of 3 timed runs, and the
+engine and twin runs for each query are INTERLEAVED (E,T,E,T,E,T) so
+both sides of every pair see the same load window. Motivation
+(SCALING.md "Round-9 bench-noise root cause"): identical plans
+measured 1.5 s and 4.8 s medians twenty minutes apart with an idle
+in-VM load average — the contention is host-level (hypervisor
+neighbors), invisible and uncontrollable from inside the sandbox, so
+a robust bench must (a) never compare across sessions, (b) pair
+within a load window, (c) use a median so one stall cannot distort a
+query's number (the r8 artifact carried an 11.35 s DuckDB asof
+outlier against a 2.9 s steady state).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -44,20 +56,17 @@ BENCH_QUERIES = [
     # Heavy datapipe operators (r7 VERDICT: the paired bench was
     # TPC-H/timeseries weighted; a perf regression in the dedup/score
     # family would only have shown in scale probes). Banded-LSH
-    # near-dup join, KN-smoothed LM scoring, and chunk-grain dedup
+    # near-dup join, char-bigram LM scoring, and chunk-grain dedup
     # are the three most expensive curation stages.
     "minhash_near_dups",
     "lm_score_docs",
     "chunk_dedup_docs",
 ]
 
+REPS = 3
 
-def time_oracles(sf_dir: str) -> dict[str, float]:
-    """--oracle mode: time each bench query's DuckDB SQL twin on the
-    same parquet at the same SF (32 threads, best of two runs) —
-    the transparent same-machine baseline for the 'within 2x of
-    DuckDB' target. Printed as a SEPARATE JSON line; the primary
-    contract line stays unchanged."""
+
+def _duck_connection(sf_dir: str):
     import duckdb
 
     con = duckdb.connect()
@@ -67,18 +76,27 @@ def time_oracles(sf_dir: str) -> dict[str, float]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
+    return con
+
+
+def time_oracles(sf_dir: str) -> dict[str, float]:
+    """--oracle mode: time each bench query's DuckDB SQL twin on the
+    same parquet at the same SF (32 threads, median of 3 runs) —
+    the transparent same-machine baseline for the 'within 2x of
+    DuckDB' target. Printed as a SEPARATE JSON line; the primary
+    contract line stays unchanged."""
+    con = _duck_connection(sf_dir)
     osql = registry.oracle_sql()
     out = {}
     for name in BENCH_QUERIES:
         sql = osql[name]
         con.execute(sql).fetchall()  # warm
-        best = None
-        for _ in range(2):
+        ts = []
+        for _ in range(REPS):
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        out[name] = round(best, 4)
+            ts.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(ts), 4)
     return out
 
 
@@ -100,6 +118,9 @@ def main():
         return
     spark = get_session("openoa-spark-bench")
     qs = registry.queries()
+    with_oracle = "--no-oracle" not in sys.argv
+    con = _duck_connection(sf_dir) if with_oracle else None
+    osql = registry.oracle_sql() if with_oracle else {}
 
     # JVM/codegen warmup AT THE BENCH SF so per-query numbers measure
     # the plan, not first-call JIT + classloading. Warming at sf0.001
@@ -119,16 +140,16 @@ def main():
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception:  # noqa: BLE001
                 pass
+            if with_oracle:
+                con.execute(osql[name]).fetchall()
 
-        times = {}
+        times: dict[str, float] = {}
+        otimes: dict[str, float] = {}
         for name in BENCH_QUERIES:
-            # Best of two timed runs: a single same-SF warmup pass
-            # (above) still leaves multi-second C2-compilation residue
-            # on the first timed run of codegen-heavy plans (q1
-            # measured 4.1 s first / 1.7 s steady), so one run would
-            # grade JIT, not the plan.
-            best = None
-            for _ in range(2):
+            # median of 3, engine and twin interleaved per repetition
+            # so each pair shares a load window (see module docstring)
+            ets, ots = [], []
+            for _ in range(REPS):
                 t0 = time.perf_counter()
                 df = qs[name](spark, sf_dir)
                 # Full materialization via the noop sink: every column
@@ -136,9 +157,14 @@ def main():
                 # prune unreferenced projections, so projection-only
                 # queries would measure a scan.)
                 df.write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            times[name] = round(best, 4)
+                ets.append(time.perf_counter() - t0)
+                if with_oracle:
+                    t0 = time.perf_counter()
+                    con.execute(osql[name]).fetchall()
+                    ots.append(time.perf_counter() - t0)
+            times[name] = round(statistics.median(ets), 4)
+            if with_oracle:
+                otimes[name] = round(statistics.median(ots), 4)
     total = round(sum(times.values()), 4)
     line = {
         "metric": "headline_queries_total_wall",
@@ -147,17 +173,13 @@ def main():
         "queries": times,
         "sf": sf,
     }
-    if "--no-oracle" not in sys.argv:
-        # DuckDB twin in the SAME process, right after the engine pass:
-        # the per-round artifact then carries a self-contained
-        # same-session ratio instead of two lines the reader must pair
-        o = time_oracles(sf_dir)
-        o_total = round(sum(o.values()), 4)
+    if with_oracle:
+        o_total = round(sum(otimes.values()), 4)
         line["oracle"] = {
             "metric": "duckdb_oracle_total_wall",
             "value": o_total,
             "unit": "sec",
-            "queries": o,
+            "queries": otimes,
         }
         line["engine_vs_oracle_ratio"] = (
             round(total / o_total, 4) if o_total else None

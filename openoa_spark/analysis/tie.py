@@ -421,9 +421,18 @@ class TurbineLongTermGrossEnergy:
                 "correction_threshold": _scalar(self.correction_threshold, 0.90),
             })
 
-        batch = int(sim_batch or self.sim_batch)
         n_total = len(inputs)
         base = self._base_flags().cache()
+        # memory-adaptive chunk size: the configured sim_batch is a
+        # CAP; at large row counts the chunk shrinks so the rows×sims
+        # fan-out fits the live heap (session.auto_sim_batch — r8
+        # probe OOM'd the fixed default at ×16 rows). count() also
+        # materializes the cache before the sim loop races it.
+        from openoa_spark.session import auto_sim_batch
+
+        batch = auto_sim_batch(
+            base.sparkSession, base.count(), int(sim_batch or self.sim_batch)
+        )
         gross = np.empty(n_total)
         lt = None
         try:

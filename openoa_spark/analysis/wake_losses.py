@@ -607,9 +607,18 @@ class WakeLosses:
         wd_index = np.arange(0.0, 360.0, self.wd_bin_width_LT_corr)
         # chunk the sims to bound the rows × sims fan-out per pass;
         # every pass computes all of its sims' results in ~7 jobs
-        # (vs ~10 jobs PER SIM in the per-sim loop this replaces)
-        for lo in range(0, n_sims, self.sim_batch):
-            chunk = specs[lo:lo + self.sim_batch]
+        # (vs ~10 jobs PER SIM in the per-sim loop this replaces).
+        # The configured sim_batch is a CAP: at large row counts the
+        # chunk shrinks so the fan-out fits the live heap
+        # (session.auto_sim_batch — the r8 ×16 probe OOM'd the fixed
+        # default here; results are bit-identical at any batch size)
+        from openoa_spark.session import auto_sim_batch
+
+        batch = auto_sim_batch(
+            self._base.sparkSession, self._base.count(), self.sim_batch
+        )
+        for lo in range(0, n_sims, batch):
+            chunk = specs[lo:lo + batch]
             plant_per_time, per_turb = self._sim_tables(chunk)
             plant_per_time = plant_per_time.cache()
             per_turb = per_turb.cache()

@@ -344,11 +344,18 @@ def grouped_exact_order_stats(
 ):
     """Several EXACT discrete percentiles per group in ONE bracket
     pass (2 scans total, however many quantiles) — each q keeps its
-    OWN bounded [approx(q−ε), approx(q+ε)] interior window, so memory
-    stays O(len(qs)·accuracy) per group rather than spanning the
-    inter-quantile range. The multi-boundary primitive for quantile
-    bucketing (CCNet head/middle/tail needs two boundaries; computing
-    them as two independent calls doubles the corpus scans)."""
+    OWN bounded [approx(q−ε), approx(q+ε)] interior window rather
+    than spanning the inter-quantile range. Memory per quantile per
+    group is O(n/accuracy): the bracket holds the ~2ε = 2/accuracy
+    quantile MASS plus approx_percentile rank slack, i.e. a constant
+    FRACTION of the group, not a constant count — at n = 10⁹ rows
+    and the default accuracy the bracket is ~10⁵-10⁶ rows (collected
+    per group into one collect_list window). For corpus-scale groups
+    raise ``accuracy`` proportionally (bracket ≈ 6·n/accuracy rows)
+    to keep the bracket bounded. The multi-boundary primitive for
+    quantile bucketing (CCNet head/middle/tail needs two boundaries;
+    computing them as two independent calls doubles the corpus
+    scans)."""
     if len(qs) != len(out_cols) or not qs:
         raise ValueError("qs and out_cols must be same nonzero length")
     for q in qs:

@@ -480,12 +480,26 @@ def impute_all_assets_by_correlation(
             ).alias("_icpt"),
         )
     else:
+        # same relative-epsilon cutoff as the grouped decimal path:
+        # var_samp(x)·(n−1) vs Σx² is the ungrouped spelling of
+        # |n·Σx² − (Σx)²| vs |n·Σx²|, so both paths classify a
+        # near-constant neighbor identically — NULL slope, gap left
+        # unfilled — instead of the float path fitting a slope the
+        # grouped path refuses (r8 ADVICE: grouped-vs-ungrouped seam)
+        _vs = F.var_samp(x)
+        _n = F.count(F.lit(1)).cast("double")
+        _sxx = F.sum(x * x)
+        _slope_u = F.when(
+            (_n >= 2.0)
+            & (F.abs(_vs * (_n - 1.0)) > F.lit(1e-9) * F.abs(_sxx)),
+            F.covar_samp(x, y) / _vs,
+        )
         fits = (
             j.where(y.isNotNull() & x.isNotNull())
             .groupBy(asset_col)
             .agg(
-                (F.covar_samp(x, y) / F.var_samp(x)).alias("_slope"),
-                (F.avg(y) - (F.covar_samp(x, y) / F.var_samp(x)) * F.avg(x)).alias("_icpt"),
+                _slope_u.alias("_slope"),
+                (F.avg(y) - _slope_u * F.avg(x)).alias("_icpt"),
             )
         )
     out = j.join(F.broadcast(fits), g + [asset_col], "left")

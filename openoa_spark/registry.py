@@ -1359,9 +1359,16 @@ def minhash_near_dups(spark, sf_dir):
 
 
 def _simhash_sql(bits: int) -> str:
+    # bit 63 is the BIGINT sign bit: the engine folds it in as
+    # -(2**63) (see dedup.simhash), and 2**63 itself overflows the
+    # CAST ... AS BIGINT below — mirror the engine's signed weight so
+    # a future bits>=64 twin can't silently diverge (r8 ADVICE)
+    assert bits <= 64, "simhash is a 64-bit signature"
+    def _w(b: int) -> int:
+        return -(2 ** 63) if b == 63 else 2 ** b
     bit_terms = "\n         + ".join(
         f"(CASE WHEN 2 * len(list_filter(hs, x -> ((x >> {b}) & 1) = 1)) > n"
-        f" THEN {2 ** b} ELSE 0 END)"
+        f" THEN {_w(b)} ELSE 0 END)"
         for b in range(bits)
     )
     return f"""

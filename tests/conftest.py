@@ -101,12 +101,20 @@ def pytest_collection_modifyitems(config, items):
     # fail loudly if a listed test was renamed/moved (a silent miss
     # would quietly promote a 100s test into the quick tier). Only
     # enforced on unfiltered collections: -k/-m/path selections
-    # legitimately collect a subset.
+    # legitimately collect a subset. On a FULL collection a missing
+    # module is just as loud as a missing test — excusing absent
+    # module basenames there (the pre-round-9 behavior) let a renamed
+    # test FILE silently promote all of its slow tests into the quick
+    # tier (r8 ADVICE).
     filtered = bool(config.option.keyword) or bool(config.option.markexpr)
-    missing = SLOW_TESTS - seen - {
-        k for k in SLOW_TESTS if k.split("::")[0] not in {
-            i.fspath.basename for i in items
+    full_collection = len(items) > 400
+    missing = SLOW_TESTS - seen
+    if not full_collection:
+        # partial path selections legitimately omit whole modules
+        missing -= {
+            k for k in SLOW_TESTS if k.split("::")[0] not in {
+                i.fspath.basename for i in items
+            }
         }
-    }
-    if not filtered and len(items) > 400 and missing:
+    if not filtered and full_collection and missing:
         raise pytest.UsageError(f"SLOW_TESTS entries not collected: {sorted(missing)}")
