@@ -8711,7 +8711,139 @@ def lid_trained_heldout_accuracy(spark, sf_dir):
     )
 
 
+# ================================================================
+# 18. Streaming-operator batch seams (round 9, r8 verdict item 7):
+#     the deterministic streaming transformations — stream_resample
+#     (windowed agg) and stream_sessionize (session_window) — are
+#     run HERE in batch execution mode (withWatermark is a no-op on
+#     batch frames; window()/session_window() are mode-agnostic), so
+#     the EXACT streaming expression tree gets a DuckDB oracle. The
+#     incremental-execution half of the claim is pinned by
+#     tests/test_streaming.py::test_stream_resample_matches_batch /
+#     test_stream_sessionize_matches_batch (micro-batch == batch) and
+#     the crash-replay idempotence tests; together the streaming
+#     semantics inherit oracle coverage transitively. stream_dedup
+#     has no batch mode (dropDuplicatesWithinWatermark is
+#     streaming-only) — its first-arrival-wins parity against
+#     datapipe.dedup.exact_dedup (oracle-covered: exact_dedup_docs)
+#     is pinned by test_stream_dedup_first_wins.
+# ================================================================
+
+@register(
+    "stream_resample_hourly_batch",
+    """
+    SELECT date_trunc('hour', ts) AS ts,
+           event_type,
+           ROUND(SUM(value), 6) AS sum_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_resample_hourly_batch(spark, sf_dir):
+    """The ACTUAL streaming windowed-aggregation operator
+    (streaming/ingest.stream_resample: watermark + tumbling
+    event-time window) executed in batch mode — window(3600s) aligns
+    to epoch-hour boundaries, so the oracle is a date_trunc rollup.
+    Micro-batch == batch is pinned by
+    test_stream_resample_matches_batch; this row gives the same
+    expression tree a value-level DuckDB check."""
+    from openoa_spark.streaming import ingest
+
+    ev = _t(spark, sf_dir, "events")
+    out = ingest.stream_resample(
+        ev, "ts", 3600,
+        {"sum_value": F.round(F.sum("value"), 6),
+         "n_events": F.count(F.lit(1))},
+        keys=["event_type"],
+    )
+    return out.select("ts", "event_type", "sum_value", "n_events")
+
+
+@register(
+    "stream_sessionize_events_batch",
+    """
+    WITH d AS (
+      SELECT user_id, ts,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+               AS delta_us
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             CAST(SUM(CASE WHEN delta_us IS NULL OR delta_us >= 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_id
+      FROM d
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 1800 SECOND AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def stream_sessionize_events_batch(spark, sf_dir):
+    """The ACTUAL streaming session operator
+    (streaming/ingest.stream_sessionize: watermark + native
+    session_window) executed in batch mode. session_window merges
+    events while the inter-event delta < gap and OPENS a session at
+    delta >= gap (the boundary the operator's docstring documents as
+    differing from the batch sessionize's delta > gap), and a
+    session's end is last_event + gap — the oracle replays exactly
+    those semantics with a lag/cumsum session id. Micro-batch ==
+    batch is pinned by test_stream_sessionize_matches_batch."""
+    from openoa_spark.streaming import ingest
+
+    ev = _t(spark, sf_dir, "events")
+    out = ingest.stream_sessionize(
+        ev, "ts", ["user_id"], gap_seconds=1800.0,
+        aggs={"n_events": F.count(F.lit(1))},
+    )
+    return out.select("user_id", "session_start", "session_end", "n_events")
+
+
 _PRIORITY = [
+    # ---- ROUND 9 window (policy: plan-changed this round, then
+    # brand-new, then longest-unchecked fill) ----
+    # (1) Plan changed this round: char n-gram extraction went
+    # linear (text.char_array + zip_with — lm scorer, perplexity
+    # buckets, trained LID), chunk_dedup dropped its chunk-table
+    # checkpoint, and the ungrouped impute fit gained the grouped
+    # path's relative zero-variance cutoff.
+    "lm_score_docs", "ccnet_perplexity_buckets", "chunk_dedup_docs",
+    "lid_trained_profiles", "lid_trained_heldout_accuracy",
+    "impute_best_neighbor",
+    # (2) Brand-new: the streaming-operator batch seams (the ACTUAL
+    # stream_resample / stream_sessionize expression trees run in
+    # batch mode — r8 verdict item 7).
+    "stream_resample_hourly_batch", "stream_sessionize_events_batch",
+    # (3) Longest-unchecked fill: the COMPLETE r4 cohort (27 queries
+    # whose latest driver row is round 4 — after this window every
+    # registry query's latest driver row is <= 5 rounds old), then
+    # the oldest 15 of the r5 cohort alphabetically.
+    "grouping_sets_revenue", "hourly_active_users",
+    "interpolate_user_values", "latest_event_per_user",
+    "lineitem_corr_matrix", "mad_by_type", "modal_event_type_per_user",
+    "monthly_revenue_growth", "near_dup_edit_verified",
+    "ohlc_daily_user", "pack_blocks_docs", "percent_rank_daily_user_value",
+    "profile_events", "q12_priority_counts", "quantity_weighted_avg_price",
+    "rabin_karp_fingerprints", "redact_docs", "seasonal_residual_outliers",
+    "state_islands", "stratified_sample_lang", "tokenized_user_activity",
+    "top_ngram_repetition_docs", "top_session_paths", "user_value_trend",
+    "value_drift_psi", "value_moments_by_type", "winsorized_quantity_stats",
+    "ann_recall_lsh", "asof_tolerance_hourly_value", "benford_first_digit",
+    "bin_filter_lineitem", "bloom_decontaminate_docs",
+    "boilerplate_segment_removal_docs", "bpe_merges_docs",
+    "bpe_token_counts", "bpe_token_counts_learned",
+    "cluster_balanced_sample_vecs", "cluster_lang_profile",
+    "common_ngram_docs", "corpus_version_diff",
+    "describe_quantity_by_flag", "dow_hour_heatmap",
+]
+
+_PRIORITY_R8 = [
     # ---- ROUND 8 window (policy: brand-new, then plan-changed this
     # round, then longest-unchecked fill) ----
     # (1) Brand-new: the deterministic-Lloyd Mahalanobis cluster
