@@ -94,7 +94,7 @@ def auto_sim_batch(
     spark,
     n_rows: int,
     cap: int,
-    row_width_bytes: int = 160,
+    row_width_bytes: int = 400,
     budget_fraction: float = 0.3,
     heap_bytes: int | None = None,
 ) -> int:
@@ -115,8 +115,16 @@ def auto_sim_batch(
     - ``budget_fraction`` reserves the rest for shuffle buffers, the
       base-table cache, and concurrent task overheads (0.3 ≈ half of
       spark.memory.fraction's 0.6 execution/storage share).
-    - ``row_width_bytes`` is the UnsafeRow + agg-buffer footprint of
-      one exploded sim row (~10-20 numeric columns).
+    - ``row_width_bytes`` is the HEAP footprint one exploded sim row
+      drags through the chunk pass — not just its UnsafeRow (~160 B
+      for 10-20 numeric columns) but its share of the cached derived
+      tables (wake caches BOTH plant-grain and turbine-grain frames
+      per chunk) and the concurrent agg/sort buffers. Calibrated
+      empirically on the wake ×16 probe (640k-row base, 8 GiB heap):
+      batch 25 (the fixed r8 default) OOM'd; batch 12 completed with
+      a measured 7.31 GiB peak — an effective ~310 B/row at the 0.3
+      budget. The 400 B default sizes the same case to batch 9,
+      keeping ~15% heap headroom for host jitter.
     - ``cap`` is the user's configured sim_batch: the auto value only
       ever SHRINKS the chunk (keeping small-data behavior and all
       pinned batched==per-sim identities unchanged), and the result
