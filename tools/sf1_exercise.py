@@ -68,7 +68,12 @@ def leg_curate(spark, d):
 
     docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
     t0 = time.perf_counter()
-    clean, ledger = curate_corpus(docs, CurationConfig(), report=True)
+    # gopher_rules OFF: the synthetic corpus contains no English
+    # stopwords, so the required-stopword gate empties it at ANY
+    # scale (measured: pass_stopwords = 0/5000 on base sf0.1) — with
+    # it on, the downstream dedup stages would exercise nothing
+    cfg = CurationConfig(gopher_rules=False)
+    clean, ledger = curate_corpus(docs, cfg, report=True)
     n = clean.count()
     return {"wall_s": round(time.perf_counter() - t0, 2),
             "survivors": n, "ledger": ledger}
@@ -128,7 +133,7 @@ def leg_aep(spark, d, num_sim=100):
     t2 = time.perf_counter()
     return {"prepare_s": round(t1 - t0, 2), "run_s": round(t2 - t1, 2),
             "num_sim": num_sim,
-            "aep_gwh_mean": round(float(np.mean(res.aep_GWh)), 3)}
+            "aep_gwh_mean": round(res.aep_mean, 3)}
 
 
 def main():
@@ -141,9 +146,10 @@ def main():
     poller = HeapPoller(spark)
     poller.start()
     out = {"factor": factor, "base": "sf0.1", "build_s": build_s}
-    out["curate"] = leg_curate(spark, d)
-    out["near_dedup"] = leg_near_dedup(spark, d)
-    out["aep"] = leg_aep(spark, d)
+    for leg, fn in (("curate", leg_curate), ("near_dedup", leg_near_dedup),
+                    ("aep", leg_aep)):
+        out[leg] = fn(spark, d)
+        print(f"# {leg}: {json.dumps(out[leg])}", file=sys.stderr, flush=True)
     poller.stop()
     out["peak_heap_gib"] = round(poller.peak_used / (1 << 30), 2)
     out["max_heap_gib"] = round(poller.max_heap / (1 << 30), 2)
