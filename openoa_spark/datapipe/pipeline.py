@@ -10,13 +10,22 @@ then near-dup clustering, then decontamination, then deterministic
 sampling — so the expensive similarity stages see the smallest
 possible corpus.
 
-Counting note: each stage boundary is counted once (`count()` actions
-on the lineage-cut intermediate); at production scale prefer
-``report=False`` to skip the counting jobs entirely — composition is
-lazy end-to-end.
+Counting note (r9 verdict item 4): the ledger is count-only — each
+stage boundary contributes a one-row COUNT aggregate branch to a
+single union job, so ``report=True`` pins NO per-stage survivor frame
+(the pre-r10 design eagerly localCheckpointed every stage — N
+corpus-sized storage pins). Shared stage prefixes inside the union
+job dedupe at every exchange boundary (ReuseExchange), and only the
+FINAL survivor frame is checkpointed (output-sized — the ledger
+action already paid the chain execution, so the caller's next action
+reads blocks instead of re-running curation). At production scale
+``report=False`` still skips all counting — composition is lazy
+end-to-end.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from dataclasses import dataclass, field
 
@@ -53,6 +62,13 @@ class CurationConfig:
     # boilerplate-removal settings
     boilerplate_width: int = 2
     boilerplate_min_doc_pct: int = 5
+    # zero-survivor guard (r9 verdict item 5): with report=True, warn
+    # loudly when a stage's survivors/input ratio is <= this (0.0 =
+    # only total wipe-outs). The canonical trap: the Gopher
+    # required-stopword gate silently empties any corpus without
+    # English stopwords (non-English, code, synthetic) — the warning
+    # names the stage and, for gopher, the dominant failed flag.
+    warn_survivor_frac: float = 0.0
 
 
 def curate_corpus(
@@ -67,15 +83,41 @@ def curate_corpus(
     remove_boilerplate and bloom_decontam stages still run their
     bounded statistics jobs at BUILD time — the boilerplate table and
     bloom bitmap are collected driver-side by design).
+
+    Ledger mechanics: each stage boundary registers a lazy ONE-ROW
+    count-aggregate branch; a single union job at the end fills the
+    whole ledger (no per-stage survivor frame is ever pinned — see
+    the module docstring). With ``report=True`` any stage whose
+    survivor fraction drops to ``cfg.warn_survivor_frac`` or below
+    triggers a loud ``RuntimeWarning`` naming the stage — and for the
+    gopher stage the dominant failed flag, computed from per-flag
+    pass counts carried on the same ledger branch.
     """
     cfg = config or CurationConfig()
     t, i = cfg.text_col, cfg.id_col
     ledger: list[tuple[str, int]] = []
+    # (stage, one-row lazy agg branch: stage/rows/detail, custom?) —
+    # detail is a map<string,bigint> of per-flag pass counts (gopher
+    # only; custom branches always run in the union so the detail is
+    # never lost to the final-count shortcut)
+    branches: list[tuple[str, DataFrame, bool]] = []
+    _no_detail = F.lit(None).cast("map<string,bigint>")
 
-    def note(stage: str, frame: DataFrame) -> DataFrame:
+    def note(
+        stage: str, frame: DataFrame, branch: DataFrame | None = None
+    ) -> DataFrame:
         if report:
-            frame = frame.localCheckpoint(eager=True)
-            ledger.append((stage, frame.count()))
+            branches.append((
+                stage,
+                branch
+                if branch is not None
+                else frame.agg(
+                    F.lit(stage).alias("stage"),
+                    F.count(F.lit(1)).cast("long").alias("rows"),
+                    _no_detail.alias("detail"),
+                ),
+                branch is not None,
+            ))
         return frame
 
     out = note("input", df)
@@ -103,17 +145,32 @@ def curate_corpus(
 
     if cfg.gopher_rules:
         g = F.col("_g")
-        out = (
-            out.withColumn("_g", _text.gopher_flags(t))
-            .where(
-                g["pass_word_count"]
-                & g["pass_mean_word_len"]
-                & g["pass_alpha_ratio"]
-                & g["pass_stopwords"]
-            )
-            .drop("_g")
+        flags = (
+            "pass_word_count", "pass_mean_word_len",
+            "pass_alpha_ratio", "pass_stopwords",
         )
-        out = note("gopher_rules", out)
+        gf = out.withColumn("_g", _text.gopher_flags(t))
+        all_pass = g[flags[0]]
+        for fl in flags[1:]:
+            all_pass = all_pass & g[fl]
+        # the ledger branch aggregates the PRE-filter frame once:
+        # survivors (= the stage count) plus per-flag pass counts, so
+        # a wipe-out warning can name the dominant failed flag
+        branch = gf.agg(
+            F.lit("gopher_rules").alias("stage"),
+            F.coalesce(F.sum(all_pass.cast("long")), F.lit(0))
+            .cast("long").alias("rows"),
+            F.map_from_arrays(
+                F.array(*[F.lit(fl) for fl in flags]),
+                F.array(*[
+                    F.coalesce(F.sum(g[fl].cast("long")), F.lit(0))
+                    .cast("long")
+                    for fl in flags
+                ]),
+            ).alias("detail"),
+        )
+        out = gf.where(all_pass).drop("_g")
+        out = note("gopher_rules", out, branch=branch)
 
     if cfg.max_top_bigram_frac is not None:
         rep = _text.top_ngram_char_frac(out, t, i, n=2)
@@ -167,6 +224,56 @@ def curate_corpus(
     if cfg.sample_fraction is not None:
         out = _sampling.hash_sample(out, i, cfg.sample_fraction)
         out = note("hash_sample", out)
+
+    if report:
+        # one chain execution, pinned at OUTPUT size only — the
+        # caller's next action reads blocks instead of re-curating
+        out = out.localCheckpoint(eager=True)
+        # the final stage's count comes free from the checkpoint
+        # (unless its branch carries detail); all other one-row
+        # branches fill in ONE union job (shared stage prefixes
+        # dedupe at every exchange via ReuseExchange)
+        counts: dict[str, tuple[int, dict | None]] = {}
+        in_union = branches
+        if not branches[-1][2]:
+            counts[branches[-1][0]] = (out.count(), None)
+            in_union = branches[:-1]
+        if in_union:
+            u = in_union[0][1]
+            for _, b, _c in in_union[1:]:
+                u = u.unionAll(b)
+            for r in u.collect():
+                counts[r["stage"]] = (
+                    int(r["rows"]),
+                    dict(r["detail"]) if r["detail"] is not None else None,
+                )
+        prev = None
+        for stage, _b, _c in branches:
+            n, detail = counts[stage]
+            ledger.append((stage, n))
+            if (
+                prev is not None
+                and prev > 0
+                and n <= cfg.warn_survivor_frac * prev
+            ):
+                hint = ""
+                if detail:
+                    worst = min(detail, key=lambda k: (detail[k], k))
+                    hint = (
+                        f" (dominant failed flag: {worst} — only "
+                        f"{detail[worst]}/{prev} rows pass; a corpus "
+                        "without English stopwords needs "
+                        "gopher_rules=False or custom stopwords)"
+                    )
+                warnings.warn(
+                    f"curate_corpus: stage '{stage}' removed "
+                    f"{prev - n}/{prev} rows — survivors {n} are at or "
+                    f"below warn_survivor_frac="
+                    f"{cfg.warn_survivor_frac}{hint}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            prev = n
 
     return out, ledger
 

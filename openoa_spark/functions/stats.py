@@ -675,15 +675,32 @@ def keyed_row_number(
         bucket = bucket + F.when(o > F.lit(e), 1).otherwise(0)
     bb = df.withColumn("_rnb", bucket)
     cnt = bb.groupBy(*keys, "_rnb").agg(F.count(F.lit(1)).alias("_c"))
-    w_b = (
-        Window.partitionBy(*[F.col(k) for k in keys])
-        .orderBy("_rnb")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    boff = cnt.select(
-        *keys, "_rnb",
-        F.coalesce(F.sum("_c").over(w_b), F.lit(0)).alias("_boff"),
-    )
+    if keys:
+        w_b = (
+            Window.partitionBy(*[F.col(k) for k in keys])
+            .orderBy("_rnb")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        boff = cnt.select(
+            *keys, "_rnb",
+            F.coalesce(F.sum("_c").over(w_b), F.lit(0)).alias("_boff"),
+        )
+    else:
+        # keys=[] would make w_b a keyless window — harmless here
+        # (cnt is ≤ n_buckets rows) but it trips WindowExec's
+        # single-partition warning and the plan lint; a broadcast
+        # triangular self-join over the bounded bucket table computes
+        # the same exclusive prefix without any window
+        c2 = cnt.select(
+            F.col("_rnb").alias("_rnb2"), F.col("_c").alias("_c2")
+        )
+        boff = (
+            cnt.join(
+                F.broadcast(c2), F.col("_rnb2") < F.col("_rnb"), "left"
+            )
+            .groupBy("_rnb")
+            .agg(F.coalesce(F.sum("_c2"), F.lit(0)).alias("_boff"))
+        )
     w_in = Window.partitionBy(*[F.col(k) for k in keys], F.col("_rnb")).orderBy(
         order_col
     )
@@ -692,6 +709,47 @@ def keyed_row_number(
         .withColumn(out_col, F.col("_boff") + F.row_number().over(w_in))
         .drop("_rnb", "_boff")
     )
+
+
+def _exact_floordiv(a: Column, b: Column) -> Column:
+    """Exact ``a div b`` for non-negative integer columns: ``a % b``
+    is exact on longs, and ``(a - a % b) / b`` is an integer whose
+    double representation is exact below 2^53 — row-count grain, so
+    always (Spark's ``/`` on integral types goes through double;
+    a bare ``F.floor(a / b)`` could round the quotient up across the
+    integer boundary for very large a)."""
+    return ((a - a % b) / b).cast("long")
+
+
+def ntile_from_rank(rank: Column, n: Column, n_tiles: int) -> Column:
+    """Closed-form ``NTILE(n_tiles)`` bucket from a 1-based global
+    rank and the total row count — SQL NTILE semantics exactly (the
+    first ``n % t`` buckets get ``floor(n/t) + 1`` rows, the rest
+    ``floor(n/t)``), as pure Column math with no window.
+
+    Pair with :func:`keyed_row_number` (``keys=[]``) to replace a
+    keyless ``ntile() OVER (ORDER BY …)`` — the one window shape AQE
+    can never split (a window partition is the unit of parallelism,
+    so a global ntile serializes the whole table onto one task).
+    ``rank`` must be the 1-based position in the SAME total order the
+    ntile would sort by (tie-break to uniqueness first), ``n`` the
+    total count (typically a one-row aggregate cross-broadcast in)."""
+    t = F.lit(int(n_tiles))
+    r = rank.cast("long")
+    nn = n.cast("long")
+    q = _exact_floordiv(nn, t)          # base bucket size
+    rem = nn % t                        # first `rem` buckets get q+1
+    big = q + F.lit(1)
+    cut = rem * big                     # rows covered by the big buckets
+    # integer ceil(a/b) = (a + b - 1) div b; guard q = 0 (n < t: all
+    # rows land in the big branch since cut = n there, but Spark still
+    # type-checks the dead division)
+    safe_q = F.greatest(q, F.lit(1))
+    in_big = r <= cut
+    bucket = F.when(
+        in_big, _exact_floordiv(r + big - F.lit(1), big)
+    ).otherwise(rem + _exact_floordiv(r - cut + safe_q - F.lit(1), safe_q))
+    return bucket.cast("int")
 
 
 # cumulative Poisson(1) CDF (k = 0..7; the 1e-5 tail maps to k = 8):

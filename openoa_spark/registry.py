@@ -11,6 +11,8 @@ Cross-engine determinism rules (see functions/stats.py):
 
 from __future__ import annotations
 
+import datetime
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -6320,32 +6322,64 @@ def lineitem_corr_matrix(spark, sf_dir):
 )
 def customer_rfm_segments(spark, sf_dir):
     """RFM (recency/frequency/monetary) quartile segmentation — the
-    standard customer-scoring shape. The fact scan reduces to one row
-    per customer first (hash aggregate, decimal-exact monetary), so
-    the three ntile windows run over the customer table, not the
-    orders log; customer-id tiebreaks make every quartile boundary
-    engine-deterministic. At 10⁹ customers the global ntile would be
-    the next bottleneck — the documented scale path is quantile-bucket
-    boundaries (sources/sinks.write_zordered uses the same idea), but
-    quartiles-by-sort is exact and correct at dimension grain."""
+    standard customer-scoring shape, WITHOUT the standard keyless
+    ``ntile() OVER (ORDER BY …)``: a window partition is the unit AQE
+    cannot split, so a global ntile serializes the whole customer
+    table onto one task — and in this engine's 100-TB story the user
+    table grows with the corpus (r9 verdict item 3). Instead each
+    metric is tie-broken into a UNIQUE numeric composite
+    (metric·10¹² + custkey — the exact order NTILE's
+    ``ORDER BY metric, o_custkey`` sorts by), globally ranked by
+    :func:`keyed_row_number` (grid-bucketed: per-bucket windows plus a
+    ≤64-row bucket-offset prefix — no unbounded single partition), and
+    the NTILE bucket recovered closed-form from (rank, total) via
+    :func:`ntile_from_rank`. Boundary ties are pinned: the composite
+    is unique, so every quartile edge is engine-deterministic. The
+    fact scan still reduces to one row per customer first (hash
+    aggregate, decimal-exact monetary); identical aggregate subtrees
+    across the three rank branches are deduped by ReuseExchange."""
+    from openoa_spark.functions.stats import (
+        keyed_row_number,
+        ntile_from_rank,
+    )
+
     o = _t(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         dsum("o_totalprice").alias("monetary"),
     )
-    return rfm.select(
-        F.ntile(4)
-        .over(Window.orderBy("last_order", "o_custkey"))
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy("frequency", "o_custkey"))
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy("monetary", "o_custkey"))
-        .alias("m_quartile"),
-        "o_custkey",
-        "frequency",
+    n_df = rfm.agg(F.count(F.lit(1)).alias("_n"))
+
+    def quartile(metric_int: Column, out: str):
+        # metric·10¹² + custkey: exact in decimal(38,0), unique, and
+        # order-identical to (metric ASC, o_custkey ASC)
+        comp = (
+            metric_int.cast("decimal(38,0)") * F.lit(10**12)
+            + F.col("o_custkey")
+        ).cast("decimal(38,0)")
+        d = rfm.select("o_custkey", comp.alias("_ord"))
+        ranked = keyed_row_number(d, [], "_ord", "_gr")
+        return ranked.crossJoin(F.broadcast(n_df)).select(
+            "o_custkey",
+            ntile_from_rank(F.col("_gr"), F.col("_n"), 4).alias(out),
+        )
+
+    r_q = quartile(
+        F.datediff("last_order", F.lit(datetime.date(1970, 1, 1))),
+        "r_quartile",
+    )
+    f_q = quartile(F.col("frequency"), "f_quartile")
+    m_q = quartile(F.col("monetary") * F.lit(100), "m_quartile")
+    return (
+        rfm.select("o_custkey", "frequency")
+        .join(r_q, "o_custkey")
+        .join(f_q, "o_custkey")
+        .join(m_q, "o_custkey")
+        .select(
+            "r_quartile", "f_quartile", "m_quartile",
+            "o_custkey", "frequency",
+        )
     )
 
 
@@ -8806,6 +8840,42 @@ def stream_sessionize_events_batch(spark, sf_dir):
 
 
 _PRIORITY = [
+    # ---- ROUND 10 window (policy: plan-changed this round, then
+    # longest-unchecked fill) ----
+    # (1) Plan changed this round: customer_rfm_segments dropped its
+    # three keyless ntile windows (keyed_row_number + closed-form
+    # ntile_from_rank — r9 verdict item 3); token_budget_selection
+    # rides keyed_row_number too (its keys-nonempty path is unchanged,
+    # re-proven as insurance).
+    "customer_rfm_segments", "token_budget_selection",
+    # (2) Longest-unchecked fill: the COMPLETE r5 cohort (the
+    # remaining 34 queries whose latest driver row is round 5 — after
+    # this window every registry query's latest driver row is <= 4
+    # rounds old), then the oldest 14 of the r6 cohort alphabetically.
+    "embedding_near_dedup_vecs", "embedding_norm_outliers",
+    "extrapolated_windspeed", "feet_to_meter_part", "hampel_outliers",
+    "hash_sample_docs", "interarrival_histogram",
+    "intersect_both_halves_users", "kmeans_cluster_profile",
+    "kmeans_embedding_clusters", "ks_value_drift",
+    "lang_metadata_mismatch", "lang_sampling_weights",
+    "logistic5_capped_power_values", "lsh_knn_topk",
+    "median_price_by_flag", "median_value_by_user",
+    "minhash_star_near_dups", "near_dup_cluster_sizes",
+    "ngram_novelty_by_slice", "p90_price_by_flag", "pii_redaction_docs",
+    "price_histogram", "quality_score_docs", "repetition_ratio_docs",
+    "semantic_dedup_vecs", "simhash_near_dups",
+    "top3_docs_per_source", "train_val_test_split_docs",
+    "uv_components", "veer_values", "vocab_coverage_90",
+    "weighted_sample_docs",
+    "aep_monthly_meter_prep", "air_density", "asof_hourly_value",
+    "asset_direction_pairs", "asset_distance_pairs", "avg_word_lengths",
+    "calendar_hour_profile", "circular_mean_by_type", "cohort_retention",
+    "cosine_topk", "cumulative_sum_per_user", "doc_fingerprints",
+    "duplicate_minutes", "elosses_daily_coverage_energy",
+    "embedding_int8_quantization",
+]
+
+_PRIORITY_R9 = [
     # ---- ROUND 9 window (policy: plan-changed this round, then
     # brand-new, then longest-unchecked fill) ----
     # (1) Plan changed this round: char n-gram extraction went

@@ -1,3 +1,5 @@
+import pathlib
+
 import pytest
 
 from hypothesis import settings as _hyp_settings
@@ -100,21 +102,20 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.quick)
     # fail loudly if a listed test was renamed/moved (a silent miss
     # would quietly promote a 100s test into the quick tier). Only
-    # enforced on unfiltered collections: -k/-m/path selections
-    # legitimately collect a subset. On a FULL collection a missing
-    # module is just as loud as a missing test — excusing absent
-    # module basenames there (the pre-round-9 behavior) let a renamed
-    # test FILE silently promote all of its slow tests into the quick
-    # tier (r8 ADVICE).
+    # enforced on unfiltered FULL collections: -k/-m/path selections
+    # legitimately collect a subset. Full collection is detected
+    # STRUCTURALLY (every positional arg is a directory at-or-above
+    # tests/), not by item count — a count heuristic would spuriously
+    # fire on large partial selections and excuse small full ones
+    # (r9 ADVICE).
     filtered = bool(config.option.keyword) or bool(config.option.markexpr)
-    full_collection = len(items) > 400
+    tests_dir = pathlib.Path(__file__).parent.resolve()
+
+    def _covers_all_tests(arg: str) -> bool:
+        p = pathlib.Path(arg.split("::")[0]).resolve()
+        return p.is_dir() and (p == tests_dir or p in tests_dir.parents)
+
+    full_collection = all(_covers_all_tests(a) for a in config.args)
     missing = SLOW_TESTS - seen
-    if not full_collection:
-        # partial path selections legitimately omit whole modules
-        missing -= {
-            k for k in SLOW_TESTS if k.split("::")[0] not in {
-                i.fspath.basename for i in items
-            }
-        }
     if not filtered and full_collection and missing:
         raise pytest.UsageError(f"SLOW_TESTS entries not collected: {sorted(missing)}")

@@ -1174,6 +1174,58 @@ def test_curate_corpus_pipeline(spark):
     assert sorted(r["doc_id"] for r in out2.collect()) == [1, 2]
 
 
+def test_curate_corpus_zero_survivor_warning(spark):
+    """The Gopher trap (r9 verdict item 5): a corpus without English
+    stopwords is silently emptied by the required-stopword gate. With
+    report=True the ledger must now raise a loud RuntimeWarning naming
+    the wiped-out stage AND the dominant failed flag, instead of
+    handing back an empty frame with no explanation."""
+    import warnings as w
+
+    from openoa_spark.datapipe.pipeline import CurationConfig, curate_corpus
+
+    # 60-word docs pass every gopher rule EXCEPT pass_stopwords
+    rows = [
+        (j, " ".join(f"token{k}" for k in range(60))) for j in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        out, ledger = curate_corpus(
+            df,
+            CurationConfig(
+                near_dedup=False, benchmark_texts=[],
+                max_top_bigram_frac=None,
+            ),
+        )
+    assert dict(ledger)["gopher_rules"] == 0
+    assert out.count() == 0
+    msgs = [str(c.message) for c in caught
+            if issubclass(c.category, RuntimeWarning)]
+    hit = [m for m in msgs if "gopher_rules" in m]
+    assert hit, f"no wipe-out warning raised; warnings seen: {msgs}"
+    assert "pass_stopwords" in hit[0], hit[0]
+
+    # a healthy chain raises nothing
+    good = ("the band went to the show and that was a fine evening "
+            "with plenty of room to spare for all of them " * 3)
+    ok_df = spark.createDataFrame(
+        [(1, good), (2, good + " extra words here")], ["doc_id", "text"]
+    )
+    with w.catch_warnings(record=True) as caught2:
+        w.simplefilter("always")
+        curate_corpus(
+            ok_df,
+            CurationConfig(
+                near_dedup=False, benchmark_texts=[],
+                max_top_bigram_frac=None,
+            ),
+        )
+    assert not [c for c in caught2
+                if issubclass(c.category, RuntimeWarning)
+                and "curate_corpus" in str(c.message)]
+
+
 def test_minhash_band_bucket_cap_bounds_hot_template(spark):
     """Adversarial LSH skew: when a large slice of the corpus shares
     one template, every copy lands in the same band bucket and the

@@ -77,6 +77,30 @@ ALLOWED_CARTESIAN = {
     # table (5 rows) so out-of-profile floor scores exist for every
     # (doc, lang) — the dimension-broadcast pattern, not a fact join
     "lid_trained_heldout_accuracy",
+    # one-row total-count scalar broadcast (ntile_from_rank's n) plus
+    # keyed_row_number's ≤64-row triangular bucket-offset self-join
+    "customer_rfm_segments",
+}
+
+# Queries whose plan legitimately contains a KEYLESS window (the one
+# shape AQE can never split): each runs over a provably bounded-grain
+# frame, never a fact-rooted one — the same justification discipline
+# as ALLOWED_CARTESIAN (r9 verdict item 7).
+ALLOWED_KEYLESS_WINDOW = {
+    # lag over the per-month aggregate — O(months) rows by construction
+    "monthly_revenue_growth",
+    # cumsum over the delta-histogram bucket table (≤ |distinct
+    # rounded deltas|, bounded by the sampling-frequency alphabet)
+    "infer_frequency",
+    # offset prefix over the (count, 2-char-prefix) group table —
+    # orders of magnitude below vocabulary grain (see its docstring)
+    "zipf_slope",
+    # rank decomposition: the keyless cumsum runs over the DISTINCT
+    # n_tokens value table (bounded by max document token count)
+    "token_budget_selection",
+    # cumsum over the distinct-frequency-count table (~√total under
+    # Zipf — the documented tiny-table keyless window)
+    "vocab_coverage_90",
 }
 
 
@@ -98,6 +122,33 @@ def test_no_unexpected_cartesian_products(plans):
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             offenders.append(name)
     assert not offenders, f"unexpected cartesian/NLJ in: {offenders}"
+
+
+def test_no_unpartitioned_windows_outside_allowlist(plans):
+    """A window partition is the unit AQE cannot split, so a keyless
+    window serializes its whole input onto one task — fatal on any
+    frame that grows with the corpus (the customer_rfm_segments class,
+    r9 verdict item 2/7). Every keyless window in every registry plan
+    must be on the bounded-grain allowlist above."""
+    import re
+
+    offenders = []
+    for name, plan in plans.items():
+        for m in re.finditer(r"windowspecdefinition\(", plan):
+            head = plan[m.end():m.end() + 400].split(
+                "specifiedwindowframe"
+            )[0]
+            first = head.split(",")[0].strip()
+            # partitioned: first arg is a bare partition column;
+            # keyless: the ORDER BY spec (col ASC/DESC NULLS …) leads
+            if re.search(r"(ASC|DESC) NULLS (FIRST|LAST)$", first):
+                if name not in ALLOWED_KEYLESS_WINDOW:
+                    offenders.append(f"{name}: {first}")
+                break
+    assert not offenders, (
+        "keyless window outside the bounded-grain allowlist "
+        f"(single-task sort at scale): {offenders}"
+    )
 
 
 def test_no_row_at_a_time_python_udfs(plans):
