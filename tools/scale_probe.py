@@ -70,6 +70,10 @@ PROBE_QUERIES = [
     "chunk_dedup_docs",
     "lm_score_docs",
     "token_budget_selection",
+    # r10: customer-grain grid-bucketed global rank + closed-form
+    # ntile (the keyless-ntile rewrite) — rfm agg rows ×N, rank
+    # stage stays customer-grain
+    "customer_rfm_segments",
     # Gopher quality family: map-only flag projection + bounded
     # per-source agg (rows×N), and the dominant-bigram explode with
     # two map-side-combined aggs (gram rows ×N)
