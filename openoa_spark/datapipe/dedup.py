@@ -890,6 +890,18 @@ def incremental_near_dedup(
     sig = _minhash_signatures(
         batch, text_col, id_col, num_hashes, shingle_n, hash_fn
     )
+    # lineage-cut the signature pipeline (lazy — materializes at the
+    # first of this function's several actions, reused by the rest),
+    # so the accepted-checkpoint, CC, and new_sig actions cannot each
+    # re-run tokenize/shingle/minhash from the source. Measured at the
+    # r10 probe's 2.5k-doc micro-batches the wall delta is noise (the
+    # LSH joins + CC + state writes dominate), but the guarantee is
+    # what scales: without it the recompute cost grows with trigger
+    # size. Storage pin is micro-batch-sized (~8·num_hashes B/doc).
+    # (The probe's numInputRows = 2x batch is EXPECTED and unrelated:
+    # the raw batch legitimately feeds two consumers — this signature
+    # pipeline and the survivors anti-join.)
+    sig = sig.localCheckpoint(eager=False)
     banded = _band_hashes(sig, num_hashes, bands, hash_fn)
 
     jvm = spark._jvm

@@ -64,19 +64,34 @@ class HeapPoller(threading.Thread):
 
 
 def leg_curate(spark, d):
+    import warnings
+
     from openoa_spark.datapipe.pipeline import CurationConfig, curate_corpus
 
     docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    # First: DEFAULT config (gopher rules ON). The synthetic corpus
+    # contains no English stopwords, so the required-stopword gate
+    # empties it at any scale — since r10 the ledger must REPORT that
+    # wipe-out loudly (zero-survivor guard) instead of this tool
+    # silently configuring around it (r9 verdict item 5).
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _, gopher_ledger = curate_corpus(
+            docs, CurationConfig(near_dedup=False), report=True
+        )
+    wipeout = [str(c.message) for c in caught
+               if issubclass(c.category, RuntimeWarning)
+               and "curate_corpus" in str(c.message)]
+    # Then the measured leg: gopher OFF so the dedup stages see data.
     t0 = time.perf_counter()
-    # gopher_rules OFF: the synthetic corpus contains no English
-    # stopwords, so the required-stopword gate empties it at ANY
-    # scale (measured: pass_stopwords = 0/5000 on base sf0.1) — with
-    # it on, the downstream dedup stages would exercise nothing
     cfg = CurationConfig(gopher_rules=False)
     clean, ledger = curate_corpus(docs, cfg, report=True)
     n = clean.count()
     return {"wall_s": round(time.perf_counter() - t0, 2),
-            "survivors": n, "ledger": ledger}
+            "survivors": n, "ledger": ledger,
+            "gopher_default_ledger": gopher_ledger,
+            "gopher_wipeout_warning": (wipeout[0][:220] if wipeout
+                                       else "MISSING — guard regressed")}
 
 
 def leg_near_dedup(spark, d):
