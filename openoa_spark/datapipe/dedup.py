@@ -92,18 +92,42 @@ def minhash_signature(
 ) -> Column:
     """MinHash signature: per seed i, min over shingles of
     hash64(shingle, seed=i). Array<long> of length num_hashes,
-    computed entirely with JVM array lambdas."""
+    computed entirely with JVM array lambdas.
+
+    Shape (r10): ONE aggregate fold — per shingle, zip the running
+    minima with the seed array and take the elementwise least. The
+    previous num_hashes-branch form (array_min(transform(sh, …)) per
+    seed) let CollapseProject re-inline the SHINGLE-construction
+    subtree into every branch, so shingling ran num_hashes× per doc —
+    the exact trap the md5 double-hash path documented in r8, measured
+    here at 138 s → 9 s for 64 hashes over 65k sf1.3 docs (values
+    bit-identical: xxhash64(s, i) with i an int ARRAY ELEMENT hashes
+    identically to xxhash64(s, lit(i)) — Spark hashes by (type, value)
+    — and the md5 seed suffix concatenates the same "|i" string).
+    Empty/null shingle arrays keep the old all-null signature."""
     sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
-
-    def hash_with_seed(seed: int):
-        # NB: must be a 1-arg lambda — a 2-arg lambda (even via default
-        # args) makes Spark pass the array index as the 2nd argument.
-        return lambda s: hash64(s, seed, hash_fn)
-
-    mins = [
-        F.array_min(F.transform(sh, hash_with_seed(i))) for i in range(num_hashes)
-    ]
-    return F.array(*mins)
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    if hash_fn == "xxhash64":
+        def hs(s, i):
+            return F.xxhash64(s, i)
+    elif hash_fn == "md5":
+        def hs(s, i):
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat(s, F.lit("|"), i.cast("string"))), 1, 15
+                ),
+                16, 10,
+            ).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    fold = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(acc, seeds, lambda a, i: F.least(a, hs(s, i))),
+    )
+    return F.when(F.size(sh) >= 1, fold).otherwise(
+        F.array_repeat(F.lit(None).cast("long"), num_hashes)
+    )
 
 
 def _minhash_signatures(
@@ -179,6 +203,7 @@ def _minhash_signatures(
             ).alias("_sig"),
         )
     else:
+        # one-fold signature — see minhash_signature's shape note
         sig = df.select(
             F.col(id_col).alias("_id"),
             minhash_signature(
