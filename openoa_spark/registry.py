@@ -1107,6 +1107,57 @@ def token_counts(spark, sf_dir):
 
 
 @register(
+    "doc_token_deciles",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+               AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT CAST(NTILE(10) OVER (ORDER BY n_tokens, doc_id) AS INT)
+             AS decile,
+           doc_id, n_tokens
+    FROM t
+    """,
+)
+def doc_token_deciles(spark, sf_dir):
+    """Length-decile bucketing of the corpus (the standard
+    curriculum/packing prep: sample or batch documents by length
+    band) — a FACT-grain NTILE, i.e. exactly the shape where the
+    textbook ``ntile() OVER (ORDER BY …)`` serializes the whole
+    corpus onto one task. Same machinery as customer_rfm_segments:
+    unique composite (n_tokens·10¹² + doc_id — the precise
+    ``ORDER BY n_tokens, doc_id`` total order), grid-bucketed global
+    rank (:func:`keyed_row_number`, keys=[]), closed-form decile
+    (:func:`ntile_from_rank`, here n_tiles=10 so the driver gate pins
+    the uneven-bucket arithmetic beyond quartiles). NULL texts are
+    excluded on both sides (Spark sorts NULLS FIRST, DuckDB NULLS
+    LAST — the filter removes the one ordering divergence)."""
+    from openoa_spark.functions.stats import (
+        keyed_row_number,
+        ntile_from_rank,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tt = docs.select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    n_df = tt.agg(F.count(F.lit(1)).alias("_n"))
+    comp = (
+        F.col("n_tokens").cast("decimal(38,0)") * F.lit(10**12)
+        + F.col("doc_id")
+    ).cast("decimal(38,0)")
+    d = tt.select("doc_id", "n_tokens", comp.alias("_ord"))
+    ranked = keyed_row_number(d, [], "_ord", "_gr")
+    return ranked.crossJoin(F.broadcast(n_df)).select(
+        ntile_from_rank(F.col("_gr"), F.col("_n"), 10).alias("decile"),
+        "doc_id",
+        "n_tokens",
+    )
+
+
+@register(
     "avg_word_lengths",
     r"""
     WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -8872,7 +8923,10 @@ _PRIORITY = [
     "calendar_hour_profile", "circular_mean_by_type", "cohort_retention",
     "cosine_topk", "cumulative_sum_per_user", "doc_fingerprints",
     "duplicate_minutes", "elosses_daily_coverage_energy",
-    "embedding_int8_quantization",
+    # brand-new this round (displaces the last r6 fill name per the
+    # rotation policy): fact-grain NTILE via the keyless-ntile-free
+    # machinery, n_tiles=10
+    "doc_token_deciles",
 ]
 
 _PRIORITY_R9 = [

@@ -80,6 +80,7 @@ ALLOWED_CARTESIAN = {
     # one-row total-count scalar broadcast (ntile_from_rank's n) plus
     # keyed_row_number's ≤64-row triangular bucket-offset self-join
     "customer_rfm_segments",
+    "doc_token_deciles",
 }
 
 # Queries whose plan legitimately contains a KEYLESS window (the one
