@@ -502,3 +502,40 @@ def test_wav_synth_decode_roundtrip_property(ch, rate, n, seed):
     s = mm.decode_wav_samples(wav)
     assert s.shape == (n, ch)
     assert int(s.ravel()[0]) == ((seed * 7) % 65536) - 32768
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=60),
+    st.sampled_from([2, 3, 4, 7, 10]),
+)
+def test_ntile_from_rank_matches_sql_ntile(spark, n, tiles):
+    """The closed-form NTILE (stats.ntile_from_rank, driving the
+    keyless-window-free customer_rfm_segments / doc_token_deciles)
+    must agree with Spark's own ntile() for every (n, tiles) shape —
+    especially the uneven cases where the first n % tiles buckets get
+    an extra row. The reference window runs keyless here, which is
+    fine at property-test grain (n <= 60 rows)."""
+    from pyspark.sql import Window
+
+    from openoa_spark.functions.stats import ntile_from_rank
+
+    df = spark.range(n).withColumn("v", (F.col("id") * 37) % 101)
+    w = Window.orderBy("v", "id")
+    expect = {
+        r["id"]: r["t"]
+        for r in df.select(
+            "id", F.ntile(tiles).over(w).alias("t")
+        ).collect()
+    }
+    ranked = df.select(
+        "id", F.row_number().over(w).alias("_r"), F.lit(n).alias("_n")
+    )
+    got = {
+        r["id"]: r["t"]
+        for r in ranked.select(
+            "id",
+            ntile_from_rank(F.col("_r"), F.col("_n"), tiles).alias("t"),
+        ).collect()
+    }
+    assert got == expect
