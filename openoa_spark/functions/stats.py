@@ -127,17 +127,34 @@ def rounded(col: Column | str, digits: int = 6) -> Column:
     return F.round(_c(col).cast("double"), digits)
 
 
+def sql_cast_double(expr: str) -> str:
+    """Correctly-rounded DuckDB decimal→double cast for oracle twins.
+
+    DuckDB's direct ``CAST(DECIMAL AS DOUBLE)`` divides the scaled
+    int128 by 10^scale in double space — TWO roundings, up to one ulp
+    off the nearest double once the scaled value exceeds 2^53 (found
+    at 13× bench SF: q1's sum_charge, a scale-6 decimal with
+    |v|·10⁶ ≈ 3.6e16, came back .44545 vs the true .44544; Spark's
+    Java BigDecimal.doubleValue and Python's float(Decimal) both
+    round correctly). Routing through VARCHAR uses strtod — correctly
+    rounded at any magnitude — so the twin matches the engine's
+    double bit-for-bit however large the money sum grows."""
+    return f"CAST(CAST(({expr}) AS VARCHAR) AS DOUBLE)"
+
+
 def sql_dsum(expr: str, scale: int = 4, precision: int = 20) -> str:
     """DuckDB-side twin of :func:`dsum` for oracle SQL strings."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+    return sql_cast_double(
+        f"SUM(CAST(({expr}) AS DECIMAL({precision},{scale})))"
+    )
 
 
 def sql_davg(expr: str, scale: int = 6, precision: int = 20) -> str:
     """DuckDB-side twin of :func:`davg`."""
-    return (
-        f"(CAST(SUM(CAST(({expr}) AS DECIMAL({precision},{scale}))) AS DOUBLE)"
-        f" / COUNT({expr}))"
+    num = sql_cast_double(
+        f"SUM(CAST(({expr}) AS DECIMAL({precision},{scale})))"
     )
+    return f"({num} / COUNT({expr}))"
 
 
 def grouped_exact_median(

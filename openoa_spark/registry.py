@@ -120,8 +120,8 @@ def oracle_sql() -> dict[str, str]:
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity')} AS sum_qty,
            {sql_dsum('l_extendedprice')} AS sum_base_price,
-           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM({SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM({SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM({SQL_CHARGE}) AS VARCHAR) AS DOUBLE) AS sum_charge,
            {sql_davg('l_quantity')} AS avg_qty,
            {sql_davg('l_extendedprice')} AS avg_price,
            {sql_davg('l_discount')} AS avg_disc,
@@ -153,7 +153,7 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_top_revenue_orders",
     f"""
     SELECT l_orderkey,
-           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM({SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -183,7 +183,7 @@ def q3_top_revenue_orders(spark, sf_dir):
 @register(
     "q5_nation_revenue",
     f"""
-    SELECT n_name, CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+    SELECT n_name, CAST(CAST(SUM({SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                   JOIN customer ON o_custkey = c_custkey
                   JOIN nation ON c_nationkey = n_nationkey
@@ -211,7 +211,7 @@ def q5_nation_revenue(spark, sf_dir):
 @register(
     "q6_forecast_revenue",
     f"""
-    SELECT CAST(SUM({sql_dec('l_extendedprice')} * {sql_dec('l_discount', 3, 2)}) AS DOUBLE) AS revenue
+    SELECT CAST(CAST(SUM({sql_dec('l_extendedprice')} * {sql_dec('l_discount', 3, 2)}) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
@@ -433,9 +433,9 @@ def lag_delta_per_user(spark, sf_dir):
     "rolling_sum3_per_user",
     """
     SELECT event_id,
-           CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER (
+           CAST(CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS roll_sum
     FROM events
     """,
 )
@@ -452,9 +452,9 @@ def rolling_sum3_per_user(spark, sf_dir):
     "cumulative_sum_per_user",
     """
     SELECT event_id,
-           CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER (
+           CAST(CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS cum_value
     FROM events
     """,
 )
@@ -912,7 +912,7 @@ def bin_filter_lineitem(spark, sf_dir):
     """
     WITH daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS v
+             CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS v
       FROM events GROUP BY 1, 2
     )
     SELECT a.user_id AS asset_a, b.user_id AS asset_b,
@@ -1515,7 +1515,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     """
     WITH scada AS (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS scada_kwh
+             CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS scada_kwh
       FROM events GROUP BY 1
     ),
     meter AS (
@@ -1549,12 +1549,12 @@ def electrical_losses_proxy(spark, sf_dir):
     """
     WITH b AS (
       SELECT time_bucket(INTERVAL '2 hours', ts) AS bt,
-             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE)
                AS energy_kwh
       FROM events GROUP BY 1
     )
     SELECT CAST(date_trunc('day', bt) AS TIMESTAMP) AS day,
-           CAST(SUM(CAST(energy_kwh AS DECIMAL(20,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(energy_kwh AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE)
              AS scada_kwh,
            COUNT(energy_kwh) AS n_obs
     FROM b GROUP BY 1 HAVING COUNT(energy_kwh) = 12
@@ -1591,7 +1591,7 @@ def elosses_daily_coverage_energy(spark, sf_dir):
     """
     SELECT 'T' || CAST(user_id % 5 AS VARCHAR) AS asset_id,
            CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-           CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS energy_kwh,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS VARCHAR) AS DOUBLE) AS energy_kwh,
            COUNT(*) AS n_obs
     FROM events
     GROUP BY 1, 2
@@ -1641,9 +1641,9 @@ def plant_sql_daily_turbine_energy(spark, sf_dir):
     "aep_monthly_meter_prep",
     """
     SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS period,
-           ROUND(CAST(SUM(CAST(CASE WHEN o_orderkey % 37 = 0 THEN NULL
+           ROUND(CAST(CAST(SUM(CAST(CASE WHEN o_orderkey % 37 = 0 THEN NULL
                                     ELSE o_totalprice END
-                              AS DECIMAL(20,4))) AS DOUBLE) / 1e6, 6)
+                              AS DECIMAL(20,4))) AS VARCHAR) AS DOUBLE) / 1e6, 6)
              AS energy_gwh,
            ROUND(AVG(CASE WHEN o_orderkey % 37 = 0 THEN 1.0 ELSE 0.0 END),
                  6) AS energy_nan_perc,
@@ -1698,7 +1698,7 @@ def aep_monthly_meter_prep(spark, sf_dir):
                  avg(sin(radians(CAST(event_id % 360 AS DOUBLE)))),
                  avg(cos(radians(CAST(event_id % 360 AS DOUBLE))))))
                + 360) % 360, 6) AS wd,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+             ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE)
                    / COUNT(value), 6) AS ws
       FROM events WHERE user_id < 3
       GROUP BY 1, 2
@@ -1820,12 +1820,12 @@ def yaw_vane_bin_cells(spark, sf_dir):
     """
     WITH h AS (
       SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bt,
-             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS energy
+             CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS energy
       FROM events GROUP BY 1, 2
     ),
     d AS (
       SELECT user_id, CAST(date_trunc('day', bt) AS TIMESTAMP) AS day,
-             CAST(SUM(CAST(energy AS DECIMAL(20,6))) AS DOUBLE) AS e,
+             CAST(CAST(SUM(CAST(energy AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS e,
              COUNT(energy) AS n_obs
       FROM h GROUP BY 1, 2
     )
@@ -1936,7 +1936,7 @@ def feet_to_meter_part(spark, sf_dir):
     """
     WITH d AS (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS v
+             CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS v
       FROM events WHERE day(ts) <> 15 GROUP BY 1
     ),
     b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
@@ -1957,7 +1957,7 @@ def gap_fill_daily(spark, sf_dir):
     """
     WITH d AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS t,
-             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS v
+             CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS v
       FROM events GROUP BY 1, 2
     ),
     b AS (SELECT event_type, min(t) AS lo, max(t) AS hi FROM d GROUP BY 1),
@@ -1991,7 +1991,7 @@ def upsample_ffill_hourly(spark, sf_dir):
     """
     WITH daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS v0
+             CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS v0
       FROM events GROUP BY 1, 2
     ),
     masked AS (
@@ -2243,11 +2243,11 @@ def _maha_cluster_sql(k: int = 4, iters: int = 2, thresh: float = 3.0) -> str:
     a = f"a{iters - 1}"
     parts.append(f"""cov AS (
       SELECT cid, CAST(COUNT(*) AS DOUBLE) AS n,
-        CAST(SUM(CAST(m1 AS DECIMAL(38,0))) AS DOUBLE) AS tx,
-        CAST(SUM(CAST(m2 AS DECIMAL(38,0))) AS DOUBLE) AS ty,
-        CAST(SUM(CAST(m1 AS DECIMAL(19,0)) * CAST(m1 AS DECIMAL(19,0))) AS DOUBLE) AS txx,
-        CAST(SUM(CAST(m1 AS DECIMAL(19,0)) * CAST(m2 AS DECIMAL(19,0))) AS DOUBLE) AS txy,
-        CAST(SUM(CAST(m2 AS DECIMAL(19,0)) * CAST(m2 AS DECIMAL(19,0))) AS DOUBLE) AS tyy
+        CAST(CAST(SUM(CAST(m1 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS tx,
+        CAST(CAST(SUM(CAST(m2 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS ty,
+        CAST(CAST(SUM(CAST(m1 AS DECIMAL(19,0)) * CAST(m1 AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS txx,
+        CAST(CAST(SUM(CAST(m1 AS DECIMAL(19,0)) * CAST(m2 AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS txy,
+        CAST(CAST(SUM(CAST(m2 AS DECIMAL(19,0)) * CAST(m2 AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS tyy
       FROM {a} GROUP BY cid)""")
     parts.append("""st AS (
       SELECT cid, n,
@@ -2437,7 +2437,7 @@ def near_dedup_docs(spark, sf_dir):
     "q10_returned_revenue",
     f"""
     SELECT c_custkey, c_name, n_name,
-           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+           CAST(CAST(SUM({SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -2502,9 +2502,9 @@ def q12_priority_counts(spark, sf_dir):
     "q14_promo_revenue_pct",
     f"""
     SELECT ROUND(
-             100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-                                   THEN {SQL_DISC_PRICE} END) AS DOUBLE)
-                   / CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE), 6) AS promo_pct
+             100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN {SQL_DISC_PRICE} END) AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(SUM({SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE), 6) AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1995-09-01'
       AND l_shipdate <  TIMESTAMP '1995-10-01'
@@ -2560,7 +2560,7 @@ def q16_supplier_variety(spark, sf_dir):
     "q18_large_volume_customers",
     """
     SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS total_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS VARCHAR) AS DOUBLE) AS total_qty
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -2586,7 +2586,7 @@ def q18_large_volume_customers(spark, sf_dir):
 @register(
     "q19_bracketed_revenue",
     f"""
-    SELECT CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+    SELECT CAST(CAST(SUM({SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
            AND l_quantity >= 1 AND l_quantity <= 30)
@@ -2621,7 +2621,7 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     f"""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            {", ".join(
-               "CAST(SUM(CASE WHEN event_type = '" + t + "' THEN CAST(value AS DECIMAL(20,6)) END) AS DOUBLE) AS " + t
+               "CAST(CAST(SUM(CASE WHEN event_type = '" + t + "' THEN CAST(value AS DECIMAL(20,6)) END) AS VARCHAR) AS DOUBLE) AS " + t
                for t in _EVENT_TYPES
            )}
     FROM events GROUP BY 1
@@ -2744,7 +2744,7 @@ def q4_late_shipment_priority(spark, sf_dir):
     "q7_volume_shipping",
     f"""
     SELECT supp_nation, cust_nation, l_year,
-           CAST(SUM(volume) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              EXTRACT(YEAR FROM l_shipdate) AS l_year,
@@ -2804,9 +2804,9 @@ def q7_volume_shipping(spark, sf_dir):
     "q8_market_share",
     f"""
     SELECT o_year,
-           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END)
-                AS DOUBLE)
-           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END)
+                AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS mkt_share
     FROM (
       SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
              {SQL_DISC_PRICE} AS volume,
@@ -2903,7 +2903,7 @@ def q13_order_count_distribution(spark, sf_dir):
     f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS total_revenue
+             CAST(CAST(SUM({SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -2938,7 +2938,7 @@ def q15_top_suppliers(spark, sf_dir):
 @register(
     "q17_small_quantity_revenue",
     f"""
-    SELECT CAST(SUM({sql_dec('l_extendedprice')}) AS DOUBLE) / 7.0 AS avg_yearly
+    SELECT CAST(CAST(SUM({sql_dec('l_extendedprice')}) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#1'
       AND l_quantity < 0.2 * (
@@ -3270,9 +3270,9 @@ def embedding_cosine_near_dups(spark, sf_dir):
     f"""
     SELECT n_name AS nation,
            CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
-           CAST(SUM({SQL_DISC_PRICE}
+           CAST(CAST(SUM({SQL_DISC_PRICE}
                     - {sql_dec('p_retailprice')} * {sql_dec('l_quantity')})
-                AS DOUBLE) AS profit
+                AS VARCHAR) AS DOUBLE) AS profit
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN part ON l_partkey = p_partkey
@@ -3783,7 +3783,7 @@ def intersect_both_halves_users(spark, sf_dir):
 @register(
     "unpivot_lineitem_measures",
     f"""
-    SELECT metric, CAST(SUM(CAST(val AS DECIMAL(20,4))) AS DOUBLE) AS total
+    SELECT metric, CAST(CAST(SUM(CAST(val AS DECIMAL(20,4))) AS VARCHAR) AS DOUBLE) AS total
     FROM (
       SELECT 'quantity' AS metric, l_quantity AS val FROM lineitem
       UNION ALL
@@ -4690,9 +4690,9 @@ def label_centroids_q(spark, sf_dir):
     "centroid_distances",
     _CENTROID_CTE + """
     SELECT a.label AS label_a, b.label AS label_b,
-           ROUND(sqrt(CAST(SUM(CAST(
+           ROUND(sqrt(CAST(CAST(SUM(CAST(
              ROUND((a.centroid - b.centroid) * (a.centroid - b.centroid), 12)
-             AS DECIMAL(38,12))) AS DOUBLE)), 6) AS l2_dist
+             AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)), 6) AS l2_dist
     FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
     GROUP BY a.label, b.label
     """,
@@ -4934,11 +4934,9 @@ def grouping_sets_revenue(spark, sf_dir):
     WITH s AS (
       SELECT event_type,
              COUNT(value) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(25,6)))
-               AS DOUBLE) AS s2,
-             CAST(SUM(CAST(ROUND(value * value * value, 6) AS DECIMAL(30,6)))
-               AS DOUBLE) AS s3
+             CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS s2,
+             CAST(CAST(SUM(CAST(ROUND(value * value * value, 6) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS s3
       FROM events WHERE value IS NOT NULL
       GROUP BY event_type
     )
@@ -5540,7 +5538,7 @@ def cohort_retention(spark, sf_dir):
     SELECT CAST(dayofweek(ts) AS INT) AS dow,
            CAST(hour(ts) AS INT) AS hod,
            COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 6)
+           ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE), 6)
              AS total_value
     FROM events GROUP BY 1, 2
     """,
@@ -6040,8 +6038,8 @@ def state_islands(spark, sf_dir):
       FROM lineitem GROUP BY 1
     )
     SELECT l.l_returnflag,
-           CAST(SUM(CAST(ROUND(LEAST(GREATEST(l_quantity, lo), hi), 6)
-                         AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*)
+           CAST(CAST(SUM(CAST(ROUND(LEAST(GREATEST(l_quantity, lo), hi), 6)
+                         AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)
              AS winsor_mean,
            COUNT(*) AS n
     FROM lineitem l JOIN b USING (l_returnflag)
@@ -6699,9 +6697,9 @@ def behavior_cohorts(spark, sf_dir):
     "quantity_weighted_avg_price",
     """
     SELECT l_returnflag,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                          * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                 / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE),
+           ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE),
                  6) AS wavg_price,
            COUNT(*) AS n
     FROM lineitem GROUP BY 1

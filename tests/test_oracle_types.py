@@ -166,3 +166,42 @@ def test_oracle_spark_type_buckets_agree(duck, spark):
         if diff:
             mismatches[name] = diff
     assert not mismatches, f"oracle/Spark output-type mismatches: {mismatches}"
+
+
+def test_no_direct_decimal_double_casts_in_oracles():
+    """DuckDB's direct CAST(DECIMAL AS DOUBLE) divides the scaled
+    int128 by 10^scale in double space — up to one ulp off the
+    correctly-rounded double once |value|·10^scale exceeds 2^53
+    (found at 13x bench SF on q1's scale-6 sum_charge; Spark's
+    BigDecimal cast rounds correctly). Oracle twins must route
+    decimal sums to double through VARCHAR (strtod is correctly
+    rounded at any magnitude): stats.sql_cast_double / sql_dsum /
+    sql_davg. This lint scans every oracle for a bare
+    CAST(SUM(...DECIMAL...) AS DOUBLE)."""
+    from openoa_spark import registry
+
+    offenders = []
+    for name, sql in registry.oracle_sql().items():
+        i = 0
+        while True:
+            j = sql.find("CAST(SUM(", i)
+            if j < 0:
+                break
+            k = j + len("CAST(")
+            depth, m = 1, k
+            while depth > 0 and m < len(sql):
+                if sql[m] == "(":
+                    depth += 1
+                elif sql[m] == ")":
+                    depth -= 1
+                m += 1
+            inner = sql[j + len("CAST("):m - 1]
+            if (inner.rstrip().endswith("AS DOUBLE")
+                    and "DECIMAL" in inner
+                    and "AS VARCHAR" not in inner):
+                offenders.append(f"{name}: …{inner[:70]}…")
+            i = m
+    assert not offenders, (
+        "direct decimal→double cast in oracle SQL (use "
+        f"stats.sql_cast_double — one-ulp hazard past 2^53): {offenders}"
+    )

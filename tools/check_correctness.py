@@ -57,8 +57,16 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
+    import os
+
     spark = get_session("check-correctness")
     con = duckdb.connect()
+    # resource caps so a pathological twin plan DNFs loudly instead of
+    # filling the disk (the r10 sf1.3 asof twin wrote 230 GB of temp
+    # under DuckDB's defaults)
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='spark-warehouse/duck_tmp'")
+    con.execute("SET max_temp_directory_size='60GB'")
     for name in registry.queries():
         con.execute(
             f"CREATE OR REPLACE VIEW _all_{name} AS SELECT 1"
@@ -66,9 +74,21 @@ def main():
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        p = f"{sf_dir}/{t}.parquet"
+        src = (
+            f"read_parquet('{p}/*.parquet')" if os.path.isdir(p)
+            else f"read_parquet('{p}')"
         )
+        if t == "events" and os.path.isdir(p):
+            # scale-probe layout writes ts as raw int64 NANOs
+            # (registry._t branches on it; the oracle views need the
+            # same branch)
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * REPLACE "
+                f"(make_timestamp(ts // 1000) AS ts) FROM {src}"
+            )
+        else:
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM {src}")
 
     qs = registry.queries()
     oracles = registry.oracle_sql()
