@@ -120,12 +120,19 @@ def minhash_signature(
             ).cast("long")
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    # NULL elements are out of shingles()'s contract, but guard anyway
+    # (r10 ADVICE): an all-NULL-element array must keep the pre-fold
+    # all-NULL signature, not [2^63-1, ...] — a silent signature-value
+    # change would corrupt persistent LSH state if an upstream ever
+    # emitted null shingle elements. The filter is hash-free, so the
+    # dominant cost (num_hashes hashes per element) is unchanged.
+    sh_nn = F.filter(sh, lambda x: x.isNotNull())
     fold = F.aggregate(
-        sh,
+        sh_nn,
         F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes),
         lambda acc, s: F.zip_with(acc, seeds, lambda a, i: F.least(a, hs(s, i))),
     )
-    return F.when(F.size(sh) >= 1, fold).otherwise(
+    return F.when(F.size(sh_nn) >= 1, fold).otherwise(
         F.array_repeat(F.lit(None).cast("long"), num_hashes)
     )
 

@@ -14,13 +14,25 @@ Counting note (r9 verdict item 4): the ledger is count-only — each
 stage boundary contributes a one-row COUNT aggregate branch to a
 single union job, so ``report=True`` pins NO per-stage survivor frame
 (the pre-r10 design eagerly localCheckpointed every stage — N
-corpus-sized storage pins). Shared stage prefixes inside the union
-job dedupe at every exchange boundary (ReuseExchange), and only the
-FINAL survivor frame is checkpointed (output-sized — the ledger
-action already paid the chain execution, so the caller's next action
-reads blocks instead of re-running curation). At production scale
-``report=False`` still skips all counting — composition is lazy
-end-to-end.
+corpus-sized storage pins). Only the FINAL survivor frame is
+checkpointed (output-sized — the ledger action already paid the chain
+execution, so the caller's next action reads blocks instead of
+re-running curation). At production scale ``report=False`` still
+skips all counting — composition is lazy end-to-end.
+
+Report-mode cost model (r10 ADVICE — be precise about what dedupes):
+inside the union job, ReuseExchange dedupes only IDENTICAL exchange
+subtrees (the dedup/near-dup stages' shuffles), NOT exchange-free map
+prefixes — the parquet scan, the gopher flag projection, and the
+lexical filters re-execute once per downstream count branch, so
+report-mode compute grows ~quadratically with the number of
+exchange-free stages. That is the deliberate price of the no-pin
+design: every stage is a deterministic map/filter, so the counts are
+correct, and the alternative (caching/checkpointing each stage) pins
+corpus-sized state — the exact r9 hazard this layout removed. For a
+long exchange-free chain at corpus scale where the ledger itself is
+the bottleneck, run ``report=False`` (zero counting jobs) or count at
+a coarser grain upstream.
 """
 
 from __future__ import annotations
@@ -231,8 +243,10 @@ def curate_corpus(
         out = out.localCheckpoint(eager=True)
         # the final stage's count comes free from the checkpoint
         # (unless its branch carries detail); all other one-row
-        # branches fill in ONE union job (shared stage prefixes
-        # dedupe at every exchange via ReuseExchange)
+        # branches fill in ONE union job. Shared SHUFFLE subtrees
+        # dedupe via ReuseExchange; exchange-free map prefixes
+        # (scan + flag projection + filters) re-execute per branch —
+        # see the module docstring's report-mode cost model.
         counts: dict[str, tuple[int, dict | None]] = {}
         in_union = branches
         if not branches[-1][2]:

@@ -487,11 +487,9 @@ def cumulative_sum_per_user(spark, sf_dir):
       SELECT user_id, ts, arg_max(value, event_id) AS value
       FROM events GROUP BY user_id, ts
     )
-    SELECT s.user_id, s.hour,
-           (SELECT d.value FROM dedup d
-            WHERE d.user_id = s.user_id AND d.ts <= s.hour
-            ORDER BY d.ts DESC LIMIT 1) AS value
-    FROM spine s
+    SELECT s.user_id, s.hour, d.value
+    FROM spine s ASOF LEFT JOIN dedup d
+      ON s.user_id = d.user_id AND s.hour >= d.ts
     """,
 )
 def asof_hourly_value(spark, sf_dir):
@@ -523,11 +521,10 @@ def asof_hourly_value(spark, sf_dir):
       FROM events GROUP BY user_id, ts
     )
     SELECT s.user_id, s.hour,
-           (SELECT d.value FROM dedup d
-            WHERE d.user_id = s.user_id AND d.ts <= s.hour
-              AND d.ts >= s.hour - INTERVAL 30 MINUTE
-            ORDER BY d.ts DESC LIMIT 1) AS value
-    FROM spine s
+           CASE WHEN d.ts >= s.hour - INTERVAL 30 MINUTE
+                THEN d.value END AS value
+    FROM spine s ASOF LEFT JOIN dedup d
+      ON s.user_id = d.user_id AND s.hour >= d.ts
     """,
 )
 def asof_tolerance_hourly_value(spark, sf_dir):
@@ -5195,18 +5192,18 @@ def bigram_pmi_top(spark, sf_dir):
       SELECT user_id, ts, arg_max(value, event_id) AS value
       FROM events GROUP BY user_id, ts
     )
-    SELECT s.user_id, s.hour,
-           (SELECT d.value FROM dedup d
-            WHERE d.user_id = s.user_id AND d.ts >= s.hour
-            ORDER BY d.ts ASC LIMIT 1) AS value
-    FROM spine s
+    SELECT s.user_id, s.hour, d.value
+    FROM spine s ASOF LEFT JOIN dedup d
+      ON s.user_id = d.user_id AND s.hour <= d.ts
     """,
 )
 def asof_forward_hourly_value(spark, sf_dir):
     """Forward as-of: each hourly spine point takes the NEXT reading
     at or after it (asof_hourly_value's mirror). Same union + keyed
     window shape over a FOLLOWING frame — one shuffle, no range join;
-    the oracle's correlated subquery is the semantics, not the plan."""
+    the oracle rides DuckDB's native ASOF JOIN (the r10 13× campaign
+    DNF'd the old correlated-subquery twin; the ASOF form is value-
+    identical — verified row-for-row at sf0.01 — and scales)."""
     ev = _t(spark, sf_dir, "events")
     dedup_ev = ev.groupBy("user_id", "ts").agg(
         F.max_by("value", "event_id").alias("value")
@@ -6402,11 +6399,33 @@ def customer_rfm_segments(spark, sf_dir):
 
     def quartile(metric_int: Column, out: str):
         # metric·10¹² + custkey: exact in decimal(38,0), unique, and
-        # order-identical to (metric ASC, o_custkey ASC)
+        # order-identical to (metric ASC, o_custkey ASC) — but ONLY
+        # while the key stays below the 10¹² packing stride and the
+        # metric is integer-exact in double (|m| < 2⁵³; for m_quartile
+        # the metric is the cent-grain monetary, so this bounds totals
+        # at ~90 trillion currency units per customer). Out of range
+        # the composite would merge adjacent metric values and shift
+        # quartile edges SILENTLY (r10 ADVICE) — guard per row so it
+        # raises loudly instead; the predicate is columnar and folds
+        # into the same projection, no extra job.
+        bad = (
+            (F.col("o_custkey") < 0)
+            | (F.col("o_custkey") >= F.lit(10**12))
+            | (F.abs(metric_int) >= F.lit(float(2**53)))
+        )
         comp = (
             metric_int.cast("decimal(38,0)") * F.lit(10**12)
             + F.col("o_custkey")
         ).cast("decimal(38,0)")
+        comp = F.when(
+            bad,
+            F.raise_error(
+                F.lit(
+                    f"rfm composite for {out} out of exact range "
+                    "(custkey must be in [0, 10^12) and |metric| < 2^53)"
+                )
+            ).cast("decimal(38,0)"),
+        ).otherwise(comp)
         d = rfm.select("o_custkey", comp.alias("_ord"))
         ranked = keyed_row_number(d, [], "_ord", "_gr")
         return ranked.crossJoin(F.broadcast(n_df)).select(
@@ -7782,7 +7801,7 @@ def chunk_dedup_docs(spark, sf_dir):
     )
     SELECT dc.doc_id,
            CAST(SUM(dc.c) AS BIGINT) AS n_bigrams,
-           ROUND(CAST(-SUM(CAST(dc.c AS DECIMAL(18,0)) * lp.lp) AS DOUBLE)
+           ROUND(CAST(CAST(-SUM(CAST(dc.c AS DECIMAL(18,0)) * lp.lp) AS VARCHAR) AS DOUBLE)
                  / CAST(SUM(dc.c) AS DOUBLE), 6) AS bits_per_bigram
     FROM dc JOIN lp USING (bigram)
     GROUP BY 1
@@ -7823,7 +7842,7 @@ def lm_score_docs(spark, sf_dir):
     sc AS (
       SELECT dc.doc_id,
              CAST(SUM(dc.c) AS BIGINT) AS n_bigrams,
-             ROUND(CAST(-SUM(CAST(dc.c AS DECIMAL(18,0)) * lp.lp) AS DOUBLE)
+             ROUND(CAST(CAST(-SUM(CAST(dc.c AS DECIMAL(18,0)) * lp.lp) AS VARCHAR) AS DOUBLE)
                    / CAST(SUM(dc.c) AS DOUBLE), 6) AS bits
       FROM dc JOIN lp USING (bigram)
       GROUP BY 1

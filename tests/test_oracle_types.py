@@ -176,18 +176,19 @@ def test_no_direct_decimal_double_casts_in_oracles():
     BigDecimal cast rounds correctly). Oracle twins must route
     decimal sums to double through VARCHAR (strtod is correctly
     rounded at any magnitude): stats.sql_cast_double / sql_dsum /
-    sql_davg. This lint scans every oracle for a bare
-    CAST(SUM(...DECIMAL...) AS DOUBLE)."""
+    sql_davg. This lint scans every oracle for ANY cast whose body
+    both mentions DECIMAL and lands on DOUBLE without routing through
+    VARCHAR — not just the literal CAST(SUM( prefix (r10 ADVICE: a
+    CAST(AVG(...DECIMAL...) AS DOUBLE), CAST(MAX(..., or whitespace
+    between CAST and the paren must not slip through)."""
+    import re
+
     from openoa_spark import registry
 
     offenders = []
     for name, sql in registry.oracle_sql().items():
-        i = 0
-        while True:
-            j = sql.find("CAST(SUM(", i)
-            if j < 0:
-                break
-            k = j + len("CAST(")
+        for m0 in re.finditer(r"CAST\s*\(", sql):
+            k = m0.end()
             depth, m = 1, k
             while depth > 0 and m < len(sql):
                 if sql[m] == "(":
@@ -195,12 +196,11 @@ def test_no_direct_decimal_double_casts_in_oracles():
                 elif sql[m] == ")":
                     depth -= 1
                 m += 1
-            inner = sql[j + len("CAST("):m - 1]
-            if (inner.rstrip().endswith("AS DOUBLE")
-                    and "DECIMAL" in inner
-                    and "AS VARCHAR" not in inner):
+            inner = sql[k:m - 1]
+            if (re.search(r"AS\s+DOUBLE\s*$", inner.rstrip())
+                    and "DECIMAL" in inner.upper()
+                    and not re.search(r"AS\s+VARCHAR", inner)):
                 offenders.append(f"{name}: …{inner[:70]}…")
-            i = m
     assert not offenders, (
         "direct decimal→double cast in oracle SQL (use "
         f"stats.sql_cast_double — one-ulp hazard past 2^53): {offenders}"

@@ -79,14 +79,32 @@ def main():
             f"read_parquet('{p}/*.parquet')" if os.path.isdir(p)
             else f"read_parquet('{p}')"
         )
-        if t == "events" and os.path.isdir(p):
-            # scale-probe layout writes ts as raw int64 NANOs
-            # (registry._t branches on it; the oracle views need the
-            # same branch)
-            con.execute(
-                f"CREATE OR REPLACE VIEW {t} AS SELECT * REPLACE "
-                f"(make_timestamp(ts // 1000) AS ts) FROM {src}"
-            )
+        if t == "events":
+            # Branch on the ACTUAL parquet ts column type, exactly as
+            # registry._t does — not on directory layout (r10 ADVICE:
+            # a dir-layout dataset with a real TIMESTAMP ts must not
+            # get the int64-nanos rewrite, and vice versa).
+            ts_type = {
+                r[0]: str(r[1])
+                for r in con.sql(f"DESCRIBE SELECT * FROM {src}").fetchall()
+            }.get("ts", "")
+            if ts_type == "BIGINT":
+                # raw int64 nanos (scale-probe layout) -> micros
+                con.execute(
+                    f"CREATE OR REPLACE VIEW {t} AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM {src}"
+                )
+            elif ts_type == "TIMESTAMP_NS":
+                # nanos timestamp (rounds 1-2 driver layout) -> us,
+                # truncating like Spark's nanosAsLong + ts DIV 1000
+                con.execute(
+                    f"CREATE OR REPLACE VIEW {t} AS SELECT * REPLACE "
+                    f"(CAST(ts AS TIMESTAMP) AS ts) FROM {src}"
+                )
+            else:
+                con.execute(
+                    f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM {src}"
+                )
         else:
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM {src}")
 
