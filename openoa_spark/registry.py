@@ -8908,6 +8908,38 @@ def stream_sessionize_events_batch(spark, sf_dir):
 
 
 _PRIORITY = [
+    # ---- ROUND 11 window (policy: plan-changed this round, then
+    # longest-unchecked fill) ----
+    # (1) Longest-unchecked fill: the COMPLETE r6 cohort (the 34
+    # queries whose latest green driver row is round 6 — after this
+    # window every registry query's latest driver row is <= 4 rounds
+    # old), then the oldest 16 of the r7 cohort alphabetically.
+    "embedding_int8_quantization", "embedding_norms",
+    "encoding_damage_docs", "exact_dedup_docs", "find_hour_gaps",
+    "gross_energy_frac", "ivf_pq_topk", "leakage_safe_split_docs",
+    "multimodal_audio_metadata", "multimodal_audio_stats",
+    "multimodal_corrupt_media", "multimodal_image_metadata",
+    "multimodal_pixel_stats", "nation_share_of_region", "pq_adc_topk",
+    "pq_codes_embeddings", "pq_recall_measured",
+    "pq_reconstruction_error", "q10_returned_revenue",
+    "q14_promo_revenue_pct", "q16_supplier_variety",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_bracketed_revenue", "q20_heavy_suppliers",
+    "q2_min_price_part_supplier", "q3_top_revenue_orders",
+    "q5_nation_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_profit_by_nation_year", "sliding_chunks_docs",
+    "wake_plant_reference_conditions", "yaw_vane_bin_cells",
+    # (2) oldest 16 of the r7 cohort, alphabetical:
+    "benchmark_overlap_docs", "centroid_distances",
+    "cube_returnflag_status", "electrical_losses_proxy",
+    "embedding_cosine_near_dups", "exact_quantiles_by_type",
+    "except_lapsed_customers", "freestream_iec_membership",
+    "freestream_membership", "gap_fill_daily", "iec_power_curve",
+    "infer_frequency", "interval_join_daily_activity",
+    "json_props_stats", "lag_delta_per_user", "language_id",
+]
+
+_PRIORITY_R10 = [
     # ---- ROUND 10 window (policy: plan-changed this round, then
     # longest-unchecked fill) ----
     # (1) Plan changed this round: customer_rfm_segments dropped its
