@@ -1070,3 +1070,160 @@ def test_stream_media_metadata_decode_and_quarantine(spark, tmp_path):
     assert set(noq) == {1, 2, 3, 4}
     assert noq[2] is None and noq[4] is None
     assert noq[1] is not None and noq[3] is not None
+
+
+def _kill_mid_batch(ckpt: str, epoch: int) -> None:
+    """Put a completed checkpoint into the exact crash-mid-batch state
+    for `epoch`: the offsets WAL entry survives (the planner chose the
+    batch's files) but the commit-log entry is gone (the sink never
+    acknowledged), so a restart MUST re-execute that epoch with the
+    same batch_id through foreachBatch — the state Structured
+    Streaming's recovery contract is written for."""
+    import os
+
+    commit = os.path.join(ckpt, "commits", str(epoch))
+    assert os.path.exists(commit), f"no commit log for epoch {epoch}"
+    os.remove(commit)
+
+
+def test_stream_media_metadata_kill_mid_batch_replay(spark, tmp_path):
+    """Crash-mid-batch replay for the multimodal decode stage (the r10
+    verdict's crash-matrix gap): epoch 1's commit log is deleted after
+    a clean run, the restarted query re-executes epoch 1 with the SAME
+    batch_id, and dynamic partition overwrite must leave the metadata
+    and quarantine tables byte-identical — no duplicate rows, no lost
+    rows, on both output paths."""
+    import pyspark.sql.types as T
+
+    from openoa_spark.datapipe import multimodal
+    from openoa_spark.streaming import ingest
+
+    src = str(tmp_path / "src")
+    meta_p = str(tmp_path / "meta")
+    quar = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    png = multimodal.synthesize_png
+    rows_a = [
+        (1, png(20, 10, 1)),
+        (2, png(8, 8, 2)[:15]),   # truncated -> quarantine
+        (3, png(31, 7, 3)),
+    ]
+    rows_b = [
+        (4, b"not a png"),        # corrupt -> quarantine
+        (5, png(5, 5, 5)),
+        (6, png(64, 2, 6)),
+    ]
+    spark.createDataFrame(rows_a, schema).write.mode("append").parquet(src)
+    q = ingest.stream_media_metadata(
+        ingest.file_stream(spark, src, schema), meta_p, ckpt,
+        kind="image", quarantine_path=quar,
+    )
+    assert q.awaitTermination(600)
+
+    spark.createDataFrame(rows_b, schema).write.mode("append").parquet(src)
+    q2 = ingest.stream_media_metadata(
+        ingest.file_stream(spark, src, schema), meta_p, ckpt,
+        kind="image", quarantine_path=quar,
+    )
+    assert q2.awaitTermination(600)
+
+    def snapshot():
+        meta = sorted(
+            (r["media_id"], r["width"], r["height"], r["n_bytes"])
+            for r in spark.read.parquet(meta_p).collect()
+        )
+        bad = sorted(
+            (r["media_id"], bytes(r["content"]))
+            for r in spark.read.parquet(quar).collect()
+        )
+        return meta, bad
+
+    before = snapshot()
+    assert [m[0] for m in before[0]] == [1, 3, 5, 6]
+    assert [b[0] for b in before[1]] == [2, 4]
+
+    # crash between epoch 1's sink write and its commit: replay must
+    # overwrite epoch 1's partitions in place
+    _kill_mid_batch(ckpt, 1)
+    q3 = ingest.stream_media_metadata(
+        ingest.file_stream(spark, src, schema), meta_p, ckpt,
+        kind="image", quarantine_path=quar,
+    )
+    assert q3.awaitTermination(600)
+    assert snapshot() == before
+
+
+def test_stream_cluster_assign_kill_mid_batch_replay(spark, tmp_path):
+    """Crash-mid-batch replay for streaming clustering (the other r10
+    crash-matrix gap): epoch 1 appends its suffstats and writes its
+    assignment partition, then the commit log entry is deleted. The
+    restarted query re-executes epoch 1 with the same batch_id;
+    incremental_kmeans's exclude-fold must assign against the
+    PRE-append state (bit-identical clusters) and skip the duplicate
+    suffstats append, and the assignment partition must be overwritten
+    not doubled."""
+    import numpy as np
+    import pyspark.sql.types as T
+
+    from openoa_spark.streaming import ingest
+
+    rng = np.random.RandomState(47)
+    v1, v2 = rng.randn(18, 3), rng.randn(9, 3)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(v1)], schema
+    ).write.mode("append").parquet(src)
+    q = ingest.stream_cluster_assign(
+        ingest.file_stream(spark, src, schema), "embedding", "vec_id",
+        out, state, ckpt, k=3, iters_first=2,
+    )
+    assert q.awaitTermination(600)
+
+    spark.createDataFrame(
+        [(100 + i, [float(x) for x in v]) for i, v in enumerate(v2)], schema
+    ).write.mode("append").parquet(src)
+    q2 = ingest.stream_cluster_assign(
+        ingest.file_stream(spark, src, schema), "embedding", "vec_id",
+        out, state, ckpt, k=3, iters_first=2,
+    )
+    assert q2.awaitTermination(600)
+
+    def snapshot():
+        asg = sorted(
+            (r["vec_id"], r["cluster"])
+            for r in spark.read.parquet(out).collect()
+        )
+        ss = sorted(
+            (r["batch_id"], r["cluster"], r["n"], tuple(r["sum_mic"]))
+            for r in spark.read.parquet(f"{state}/suffstats").collect()
+        )
+        return asg, ss
+
+    before = snapshot()
+    assert len(before[0]) == 27  # every vector assigned exactly once
+    assert {b for b, *_ in before[1]} == {0, 1}
+
+    _kill_mid_batch(ckpt, 1)
+    q3 = ingest.stream_cluster_assign(
+        ingest.file_stream(spark, src, schema), "embedding", "vec_id",
+        out, state, ckpt, k=3, iters_first=2,
+    )
+    assert q3.awaitTermination(600)
+    # bit-identical assignments, zero duplicate suffstats rows
+    assert snapshot() == before
