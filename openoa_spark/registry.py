@@ -8798,16 +8798,29 @@ def lid_trained_heldout_accuracy(spark, sf_dir):
     prof, stats = text.train_char_ngram_lid(
         decorated.where(F.col("doc_id") % 2 == 0), "text2", "lang"
     )
-    heldout = decorated.where(F.col("doc_id") % 2 == 1)
-    pred = text.apply_char_ngram_lid(heldout, "text2", "doc_id", prof, stats)
+    heldout = decorated.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.col("lang").alias("meta_lang"), "text2"
+    )
+    # meta_lang rides through the apply chain (carry_cols), so the
+    # evaluation needs no join back to the held-out frame — part of
+    # the r10 verdict item-7 shuffle diet (12 -> ~6 chain shuffles).
+    pred = text.apply_char_ngram_lid(
+        heldout, "text2", "doc_id", prof, stats, carry_cols=["meta_lang"]
+    )
     return (
-        heldout.select("doc_id", F.col("lang").alias("meta_lang"))
-        .join(pred, "doc_id")
-        .groupBy("meta_lang")
+        pred.groupBy("meta_lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
+            # coalesce BEFORE the sum: a NULL pred (gram-less doc)
+            # contributes 0 exactly like the oracle's CASE WHEN, so a
+            # meta_lang group that is ALL gram-less sums to 0, not NULL
             F.sum(
-                (F.col("pred_lang") == F.col("meta_lang")).cast("bigint")
+                F.coalesce(
+                    (F.col("pred_lang") == F.col("meta_lang")).cast(
+                        "bigint"
+                    ),
+                    F.lit(0),
+                )
             ).alias("n_correct"),
         )
     )
@@ -8910,10 +8923,18 @@ def stream_sessionize_events_batch(spark, sf_dir):
 _PRIORITY = [
     # ---- ROUND 11 window (policy: plan-changed this round, then
     # longest-unchecked fill) ----
-    # (1) Longest-unchecked fill: the COMPLETE r6 cohort (the 34
+    # (1) Plan changed this round (r10 verdict item 7, the LID plan
+    # diet): apply_char_ngram_lid dropped the (docs x langs)
+    # pair-join and the ids.distinct() join-back for a union-argmax
+    # shape, and train_char_ngram_lid lazily checkpoints its model
+    # tables so the broadcast consumers stop re-executing the train
+    # aggregates — 12 chain shuffles down to ~6, oracle re-proven at
+    # sf0.001/sf0.01/sf0.1.
+    "lid_trained_profiles", "lid_trained_heldout_accuracy",
+    # (2) Longest-unchecked fill: the COMPLETE r6 cohort (the 34
     # queries whose latest green driver row is round 6 — after this
     # window every registry query's latest driver row is <= 4 rounds
-    # old), then the oldest 16 of the r7 cohort alphabetically.
+    # old), then the oldest 14 of the r7 cohort alphabetically.
     "embedding_int8_quantization", "embedding_norms",
     "encoding_damage_docs", "exact_dedup_docs", "find_hour_gaps",
     "gross_energy_frac", "ivf_pq_topk", "leakage_safe_split_docs",
@@ -8929,14 +8950,16 @@ _PRIORITY = [
     "q5_nation_revenue", "q7_volume_shipping", "q8_market_share",
     "q9_profit_by_nation_year", "sliding_chunks_docs",
     "wake_plant_reference_conditions", "yaw_vane_bin_cells",
-    # (2) oldest 16 of the r7 cohort, alphabetical:
+    # (3) oldest 14 of the r7 cohort, alphabetical (lag_delta_per_user
+    # and language_id displaced by the two plan-changed LID queries;
+    # they lead the r12 fill):
     "benchmark_overlap_docs", "centroid_distances",
     "cube_returnflag_status", "electrical_losses_proxy",
     "embedding_cosine_near_dups", "exact_quantiles_by_type",
     "except_lapsed_customers", "freestream_iec_membership",
     "freestream_membership", "gap_fill_daily", "iec_power_curve",
     "infer_frequency", "interval_join_daily_activity",
-    "json_props_stats", "lag_delta_per_user", "language_id",
+    "json_props_stats",
 ]
 
 _PRIORITY_R10 = [
