@@ -73,9 +73,15 @@ def _duck_connection(sf_dir: str):
     con.execute("SET threads TO 32")
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        p = f"{sf_dir}/{t}.parquet"
+        # directory layouts (multi-file tables, e.g. the round-11
+        # layout probe) need the glob form; single files keep the
+        # plain path
+        src = (
+            f"read_parquet('{p}/*.parquet')" if os.path.isdir(p)
+            else f"'{p}'"
         )
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     return con
 
 

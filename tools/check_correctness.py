@@ -111,14 +111,83 @@ def main():
     qs = registry.queries()
     oracles = registry.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
+    # Above-gate-scale campaigns can inflate pair-listing queries past
+    # what a driver collect can hold (simhash_near_dups: 283M rows at
+    # 13x — the near-identical probe copies form cliques). For all-
+    # integral results past this threshold, compare engine-side
+    # checksums instead: COUNT + per-column exact decimal SUMs + one
+    # column-binding mixed sum — order-insensitive, value-sensitive,
+    # zero driver collect on either engine. Opt-in (campaign runs set
+    # it): the path costs an extra count() execution per all-integral
+    # query, which routine sf0.001 sweeps shouldn't pay.
+    checksum_threshold = int(
+        os.environ.get("SPARK_GRAFT_CHECKSUM_ROWS", "0")
+    )
+
+    def spark_checksums(sdf, int_cols):
+        from pyspark.sql import functions as F
+
+        mixed = None
+        for i, c in enumerate(int_cols):
+            term = F.col(c).cast("decimal(38,0)") * F.lit(
+                1_000_003 ** (i % 3)
+            ).cast("decimal(38,0)")
+            mixed = term if mixed is None else mixed + term
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        aggs += [
+            F.sum(F.col(c).cast("decimal(38,0)")).alias(f"_s_{c}")
+            for c in int_cols
+        ]
+        aggs.append(F.sum(mixed).alias("_mix"))
+        row = sdf.agg(*aggs).first()
+        return tuple(str(v) for v in row)
+
+    def duck_checksums(sql, int_cols):
+        sums = ", ".join(
+            f"CAST(CAST(SUM(CAST({c} AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+            f" AS VARCHAR) AS _s_{c}"
+            for c in int_cols
+        )
+        mixed = " + ".join(
+            f"CAST({c} AS DECIMAL(38,0)) * {1_000_003 ** (i % 3)}"
+            for i, c in enumerate(int_cols)
+        )
+        q = (
+            f"SELECT COUNT(*) AS _n, {sums}, "
+            f"CAST(CAST(SUM({mixed}) AS DECIMAL(38,0)) AS VARCHAR) AS _mix "
+            f"FROM ({sql}) AS _chk"
+        )
+        row = con.execute(q).fetchone()
+        return tuple(str(v) for v in row)
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            spark_rows = [tuple(r) for r in sdf.collect()]
             cols = sdf.columns
+            int_types = {"int", "bigint", "smallint", "tinyint"}
+            all_int = all(t in int_types for _, t in sdf.dtypes)
+            if checksum_threshold and all_int and name in oracles:
+                n_rows = sdf.count()
+                if n_rows > checksum_threshold:
+                    s_chk = spark_checksums(sdf, cols)
+                    d_chk = duck_checksums(oracles[name], cols)
+                    if s_chk == d_chk:
+                        print(
+                            f"PASS  {name}: checksum ({n_rows} rows, "
+                            f"count+sums+mix equal) [{time.time()-t0:.1f}s]"
+                        )
+                        n_pass += 1
+                    else:
+                        print(
+                            f"FAIL  {name}: checksum mismatch "
+                            f"{s_chk} vs {d_chk}"
+                        )
+                        n_fail += 1
+                    continue
+            spark_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             n_fail += 1

@@ -47,6 +47,10 @@ SLOW_SOLO = {
     "asof_tolerance_hourly_value": 1800,
     "asof_forward_hourly_value": 1800,
     "lid_trained_heldout_accuracy": 1800,
+    # 283M-row pair listing at 13x (near-identical copies form
+    # cliques): compared via the engine-side checksum path, but both
+    # engines still materialize the full pair set
+    "simhash_near_dups": 1800,
     "embedding_near_dedup_vecs": 1800,
     "event_sessions": 1200,
     "state_islands": 1200,
@@ -90,7 +94,13 @@ def run_batch(names: list[str], timeout: int, artifact: str) -> list[str]:
     try:
         p = subprocess.run(
             cmd, capture_output=True, text=True, timeout=timeout,
-            env={**os.environ, "SPARK_GRAFT_PROGRESS": "0"},
+            env={
+                **os.environ,
+                "SPARK_GRAFT_PROGRESS": "0",
+                # engine-side checksum compare for >50M-row integral
+                # results (driver collect cannot hold them at 13x)
+                "SPARK_GRAFT_CHECKSUM_ROWS": "50000000",
+            },
         )
         out = p.stdout + "\n" + p.stderr
     except subprocess.TimeoutExpired as e:
