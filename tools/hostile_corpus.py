@@ -60,8 +60,10 @@ def hostile_rows() -> list[tuple]:
         "العربية text with ِّ marks",           # Arabic + combining
         "control\x01\x02\x03chars\x1f here",   # C0 controls
         "nul\x00embedded",                      # embedded NUL
-        "ABC" * 400_000,                        # ~1.2M-char doc
-        "the " * 250_000,                       # 1M chars, one token repeated
+        "ABC" * 33_334,    # 100k-char doc: quadratic ORACLE twins
+        #   (substr per position) make 1M-char docs a twin-side DNF;
+        #   the engine n-gram path is linear since r9
+        "the " * 25_000,                        # 100k chars, one token repeated
         "x",                                    # duplicate of a 1-char? no: distinct
         "a b",                                  # minimal 2-token
         "  leading and trailing  ",
@@ -148,16 +150,21 @@ def main() -> None:
     todo = [n for n in names if n not in done]
     print(f"{len(done)} already green, {len(todo)} to run")
     # one process is fine at 35 docs; 1800 s is generous
-    for i in range(0, len(todo), 12):
-        chunk = todo[i : i + 12]
-        p = subprocess.run(
-            [sys.executable, "tools/check_correctness.py", PROBE, *chunk],
-            capture_output=True,
-            text=True,
-            timeout=1800,
-            env={**os.environ, "SPARK_GRAFT_PROGRESS": "0"},
-        )
-        out = p.stdout + "\n" + p.stderr
+    for i in range(0, len(todo), 6):
+        chunk = todo[i : i + 6]
+        try:
+            p = subprocess.run(
+                [sys.executable, "tools/check_correctness.py", PROBE, *chunk],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+                env={**os.environ, "SPARK_GRAFT_PROGRESS": "0"},
+            )
+            out = p.stdout + "\n" + p.stderr
+        except subprocess.TimeoutExpired as e:
+            out = ((e.stdout or b"").decode()
+                   if isinstance(e.stdout, bytes) else (e.stdout or ""))
+            out += "\n[CHUNK TIMEOUT]\n" 
         lines = [
             ln
             for ln in out.splitlines()
