@@ -1084,6 +1084,13 @@ def _kill_mid_batch(ckpt: str, epoch: int) -> None:
     commit = os.path.join(ckpt, "commits", str(epoch))
     assert os.path.exists(commit), f"no commit log for epoch {epoch}"
     os.remove(commit)
+    # local ChecksumFs writes a .N.crc sidecar next to each commit
+    # entry; a crashed process would have written neither, and an
+    # orphaned sidecar makes the replayed epoch's commit rename fail
+    # ("Rename destination .N.crc already exists" -> STREAM_FAILED)
+    crc = os.path.join(ckpt, "commits", f".{epoch}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
 
 
 def test_stream_media_metadata_kill_mid_batch_replay(spark, tmp_path):
