@@ -1069,6 +1069,12 @@ def chunk_dedup(
     from openoa_spark.datapipe.text import tokens
     chunks = _chunk_table(df, text_col, id_col, chunk_tokens)
     hashed = _chunk_fingerprints(chunks)
+    # r11 negative result: replacing min(struct) with a packed
+    # DECIMAL(38,0) min (id·2³¹ + pos) to turn the Sort+SortAggregate
+    # pair into a HashAggregate was measured interleaved at sf0.1 and
+    # LOST 5/5 pairs (median 1.04 s → 1.49 s): per-row decimal-38
+    # multiply/add under ANSI costs more than the per-partition sort
+    # of fixed-width fingerprint tuples it removes.
     owner = hashed.groupBy("_h1", "_h2").agg(
         F.min(F.struct("_id", "pos")).alias("_o")
     )

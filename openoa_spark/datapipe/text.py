@@ -489,10 +489,23 @@ def char_bigram_lm_scores(
         .localCheckpoint(eager=False)
     )
     g = dc.groupBy("bigram").agg(F.sum("c").alias("gc"))
-    total = g.agg(F.sum("gc").alias("_t"))
-    lp = g.crossJoin(F.broadcast(total)).select(
+    # The corpus total is a plain sum over the alphabet²-bounded model
+    # table: computing it as an unpartitioned window over g (one
+    # single-task frame over ≤ alphabet² rows — bounded by the model
+    # grain, never the corpus) instead of the old separate
+    # agg + broadcast + crossJoin removes a second aggregation of dc
+    # from the plan AND the serial broadcast-total build job that
+    # gated the lp broadcast (2 Exchanges + 1 job fewer; r11 measured
+    # interleaved at sf0.1: 2.01 s → 1.85 s median, 5/5 pairs). The
+    # division sees the identical exact integer total, so lp is
+    # bit-unchanged.
+    w_all = Window.partitionBy()
+    lp = g.select(
         "bigram",
-        F.round(F.log2(F.col("gc").cast("double") / F.col("_t")), 6)
+        F.round(
+            F.log2(F.col("gc").cast("double") / F.sum("gc").over(w_all)),
+            6,
+        )
         .cast("decimal(18,6)")
         .alias("lp"),
     )

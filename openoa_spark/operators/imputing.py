@@ -134,6 +134,32 @@ def asset_correlation_pairs(
     if strategy not in ("vector", "matrix"):
         raise ValueError(f"unknown strategy {strategy!r}")
 
+    if strategy == "matrix":
+        # Ragged per-asset series — the time-spine densification
+        # happens on the driver inside _pairs_matrix (it collects the
+        # bin-grain table anyway), which removes the old
+        # distinct-spine/cross-join/left-join densify chain (3
+        # shuffles) from the plan; the lazy checkpoint makes the
+        # bin-grain aggregate compute ONCE for both consumers (the
+        # driver collect and the mapInPandas probe side — previously
+        # the whole vectors lineage evaluated twice). r11 measured
+        # interleaved at sf0.1: won 4/5 pairs, ~0.2-0.5 s each.
+        vecs = (
+            df.groupBy(asset_col)
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(time_col).alias("t"),
+                            F.col(value_col).alias("v"),
+                        )
+                    )
+                ).alias("_s")
+            )
+            .localCheckpoint(eager=False)
+        )
+        return _pairs_matrix(vecs, asset_col)
+
     spine = df.select(*g, time_col).distinct()
     assets = df.select(*g, asset_col).distinct()
     # within-group cross: an equi-join on the group key (falls back to
@@ -153,8 +179,6 @@ def asset_correlation_pairs(
         )
         .select(*g, asset_col, F.expr("transform(_s, e -> e.v)").alias("_vv"))
     )
-    if strategy == "matrix":
-        return _pairs_matrix(vecs, asset_col)
 
     # The probe side MUST stay spread across tasks: the vectors table
     # is tiny (n_assets rows), so AQE coalesces the groupBy output to
@@ -206,6 +230,17 @@ def _pairs_matrix(vecs: DataFrame, asset_col: str) -> DataFrame:
     n_bins doubles — the same class of driver-small table the AEP
     monthly collect uses), never fact rows, and refuses beyond
     ``_MATRIX_MAX_CELLS``.
+
+    Input is the RAGGED bin-grain table — ``_s`` = time-sorted
+    array<struct<t,v>> per asset (r11) — densified onto the union
+    time spine HERE: driver side for the broadcast matrix, and from
+    the broadcast spine index inside each task for the probe batches.
+    The spine is exactly the pre-r11 ``distinct()`` spine — the union
+    of observed times — so the dense matrix, and therefore every GEMM
+    result, is bit-identical to the old pre-densified layout; what
+    changed is only the physical plan (no distinct/cross-join/
+    left-join densify shuffles, and the checkpointed bin-grain table
+    is evaluated once, not once per consumer).
     """
     import numpy as np
 
@@ -216,7 +251,13 @@ def _pairs_matrix(vecs: DataFrame, asset_col: str) -> DataFrame:
         return spark.createDataFrame(
             [], f"asset_a {asset_dtype}, asset_b {asset_dtype}, corr double"
         )
-    n_bins = len(rows[0]["_vv"])
+    day_index = {
+        t: i
+        for i, t in enumerate(
+            sorted({e["t"] for r in rows for e in r["_s"]})
+        )
+    }
+    n_bins = len(day_index)
     if len(rows) * n_bins > _MATRIX_MAX_CELLS:
         raise ValueError(
             f"matrix strategy refuses {len(rows)} assets × {n_bins} bins "
@@ -224,11 +265,12 @@ def _pairs_matrix(vecs: DataFrame, asset_col: str) -> DataFrame:
             "top-k/LSH reformulation"
         )
     ids = [r[asset_col] for r in rows]
-    mat = np.array(
-        [[np.nan if v is None else v for v in r["_vv"]] for r in rows],
-        dtype=np.float64,
-    )
-    bc = spark.sparkContext.broadcast((ids, mat))
+    mat = np.full((len(rows), n_bins), np.nan, dtype=np.float64)
+    for i, r in enumerate(rows):
+        for e in r["_s"]:
+            if e["v"] is not None:
+                mat[i, day_index[e["t"]]] = e["v"]
+    bc = spark.sparkContext.broadcast((ids, mat, day_index))
 
     def _prep(x):
         m = ~np.isnan(x)
@@ -241,7 +283,7 @@ def _pairs_matrix(vecs: DataFrame, asset_col: str) -> DataFrame:
     def gen(batches):
         import pandas as pd
 
-        ids_b, xb = bc.value
+        ids_b, xb, didx = bc.value
         idb = np.array(ids_b, dtype=object)
         mb, xb0 = _prep(xb)
         mb_t, xb0_t, xb0sq_t = mb.T, xb0.T, (xb0 * xb0).T
@@ -249,10 +291,11 @@ def _pairs_matrix(vecs: DataFrame, asset_col: str) -> DataFrame:
             if pdf.empty:
                 continue
             ida = pdf[asset_col].to_numpy()
-            xa = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf["_vv"]],
-                dtype=np.float64,
-            )
+            xa = np.full((len(pdf), xb.shape[1]), np.nan)
+            for i, series in enumerate(pdf["_s"]):
+                for e in series:
+                    if e["v"] is not None:
+                        xa[i, didx[e["t"]]] = e["v"]
             ma, xa0 = _prep(xa)
             n = ma @ mb_t
             sx = xa0 @ mb_t

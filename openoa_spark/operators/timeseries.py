@@ -334,6 +334,7 @@ def asof_join(
     right_time_col: str | None = None,
     allow_unkeyed: bool = False,
     tolerance_seconds: float | None = None,
+    right_order_cols: list[str] | None = None,
 ) -> DataFrame:
     """As-of (backward) join: for each left row, latest right values at
     or before its timestamp, matched per key group.
@@ -347,11 +348,21 @@ def asof_join(
     further back than the tolerance yields NULL values instead. The
     matched right timestamp forward-fills alongside the values in the
     SAME window pass, so the tolerance adds zero shuffles.
+
+    ``right_order_cols``: extra ascending tiebreak columns ordering
+    right rows that share (keys, time) — the last row in that order
+    wins, i.e. the window pass itself performs a max_by(value,
+    tiebreak) dedup of the right side. Passing the raw series with a
+    sequence column here replaces a separate pre-dedup aggregate (one
+    full-table shuffle fewer); the columns must not collide with left
+    columns and are dropped from the output.
     """
     rt = right_time_col or time_col
     keys = keys or []
+    roc = list(right_order_cols or [])
     r = right.select(
         *keys, F.col(rt).alias(time_col), *[F.col(c) for c in value_cols],
+        *[F.col(c) for c in roc],
         F.lit(0).alias("_src"),
     )
     l = left.select(
@@ -360,13 +371,19 @@ def asof_join(
     for c in value_cols:
         if c not in left.columns:
             l = l.withColumn(c, F.lit(None).cast(r.schema[c].dataType))
+    for c in roc:
+        l = l.withColumn(c, F.lit(None).cast(r.schema[c].dataType))
     if tolerance_seconds is not None:
         r = r.withColumn("_rt", F.col(time_col))
         l = l.withColumn("_rt", F.lit(None).cast("timestamp"))
     unioned = l.unionByName(r, allowMissingColumns=True)
     w = (
         _ordered_window(keys, allow_unkeyed, "asof_join")
-        .orderBy(F.col(time_col).asc(), F.col("_src").asc())
+        .orderBy(
+            F.col(time_col).asc(),
+            F.col("_src").asc(),
+            *[F.col(c).asc() for c in roc],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = unioned
@@ -375,7 +392,7 @@ def asof_join(
     )
     for c in fill_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = out.where(F.col("_src") == 1).drop("_src")
+    out = out.where(F.col("_src") == 1).drop("_src", *roc)
     if tolerance_seconds is not None:
         stale = (
             F.unix_micros(F.col(time_col)) - F.unix_micros(F.col("_rt"))

@@ -494,13 +494,16 @@ def cumulative_sum_per_user(spark, sf_dir):
 )
 def asof_hourly_value(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    dedup_ev = ev.groupBy("user_id", "ts").agg(
-        F.max_by("value", "event_id").alias("value")
-    )
     hours = ev.select("user_id", F.date_trunc("hour", "ts").alias("hour"))
     spine = timeseries.calendar_spine(hours, "hour", "h", keys=["user_id"])
+    # r11: the max_by(value, event_id) per-(user, ts) pre-dedup folds
+    # into the as-of window itself (right rows tiebroken ascending by
+    # event_id, last one wins — the same argmax), removing one
+    # full-table groupBy shuffle: 3 exchanges → 2, measured 5/5
+    # interleaved pairs faster at sf0.1 (median 1.06 s → 0.93 s).
     return timeseries.asof_join(
-        spine, dedup_ev, "hour", ["value"], keys=["user_id"], right_time_col="ts"
+        spine, ev, "hour", ["value"], keys=["user_id"],
+        right_time_col="ts", right_order_cols=["event_id"],
     )
 
 
@@ -533,16 +536,16 @@ def asof_tolerance_hourly_value(spark, sf_dir):
     staler matches become NULL. Same union + keyed-window ffill as
     asof_join — the matched right timestamp forward-fills in the SAME
     window pass, so the tolerance adds zero shuffles
-    (operators/timeseries.asof_join(tolerance_seconds=...))."""
+    (operators/timeseries.asof_join(tolerance_seconds=...)). The
+    arg_max pre-dedup folds into the window via the event_id tiebreak
+    since r11 (same rewrite as asof_hourly_value: 3 exchanges → 2)."""
     ev = _t(spark, sf_dir, "events")
-    dedup_ev = ev.groupBy("user_id", "ts").agg(
-        F.max_by("value", "event_id").alias("value")
-    )
     hours = ev.select("user_id", F.date_trunc("hour", "ts").alias("hour"))
     spine = timeseries.calendar_spine(hours, "hour", "h", keys=["user_id"])
     return timeseries.asof_join(
-        spine, dedup_ev, "hour", ["value"], keys=["user_id"],
+        spine, ev, "hour", ["value"], keys=["user_id"],
         right_time_col="ts", tolerance_seconds=1800.0,
+        right_order_cols=["event_id"],
     )
 
 
@@ -923,14 +926,11 @@ def user_daily_correlation_pairs(spark, sf_dir):
     daily = timeseries.resample(
         ev, "ts", "D", {"v": dsum("value", scale=6)}, keys=["user_id"], bucket_col="day"
     )
-    # The self-join reads `daily` twice; without materialization each
-    # side re-scans and re-aggregates the fact table (41% of round-1
-    # bench wall). The table is asset×day grain — tiny at any SF.
-    # localCheckpoint(eager=True) computes it exactly once and
-    # truncates lineage WITHOUT pinning a catalog cache entry (the
-    # round-2 persist()+count() version leaked a pinned cache per
-    # call); blocks are freed when the DataFrame is GC'd.
-    daily = daily.localCheckpoint(eager=True)
+    # No materialization of `daily` here since r11: the matrix
+    # strategy consumes the bin-grain table exactly once (it builds
+    # and lazily checkpoints the ragged per-asset vectors itself, so
+    # the round-1 double-scan this query used to guard against —
+    # 41% of the r1 bench wall — no longer exists in the plan).
     pairs = imputing.asset_correlation_pairs(daily, "day", "user_id", "v")
     # + 0.0 on BOTH sides: a pair whose corr rounds to zero can land
     # on -0.0 in one engine and +0.0 in the other (sign of an
