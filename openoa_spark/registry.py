@@ -41,7 +41,31 @@ from openoa_spark.datapipe import dedup, similarity, text
 
 # ---------------------------------------------------------------- helpers
 
+# Memo of the ANALYZED base relations, keyed per session — a
+# metadata/plan-handle cache, NOT data caching: every action on the
+# returned DataFrame still scans parquet from disk (nothing is
+# persisted, no .cache()). What it avoids is re-running scan SETUP on
+# every registry call — footer/schema read + file-index build
+# (~110 ms per spark.read.parquet call, measured r11) and the first
+# df.rdd conversion that spread_small_input's partition probe pays
+# (~135 ms fresh vs 0.3 ms on a reused handle). A 5-table join query
+# (q5) was spending ~0.55 s of its 0.57 s plan build here. This is
+# the same session-lifetime relation reuse a catalog table gets from
+# Spark's own relation cache; path-based reads just lack one.
+_T_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir.rstrip("/"), name)
+    hit = _T_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = _t_build(spark, sf_dir, name)
+    _T_CACHE[key] = df
+    return df
+
+
+def _t_build(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet's ts layout has varied across driver testdata
         # generations: TIMESTAMP(NANOS) (rounds 1-2; Spark rejects it
