@@ -687,9 +687,24 @@ def keyed_row_number(
         ).alias("q")
     ).first()["q"] or []
     edges = sorted(set(qs))
-    bucket = F.lit(0)
-    for e in edges:
-        bucket = bucket + F.when(o > F.lit(e), 1).otherwise(0)
+    # bucket = #{edges below o} as ONE size(filter(<literal array>))
+    # fold, not a chained `+ when(o > e, 1)` per edge: a chain is an
+    # edges-deep expression tree the optimizer re-substitutes into
+    # every downstream use (groupBy key, window partition, join key) —
+    # at n_buckets ≈ 200 that made plan BUILD, not execution, dominate
+    # the query (the r8 "giant expression" driver-cost class; the fold
+    # references only lambda variables and literals, so it stays one
+    # plan node). Runtime semantics identical: edges sorted, count of
+    # strictly-smaller edges.
+    if edges:
+        bucket = F.size(
+            F.filter(
+                F.array(*[F.lit(e) for e in edges]),
+                lambda e: o > e,
+            )
+        )
+    else:
+        bucket = F.lit(0)
     bb = df.withColumn("_rnb", bucket)
     cnt = bb.groupBy(*keys, "_rnb").agg(F.count(F.lit(1)).alias("_c"))
     if keys:

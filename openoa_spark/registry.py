@@ -6406,8 +6406,22 @@ def customer_rfm_segments(spark, sf_dir):
     :func:`ntile_from_rank`. Boundary ties are pinned: the composite
     is unique, so every quartile edge is engine-deterministic. The
     fact scan still reduces to one row per customer first (hash
-    aggregate, decimal-exact monetary); identical aggregate subtrees
-    across the three rank branches are deduped by ReuseExchange."""
+    aggregate, decimal-exact monetary).
+
+    r11 plan diet (guide §2.4 — remove shuffles outright): the three
+    metrics used to run three SEPARATE keyed_row_number pipelines over
+    three recomputations of ``rfm`` plus three customer-grain
+    join-backs — 28 exchanges, the heaviest plan in the registry.
+    Now ``rfm`` is lazily checkpointed (materialized exactly once, by
+    the grid-probe action keyed_row_number issues anyway), the three
+    composites are UNPIVOTED into one (custkey, metric, composite)
+    table, ranked by ONE keyed_row_number run with keys=[metric]
+    (the three composite ranges are disjoint, so the global value
+    grid still splits every metric across ~n_buckets/3 buckets), and
+    the quartiles are pivoted back by a single customer-grain
+    aggregate that also carries ``frequency`` — no join-back at all.
+    Per-metric rank and NTILE math are unchanged, so the output is
+    row-identical to the three-pipeline shape (oracle-checked)."""
     from openoa_spark.functions.stats import (
         keyed_row_number,
         ntile_from_rank,
@@ -6418,10 +6432,10 @@ def customer_rfm_segments(spark, sf_dir):
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         dsum("o_totalprice").alias("monetary"),
-    )
+    ).localCheckpoint(eager=False)
     n_df = rfm.agg(F.count(F.lit(1)).alias("_n"))
 
-    def quartile(metric_int: Column, out: str):
+    def composite(metric_int: Column, out: str) -> Column:
         # metric·10¹² + custkey: exact in decimal(38,0), unique, and
         # order-identical to (metric ASC, o_custkey ASC) — but ONLY
         # while the key stays below the 10¹² packing stride and the
@@ -6441,7 +6455,7 @@ def customer_rfm_segments(spark, sf_dir):
             metric_int.cast("decimal(38,0)") * F.lit(10**12)
             + F.col("o_custkey")
         ).cast("decimal(38,0)")
-        comp = F.when(
+        return F.when(
             bad,
             F.raise_error(
                 F.lit(
@@ -6450,28 +6464,40 @@ def customer_rfm_segments(spark, sf_dir):
                 )
             ).cast("decimal(38,0)"),
         ).otherwise(comp)
-        d = rfm.select("o_custkey", comp.alias("_ord"))
-        ranked = keyed_row_number(d, [], "_ord", "_gr")
-        return ranked.crossJoin(F.broadcast(n_df)).select(
-            "o_custkey",
-            ntile_from_rank(F.col("_gr"), F.col("_n"), 4).alias(out),
-        )
 
-    r_q = quartile(
-        F.datediff("last_order", F.lit(datetime.date(1970, 1, 1))),
-        "r_quartile",
+    comps = [
+        composite(
+            F.datediff("last_order", F.lit(datetime.date(1970, 1, 1))),
+            "r_quartile",
+        ),
+        composite(F.col("frequency"), "f_quartile"),
+        composite(F.col("monetary") * F.lit(100), "m_quartile"),
+    ]
+    un = rfm.select(
+        "o_custkey",
+        "frequency",
+        F.inline(
+            F.array(*[
+                F.struct(F.lit(i).alias("_mid"), c.alias("_ord"))
+                for i, c in enumerate(comps)
+            ])
+        ),
     )
-    f_q = quartile(F.col("frequency"), "f_quartile")
-    m_q = quartile(F.col("monetary") * F.lit(100), "m_quartile")
-    return (
-        rfm.select("o_custkey", "frequency")
-        .join(r_q, "o_custkey")
-        .join(f_q, "o_custkey")
-        .join(m_q, "o_custkey")
-        .select(
-            "r_quartile", "f_quartile", "m_quartile",
-            "o_custkey", "frequency",
-        )
+    ranked = keyed_row_number(un, ["_mid"], "_ord", "_gr", n_buckets=192)
+    q = ranked.crossJoin(F.broadcast(n_df)).select(
+        "o_custkey",
+        "frequency",
+        "_mid",
+        ntile_from_rank(F.col("_gr"), F.col("_n"), 4).alias("_q"),
+    )
+    return q.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("_mid") == 0, F.col("_q"))).alias("r_quartile"),
+        F.max(F.when(F.col("_mid") == 1, F.col("_q"))).alias("f_quartile"),
+        F.max(F.when(F.col("_mid") == 2, F.col("_q"))).alias("m_quartile"),
+        F.first("frequency").alias("frequency"),
+    ).select(
+        "r_quartile", "f_quartile", "m_quartile",
+        "o_custkey", "frequency",
     )
 
 
