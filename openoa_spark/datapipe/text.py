@@ -96,20 +96,66 @@ def language_id(col: Column | str, langs: dict[str, list[str]] | None = None) ->
     deterministic n-gram/stopword baseline.
     """
     langs = langs or STOPWORDS
-    # distinct lowercased tokens + hash-based array_intersect:
-    # O(langs·(tokens+stopwords)) instead of the O(langs·tokens·
-    # stopwords) per-token list scan (10× on real documents). Score =
-    # number of DISTINCT stopword types present.
+    names = sorted(langs)
     tl = F.array_distinct(F.transform(tokens(col), lambda w: F.lower(w)))
-    scored = []
-    for lang in sorted(langs):
-        sw = F.array(*[F.lit(w) for w in langs[lang]])
-        hits = F.size(F.array_intersect(tl, sw))
-        scored.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
-    best = scored[0]
-    for s in scored[1:]:  # strict > keeps the lexicographically-first lang on ties
-        best = F.when(s["hits"] > best["hits"], s).otherwise(best)
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    # ONE pass over the tokens, ONE reference to every intermediate:
+    # the pre-r11 argmax when-chain referenced the hit counts ~12× and
+    # CollapseProject re-inlined the full tokenize+intersect subtree
+    # into every branch (~40 copies of split/lower per row in the
+    # physical plan — the r8 "fan one subexpression into N branches"
+    # class). Runtime was a WASH in the r11 interleaved A/B (3/5 pairs,
+    # medians 0.53 vs 0.48 s at sf0.1): whole-stage codegen's
+    # subexpression elimination already de-duplicated the tree at
+    # execution. Kept anyway because the plan shrinks ~10× (build cost,
+    # explain readability) and correctness no longer depends on CSE
+    # firing (giant projections can exceed codegen limits and fall back
+    # to interpreted eval, where duplicated branches really do
+    # re-execute). Per-language hit counts come from a single aggregate
+    # fold over the distinct tokens (the fold body references only
+    # lambda variables and literals), the argmax is one array_max over
+    # (hits, priority, lang) structs — priority is the reverse
+    # sorted-name index, so ties keep the lexicographically FIRST
+    # language exactly like the old strict-> chain — and the no-hits
+    # 'und' fallback rides a sentinel struct (0 hits, top priority)
+    # that wins iff every real count is zero. coalesce covers NULL
+    # text (NULL counts → NULL max), which the old chain mapped to
+    # 'und' via NULL > 0 = false. Row-identity with the old chain is
+    # pinned in tests/test_datapipe.py over NULL/empty/tie cases.
+    zero = F.array(*[F.lit(0) for _ in names])
+    counts = F.aggregate(
+        tl,
+        zero,
+        lambda acc, t: F.array(*[
+            F.element_at(acc, i + 1)
+            + F.when(
+                F.array_contains(
+                    F.array(*[F.lit(w) for w in langs[name]]), t
+                ),
+                1,
+            ).otherwise(0)
+            for i, name in enumerate(names)
+        ]),
+    )
+    meta = F.array(*[
+        F.struct(
+            F.lit(len(names) - 1 - i).alias("prio"), F.lit(name).alias("lang")
+        )
+        for i, name in enumerate(names)
+    ])
+    scored = F.zip_with(
+        counts,
+        meta,
+        lambda h, m: F.struct(
+            h.alias("hits"), m["prio"].alias("prio"), m["lang"].alias("lang")
+        ),
+    )
+    sentinel = F.struct(
+        F.lit(0).alias("hits"),
+        F.lit(len(names)).alias("prio"),
+        F.lit("und").alias("lang"),
+    )
+    best = F.array_max(F.concat(scored, F.array(sentinel)))
+    return F.coalesce(best["lang"], F.lit("und"))
 
 
 def quality_score(col: Column | str, stopwords: list[str] | None = None) -> Column:

@@ -109,13 +109,25 @@ def consecutive_deltas_us(
 
     Returns a 1-column DataFrame ``_delta_us``. Exactly the same
     multiset of deltas a global sort would produce.
+
+    One full-size exchange total (r11): both the intra-bucket window
+    and the per-bucket min/max aggregate consume a single explicit
+    ``repartition(_b)`` — the window sorts on it directly and the
+    aggregate's ClusteredDistribution(_b) is already satisfied, so the
+    planner adds no second exchange (ReusedExchange for the branch).
+    Duplicate timestamps need no pre-``distinct`` (its r10 shape spent
+    two full shuffles + a second scan on it): equal neighbors within a
+    bucket yield ``_delta_us = 0`` and are dropped by the ``> 0``
+    filter, equal values never straddle buckets (same value ⇒ same
+    bucket), and min/max are duplicate-blind.
     """
-    u = df.select(F.unix_micros(F.col(time_col)).alias("_u")).distinct()
-    b = u.withColumn("_b", F.expr(f"_u DIV {bucket_seconds * 1_000_000}"))
+    b = df.select(F.unix_micros(F.col(time_col)).alias("_u")).withColumn(
+        "_b", F.expr(f"_u DIV {bucket_seconds * 1_000_000}")
+    ).repartition("_b")
     w_in = Window.partitionBy("_b").orderBy("_u")
     intra = (
         b.withColumn("_delta_us", F.col("_u") - F.lag("_u").over(w_in))
-        .where(F.col("_delta_us").isNotNull())
+        .where(F.col("_delta_us") > 0)
         .select("_delta_us")
     )
     agg = b.groupBy("_b").agg(F.min("_u").alias("_mn"), F.max("_u").alias("_mx"))

@@ -134,6 +134,23 @@ def test_language_id(spark):
     assert out[3] == "und"
 
 
+def test_language_id_edge_cases(spark):
+    # pins the r11 one-fold rewrite against the original when-chain
+    # semantics: ties keep the lexicographically FIRST language, no
+    # hits (incl. empty/whitespace/NULL text) map to 'und'
+    rows = [
+        (1, None),            # NULL text -> 'und' (old chain: NULL > 0 = false)
+        (2, ""),              # empty -> 'und'
+        (3, "   "),           # whitespace-only -> 'und'
+        (4, "de la"),         # es/fr tie (both lists carry de+la) -> 'es' (first sorted)
+        (5, "zzz qqq"),       # zero hits -> 'und'
+        (6, "the der"),       # de/en tie at 1 hit each -> 'de' (first sorted)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    out = {r["doc_id"]: r["lang"] for r in df.select("doc_id", text.language_id("t").alias("lang")).collect()}
+    assert out == {1: "und", 2: "und", 3: "und", 4: "es", 5: "und", 6: "de"}
+
+
 def test_image_features_mapinpandas(spark):
     df = spark.createDataFrame(
         [(1, "image", bytearray(b"\x00\x01\x02\x03" * 10), "image/png", {})],

@@ -61,6 +61,26 @@ def test_infer_frequency_seconds(spark):
     assert ts.infer_frequency_seconds(df, "time") == 600.0
 
 
+def test_consecutive_deltas_dedup_and_buckets(spark):
+    # pins the r11 one-exchange rewrite: duplicate timestamps collapse
+    # via the _delta > 0 filter (no pre-distinct), incl. a duplicate of
+    # a bucket's max right at the bucket boundary; cross-bucket deltas
+    # come from the per-bucket min/max table
+    base = _ts(2020, 1, 1)
+    rows = (
+        [(base,), (base,)]                                    # dup at bucket min
+        + [(base + dt.timedelta(minutes=10),)] * 3            # triple dup mid-bucket
+        + [(base + dt.timedelta(hours=23, minutes=50),)] * 2  # dup at bucket max
+        + [(base + dt.timedelta(days=1, minutes=5),)]         # next bucket
+    )
+    df = spark.createDataFrame(rows, ["time"])
+    got = sorted(
+        r["_delta_us"] for r in ts.consecutive_deltas_us(df, "time").collect()
+    )
+    # unique sorted: 00:00, 00:10, 23:50, +1d 00:05 -> deltas 600s, 85200s, 900s
+    assert got == [600 * 10**6, 900 * 10**6, 85200 * 10**6]
+
+
 def test_percent_nan(spark):
     df = spark.createDataFrame([(1.0,), (None,), (float("nan"),), (4.0,)], ["v"])
     out = df.agg(ts.percent_nan("v").alias("p")).first()
