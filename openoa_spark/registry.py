@@ -3432,16 +3432,27 @@ def q21_waiting_suppliers(spark, sf_dir):
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("late_row").alias("late"))
     )
+    # r11 (guide §2.4): the li-grain/order-grain self-join used to
+    # recompute the whole lineitem⋈orders aggregate TWICE (the two
+    # branches push different IsNotNull sets to the scan, so their
+    # exchanges don't canonicalize equal and ReuseExchange never
+    # fires) and then sort-merge-joined the halves. Since a qualifying
+    # order has EXACTLY one late (orderkey, suppkey) row (nlate = 1),
+    # that row's supplier can be carried by the order-grain aggregate
+    # itself — max over the late rows' suppkeys — and the self-join
+    # disappears: one lineitem scan, no SMJ, 5 exchanges → 3
+    # (interleaved A/B 9/9 pairs faster, median 1.80 → 1.46 s at
+    # sf0.1; oracle green at sf0.001 and sf0.01).
     per_o = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("nsupp"), F.sum("late").alias("nlate")
+        F.count(F.lit(1)).alias("nsupp"),
+        F.sum("late").alias("nlate"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            "late_suppkey"
+        ),
     )
     return (
-        per_os.where(F.col("late") == 1)
-        .join(
-            per_o.where((F.col("nsupp") > 1) & (F.col("nlate") == 1)),
-            "l_orderkey",
-        )
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_o.where((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+        .join(F.broadcast(sup), F.col("late_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("s_name"))
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
