@@ -353,21 +353,26 @@ def _pairs_from_banded(
         # (band, bhash) key the pair joins use; AQE broadcasts it when
         # it is actually small.
         sized = banded.join(sizes, ["band", "bhash"])
-        small_a = sized.where(F.col("_bsz") <= max_band_bucket).alias("a")
-        small_b = sized.where(F.col("_bsz") <= max_band_bucket).alias("b")
-        clique = (
-            small_a.join(small_b, on)
+        # ONE self-join covers both topologies (r11, guide §2.4/§3):
+        # the star output is exactly the clique predicate restricted
+        # to a-side == representative, so filtering the LEFT side to
+        # (small bucket) OR (row is the bucket's min-id rep) yields
+        # the identical pair set — small buckets keep every a-row
+        # (full clique via a._id < b._id), oversized buckets keep only
+        # the rep a-row (m-1 star edges; rep = min id, so rep < member
+        # holds and no member-member pair can form). The b side stays
+        # unfiltered; rep-rep self-pairs die on the strict <. This
+        # halves the self-joins (2 SMJ → 1), drops the union, and cuts
+        # the banded-lineage evaluations from 5 to 3.
+        left = sized.where(
+            (F.col("_bsz") <= max_band_bucket)
+            | (F.col("_id") == F.col("_rep_id"))
+        ).alias("a")
+        pairs = (
+            left.join(sized.alias("b"), on)
             .where(F.col("a._id") < F.col("b._id"))
             .select(*pair_cols)
         )
-        over = sized.where(F.col("_bsz") > max_band_bucket).select(
-            "band", "bhash", "_id", "_sig", "_rep_id"
-        )
-        # min-id representative ⇒ id_a = rep < member = id_b always
-        reps = over.where(F.col("_id") == F.col("_rep_id")).alias("a")
-        members = over.where(F.col("_id") != F.col("_rep_id")).alias("b")
-        star = reps.join(members, on).select(*pair_cols)
-        pairs = clique.unionByName(star)
     return (
         pairs
         .where(F.col("est_jaccard") >= jaccard_threshold)
