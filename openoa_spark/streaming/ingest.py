@@ -641,32 +641,37 @@ def stream_drift_monitor(
             b = b + (v > F.lit(float(e))).cast("int")
         return b
 
-    r = ref_nn.agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[
-            F.sum((bucket_expr() == i).cast("long")).alias(f"_b{i}")
-            for i in range(n_buckets)
-        ],
-    ).first()
-    n_ref = r["_n"]
+    def _bucket_counts(df: DataFrame) -> tuple[int, dict[int, int]]:
+        # ONE evaluation of the edge-comparison chain per row (grouping
+        # key), instead of fanning bucket_expr into n_buckets parallel
+        # conditional sums — the optimizer re-inlines the shared
+        # subtree into every branch, so the fanned shape costs
+        # n_buckets× the per-row compare work (guide §4 one-fold
+        # discipline; same counts, bucket ids are exact integers).
+        rows = (
+            df.groupBy(bucket_expr().alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        counts = {r["_b"]: r["_n"] for r in rows}
+        return sum(counts.values()), counts
+
+    n_ref, ref_counts = _bucket_counts(ref_nn)
     floor = 1e-6
     p_ref = [
-        max((r[f"_b{i}"] / n_ref) if n_ref else 0.0, floor)
+        max((ref_counts.get(i, 0) / n_ref) if n_ref else 0.0, floor)
         for i in range(n_buckets)
     ]
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        c = batch.where(F.col(value_col).isNotNull()).agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[
-                F.sum((bucket_expr() == i).cast("long")).alias(f"_b{i}")
-                for i in range(n_buckets)
-            ],
-        ).first()
-        n_cur = c["_n"]
+        n_cur, cur_counts = _bucket_counts(
+            batch.where(F.col(value_col).isNotNull())
+        )
         psi = 0.0
         for i in range(n_buckets):
-            p_cur = max((c[f"_b{i}"] / n_cur) if n_cur else 0.0, floor)
+            p_cur = max(
+                (cur_counts.get(i, 0) / n_cur) if n_cur else 0.0, floor
+            )
             psi += (p_cur - p_ref[i]) * math.log(p_cur / p_ref[i])
         spark = batch.sparkSession
         (
@@ -801,8 +806,14 @@ def stream_ewma_anomaly(
         mean, var, n = state.get if state.exists else (0.0, 0.0, 0)
         rows = pd.concat(list(pdfs)).sort_values(time_col)
         out_t, out_v, out_z, out_a = [], [], [], []
-        for _, row in rows.iterrows():
-            v = row[value_col]
+        # plain-list zip instead of iterrows(): identical values in the
+        # identical order (tolist() yields the same Python floats /
+        # Timestamps row-wise access does), without materializing a
+        # Series per row — the recursion itself is inherently serial,
+        # so the per-row overhead IS the operator's cost (guide §4)
+        for t, v in zip(
+            rows[time_col].tolist(), rows[value_col].tolist()
+        ):
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 continue
             v = float(v)
@@ -816,7 +827,7 @@ def stream_ewma_anomaly(
                 mean = mean + alpha * diff
                 var = (1.0 - alpha) * (var + alpha * diff * diff)
             n += 1
-            out_t.append(row[time_col])
+            out_t.append(t)
             out_v.append(v)
             out_z.append(z)
             out_a.append(n > warmup and abs(z) >= z_threshold)
