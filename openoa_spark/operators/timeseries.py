@@ -592,18 +592,71 @@ def refresh_time_rollup(
     of recompute per touched day and keeps the refresh aligned with
     the partition layout.
     """
+    import datetime as _dt
+
     from openoa_spark.sources.sinks import overwrite_partitions
 
     keys = keys or []
     bucket = F.date_trunc(freq, F.col(time_col))
-    invalid_days = (
-        changed.select(F.to_date(bucket).alias("_bucket_day")).distinct()
-        .localCheckpoint(eager=False)
+    # The invalidated-day set is tiny by design (distinct truncated
+    # days of the DELTA), so collect it and invalidate with a literal
+    # isin — the broadcast semi-join this replaces (r11, guide §3/§6)
+    # forced a FULL raw scan every refresh: the derived _bucket_day
+    # never reaches parquet row-group stats, and a join build adds an
+    # exchange + job of its own. With the days in hand we also bound
+    # the scan with a plain range predicate on the raw time column,
+    # which DOES push down: a row lands in bucket-day d iff its bucket
+    # start ∈ [d, d+1) and time ∈ [start, start + bucket_len), so
+    # [lo_day, hi_day + 1 day + bucket_len) is a superset of every
+    # invalidated row — the isin still decides exact membership, the
+    # output is identical, and the scan skips files whose time stats
+    # fall outside the delta's span (history is never rescanned for a
+    # recent-days delta). Unknown freq strings skip the range filter
+    # (conservative: no prune); a pathological delta spanning >10k
+    # distinct days falls back to the broadcast semi-join.
+    _slack_days = {
+        "microsecond": 1, "millisecond": 1, "second": 1, "minute": 1,
+        "hour": 1, "day": 1, "dd": 1, "week": 7, "month": 31,
+        "mon": 31, "mm": 31, "quarter": 92, "year": 366, "yyyy": 366,
+        "yy": 366,
+    }
+    day_rows = (
+        changed.select(F.to_date(bucket).alias("_bucket_day"))
+        .distinct().limit(10_001).collect()
     )
+    days = sorted(
+        r["_bucket_day"] for r in day_rows if r["_bucket_day"] is not None
+    )
+    if len(day_rows) <= 10_000:
+        if not days:
+            raw = raw.where(F.lit(False))
+        else:
+            slack = _slack_days.get(freq.lower())
+            if slack is not None:
+                raw = raw.where(
+                    (F.col(time_col)
+                     >= F.lit(days[0]).cast("timestamp"))
+                    & (F.col(time_col)
+                       < F.lit(
+                           days[-1] + _dt.timedelta(days=1 + slack)
+                       ).cast("timestamp"))
+                )
+            raw = raw.where(F.to_date(bucket).isin(days))
+        inner = raw.withColumn("_bucket", bucket).withColumn(
+            "_bucket_day", F.to_date("_bucket")
+        )
+    else:
+        invalid_days = (
+            changed.select(F.to_date(bucket).alias("_bucket_day"))
+            .distinct().localCheckpoint(eager=False)
+        )
+        inner = (
+            raw.withColumn("_bucket", bucket)
+            .withColumn("_bucket_day", F.to_date("_bucket"))
+            .join(F.broadcast(invalid_days), "_bucket_day", "left_semi")
+        )
     slice_df = (
-        raw.withColumn("_bucket", bucket)
-        .withColumn("_bucket_day", F.to_date("_bucket"))
-        .join(F.broadcast(invalid_days), "_bucket_day", "left_semi")
+        inner
         .groupBy("_bucket", "_bucket_day", *keys)
         .agg(*[c.alias(n) for n, c in aggs.items()])
         .select("_bucket", *keys, *aggs.keys(), "_bucket_day")
