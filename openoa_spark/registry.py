@@ -1164,6 +1164,11 @@ def doc_token_deciles(spark, sf_dir):
     tt = docs.select(
         "doc_id", text.token_count("text").alias("n_tokens")
     )
+    # (doc_id, n_tokens) scalars; cut the lineage so the tokenize
+    # pass runs ONCE — it otherwise evaluates three times: the
+    # broadcast count build, keyed_row_number's quantile probe action,
+    # and the ranked probe side
+    tt = tt.localCheckpoint(eager=False)
     n_df = tt.agg(F.count(F.lit(1)).alias("_n"))
     comp = (
         F.col("n_tokens").cast("decimal(38,0)") * F.lit(10**12)
@@ -2946,7 +2951,8 @@ def q15_top_suppliers(spark, sf_dir):
     sup = _t(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum_dec(_disc_price()).alias("total_revenue")
-    )
+    ).localCheckpoint(eager=False)  # supplier-grain; scan+agg once,
+    # not once per consumer (the broadcast max gets no ReusedExchange)
     mx = revenue.agg(F.max("total_revenue").alias("_mx"))
     return (
         revenue.crossJoin(F.broadcast(mx))
@@ -3797,19 +3803,31 @@ def except_lapsed_customers(spark, sf_dir):
 )
 def intersect_both_halves_users(spark, sf_dir):
     """Set intersection: users active in both the first and second
-    half of the observation window (left-semi join on distinct keys)."""
+    half of the observation window. A user intersects iff its min(ts)
+    falls before the midpoint AND its max(ts) on/after it, so ONE
+    per-user min/max aggregate replaces the two fact scans + two
+    distincts + semi-join of the literal INTERSECT shape (r11, guide
+    §2.2: same set — "∃ ts < m" ⇔ "min(ts) < m", NULL ts rows are
+    skipped by min/max exactly as the half filters dropped them), and
+    the midpoint derives from that same user-grain table (min of
+    per-user mins = global min), so events is scanned once."""
     ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("_lo"), F.max("ts").alias("_hi")
+    ).localCheckpoint(eager=False)  # feeds the midpoint AND the filter
     # midpoint in integer epoch-microseconds (identical in both
     # engines; interval halving would be engine-dependent)
-    mid = ev.agg(
+    mid = per_user.agg(
         F.timestamp_micros(
-            F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) DIV 2")
+            F.expr("(unix_micros(min(_lo)) + unix_micros(max(_hi))) DIV 2")
         ).alias("m")
     )
-    with_mid = ev.crossJoin(F.broadcast(mid))
-    first = with_mid.where(F.col("ts") < F.col("m")).select("user_id")
-    second = with_mid.where(F.col("ts") >= F.col("m")).select("user_id")
-    return first.intersect(second).orderBy("user_id")
+    return (
+        per_user.crossJoin(F.broadcast(mid))
+        .where((F.col("_lo") < F.col("m")) & (F.col("_hi") >= F.col("m")))
+        .select("user_id")
+        .orderBy("user_id")
+    )
 
 
 @register(
@@ -4670,6 +4688,10 @@ def q11_important_stock(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum(dec("l_extendedprice")).alias("_v"))
     )
+    # part-grain (tiny); cut the lineage so the lineitem scan + join +
+    # aggregate run once — a broadcast build side gets no
+    # ReusedExchange, so without this the fact pass evaluates twice
+    pv = pv.localCheckpoint(eager=False)
     total = pv.agg(F.sum("_v").alias("_total"))
     return (
         pv.join(F.broadcast(total))
@@ -7714,6 +7736,10 @@ def cluster_lang_profile(spark, sf_dir):
         .groupBy("cluster", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+    # (cluster, lang) grain — bounded by k × langs; cut the lineage so
+    # the k-means assign + metadata join + aggregate run once, not
+    # once per consumer (broadcast totals build gets no ReusedExchange)
+    g = g.localCheckpoint(eager=False)
     totals = g.groupBy("cluster").agg(F.sum("n_docs").alias("_tot"))
     return g.join(F.broadcast(totals), "cluster").select(
         "cluster",
@@ -8011,7 +8037,11 @@ def benford_first_digit(spark, sf_dir):
         .cast("int")
         .alias("digit")
     )
-    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # 9 rows; cut the lineage so the events scan runs once — the
+    # broadcast total's build side would otherwise re-evaluate it
+    c = d.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=False)
     t = c.agg(F.sum("n").alias("total"))
     return c.crossJoin(F.broadcast(t)).select(
         "digit",
