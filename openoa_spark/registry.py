@@ -1555,7 +1555,8 @@ def electrical_losses_proxy(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     scada = timeseries.resample(
         ev, "ts", "D", {"scada_kwh": dsum("value", scale=6)}, bucket_col="day"
-    )
+    ).localCheckpoint(eager=False)  # day-grain; the meter projection
+    # self-joins it, and the two sides would re-aggregate events twice
     meter = scada.select("day", (F.col("scada_kwh") * 0.98).alias("meter_kwh"))
     joined = scada.join(meter, "day")
     return joined.agg(
@@ -6675,7 +6676,12 @@ def event_type_cooccurrence(spark, sf_dir):
     never over raw events, and the output is the |types|² matrix.
     The association-rule / cross-feature input at any scale."""
     ev = _t(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    # (user, type) grain — bounded by users × |types|; cut the lineage
+    # so the events scan + distinct run once, not once per self-join
+    # side (the sides never canonicalize equal, so no ReusedExchange)
+    ut = ev.select("user_id", "event_type").distinct().localCheckpoint(
+        eager=False
+    )
     a = ut.alias("a")
     b = ut.alias("b")
     return (
