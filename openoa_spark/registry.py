@@ -2982,6 +2982,12 @@ def q17_small_quantity_revenue(spark, sf_dir):
     on both engines, so the 0.2x threshold compares identically)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    # r11 REJECTED experiment (receipts in OPTIMIZATION_r11.md):
+    # semi-joining the brand's part keys before this aggregate (valid
+    # — a part's avg uses only its own rows) shrinks the agg shuffle
+    # ~1/|brands| but lost 5/5 interleaved pairs at sf0.1 (0.83 ->
+    # 0.95 s median): the extra broadcast stage costs more than the
+    # smaller shuffle saves while lineitem is one cached file
     per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
         davg("l_quantity").alias("_avg_qty")
     )
@@ -3363,6 +3369,11 @@ def q2_min_price_part_supplier(spark, sf_dir):
         _t(spark, sf_dir, "lineitem")
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_suppkey", dec("l_extendedprice").alias("price"))
+        # r11 REJECTED experiment: a lazy localCheckpoint here (li
+        # feeds the min-price aggregate AND the probe) lost 4/5
+        # interleaved pairs at sf0.1 (2.23 -> 2.83 s median) — the
+        # materialization barrier breaks probe-side pipelining and
+        # costs more than recomputing the scan+broadcast-join
     )
     # rename the aggregate side's key (self-derived frame: a bare
     # equality would resolve both sides to the same attribute and be
@@ -3780,13 +3791,23 @@ def except_lapsed_customers(spark, sf_dir):
     not 1996. Spark plans this as a left-anti hash join on the
     distinct key — no sort, single shuffle."""
     o = _t(spark, sf_dir, "orders")
-    y95 = o.where(F.year("o_orderdate") == 1995).select(
-        F.col("o_custkey").alias("custkey")
+    # EXCEPT = "has a 1995 order AND no 1996 order": ONE flag
+    # aggregate over the year-filtered scan replaces two fact scans +
+    # two distincts + the anti semi-join of the literal subtract (r11,
+    # guide §2.2 — same set: EXCEPT deduplicates, groupBy already
+    # yields unique keys; NULL custkey groups like EXCEPT matches it)
+    yr = F.year("o_orderdate")
+    return (
+        o.where(yr.isin(1995, 1996))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(yr == 1995).alias("_h95"),
+            F.max(yr == 1996).alias("_h96"),
+        )
+        .where(F.col("_h95") & ~F.col("_h96"))
+        .select("custkey")
+        .orderBy("custkey")
     )
-    y96 = o.where(F.year("o_orderdate") == 1996).select(
-        F.col("o_custkey").alias("custkey")
-    )
-    return y95.subtract(y96).orderBy("custkey")
 
 
 @register(
@@ -5569,18 +5590,20 @@ def cohort_retention(spark, sf_dir):
     back), one distinct + count; both shuffles key on user_id/cohort,
     never on raw events."""
     ev = _t(spark, sf_dir, "events")
-    first_day = ev.groupBy("user_id").agg(
-        F.min(F.col("ts").cast("date")).alias("cohort_day")
-    )
-    activity = (
-        ev.join(first_day, "user_id")
-        .select(
-            "user_id",
-            "cohort_day",
-            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
-              .alias("days_since"),
-        )
-        .distinct()
+    # ONE events pass (r11, guide §2.2): cohort_day is functional in
+    # user_id, so distinct (user, day) first — the same row set the
+    # old join-then-distinct produced — then min-over-user as a window
+    # on the already-reduced table; the second fact scan and the
+    # user-key join drop out, rows are identical
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("_day")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    activity = ud.select(
+        F.min("_day").over(w).alias("cohort_day"),
+        F.datediff(F.col("_day"), F.min("_day").over(w)).alias(
+            "days_since"
+        ),
     )
     return activity.groupBy("cohort_day", "days_since").agg(
         F.count(F.lit(1)).alias("n_active")
