@@ -314,7 +314,13 @@ def _bucketed_cosine_pairs(
         F.col(id_col).alias("_id"),
         _vec(vec_col).alias("_v"),
         lsh_bucket(vec_col, planes, round_digits=round_digits).alias("_bucket"),
-    )
+    ).localCheckpoint(eager=False)
+    # lazy cut (r11): the self-join sides never canonicalize to a
+    # reused exchange, so without it the scan AND the per-row
+    # len(planes)-dot-product bucketize evaluate twice; measured 4/5
+    # and 5/5 interleaved pairs faster on the near-dup and kNN
+    # consumers at sf0.1 (the plane fold dominates, unlike a bare
+    # scan where a barrier can lose — see q2's rejected receipt)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cond = (
         F.col("a._id") != F.col("b._id")
