@@ -213,6 +213,11 @@ def lsh_recall_at_k(
     ).select(F.col(id_col).alias("id_a"), "_qv")
     if max_queries is not None:
         queries = queries.orderBy("id_a").limit(max_queries)
+    # broadcast-small panel consumed by BOTH the exact ground-truth
+    # join and the approximate side's semi-join; lazy cut so the
+    # corpus scan + hash filter behind it run once (r11: 5/5
+    # interleaved pairs faster at sf0.1)
+    queries = queries.localCheckpoint(eager=False)
 
     # exact ground truth: |Q| x n scored pairs, query side broadcast
     base = df.select(F.col(id_col).alias("id_b"), _vec(vec_col).alias("_v"))
