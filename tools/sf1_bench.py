@@ -87,8 +87,15 @@ def _duck_connection(sf_dir: str):
         p = os.path.join(sf_dir, f"{t}.parquet")
         src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) \
             else f"read_parquet('{p}')"
-        if t == "events" and os.path.isdir(p):
-            # probe layout: ts is raw int64 NANOs (see build_probe_dir)
+        if t == "events" and os.path.isdir(p) and (
+            con.execute(
+                f"SELECT typeof(ts) FROM {src} LIMIT 1"
+            ).fetchone()[0] == "BIGINT"
+        ):
+            # sf1_bench probe layout: ts is raw int64 NANOs (see
+            # build_probe_dir). Branch on the READ dtype, not on
+            # directory-ness — the r11 layout probe's multi-file dirs
+            # round-trip through Spark and keep plain TIMESTAMP micros
             con.execute(
                 f"CREATE OR REPLACE VIEW {t} AS SELECT * REPLACE "
                 f"(make_timestamp(ts // 1000) AS ts) FROM {src}"
