@@ -1056,11 +1056,13 @@ def kmeans_assignments(
     iters: int = 3,
     strategy: str = "auto",
     with_distance: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
     """Assignments only — see :func:`kmeans_fit` (which also returns
     the fitted micro-grid centroids, needed by IVF-PQ composition)."""
     return kmeans_fit(
-        df, vec_col, id_col, k, iters, strategy, with_distance
+        df, vec_col, id_col, k, iters, strategy, with_distance,
+        materialize=materialize,
     )[0]
 
 
@@ -1073,6 +1075,7 @@ def kmeans_fit(
     strategy: str = "auto",
     with_distance: bool = False,
     wide_d2: bool = False,
+    materialize: bool = False,
 ) -> tuple[DataFrame, list[list[int]]]:
     """Deterministic distributed Lloyd k-means over an embedding
     column -> ``((id_col, cluster) assignments, fitted k x dim
@@ -1097,8 +1100,14 @@ def kmeans_fit(
       re-broadcast as literals — no per-row state ever reaches the
       driver.
 
-    Scale notes: ``iters`` passes over the table; persist/checkpoint
-    the (id, vec) projection upstream if the scan is expensive. The
+    Scale notes: ``iters`` passes over the table. ``materialize=True``
+    (r12, opt-in) lazily localCheckpoints the internal (id, micros)
+    projection so the upstream lineage evaluates once instead of
+    iters+1 times — opt in when the fit's input is re-scanned per
+    action (parquet source, derived lineage) AND executor storage can
+    hold an input-sized (id, vec) table; leave off for cheap
+    single-pass lineages (the q2-class barrier receipt) or persist
+    the projection upstream yourself. The
     bigint micro-sum bounds cluster mass at ~3e11 rows x |comp|<=30
     per (cluster, pos) — beyond that, widen to decimal. Cluster count
     is the candidate-bound knob for semantic_dedup: pick k so the
@@ -1130,6 +1139,25 @@ def kmeans_fit(
     base = df.select(
         F.col(id_col).alias("_id"), _micros_vec(vec_col).alias("_mic")
     )
+    import os as _os
+
+    if _os.environ.get("KMEANS_MAT") in ("0", "1"):
+        # interleaved A/B hook (tools/ab_query.py) — overrides the
+        # caller's choice so one registry query can time both shapes
+        materialize = _os.environ["KMEANS_MAT"] == "1"
+    if materialize:
+        # r12 (VERDICT item 3): Lloyd's loop is iters+1 actions over
+        # `base` (seed collect, iters-1 stats collects, the final
+        # assignment the caller consumes) and each one re-evaluates
+        # the upstream lineage — for a parquet source that is iters+1
+        # scans + micros conversions. The lazy cut materializes base
+        # ONCE (the seed collect's action); every later pass reads
+        # the stored (id, mic) blocks. OPT-IN because the barrier
+        # pins an input-sized table in executor storage and breaks
+        # scan pipelining — the q2-class receipt shows that losing
+        # for cheap single-pass lineages — so only multi-pass callers
+        # whose interleaved A/B won (registry kmeans family) set it.
+        base = base.localCheckpoint(eager=False)
     seed_rows = base.orderBy("_id").limit(k).collect()
     if not seed_rows:
         # empty input -> empty typed result (the every-query-survives-
@@ -1300,6 +1328,7 @@ def cluster_balanced_sample(
     m: int = 10,
     seed: int = 0,
     hash_fn: str = "xxhash64",
+    materialize: bool = False,
 ) -> DataFrame:
     """Cluster-balanced coreset selection: exactly ``m`` rows from
     each k-means cluster, chosen by keyed hash (greatest hash wins,
@@ -1319,7 +1348,9 @@ def cluster_balanced_sample(
     from openoa_spark.datapipe.dedup import hash64
     from openoa_spark.functions.stats import grouped_top_k
 
-    asg = kmeans_assignments(df, vec_col, id_col, k=k, iters=iters)
+    asg = kmeans_assignments(
+        df, vec_col, id_col, k=k, iters=iters, materialize=materialize
+    )
     scored = asg.withColumn(
         "_h",
         hash64(F.col(id_col).cast("string"), seed=seed, hash_fn=hash_fn),
@@ -1643,10 +1674,14 @@ def product_quantize_embeddings(
     k: int = 16,
     iters: int = 2,
     strategy: str = "auto",
+    materialize: bool = False,
 ) -> DataFrame:
     """PQ codes only — see :func:`pq_fit` (which also returns the
     fitted codebooks, needed by :func:`pq_adc_top_k` search)."""
-    return pq_fit(df, vec_col, id_col, dim, m, k, iters, strategy)[0]
+    return pq_fit(
+        df, vec_col, id_col, dim, m, k, iters, strategy,
+        materialize=materialize,
+    )[0]
 
 
 def pq_fit(
@@ -1658,6 +1693,7 @@ def pq_fit(
     k: int = 16,
     iters: int = 2,
     strategy: str = "auto",
+    materialize: bool = False,
 ) -> tuple[DataFrame, list[list[list[int]]]]:
     """Product quantization (PQ): split each vector into ``m``
     subvectors of dim/m components, fit the deterministic integer-grid
@@ -1697,6 +1733,15 @@ def pq_fit(
     base = df.select(
         F.col(id_col).alias("_id"), _micros_vec(vec_col).alias("_mic")
     )
+    import os as _os
+
+    if _os.environ.get("KMEANS_MAT") in ("0", "1"):
+        # shared A/B hook with kmeans_fit (tools/ab_query.py)
+        materialize = _os.environ["KMEANS_MAT"] == "1"
+    if materialize:
+        # r12: same iters+1-actions shape as kmeans_fit — see its
+        # materialize= note; opt-in for the same reasons
+        base = base.localCheckpoint(eager=False)
     seed_rows = base.orderBy("_id").limit(k).collect()
     if not seed_rows:
         # empty input -> empty typed codes + all-zero codebooks (the
@@ -1869,6 +1914,7 @@ def ivf_pq_search(
     k: int = 16,
     iters: int = 2,
     k_results: int = 10,
+    materialize: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the FAISS-style ANN layout composed from the engine's
     two deterministic quantizers — a coarse integer-grid k-means
@@ -1894,10 +1940,12 @@ def ivf_pq_search(
     Returns ``(id_col, cluster, adc_d2)``.
     """
     coarse, coarse_cents = kmeans_fit(
-        df, vec_col, id_col, k=coarse_k, iters=iters
+        df, vec_col, id_col, k=coarse_k, iters=iters,
+        materialize=materialize,
     )
     codes, books = pq_fit(
-        df, vec_col, id_col, dim=dim, m=m, k=k, iters=iters
+        df, vec_col, id_col, dim=dim, m=m, k=k, iters=iters,
+        materialize=materialize,
     )
     qm = [_micros_scalar(q) for q in query]
     ranked = sorted(
@@ -2045,6 +2093,7 @@ def pq_reconstruction_error(
     m: int = 8,
     k: int = 16,
     iters: int = 2,
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-vector PQ reconstruction error — the compression-quality
     diagnostic read before trusting ADC distances (the PQ analogue of
@@ -2060,7 +2109,9 @@ def pq_reconstruction_error(
         raise ValueError(f"dim={dim} not divisible by m={m}")
     # pq_fit returns zero-filled length-m codebooks even on empty
     # input, so the error pass below is well-defined there too
-    _, books = pq_fit(df, vec_col, id_col, dim, m, k, iters)
+    _, books = pq_fit(
+        df, vec_col, id_col, dim, m, k, iters, materialize=materialize
+    )
     d_sub = dim // m
     base = df.select(
         F.col(id_col).alias("_id"), _micros_vec(vec_col).alias("_mic")

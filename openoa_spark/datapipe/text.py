@@ -98,6 +98,25 @@ def language_id(col: Column | str, langs: dict[str, list[str]] | None = None) ->
     langs = langs or STOPWORDS
     names = sorted(langs)
     tl = F.array_distinct(F.transform(tokens(col), lambda w: F.lower(w)))
+    # Hash-based prefilter (r12, ADVICE): one array_intersect against
+    # the UNION of every language's stopwords cuts the candidate set
+    # to ≤ Σ|stopwords| tokens BEFORE the per-language fold below.
+    # ArrayIntersect builds a hash set of the literal side, so the
+    # doc-length-bounded pass is O(tokens + stopwords); the fold's
+    # per-token × per-language array_contains scans (reintroduced by
+    # the r11 one-fold rewrite — they were O(tokens × langs ×
+    # stopwords) and regressed linearly in stopword-list size) now
+    # run only over the matched tokens, whose count is bounded by
+    # CONFIG (total stopwords), not by document length. Counts are
+    # identical: tl is distinct, intersect keeps each matching token
+    # exactly once, and tokens in no list contributed 0 to every
+    # language. NULL text: NULL tl → NULL intersect → NULL aggregate,
+    # same 'und' coalesce as before. r12 interleaved A/B at sf0.1
+    # (row-equality asserted both legs): default 4×10 lists 0.53 →
+    # 0.45 s median (4/5 pairs), 4×60 lists 0.97 → 0.77 s (5/5) —
+    # the win grows with list size, which is the point.
+    all_words = sorted({w for ws in langs.values() for w in ws})
+    cand = F.array_intersect(tl, F.array(*[F.lit(w) for w in all_words]))
     # ONE pass over the tokens, ONE reference to every intermediate:
     # the pre-r11 argmax when-chain referenced the hit counts ~12× and
     # CollapseProject re-inlined the full tokenize+intersect subtree
@@ -123,7 +142,7 @@ def language_id(col: Column | str, langs: dict[str, list[str]] | None = None) ->
     # pinned in tests/test_datapipe.py over NULL/empty/tie cases.
     zero = F.array(*[F.lit(0) for _ in names])
     counts = F.aggregate(
-        tl,
+        cand,
         zero,
         lambda acc, t: F.array(*[
             F.element_at(acc, i + 1)
@@ -545,16 +564,30 @@ def char_bigram_lm_scores(
     # interleaved at sf0.1: 2.01 s → 1.85 s median, 5/5 pairs). The
     # division sees the identical exact integer total, so lp is
     # bit-unchanged.
-    w_all = Window.partitionBy()
-    lp = g.select(
-        "bigram",
-        F.round(
-            F.log2(F.col("gc").cast("double") / F.sum("gc").over(w_all)),
-            6,
+    import os as _os
+
+    if _os.environ.get("LM_TOTAL_SHAPE") == "1":
+        # A/B branch (r12, VERDICT item 1): the pre-r11 total shape —
+        # separate agg + broadcast + crossJoin. Identical exact
+        # integer total, so lp is bit-unchanged either way.
+        total = g.agg(F.sum("gc").alias("_t"))
+        lp = g.crossJoin(F.broadcast(total)).select(
+            "bigram",
+            F.round(F.log2(F.col("gc").cast("double") / F.col("_t")), 6)
+            .cast("decimal(18,6)")
+            .alias("lp"),
         )
-        .cast("decimal(18,6)")
-        .alias("lp"),
-    )
+    else:
+        w_all = Window.partitionBy()
+        lp = g.select(
+            "bigram",
+            F.round(
+                F.log2(F.col("gc").cast("double") / F.sum("gc").over(w_all)),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
     return (
         dc.join(F.broadcast(lp), "bigram")
         .groupBy("_id")

@@ -88,6 +88,20 @@ def asset_correlation_pairs(
     point use "join", or reformulate as top-k/LSH (all-pairs corr is
     intrinsically O(n²)).
 
+    DRIVER MEMORY BOUND (r12, VERDICT): like refresh_time_rollup's
+    10k-day cap, the cap bounds a deliberate driver-side collect. The
+    driver collects the RAGGED bin-grain aggregate (one row per
+    asset, time-sorted array of observed (t, v) structs — never fact
+    rows; total entries ≤ assets × union-spine bins) and densifies it
+    into the (assets × bins) float64 matrix. At the 50M-cell cap
+    that is ≤ 400 MB dense + up to ~2.5 GB of transient Row structs
+    for a fully-dense ragged collect (~50 B/entry) — size the driver
+    for the ragged collect, which happens BEFORE the cell count is
+    known (the refusal fires after the collect but before the dense
+    densify and the executor-side broadcast of the matrix). The
+    refusal is pinned by a unit test
+    (tests/test_imputing.py::test_matrix_strategy_refuses_beyond_cell_cap).
+
     ``strategy="join"``: time-key self-equijoin + groupBy(pair)
     F.corr — no broadcast requirement; use it when the bin-grain
     table itself is too large to broadcast.

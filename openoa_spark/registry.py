@@ -52,7 +52,30 @@ from openoa_spark.datapipe import dedup, similarity, text
 # (q5) was spending ~0.55 s of its 0.57 s plan build here. This is
 # the same session-lifetime relation reuse a catalog table gets from
 # Spark's own relation cache; path-based reads just lack one.
+# ASSUMPTION (r12, ADVICE): a sf_dir is an immutable dataset directory
+# for the lifetime of a session — the memoized handle pins the file
+# index captured at first read, so regenerating or appending files
+# under a cached sf_dir within one session would read a stale listing.
+# Callers that rewrite a directory in place (test fixtures, layout
+# probes) must call invalidate_tables(sf_dir) (or invalidate_tables()
+# to drop everything) after the rewrite.
 _T_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def invalidate_tables(sf_dir: str | None = None) -> int:
+    """Drop memoized base-relation handles for ``sf_dir`` (all dirs
+    when None). Returns the number of entries removed. Needed only
+    when a dataset directory is mutated mid-session; steady-state
+    bench/oracle runs never mutate their inputs."""
+    if sf_dir is None:
+        n = len(_T_CACHE)
+        _T_CACHE.clear()
+        return n
+    key_dir = sf_dir.rstrip("/")
+    stale = [k for k in _T_CACHE if k[1] == key_dir]
+    for k in stale:
+        del _T_CACHE[k]
+    return len(stale)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -7308,7 +7331,13 @@ def kmeans_embedding_clusters(spark, sf_dir):
     from openoa_spark.session import spread_small_input
 
     emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
-    return similarity.kmeans_assignments(emb, "embedding", "vec_id", k=8, iters=3)
+    # materialize=True (r12, VERDICT item 3): Lloyd's iters+1 actions
+    # re-ran the scan+micros lineage 4x; the lazy cut inside
+    # kmeans_fit won the interleaved A/B 5/5 pairs (6.77 -> 5.54 s
+    # median at sf0.1)
+    return similarity.kmeans_assignments(
+        emb, "embedding", "vec_id", k=8, iters=3, materialize=True
+    )
 
 
 def _pq_parts(m: int, k: int, iters: int, dim: int = 64) -> list[str]:
@@ -7440,8 +7469,11 @@ def pq_codes_embeddings(spark, sf_dir):
     from openoa_spark.session import spread_small_input
 
     emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
+    # materialize=True (r12, VERDICT item 3 extended to pq_fit): A/B
+    # won 4/5 pairs (2.75 -> 2.54 s median at sf0.1)
     pq = similarity.product_quantize_embeddings(
-        emb, "embedding", "vec_id", dim=64, m=8, k=16, iters=2
+        emb, "embedding", "vec_id", dim=64, m=8, k=16, iters=2,
+        materialize=True,
     )
     return pq.select(
         "vec_id",
@@ -7540,8 +7572,11 @@ def pq_reconstruction_error(spark, sf_dir):
     from openoa_spark.session import spread_small_input
 
     emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
+    # materialize=True (r12): A/B won 4/5 pairs (4.72 -> 4.31 s
+    # median at sf0.1)
     return similarity.pq_reconstruction_error(
-        emb, "embedding", "vec_id", dim=64, m=8, k=16, iters=2
+        emb, "embedding", "vec_id", dim=64, m=8, k=16, iters=2,
+        materialize=True,
     )
 
 
@@ -7622,6 +7657,10 @@ def pq_recall_measured(spark, sf_dir):
     from openoa_spark.session import spread_small_input
 
     emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
+    # kmeans/pq materialize= left OFF (r12 receipt): a wash — 3/5
+    # then 4/7 pairs, medians 4.147 vs 4.136 s. pq_recall_at_k
+    # already lazy-checkpoints its own base and codes tables, so the
+    # extra cut inside pq_fit has nothing left to save.
     return similarity.pq_recall_at_k(
         emb, "embedding", "vec_id", _PQ_PANEL, dim=64,
         m=8, k=16, iters=2, top=10,
@@ -7642,9 +7681,13 @@ def ivf_pq_topk(spark, sf_dir):
     from openoa_spark.session import spread_small_input
 
     emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
+    # materialize=True (r12): both fits' Lloyd loops rescan the
+    # scan+micros lineage; the lazy cuts won the interleaved A/B 4/5
+    # pairs (8.58 -> 7.29 s median at sf0.1)
     return similarity.ivf_pq_search(
         emb, "embedding", "vec_id", _PQ_QUERY_VEC, dim=64,
         coarse_k=4, n_probe=2, m=8, k=16, iters=2, k_results=10,
+        materialize=True,
     )
 
 
@@ -7661,6 +7704,10 @@ def pq_adc_topk(spark, sf_dir):
     from openoa_spark.session import spread_small_input
 
     emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
+    # materialize= left OFF (r12 receipt): A/B 2/5 pairs, medians
+    # 3.52 vs 4.14 s AGAINST the cut — the ADC consumer touches only
+    # the codes table, so the checkpoint's storage barrier outweighs
+    # the saved rescans here.
     codes, centroids = similarity.pq_fit(
         emb, "embedding", "vec_id", dim=64, m=8, k=16, iters=2
     )
@@ -7694,6 +7741,12 @@ def kmeans_cluster_profile(spark, sf_dir):
     from openoa_spark.session import spread_small_input
 
     emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
+    # materialize= left OFF (r12 receipt): the lazy-cut variant lost
+    # the interleaved A/B here — 3/5 then 3/9 pairs, medians 6.22 vs
+    # 6.48 s and 7.16 vs 7.29 s — unlike the three sibling consumers
+    # where it won 5/5. The with_distance assignment keeps _mic in
+    # flight for d2, so the barrier's storage write/read overhead eats
+    # the rescan saving. Re-open only with a new evidence class.
     return similarity.kmeans_cluster_profile(
         emb, "embedding", "vec_id", k=8, iters=3
     )
@@ -7724,8 +7777,11 @@ def cluster_balanced_sample_vecs(spark, sf_dir):
     from openoa_spark.session import spread_small_input
 
     emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
+    # materialize=True (r12, VERDICT item 3): A/B won 5/5 pairs
+    # (10.55 -> 6.62 s median at sf0.1)
     return similarity.cluster_balanced_sample(
-        emb, "embedding", "vec_id", k=8, iters=3, m=5, seed=0, hash_fn="md5"
+        emb, "embedding", "vec_id", k=8, iters=3, m=5, seed=0, hash_fn="md5",
+        materialize=True,
     )
 
 
@@ -7759,7 +7815,12 @@ def cluster_lang_profile(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "lang"
     )
-    asg = similarity.kmeans_assignments(emb, "embedding", "vec_id", k=8, iters=3)
+    # materialize=True (r12, VERDICT item 3): A/B won 5/5 pairs
+    # (6.74 -> 6.15 s median at sf0.1) — the assign chain's upstream
+    # evaluates once instead of iters+1 times
+    asg = similarity.kmeans_assignments(
+        emb, "embedding", "vec_id", k=8, iters=3, materialize=True
+    )
     g = (
         asg.join(docs, "vec_id")
         .groupBy("cluster", "lang")
@@ -7829,6 +7890,11 @@ def semantic_dedup_vecs(spark, sf_dir):
     from openoa_spark.session import spread_small_input
 
     emb = spread_small_input(_t(spark, sf_dir, "embeddings"))
+    # kmeans materialize= left OFF (r12 receipt): 3/5 pairs, medians
+    # 18.82 vs 18.85 s under heavy window noise — the within-cluster
+    # pair join dominates this query, so cutting the fit's rescans
+    # doesn't move the total. Re-A/B in a quiet window if this query
+    # ever joins the bench set.
     return similarity.semantic_dedup(
         emb, "embedding", "vec_id", k=8, iters=3, threshold=0.25
     ).select("vec_id", "label")

@@ -451,6 +451,7 @@ def stream_time_rollup(
     checkpoint: str,
     keys: list[str] | None = None,
     available_now: bool = True,
+    partition_raw_by_day: bool = False,
 ):
     """Streaming lakehouse pattern: land each micro-batch in the raw
     table AND keep a time-bucketed continuous aggregate fresh — the
@@ -464,23 +465,43 @@ def stream_time_rollup(
     those rollup partitions. Both steps are idempotent, so any crash
     point replays to the same raw + rollup state — the rollup is
     always a pure function of raw, never a merge of partials.
+
+    ``partition_raw_by_day`` (r12, VERDICT item 4 — OPT-IN because the
+    raw layout is an output contract readers see): lands raw
+    partitioned by ``("_day", "_batch_id")`` where ``_day =
+    to_date(date_trunc(freq, time_col))`` (the refresh's own
+    invalidation grain). The refresh then prunes history at the FILE
+    LISTING — its invalidated-day isin applies to the ``_day``
+    partition column (PartitionFilters in the scan) instead of
+    row-group time stats, so a recent-days delta never lists
+    month-old files. Replay idempotency is unchanged: a replayed
+    batch rewrites exactly its own (_day, _batch_id) leaf partitions.
+    Default-off keeps the long-standing ``_batch_id``-only layout
+    byte-compatible for existing readers.
     """
     from openoa_spark.operators.timeseries import refresh_time_rollup
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         batch.persist()
         try:
+            landed = batch.withColumn("_batch_id", F.lit(batch_id))
+            part_cols = ["_batch_id"]
+            if partition_raw_by_day:
+                landed = landed.withColumn(
+                    "_day", F.to_date(F.date_trunc(freq, F.col(time_col)))
+                )
+                part_cols = ["_day", "_batch_id"]
             (
-                batch.withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
+                landed.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_batch_id")
+                .partitionBy(*part_cols)
                 .parquet(raw_path)
             )
             spark = batch.sparkSession
             raw = spark.read.parquet(raw_path).drop("_batch_id")
             refresh_time_rollup(
-                raw, batch, time_col, rollup_path, freq, aggs, keys
+                raw, batch, time_col, rollup_path, freq, aggs, keys,
+                day_col="_day" if partition_raw_by_day else None,
             )
         finally:
             batch.unpersist()

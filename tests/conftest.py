@@ -108,7 +108,14 @@ def pytest_collection_modifyitems(config, items):
     # tests/), not by item count — a count heuristic would spuriously
     # fire on large partial selections and excuse small full ones
     # (r9 ADVICE).
-    filtered = bool(config.option.keyword) or bool(config.option.markexpr)
+    # The default addopts (-m "not slow", r12 re-tier) is still a full
+    # COLLECTION — markers are applied before deselection — so the
+    # rename guard keeps enforcing under it; only a user-supplied
+    # -k/-m selection disables the check.
+    markexpr = config.option.markexpr
+    filtered = bool(config.option.keyword) or (
+        bool(markexpr) and markexpr != "not slow"
+    )
     tests_dir = pathlib.Path(__file__).parent.resolve()
 
     def _covers_all_tests(arg: str) -> bool:

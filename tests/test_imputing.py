@@ -162,3 +162,15 @@ def test_grouped_fit_constant_neighbor_leaves_gap(spark):
     # path's rounding noise must not fill them with noise/noise)
     assert len(p) == 8 and all(a == "A" for a, _ in p), p
     assert g == p
+
+
+def test_matrix_strategy_refuses_beyond_cell_cap(spark, monkeypatch):
+    # r12 (VERDICT item 8): the matrix strategy's driver-side densify
+    # and executor broadcast are bounded by _MATRIX_MAX_CELLS — pin
+    # that the refusal actually fires (with the cap lowered so the
+    # test stays tiny) and names the escape hatches.
+    monkeypatch.setattr(imputing, "_MATRIX_MAX_CELLS", 10)
+    rows = [(t, f"A{a}", float(t + a)) for a in range(4) for t in range(5)]
+    df = spark.createDataFrame(rows, ["t", "k", "v"])
+    with pytest.raises(ValueError, match="matrix strategy refuses"):
+        imputing.asset_correlation_pairs(df, "t", "k", "v", strategy="matrix")

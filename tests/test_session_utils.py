@@ -267,3 +267,27 @@ def test_grouped_exact_order_stat_matches_sorted_rank(spark):
     allv = sorted(v for vs in data.values() for v in vs)
     r = stats.grouped_exact_order_stat(df, [], "v", 0.5, "p").collect()
     assert len(r) == 1 and r[0]["p"] == allv[math.ceil(0.5 * len(allv)) - 1]
+
+
+def test_registry_table_cache_invalidation(spark, tmp_path):
+    # r12 (ADVICE): _T_CACHE pins the parquet file index captured at
+    # first read; a directory mutated mid-session needs an explicit
+    # invalidate_tables(sf_dir) to drop the stale handle. Pin the
+    # helper's contract: per-dir invalidation removes exactly that
+    # dir's entries, re-read observes the rewritten data, and a blank
+    # call clears everything.
+    from openoa_spark import registry
+
+    d = str(tmp_path)
+    spark.range(3).toDF("id").write.parquet(f"{d}/nation.parquet")
+    assert registry._t(spark, d, "nation").count() == 3
+    # rewrite in place: the memoized handle still sees the old listing
+    spark.range(5).toDF("id").write.mode("overwrite").parquet(
+        f"{d}/nation.parquet"
+    )
+    assert registry.invalidate_tables(d) >= 1
+    assert registry._t(spark, d, "nation").count() == 5
+    assert registry.invalidate_tables(d + "/nonexistent") == 0
+    n_before = len(registry._T_CACHE)
+    assert registry.invalidate_tables() == n_before
+    assert not registry._T_CACHE

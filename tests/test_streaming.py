@@ -1234,3 +1234,64 @@ def test_stream_cluster_assign_kill_mid_batch_replay(spark, tmp_path):
     assert q3.awaitTermination(600)
     # bit-identical assignments, zero duplicate suffstats rows
     assert snapshot() == before
+
+
+def test_stream_time_rollup_day_partitioned_layout(spark, tmp_path):
+    """r12 (VERDICT item 4): partition_raw_by_day=True lands raw as
+    _day=<bucket-day>/_batch_id=<n> leaves, the rollup still equals a
+    full recompute of raw, and replaying the maintenance (crash
+    replay) changes nothing — same invariants as the default layout,
+    plus the layout contract itself."""
+    import glob
+    import os
+
+    src = str(tmp_path / "in")
+    raw = str(tmp_path / "raw")
+    roll = str(tmp_path / "roll")
+    ck = str(tmp_path / "ck")
+
+    _rows(spark, 40).write.parquet(src)
+    stream = ingest.file_stream(spark, src, SCHEMA)
+    aggs = {"sum_v": F.sum("value"), "n": F.count(F.lit(1))}
+    q = ingest.stream_time_rollup(
+        stream, raw, roll, "time", "hour", aggs, ck, keys=["asset_id"],
+        partition_raw_by_day=True,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # layout contract: day-grain directories above batch-id leaves
+    day_dirs = sorted(glob.glob(os.path.join(raw, "_day=*")))
+    assert day_dirs, os.listdir(raw)
+    assert all(
+        glob.glob(os.path.join(d, "_batch_id=*")) for d in day_dirs
+    )
+
+    raw_df = spark.read.parquet(raw).drop("_batch_id")
+    assert raw_df.count() == 40
+    got = {
+        (r["_bucket_day"], str(r["_bucket"]), r["asset_id"]): (r["sum_v"], r["n"])
+        for r in spark.read.parquet(roll).collect()
+    }
+    want = {
+        (r["_bucket_day"], str(r["_bucket"]), r["asset_id"]): (r["sum_v"], r["n"])
+        for r in raw_df.withColumn("_bucket", F.date_trunc("hour", "time"))
+        .groupBy("_bucket", "asset_id")
+        .agg(F.sum("value").alias("sum_v"), F.count(F.lit(1)).alias("n"))
+        .withColumn("_bucket_day", F.to_date("_bucket"))
+        .collect()
+    }
+    assert got == want
+
+    # crash replay of the maintenance with the partition-aware prune
+    from openoa_spark.operators.timeseries import refresh_time_rollup
+
+    refresh_time_rollup(
+        raw_df, raw_df, "time", roll, "hour", aggs, ["asset_id"],
+        day_col="_day",
+    )
+    again = {
+        (r["_bucket_day"], str(r["_bucket"]), r["asset_id"]): (r["sum_v"], r["n"])
+        for r in spark.read.parquet(roll).collect()
+    }
+    assert again == got

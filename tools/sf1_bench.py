@@ -87,10 +87,14 @@ def _duck_connection(sf_dir: str):
         p = os.path.join(sf_dir, f"{t}.parquet")
         src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) \
             else f"read_parquet('{p}')"
+        # schema probe, not a data row: DESCRIBE works on an empty
+        # events table where `SELECT typeof(ts) ... LIMIT 1` returned
+        # no row and crashed on fetchone() (r11 ADVICE)
         if t == "events" and os.path.isdir(p) and (
-            con.execute(
-                f"SELECT typeof(ts) FROM {src} LIMIT 1"
-            ).fetchone()[0] == "BIGINT"
+            dict(
+                (r[0], r[1])
+                for r in con.sql(f"DESCRIBE SELECT * FROM {src}").fetchall()
+            ).get("ts") == "BIGINT"
         ):
             # sf1_bench probe layout: ts is raw int64 NANOs (see
             # build_probe_dir). Branch on the READ dtype, not on
