@@ -804,6 +804,37 @@ def near_dedup_keep_best(
     members = scored.join(comp, scored[id_col] == F.col("_cid")).select(
         "component", F.col(id_col).alias("_id"), "_score"
     )
+    import os as _os
+
+    if _os.environ.get("NDKB_SHAPE") == "1":
+        # A/B branch (r12): the pre-r12 assembly — anti-join for the
+        # unpaired docs UNION semi-join for the winners, i.e. TWO full
+        # scans + shuffles of the corpus table.
+        winners = (
+            members.groupBy("component")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_score").alias("s"), (-F.col("_id")).alias("n")
+                    )
+                ).alias("w")
+            )
+            .select((-F.col("w.n")).alias("_win_id"))
+        )
+        unpaired = df.join(comp, df[id_col] == F.col("_cid"), "left_anti")
+        kept_winners = df.join(
+            winners, df[id_col] == F.col("_win_id"), "left_semi"
+        )
+        return unpaired.unionByName(kept_winners)
+    # r12 (§2.2/§2.4 — one pass instead of two): kept = unpaired ∪
+    # winners = df \ losers, with losers = clustered ids that are not
+    # their component's argmax. The loser set is computed entirely on
+    # the id-grain members table (never text), then removed with ONE
+    # anti-join — the old anti(comp) ∪ semi(winners) assembly scanned
+    # AND shuffled the corpus table twice (plans/r12/
+    # near_dedup_keep_best_docs_{before,after}.txt: 2 SMJ legs over
+    # documents → 1). Row-identical: winners ⊆ clustered, branches
+    # were disjoint, and each df row appears at most once either way.
     winners = (
         members.groupBy("component")
         .agg(
@@ -811,13 +842,14 @@ def near_dedup_keep_best(
                 F.struct(F.col("_score").alias("s"), (-F.col("_id")).alias("n"))
             ).alias("w")
         )
-        .select((-F.col("w.n")).alias("_win_id"))
+        .select("component", (-F.col("w.n")).alias("_win_id"))
     )
-    unpaired = df.join(comp, df[id_col] == F.col("_cid"), "left_anti")
-    kept_winners = df.join(
-        winners, df[id_col] == F.col("_win_id"), "left_semi"
+    losers = (
+        members.join(winners, "component")
+        .where(F.col("_id") != F.col("_win_id"))
+        .select(F.col("_id").alias("_loser_id"))
     )
-    return unpaired.unionByName(kept_winners)
+    return df.join(losers, df[id_col] == F.col("_loser_id"), "left_anti")
 
 
 def incremental_exact_dedup(
@@ -1060,19 +1092,36 @@ def chunk_dedup(
     The in-doc membership probe is ``array_contains`` over the doc's
     own kept positions — O(chunks-per-doc) per chunk, bounded by
     document length, never by corpus size. The chunk table feeds both
-    the ownership path and the reassembly join and is RECOMPUTED per
-    consumer (two parquet scans) rather than lineage-cut: a lazy
-    localCheckpoint costs ~0.3 s of driver plan-conversion per build
-    AND pins a corpus-sized chunk-text table in executor storage,
-    while the second scan streams from parquet and the ownership
-    branch projects text away before its shuffle (round-9 measured
-    A/B at sf0.1: 1.11 s recompute vs 1.26 s checkpointed; broadcast
-    of kept_sets was also measured and LOSES — 1.54 s — because the
-    reassembly aggregate then cannot reuse the join's hash
-    partitioning).
+    the ownership path and the reassembly join and is lineage-cut
+    once with a SERIALIZED lazy checkpoint (r12 — supersedes the r9
+    "recompute per consumer" receipt, which was measured with the
+    deserialized default storage level: the compact serialized level
+    flips the A/B, ~2× at the factor-48 probe and neutral-to-better
+    at sf0.1; see the inline comment for numbers). Broadcast of
+    kept_sets was measured and LOSES (1.54 s vs 1.11 s at sf0.1, r9)
+    because the reassembly aggregate then cannot reuse the join's
+    hash partitioning.
     """
     from openoa_spark.datapipe.text import tokens
     chunks = _chunk_table(df, text_col, id_col, chunk_tokens)
+    import os as _os
+
+    if _os.environ.get("CHUNK_CKPT") != "0":
+        # r12: SERIALIZED lazy checkpoint of the chunk table — the
+        # two consumers (ownership + reassembly) previously recomputed
+        # the tokenize/slice/explode chain from parquet per the r9
+        # receipt ("recompute 1.11 s vs checkpoint 1.26 s"), but that
+        # receipt used the DESERIALIZED default level. With the
+        # compact serialized level (StorageLevel.MEMORY_AND_DISK in
+        # PySpark) the r12 interleaved A/B flips it: factor-48 probe
+        # 3/3 pairs, ~2× (medians 6.16 → 2.94 s); sf0.1 4/7 pairs,
+        # medians 1.10 → 0.99 s. CHUNK_CKPT=0 restores the recompute
+        # shape for re-measurement.
+        from pyspark import StorageLevel
+
+        chunks = chunks.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
     hashed = _chunk_fingerprints(chunks)
     # r11 negative result: replacing min(struct) with a packed
     # DECIMAL(38,0) min (id·2³¹ + pos) to turn the Sort+SortAggregate

@@ -537,22 +537,61 @@ def char_bigram_lm_scores(
     c = F.col(text_col)
     ch = char_array(c)
     n_ch = F.size(ch)
-    # guard: docs with fewer than 2 chars emit an empty array
-    # (explode drops them, matching the oracle's generate_series(1,0))
-    grams = F.when(
-        F.length(c) >= 2,
-        F.zip_with(
-            F.slice(ch, 1, n_ch - 1),
-            F.slice(ch, 2, n_ch - 1),
-            lambda x, y: F.concat(x, y),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    dc = (
-        df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("bigram"))
-        .groupBy("_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
-    )
+    import os as _os
+
+    if _os.environ.get("LM_BIGRAM_STR") == "1":
+        # A/B branch: the pre-r12 STRING bigram key (2-char concat).
+        grams = F.when(
+            F.length(c) >= 2,
+            F.zip_with(
+                F.slice(ch, 1, n_ch - 1),
+                F.slice(ch, 2, n_ch - 1),
+                lambda x, y: F.concat(x, y),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        # Packed-bigint bigram key (r12, guide §2.3 narrower types /
+        # §8 shuffle keys not payloads): cp1·2²¹ + cp2 over full code
+        # points (ascii() returns the code point, ≤ 0x10FFFF < 2²¹,
+        # including non-BMP — verified 𝄞→119070), a BIJECTION with
+        # the 2-char concat string, so the (id, bigram) groups — and
+        # therefore every count, probability and per-doc score — are
+        # bit-identical. What changes is the physical row: the
+        # corpus-grain explode/aggregate/shuffle/checkpoint carries a
+        # fixed-width long instead of a var-length UTF8String (16+ B
+        # pointer+payload per row), hash/compare on the agg key is
+        # integer not bytes, and the factor-48 leg that OOM'd
+        # unrolling string rows fits comfortably. The model join key
+        # narrows the same way. r12 interleaved A/B: sf0.1 a wash
+        # inside a noisy window (medians 3.00 packed vs 2.83 string,
+        # 2/7 pairs — the extra per-char ascii() pass offsets the
+        # narrower row while everything fits in cache); factor-48
+        # medians 40.8 packed vs 48.4 string (clean pairs 2/3, the
+        # third a 531 s GC outlier) — the win is at scale, where the
+        # shuffled/cached bytes dominate.
+        cps = F.transform(ch, lambda x: F.ascii(x).cast("bigint"))
+        grams = F.when(
+            F.length(c) >= 2,
+            F.zip_with(
+                F.slice(cps, 1, n_ch - 1),
+                F.slice(cps, 2, n_ch - 1),
+                lambda x, y: x * F.lit(2097152).cast("bigint") + y,
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+    dc = df.select(
+        F.col(id_col).alias("_id"), F.explode(grams).alias("bigram")
+    ).groupBy("_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    # Checkpoint level receipt (r12, guide §5): with the old STRING
+    # bigram keys the deserialized default unroll was OOM-fatal at
+    # factor-48 data in an 8 GB local heap (32 concurrent unrolls of
+    # object-heavy rows killed the whole leg). A serialized level
+    # (localCheckpoint(storageLevel=MEMORY_AND_DISK)) fixes the OOM
+    # but was A/B'd at factor 48 and LOST 3/3 pairs (~2× slower —
+    # dc is read twice, paying deserialization each time). The packed
+    # bigint keys above shrink the deserialized rows enough that the
+    # default level fits the 8 GB heap at factor 48 (spot-verified),
+    # so the default level stays.
+    dc = dc.localCheckpoint(eager=False)
     g = dc.groupBy("bigram").agg(F.sum("c").alias("gc"))
     # The corpus total is a plain sum over the alphabet²-bounded model
     # table: computing it as an unpartitioned window over g (one

@@ -153,7 +153,11 @@ def main():
     spark = get_session("sf1-bench")
     d = os.path.join("spark-warehouse", "sf1_bench")
     t0 = time.perf_counter()
-    build_probe_dir(spark, base, factor, d)
+    # SF1_REUSE=1: trust an existing probe dir from an earlier run of
+    # the SAME factor (r12 — a 48x build takes minutes; rebuilding it
+    # after an OOM'd measurement leg wastes the build)
+    if not (os.environ.get("SF1_REUSE") == "1" and os.path.isdir(d)):
+        build_probe_dir(spark, base, factor, d)
     build_s = round(time.perf_counter() - t0, 2)
     osql = registry.oracle_sql()
 
