@@ -578,20 +578,125 @@ def char_bigram_lm_scores(
                 lambda x, y: x * F.lit(2097152).cast("bigint") + y,
             ),
         ).otherwise(F.array().cast("array<bigint>"))
-    dc = df.select(
-        F.col(id_col).alias("_id"), F.explode(grams).alias("bigram")
-    ).groupBy("_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
-    # Checkpoint level receipt (r12, guide §5): with the old STRING
-    # bigram keys the deserialized default unroll was OOM-fatal at
-    # factor-48 data in an 8 GB local heap (32 concurrent unrolls of
-    # object-heavy rows killed the whole leg). A serialized level
-    # (localCheckpoint(storageLevel=MEMORY_AND_DISK)) fixes the OOM
-    # but was A/B'd at factor 48 and LOST 3/3 pairs (~2× slower —
-    # dc is read twice, paying deserialization each time). The packed
-    # bigint keys above shrink the deserialized rows enough that the
-    # default level fits the 8 GB heap at factor 48 (spot-verified),
-    # so the default level stays.
-    dc = dc.localCheckpoint(eager=False)
+    if _os.environ.get("LM_DC_RLE") != "0":
+        # DEFAULT shape (r12, guide §2.4 remove-shuffles / §1.2
+        # fix-the-algorithm): per-doc bigram counts computed INSIDE
+        # the row — sort the doc's bigram array, run-length encode
+        # it with higher-order functions, explode the (bigram, c)
+        # runs. The (id, bigram) groups are identical to the
+        # explode+groupBy shape (a doc's count of bigram b = length
+        # of b's run in the sorted array), so everything downstream
+        # is bit-identical — but dc becomes a MAP-ONLY lineage: the
+        # corpus-char-grain Exchange and both HashAggregates (whose
+        # partial-agg hash maps overflow and fall back to sorting at
+        # scale) disappear from the plan, and the lineage cut stores
+        # doc-grain run arrays instead of ~10² more exploded object
+        # rows. The per-row cost is one cache-local array_sort (~KBs)
+        # + three O(len) passes. Receipts (r12, factor-48 probe dir,
+        # LM_DC_RLE=0 restores the agg shape): identical fresh-session
+        # core_probe protocol (warmup + median of 3, noop sink) —
+        # agg 28.3 s @32c / 34.3 s @8c (core-scaling 1.21, the
+        # under-parallel stage VERDICT item 7 hunted); RLE 6.26 s
+        # @32c / 13.5 s @8c (scaling 2.15). Interleaved ab_query at
+        # ×48: medians 7.20 vs 7.29 (wash) but agg's reps are bimodal
+        # (6.1–7.2 s fast, 14.7/18.1 s GC-spike) while RLE is flat
+        # 7.1–7.6 s. At sf0.1 RLE pays the sort without the scale
+        # benefit: medians 1.06 (agg) vs 1.20 (RLE), 1/7 pairs — a
+        # ~0.14 s local floor cost accepted for the 4.5× scale win
+        # and restored core scaling (100 TB is the target, and the
+        # agg shape's concurrent partial-agg maps were the OOM/
+        # fallback hazard the string-key leg already demonstrated).
+        # Each intermediate lands in its OWN projection so lambda
+        # bodies below reference CHEAP bound columns: a non-trivial
+        # subtree referenced inside a higher-order-function lambda is
+        # re-evaluated per ELEMENT (array_sort inlined into the
+        # filter predicate ran once per sequence element — O(n² log
+        # n) per row, measured as a runaway first A/B), and
+        # CollapseProject keeps multi-referenced non-cheap aliases in
+        # their own Project instead of re-inlining them.
+        sorted_df = df.select(
+            F.col(id_col).alias("_id"), F.array_sort(grams).alias("_s")
+        )
+        s = F.col("_s")
+        n = F.size(s)
+        # 1-based end position of every run: i is an end iff i == n
+        # or s[i] != s[i+1] (try_element_at(s, n+1) is NULL; the
+        # OR's first operand is true exactly there, so the NULL
+        # comparison never decides). n == 0 (short/NULL text):
+        # sequence(1, 0) would COUNT DOWN ([1, 0]) and index an
+        # empty array — guard to NULL; explode drops the row exactly
+        # like the old explode-of-empty-grams did.
+        ends_df = sorted_df.select(
+            "_id",
+            "_s",
+            F.when(
+                n > 0,
+                F.filter(
+                    F.sequence(F.lit(1), n),
+                    lambda i: (i == n)
+                    | (F.element_at(s, i) != F.try_element_at(s, i + 1)),
+                ),
+            ).alias("_ends"),
+        )
+        e_col = F.col("_ends")
+        # lagged ends (0-prefixed) -> run length = end - previous end
+        rle_df = ends_df.select(
+            "_id",
+            F.zip_with(
+                e_col,
+                F.concat(
+                    F.array(F.lit(0)),
+                    F.slice(
+                        e_col, 1, F.greatest(F.size(e_col) - 1, F.lit(0))
+                    ),
+                ),
+                lambda e, p: F.struct(
+                    F.element_at(s, e).alias("bigram"),
+                    (e - p).cast("bigint").alias("c"),
+                ),
+            ).alias("_rle"),
+        )
+        # Lineage-cut BEFORE the explode, for two reasons. (1) The
+        # optimizer infers `isnotnull(_rle) AND size(_rle) > 0` under
+        # the Generate and predicate pushdown substitutes the alias —
+        # the full sort+RLE tree — into that filter and pushes it
+        # below the repartition: every row then pays the pipeline
+        # twice, with `_s` re-inlined INSIDE the filter's lambdas
+        # (per-element re-sort — the quadratic blowup the projection
+        # split above exists to avoid). The checkpoint is a barrier
+        # pushdown cannot cross; the inferred filter lands on the
+        # stored column, a cheap reference. (2) The stored rows are
+        # doc-grain (one run array per doc), not exploded bigram
+        # rows — far fewer objects pinned than checkpointing dc
+        # itself. Both consumers (model rollup, scoring join) explode
+        # the stored arrays, which is a trivial generator over
+        # in-memory rows.
+        rle_df = rle_df.localCheckpoint(eager=False)
+        dc = rle_df.select(
+            "_id", F.explode("_rle").alias("_rc")
+        ).select(
+            "_id",
+            F.col("_rc.bigram").alias("bigram"),
+            F.col("_rc.c").alias("c"),
+        )
+    else:
+        dc = df.select(
+            F.col(id_col).alias("_id"), F.explode(grams).alias("bigram")
+        ).groupBy("_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+        # Checkpoint level receipt (r12, guide §5): with the old
+        # STRING bigram keys the deserialized default unroll was
+        # OOM-fatal at factor-48 data in an 8 GB local heap (32
+        # concurrent unrolls of object-heavy rows killed the whole
+        # leg). A serialized level
+        # (localCheckpoint(storageLevel=MEMORY_AND_DISK)) fixes the
+        # OOM but was A/B'd at factor 48 and LOST 3/3 pairs (~2×
+        # slower — dc is read twice, paying deserialization each
+        # time). The packed bigint keys above shrink the deserialized
+        # rows enough that the default level fits the 8 GB heap at
+        # factor 48 (spot-verified), so the default level stays.
+        # (The RLE branch checkpoints the doc-grain run arrays above
+        # instead — dc itself is a cheap explode over stored rows.)
+        dc = dc.localCheckpoint(eager=False)
     g = dc.groupBy("bigram").agg(F.sum("c").alias("gc"))
     # The corpus total is a plain sum over the alphabet²-bounded model
     # table: computing it as an unpartitioned window over g (one

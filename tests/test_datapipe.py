@@ -705,6 +705,36 @@ def test_char_bigram_lm_scores_orders_anomalies(spark):
     assert s[100] < norm_avg < s[101]
 
 
+def test_char_bigram_rle_dc_matches_agg_shape(spark, monkeypatch):
+    """The r12 RLE dc shape (per-row sort + run-length encode, no
+    corpus-grain aggregate) must be row-identical to the explode +
+    groupBy shape it replaced, across the edge cases the RLE guards
+    handle explicitly: NULL text, empty text, single char (no
+    bigram), all-one-run, multi-run, and non-BMP code points (packed
+    key stays bijective past the BMP)."""
+    from openoa_spark.datapipe.text import char_bigram_lm_scores
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "x"),
+        (4, "aaaa"),              # one run of 'aa'
+        (5, "ababab"),            # ab x3, ba x2
+        (6, "the quick brown fox jumps over the lazy dog"),
+        (7, "\U0001D11E\U0001D11Ez"),  # non-BMP bigrams
+    ] + [(100 + i, f"filler text number {i} with shared bigrams")
+         for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(flag):
+        monkeypatch.setenv("LM_DC_RLE", flag)
+        return sorted(
+            map(tuple, char_bigram_lm_scores(df, "text", "doc_id").collect())
+        )
+
+    assert run("1") == run("0")
+
+
 def test_incremental_chunk_dedup_across_batches(spark, tmp_path):
     """Cross-batch chunk dedup: batch-2 chunks already accepted in
     batch 1 are dropped, novel chunks survive, and a replay after a
