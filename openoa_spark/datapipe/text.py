@@ -640,22 +640,45 @@ def char_bigram_lm_scores(
         )
         e_col = F.col("_ends")
         # lagged ends (0-prefixed) -> run length = end - previous end
-        rle_df = ends_df.select(
-            "_id",
-            F.zip_with(
-                e_col,
-                F.concat(
-                    F.array(F.lit(0)),
-                    F.slice(
-                        e_col, 1, F.greatest(F.size(e_col) - 1, F.lit(0))
-                    ),
-                ),
-                lambda e, p: F.struct(
-                    F.element_at(s, e).alias("bigram"),
-                    (e - p).cast("bigint").alias("c"),
-                ),
-            ).alias("_rle"),
+        _lagged = F.concat(
+            F.array(F.lit(0)),
+            F.slice(e_col, 1, F.greatest(F.size(e_col) - 1, F.lit(0))),
         )
+        if _os.environ.get("LM_RLE_PRIM") == "1":
+            # A/B branch, measured and NOT adopted (r12 close): runs
+            # as TWO PRIMITIVE arrays instead of one array<struct>,
+            # struct re-formed transiently at explode time via
+            # arrays_zip. Hypothesis was per-element object pressure
+            # in the checkpoint; interleaved ×48 A/B says WASH — 32c
+            # medians 6.38 (struct) vs 6.27 (prim), 4/7 pairs; 8c
+            # 18.56 vs 18.76, 2/5 — because localCheckpoint stores
+            # UnsafeRows, where an array<struct<bigint,bigint>> is
+            # already ONE compact binary region per row, not
+            # per-element objects; there is nothing for the primitive
+            # layout to save. Kept as a hook for re-measurement.
+            # Bit-identical outputs verified at sf0.001 (lm_score and
+            # ccnet buckets).
+            rle_df = ends_df.select(
+                "_id",
+                F.transform(e_col, lambda e: F.element_at(s, e)).alias(
+                    "_bg"
+                ),
+                F.zip_with(
+                    e_col, _lagged, lambda e, p: (e - p).cast("bigint")
+                ).alias("_ct"),
+            )
+        else:
+            rle_df = ends_df.select(
+                "_id",
+                F.zip_with(
+                    e_col,
+                    _lagged,
+                    lambda e, p: F.struct(
+                        F.element_at(s, e).alias("bigram"),
+                        (e - p).cast("bigint").alias("c"),
+                    ),
+                ).alias("_rle"),
+            )
         # Lineage-cut BEFORE the explode, for two reasons. (1) The
         # optimizer infers `isnotnull(_rle) AND size(_rle) > 0` under
         # the Generate and predicate pushdown substitutes the alias —
@@ -671,14 +694,39 @@ def char_bigram_lm_scores(
         # itself. Both consumers (model rollup, scoring join) explode
         # the stored arrays, which is a trivial generator over
         # in-memory rows.
-        rle_df = rle_df.localCheckpoint(eager=False)
-        dc = rle_df.select(
-            "_id", F.explode("_rle").alias("_rc")
-        ).select(
-            "_id",
-            F.col("_rc.bigram").alias("bigram"),
-            F.col("_rc.c").alias("c"),
-        )
+        if _os.environ.get("LM_RLE_SER") == "1":
+            # A/B branch, measured and REJECTED (r12 close): a
+            # SERIALIZED level for the doc-grain run-array cut LOST
+            # the interleaved ×48 A/B ~2× (medians 9.24 default vs
+            # 17.26 serialized) — the cut is read twice (model rollup
+            # + scoring join) and pays per-read deserialization, the
+            # same failure mode as the dc-grain serialized receipt
+            # below. The default level's rows are UnsafeRows (compact
+            # binary), so the serialized level saves little memory to
+            # begin with at doc grain.
+            from pyspark import StorageLevel
+
+            rle_df = rle_df.localCheckpoint(
+                eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+        else:
+            rle_df = rle_df.localCheckpoint(eager=False)
+        if _os.environ.get("LM_RLE_PRIM") == "1":
+            dc = rle_df.select(
+                "_id", F.explode(F.arrays_zip("_bg", "_ct")).alias("_rc")
+            ).select(
+                "_id",
+                F.col("_rc._bg").alias("bigram"),
+                F.col("_rc._ct").alias("c"),
+            )
+        else:
+            dc = rle_df.select(
+                "_id", F.explode("_rle").alias("_rc")
+            ).select(
+                "_id",
+                F.col("_rc.bigram").alias("bigram"),
+                F.col("_rc.c").alias("c"),
+            )
     else:
         dc = df.select(
             F.col(id_col).alias("_id"), F.explode(grams).alias("bigram")

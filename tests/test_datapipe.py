@@ -735,6 +735,35 @@ def test_char_bigram_rle_dc_matches_agg_shape(spark, monkeypatch):
     assert run("1") == run("0")
 
 
+def test_char_bigram_rle_prim_layout_matches_struct(spark, monkeypatch):
+    """The LM_RLE_PRIM measurement hook (runs stored as two primitive
+    arrays, struct re-formed at explode time) must be row-identical
+    to the default array<struct> layout on the same edge cases as the
+    RLE-vs-agg pin. The hook was a WASH in the ×48 A/B (receipt at
+    the site) and stays off; this pin keeps it honest if re-measured."""
+    from openoa_spark.datapipe.text import char_bigram_lm_scores
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "x"),
+        (4, "aaaa"),
+        (5, "ababab"),
+        (6, "the quick brown fox jumps over the lazy dog"),
+        (7, "\U0001D11E\U0001D11Ez"),
+    ] + [(100 + i, f"filler text number {i} with shared bigrams")
+         for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(flag):
+        monkeypatch.setenv("LM_RLE_PRIM", flag)
+        return sorted(
+            map(tuple, char_bigram_lm_scores(df, "text", "doc_id").collect())
+        )
+
+    assert run("1") == run("0")
+
+
 def test_incremental_chunk_dedup_across_batches(spark, tmp_path):
     """Cross-batch chunk dedup: batch-2 chunks already accepted in
     batch 1 are dropped, novel chunks survive, and a replay after a
