@@ -31,6 +31,21 @@ def norm(a: Column) -> Column:
     ))
 
 
+# Per-pair norm hoist (r12, guide §1.2/§2.3): every pair-join consumer
+# below computes cosine as dot/(norm(a)*norm(b)). norm() is an O(dim)
+# array fold + intermediate allocation, and evaluated INSIDE the join
+# output it runs once per PAIR — for the bucket/cluster self-joins the
+# pair count is quadratic in bucket occupancy, so at corpus scale the
+# two norm folds triple the per-pair CPU (6 array traversals + 3 temp
+# arrays instead of 2 + 1). Hoisting norm into the per-ROW projection
+# below the join makes it O(n) total and leaves the pair side exactly
+# one dot fold. Bit-identical by construction: the hoisted column is
+# the SAME expression over the SAME double array, and the pair-side
+# arithmetic keeps the same operand order (norm_a * norm_b), so every
+# cosine — and every rounded/thresholded consumer — is unchanged
+# (oracle-pinned at two SFs for all nine consumers).
+
+
 def cosine_to_query(
     df: DataFrame, vec_col: str, query: list[float], out_col: str = "cosine"
 ) -> DataFrame:
@@ -70,11 +85,18 @@ def all_pairs_top_k(
     (brute-force crossJoin — O(n²), the exactness baseline; use
     :func:`lsh_bucketed_neighbors` at scale). Output
     (id_a, id_b, cosine) with rank ≤ k per id_a."""
-    a = df.select(F.col(id_col).alias("id_a"), _vec(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), _vec(vec_col).alias("_vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"), _vec(vec_col).alias("_va"),
+        norm(_vec(vec_col)).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), _vec(vec_col).alias("_vb"),
+        norm(_vec(vec_col)).alias("_nb"),
+    )
     pairs = a.crossJoin(b).where(F.col("id_a") != F.col("id_b"))
     scored = pairs.withColumn(
-        "cosine", dot(F.col("_va"), F.col("_vb")) / (norm(F.col("_va")) * norm(F.col("_vb")))
+        "cosine",
+        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
@@ -210,7 +232,10 @@ def lsh_recall_at_k(
     queries = hash_sample(
         df.select(F.col(id_col), _vec(vec_col).alias("_qv")),
         id_col, query_fraction, seed=seed, hash_fn=hash_fn,
-    ).select(F.col(id_col).alias("id_a"), "_qv")
+    ).select(
+        F.col(id_col).alias("id_a"), "_qv",
+        norm(F.col("_qv")).alias("_qn"),
+    )
     if max_queries is not None:
         queries = queries.orderBy("id_a").limit(max_queries)
     # broadcast-small panel consumed by BOTH the exact ground-truth
@@ -219,15 +244,20 @@ def lsh_recall_at_k(
     # interleaved pairs faster at sf0.1)
     queries = queries.localCheckpoint(eager=False)
 
-    # exact ground truth: |Q| x n scored pairs, query side broadcast
-    base = df.select(F.col(id_col).alias("id_b"), _vec(vec_col).alias("_v"))
+    # exact ground truth: |Q| x n scored pairs, query side broadcast;
+    # norms hoisted per row (see norm() note) — the |Q|×n NLJ output
+    # pays one dot fold per pair, not dot + two norm folds
+    base = df.select(
+        F.col(id_col).alias("id_b"), _vec(vec_col).alias("_v"),
+        norm(_vec(vec_col)).alias("_n"),
+    )
     exact_pairs = (
         base.join(F.broadcast(queries), F.col("id_a") != F.col("id_b"))
         .withColumn(
             "cosine6",
             F.round(
                 dot(F.col("_qv"), F.col("_v"))
-                / (norm(F.col("_qv")) * norm(F.col("_v"))),
+                / (F.col("_qn") * F.col("_n")),
                 6,
             ),
         )
@@ -247,6 +277,7 @@ def lsh_recall_at_k(
         bucketed = df.select(
             F.col(id_col).alias("_bid"),
             _vec(vec_col).alias("_bv"),
+            norm(_vec(vec_col)).alias("_bn"),
             lsh_bucket(vec_col, planes, round_digits=round_digits).alias(
                 "_bucket"
             ),
@@ -269,7 +300,7 @@ def lsh_recall_at_k(
                 F.col("b._bid").alias("id_b"),
                 (
                     dot(F.col("a._bv"), F.col("b._bv"))
-                    / (norm(F.col("a._bv")) * norm(F.col("b._bv")))
+                    / (F.col("a._bn") * F.col("b._bn"))
                 ).alias("cosine"),
             )
             .dropDuplicates(["id_a", "id_b"])
@@ -315,9 +346,13 @@ def _bucketed_cosine_pairs(
     once via id_a < id_b — the dedup shape. Output: (id_a, id_b,
     cosine) with cosine UNrounded; callers round for their contract.
     """
+    # _n inside the checkpointed projection: one norm fold per ROW,
+    # stored with the row, so the (potentially quadratic) pair side
+    # below reads a scalar instead of re-folding both arrays per pair
     bucketed = df.select(
         F.col(id_col).alias("_id"),
         _vec(vec_col).alias("_v"),
+        norm(_vec(vec_col)).alias("_n"),
         lsh_bucket(vec_col, planes, round_digits=round_digits).alias("_bucket"),
     ).localCheckpoint(eager=False)
     # lazy cut (r11): the self-join sides never canonicalize to a
@@ -339,7 +374,7 @@ def _bucketed_cosine_pairs(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             (dot(F.col("a._v"), F.col("b._v"))
-             / (norm(F.col("a._v")) * norm(F.col("b._v")))).alias("cosine"),
+             / (F.col("a._n") * F.col("b._n"))).alias("cosine"),
         )
     )
 
@@ -397,6 +432,7 @@ def lsh_multi_probe_neighbors(
     bucketed = df.select(
         F.col(id_col).alias("_id"),
         _vec(vec_col).alias("_v"),
+        norm(_vec(vec_col)).alias("_n"),
         lsh_bucket(vec_col, planes).alias("_bucket"),
     )
     if n_probe_bits < 1:
@@ -415,7 +451,7 @@ def lsh_multi_probe_neighbors(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             (dot(F.col("a._v"), F.col("b._v"))
-             / (norm(F.col("a._v")) * norm(F.col("b._v")))).alias("cosine"),
+             / (F.col("a._n") * F.col("b._n"))).alias("cosine"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -469,13 +505,14 @@ def ivf_neighbors(
     )
     assigned = feats.select(
         "_id", "_v",
+        norm(F.col("_v")).alias("_n"),
         F.element_at(ranked, 1)["cid"].alias("_cluster"),
         F.slice(ranked, 1, n_probe)["cid"].alias("_probes"),
     )
     a = assigned.select(
-        "_id", "_v", F.explode("_probes").alias("_probe")
+        "_id", "_v", "_n", F.explode("_probes").alias("_probe")
     ).alias("a")
-    b = assigned.select("_id", "_v", "_cluster").alias("b")
+    b = assigned.select("_id", "_v", "_n", "_cluster").alias("b")
     pairs = (
         a.join(b, F.col("a._probe") == F.col("b._cluster"))
         .where(F.col("a._id") != F.col("b._id"))
@@ -483,7 +520,7 @@ def ivf_neighbors(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             (dot(F.col("a._v"), F.col("b._v"))
-             / (norm(F.col("a._v")) * norm(F.col("b._v")))).alias("cosine"),
+             / (F.col("a._n") * F.col("b._n"))).alias("cosine"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -644,6 +681,7 @@ def incremental_embedding_dedup(
     bucketed = batch.select(
         F.col(id_col).alias("_id"),
         _vec(vec_col).alias("_v"),
+        norm(_vec(vec_col)).alias("_n"),
         lsh_bucket(vec_col, planes, round_digits=round_digits).alias("_bucket"),
     )
     jvm = spark._jvm
@@ -651,14 +689,18 @@ def incremental_embedding_dedup(
     p = jvm.org.apache.hadoop.fs.Path(vecs_path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(p):
-        hist = spark.read.parquet(vecs_path)
+        # history norm hoisted per history ROW (projection below the
+        # join) — the state table keeps its (id, bucket, vec) schema
+        hist = spark.read.parquet(vecs_path).withColumn(
+            "_hn", norm(F.col("vec"))
+        )
         cand = bucketed.join(
             hist, bucketed["_bucket"] == hist["bucket"]
         ).select(
             "_id",
             (
                 dot(F.col("_v"), F.col("vec"))
-                / (norm(F.col("_v")) * norm(F.col("vec")))
+                / (F.col("_n") * F.col("_hn"))
             ).alias("_cos"),
         )
         dup_of_history = (
@@ -688,7 +730,7 @@ def incremental_embedding_dedup(
             F.col("b._id").alias("id_b"),
             F.round(
                 dot(F.col("a._v"), F.col("b._v"))
-                / (norm(F.col("a._v")) * norm(F.col("b._v"))),
+                / (F.col("a._n") * F.col("b._n")),
                 6,
             ).alias("cosine"),
         )
@@ -1243,6 +1285,7 @@ def semantic_dedup(
     k: int = 8,
     iters: int = 3,
     threshold: float = 0.25,
+    salt: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
     then treat each CLUSTER as the candidate bucket — exact cosine is
@@ -1260,35 +1303,92 @@ def semantic_dedup(
     pass."""
     from openoa_spark.datapipe.dedup import connected_components
 
+    pairs = _semantic_pairs(df, vec_col, id_col, k, iters, threshold, salt)
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def _semantic_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    iters: int,
+    threshold: float,
+    salt: int | None,
+) -> DataFrame:
+    """The within-cluster cosine pair join of :func:`semantic_dedup`,
+    exposed so its plan (the norm hoist + salted keys) can be
+    inspected below connected_components' checkpoint boundary."""
     asg = kmeans_assignments(df, vec_col, id_col, k=k, iters=iters)
+    # norm hoisted per ROW (see norm() note): with k fixed, expected
+    # cluster size is n/k, so the within-cluster pair count — and with
+    # it the per-pair cosine cost — grows quadratically with corpus
+    # size; the ×48 probe measured this join as the whole query's wall
     sides = df.select(
-        F.col(id_col).alias("_id"), _vec(vec_col).alias("_v")
+        F.col(id_col).alias("_id"), _vec(vec_col).alias("_v"),
+        norm(_vec(vec_col)).alias("_n"),
     ).join(asg.withColumnRenamed(id_col, "_id"), "_id")
     a = sides.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "cluster"
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "cluster",
     )
     b = sides.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "cluster"
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "cluster",
     )
+    # Deterministic hot-key salt (guide §2.5): the join has only k
+    # distinct keys, so at most k reduce tasks ever do pair work and
+    # the biggest cluster IS the stage's wall-clock (measured at ×48:
+    # two straggler tasks held the stage for ~30 of its 54 min; AQE
+    # skew-split cannot engage because each cluster's INPUT partition
+    # is far under skewedPartitionThresholdInBytes — the blowup is in
+    # the join OUTPUT, which AQE cannot see). a-rows take salt =
+    # pmod(xxhash64(id), S) — deterministic, so retries are safe
+    # (§2.5's rand() warning) — and b-rows are replicated to every
+    # salt, so each (a, b) pair meets exactly once, at (cluster,
+    # salt(a)): the pair set, and everything downstream, is identical.
+    # Cost: b-side shuffle bytes ×S — the payload is one vector per
+    # row, so this trades bounded network for k·S-way parallelism.
+    # SEMDEDUP_SALT=0 restores the unsalted join for re-measurement
+    # ("1" selects the salted default — the ab_query experimental-flag
+    # convention; any other integer sets S directly).
+    if salt is None:
+        import os as _os
+
+        v = _os.environ.get("SEMDEDUP_SALT")
+        salt = 16 if v in (None, "1") else int(v)
+    if salt > 1:
+        a = a.withColumn(
+            "_salt", F.pmod(F.xxhash64("id_a"), F.lit(salt)).cast("int")
+        )
+        b = b.withColumn(
+            "_salt",
+            F.explode(
+                F.sequence(F.lit(0).cast("int"), F.lit(salt - 1).cast("int"))
+            ),
+        )
+        keys = ["cluster", "_salt"]
+    else:
+        keys = ["cluster"]
     pairs = (
-        a.join(b, ["cluster"])
+        a.join(b, keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
             F.round(
                 dot(F.col("_va"), F.col("_vb"))
-                / (norm(F.col("_va")) * norm(F.col("_vb"))),
+                / (F.col("_na") * F.col("_nb")),
                 6,
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
-    comp = connected_components(pairs)
-    losers = comp.where(F.col("doc_id") != F.col("component")).select(
-        F.col("doc_id").alias(id_col)
-    )
-    return df.join(losers, id_col, "left_anti")
+    return pairs
 
 
 def kmeans_cluster_profile(

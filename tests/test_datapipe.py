@@ -1483,6 +1483,55 @@ def test_semantic_dedup_keeps_lowest_id_per_group(spark):
     assert kept == [0, 10, 20]
 
 
+def test_semantic_dedup_salted_join_matches_unsalted(spark):
+    # the r12 hot-key salt (a-side pmod(xxhash64) salt, b-side
+    # replicated to every salt) must produce the IDENTICAL pair set —
+    # and therefore identical survivors — as the plain cluster join:
+    # each (a, b) pair meets exactly once, at (cluster, salt(a))
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        base = [1.0, 0.0, 0.0] if i % 3 == 0 else (
+            [0.0, 1.0, 0.0] if i % 3 == 1 else [0.0, 0.0, 1.0]
+        )
+        rows.append(
+            (i, [x + rng.uniform(-0.01, 0.01) for x in base])
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    kw = dict(k=3, iters=2, threshold=0.99)
+    unsalted = sorted(
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            df, "embedding", "vec_id", salt=0, **kw
+        ).collect()
+    )
+    salted = sorted(
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            df, "embedding", "vec_id", salt=16, **kw
+        ).collect()
+    )
+    assert salted == unsalted
+    # the pair frames themselves must match (id pairs AND cosines)
+    up = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in similarity._semantic_pairs(
+            df, "embedding", "vec_id", 3, 2, 0.99, 0
+        ).collect()
+    }
+    sp = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in similarity._semantic_pairs(
+            df, "embedding", "vec_id", 3, 2, 0.99, 16
+        ).collect()
+    }
+    assert sp == up and len(sp) > 0
+
+
 def test_kmeans_gemm_strategy_bit_identical_to_expr(spark):
     # the large-k Arrow GEMM kernel must reproduce the JVM expression
     # kernel exactly — same integer grid, same lowest-cid tie rule —
