@@ -17,9 +17,35 @@ def _vec(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Sequential-fold dot product of two array columns (deterministic
-    summation order — same result on any partitioning)."""
+    summation order — same result on any partitioning).
+
+    ``dim`` (r12): when the vector length is statically known, emit
+    the unrolled scalar chain ``((0.0 + a[1]·b[1]) + a[2]·b[2]) + …``
+    instead of the fold. This is the fold's EXACT computation sequence
+    — same association, same leading 0.0 (so even the sign of an
+    all-negative-zero sum matches) — but as plain codegen arithmetic
+    with ZERO allocations, where the fold allocates a dim-element
+    zip_with array per evaluation. In the quadratic pair joins that
+    allocation happens per PAIR (~5.8e9 times in the ×48 ann_recall
+    leg), and removing it is a further ~2× after the norm hoist
+    (receipts in SEMDEDUP48_r12.json). CONTRACT: pass ``dim`` only
+    when every vector has exactly ``dim`` elements — for a shorter
+    array the fold yields a partial sum while ``element_at`` past the
+    end yields NULL (and a longer array's tail would be ignored); all
+    embedding tables here are fixed-width so the sites below pass the
+    plane/centroid width. DOT_UNROLL=0 restores the fold everywhere
+    for A/B re-measurement.
+    """
+    if dim is not None:
+        import os as _os
+
+        if _os.environ.get("DOT_UNROLL") != "0":
+            expr = F.lit(0.0)
+            for i in range(1, dim + 1):
+                expr = expr + F.element_at(a, i) * F.element_at(b, i)
+            return expr
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -54,7 +80,9 @@ def cosine_to_query(
     prunes to (id, vec)."""
     q = F.array(*[F.lit(float(v)) for v in query])
     v = _vec(vec_col)
-    return df.withColumn(out_col, dot(v, q) / (norm(v) * norm(q)))
+    return df.withColumn(
+        out_col, dot(v, q, dim=len(query)) / (norm(v) * norm(q))
+    )
 
 
 def brute_force_top_k(
@@ -163,7 +191,7 @@ def lsh_bucket(
     acc = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         q = F.array(*[F.lit(float(x)) for x in p])
-        d = dot(v, q)
+        d = dot(v, q, dim=len(p))
         if round_digits is not None:
             d = F.round(d, round_digits)
         bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -256,7 +284,7 @@ def lsh_recall_at_k(
         .withColumn(
             "cosine6",
             F.round(
-                dot(F.col("_qv"), F.col("_v"))
+                dot(F.col("_qv"), F.col("_v"), dim=len(planes[0]))
                 / (F.col("_qn") * F.col("_n")),
                 6,
             ),
@@ -299,7 +327,8 @@ def lsh_recall_at_k(
                 F.col("a._bid").alias("id_a"),
                 F.col("b._bid").alias("id_b"),
                 (
-                    dot(F.col("a._bv"), F.col("b._bv"))
+                    dot(F.col("a._bv"), F.col("b._bv"),
+                        dim=len(planes[0]))
                     / (F.col("a._bn") * F.col("b._bn"))
                 ).alias("cosine"),
             )
@@ -373,7 +402,7 @@ def _bucketed_cosine_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            (dot(F.col("a._v"), F.col("b._v"))
+            (dot(F.col("a._v"), F.col("b._v"), dim=len(planes[0]))
              / (F.col("a._n") * F.col("b._n"))).alias("cosine"),
         )
     )
@@ -450,7 +479,7 @@ def lsh_multi_probe_neighbors(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            (dot(F.col("a._v"), F.col("b._v"))
+            (dot(F.col("a._v"), F.col("b._v"), dim=dim)
              / (F.col("a._n") * F.col("b._n"))).alias("cosine"),
         )
         .dropDuplicates(["id_a", "id_b"])
@@ -519,7 +548,7 @@ def ivf_neighbors(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            (dot(F.col("a._v"), F.col("b._v"))
+            (dot(F.col("a._v"), F.col("b._v"), dim=len(centers[0]))
              / (F.col("a._n") * F.col("b._n"))).alias("cosine"),
         )
         .dropDuplicates(["id_a", "id_b"])
@@ -699,7 +728,7 @@ def incremental_embedding_dedup(
         ).select(
             "_id",
             (
-                dot(F.col("_v"), F.col("vec"))
+                dot(F.col("_v"), F.col("vec"), dim=len(planes[0]))
                 / (F.col("_n") * F.col("_hn"))
             ).alias("_cos"),
         )
@@ -729,7 +758,7 @@ def incremental_embedding_dedup(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             F.round(
-                dot(F.col("a._v"), F.col("b._v"))
+                dot(F.col("a._v"), F.col("b._v"), dim=len(planes[0]))
                 / (F.col("a._n") * F.col("b._n")),
                 6,
             ).alias("cosine"),
@@ -954,7 +983,8 @@ def query_ivf_index(
     qa = F.array(*[F.lit(float(x)) for x in query])
     scored = postings.select(
         "id",
-        (dot(F.col("vec"), qa) / (norm(F.col("vec")) * norm(qa))).alias(
+        (dot(F.col("vec"), qa, dim=len(query))
+         / (norm(F.col("vec")) * norm(qa))).alias(
             "cosine"
         ),
     )
@@ -1323,7 +1353,11 @@ def _semantic_pairs(
     """The within-cluster cosine pair join of :func:`semantic_dedup`,
     exposed so its plan (the norm hoist + salted keys) can be
     inspected below connected_components' checkpoint boundary."""
-    asg = kmeans_assignments(df, vec_col, id_col, k=k, iters=iters)
+    # kmeans_fit rather than kmeans_assignments: the fitted centroids
+    # (driver-side, k x dim) give the static vector width the unrolled
+    # dot needs — same fit, zero extra work
+    asg, _cents = kmeans_fit(df, vec_col, id_col, k=k, iters=iters)
+    _dim = len(_cents[0])
     # norm hoisted per ROW (see norm() note): with k fixed, expected
     # cluster size is n/k, so the within-cluster pair count — and with
     # it the per-pair cosine cost — grows quadratically with corpus
@@ -1381,7 +1415,7 @@ def _semantic_pairs(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("_va"), F.col("_vb"))
+                dot(F.col("_va"), F.col("_vb"), dim=_dim)
                 / (F.col("_na") * F.col("_nb")),
                 6,
             ).alias("cosine"),
